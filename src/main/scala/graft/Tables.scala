@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Test-table access + temp-view registration for the driver tables
+  * (see /root/repo/TESTDATA.md). All queries read parquet from the
+  * sf directory passed by the driver; at 100 TB the same code reads
+  * from a distributed FS path — nothing here is local-only.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects outright. Read nanos as long and normalize to
+      // Spark's native µs timestamps (values are µs-aligned; the same
+      // normalization DuckDB applies when it surfaces the column as
+      // TIMESTAMP). SURVEY.md §1.3 timestamp rule.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          // NTZ to match how Spark infers the other tables' timestamps
+          // (and how DuckDB surfaces TIMESTAMP) — keeps oracle outputs
+          // byte-identical under the UTC session.
+          org.apache.spark.sql.functions.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register all tables as temp views named exactly like the DuckDB
+    * oracle's tables so the same SQL text runs on both engines. */
+  def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+  }
+}

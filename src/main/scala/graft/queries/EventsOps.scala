@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Time-windowed analytics over `events` — the batch form of the
+  * Structured Streaming pipeline (same `window()` semantics; the
+  * streaming variant with watermarks lives in graft.streaming and is
+  * exercised by tests). Epoch-aligned tumbling windows match DuckDB's
+  * time_bucket.
+  */
+object EventsOps {
+  val set = new QuerySet
+  import set._
+
+  spark("e_window_tumbling",
+    (s, d) => Tables.t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_v"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_v"))
+      .orderBy("ws", "event_type"),
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v
+      |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)
+
+  spark("e_sliding_window",
+    (s, d) => Tables.t(s, d, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type"),
+    """WITH s AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS hb, event_type FROM events),
+      |w AS (SELECT hb - INTERVAL 1 HOUR AS ws, event_type FROM s
+      |      UNION ALL SELECT hb AS ws, event_type FROM s)
+      |SELECT ws, event_type, count(*) AS n FROM w GROUP BY ws, event_type
+      |ORDER BY ws, event_type""".stripMargin)
+
+  // Per-user event sequencing: gap to previous event in exact
+  // microseconds (integer arithmetic — no interval-boundary semantics
+  // to diverge between engines). Batch analog of sessionization state.
+  spark("e_user_gaps",
+    (s, d) => { Tables.registerAll(s, d)
+      s.sql("""SELECT event_id, user_id,
+              |  unix_micros(ts) - unix_micros(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+              |FROM events ORDER BY event_id""".stripMargin) },
+    """SELECT event_id, user_id,
+      |  epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      |FROM events ORDER BY event_id""".stripMargin)
+}

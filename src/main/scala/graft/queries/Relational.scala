@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** SURVEY.md §2.1–§2.4 + §2.6: scans, projection/filter/cast, joins,
+  * aggregations, set ops. Most queries are ANSI-common SQL text run on
+  * both engines; a few use the DataFrame API with a hand-written
+  * DuckDB oracle to exercise the idiomatic Spark surface (broadcast
+  * hints, typed joins, dropDuplicates).
+  *
+  * Scale notes (100 TB): every aggregate here is a partial+final hash
+  * aggregate (map-side combine free via Catalyst); joins on big×small
+  * use explicit broadcast; big×big joins shuffle on their equi-keys
+  * which is the right plan at any scale. Decimal-cast-before-sum keeps
+  * results order-independent, so plans stay hash-mismatch-safe under
+  * AQE re-planning.
+  */
+object Relational {
+  val set = new QuerySet
+  import set._
+
+  // ---- §2.1 scans / sources ------------------------------------------
+  // S6: row-generating source. Spark `range` vs DuckDB `range`.
+  spark("s6_range",
+    (s, _) => s.range(0, 5).toDF("id").orderBy("id"),
+    "SELECT range AS id FROM range(0, 5) ORDER BY id")
+
+  // ---- §2.2 projection / filter / expressions / cast ------------------
+  common("p1_project",
+    """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+
+  common("p2_filter_cmp",
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+      |WHERE l_quantity BETWEEN 10 AND 20 AND l_discount >= 0.05 AND l_returnflag <> 'N'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+
+  common("p2_filter_in",
+    """SELECT count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      |FROM lineitem
+      |WHERE l_returnflag IN ('A', 'R') AND l_shipdate >= TIMESTAMP '2000-06-01 00:00:00' OR l_quantity = 1""".stripMargin)
+
+  common("p2_filter_null",
+    "SELECT count(*) AS n_zero_tax FROM lineitem WHERE NULLIF(l_tax, 0.0) IS NULL")
+
+  common("p3_expr",
+    """SELECT o_orderkey, o_orderkey % 7 AS m7, o_orderkey * 10 AS x10,
+      |       -o_orderkey AS neg, o_orderkey + 1 AS inc, (o_orderkey - 1) % 3 AS m3
+      |FROM orders ORDER BY o_orderkey""".stripMargin)
+
+  common("p4_cast",
+    """SELECT l_orderkey, l_linenumber,
+      |       CAST(l_quantity AS INTEGER) AS q_int,
+      |       CAST(l_quantity AS SMALLINT) AS q_short,
+      |       CAST(l_quantity AS BIGINT) AS q_long,
+      |       CAST(l_extendedprice AS DECIMAL(18,2)) AS p_dec,
+      |       CAST(l_linenumber AS DOUBLE) AS ln_d,
+      |       CAST(l_orderkey AS VARCHAR(30)) AS key_s,
+      |       CAST(l_shipdate AS DATE) AS ship_d
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+
+  // ---- §2.3 joins ------------------------------------------------------
+  common("j1_inner",
+    """SELECT o_orderkey, o_custkey, c_name, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin)
+
+  common("j2_left",
+    """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin)
+
+  common("j2_full",
+    """SELECT coalesce(c_custkey, o_custkey) AS k, count(o_orderkey) AS n_o, count(c_name) AS n_c
+      |FROM customer FULL JOIN orders ON c_custkey = o_custkey
+      |GROUP BY coalesce(c_custkey, o_custkey) ORDER BY k""".stripMargin)
+
+  // J3/J4: DataFrame-API semi/anti joins; oracle uses EXISTS/NOT EXISTS.
+  spark("j3_semi",
+    (s, d) => {
+      val c = Tables.t(s, d, "customer"); val o = Tables.t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+    },
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin)
+
+  spark("j4_anti",
+    (s, d) => {
+      val c = Tables.t(s, d, "customer"); val o = Tables.t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+    },
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin)
+
+  common("j5_cross",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""")
+
+  common("j6_theta",
+    """SELECT l1.l_orderkey AS okey, count(*) AS n
+      |FROM lineitem l1 JOIN lineitem l2
+      |  ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber
+      |GROUP BY l1.l_orderkey ORDER BY okey""".stripMargin)
+
+  common("j6_nonequi",
+    """SELECT r_regionkey, n_nationkey FROM region JOIN nation ON n_regionkey <> r_regionkey
+      |ORDER BY r_regionkey, n_nationkey""".stripMargin)
+
+  // J7 as-of join: composed as left-join + max() (scales: shuffle on the
+  // equi key, aggregation is partial+final). Oracle uses DuckDB ASOF.
+  spark("j7_asof",
+    (s, d) => {
+      val e = Tables.t(s, d, "events").select("event_id", "user_id", "ts")
+      val o = Tables.t(s, d, "orders").select("o_custkey", "o_orderdate")
+      e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"), "left")
+        .groupBy(e("event_id").as("event_id"))
+        .agg(max("o_orderdate").as("asof_date"))
+        .orderBy("event_id")
+    },
+    """SELECT e.event_id AS event_id, o.o_orderdate AS asof_date
+      |FROM events e ASOF LEFT JOIN orders o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY event_id""".stripMargin)
+
+  // J8 star join: DataFrame API with an explicit broadcast of the dim
+  // table — the 100 TB plan (fact shuffles once; dims broadcast).
+  spark("j8_star",
+    (s, d) => {
+      val li = Tables.t(s, d, "lineitem"); val o = Tables.t(s, d, "orders")
+      val c = Tables.t(s, d, "customer"); val n = Tables.t(s, d, "nation")
+      val dec = DecimalType(18, 2)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name").as("n_name"))
+        .agg(
+          sum(li("l_extendedprice").cast(dec) * (lit(1).cast(dec) - li("l_discount").cast(dec)))
+            .cast(DecimalType(18, 4)).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin)
+
+  // ---- §2.4 aggregations ----------------------------------------------
+  common("a1_agg_global",
+    """SELECT count(*) AS n, count(l_orderkey) AS n_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price,
+      |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price
+      |FROM lineitem""".stripMargin)
+
+  // A2: TPC-H Q1 skeleton. Inner cast keeps every product exact; the
+  // (18,4) re-cast before the tax multiply keeps DuckDB's decimal width
+  // under 38 while Spark follows the identical lossless path.
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  common("a2_q1_agg", q1Sql)
+
+  common("a3_minmax",
+    """SELECT p_brand,
+      |  CAST(MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price,
+      |  CAST(MAX(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price,
+      |  count(*) AS n
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+
+  // avg/stddev/var from exact decimal sums, final arithmetic in double:
+  // both engines divide the same two exact values → bit-identical.
+  common("a3_avg_var",
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  (CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   - CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+      |  / (count(*) - 1) AS var_price
+      |FROM part GROUP BY p_brand HAVING count(*) > 1 ORDER BY p_brand""".stripMargin)
+
+  common("a4_distinct",
+    """SELECT c_nationkey, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+
+  common("a4_sum_distinct",
+    """SELECT CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sd,
+      |       count(DISTINCT l_quantity) AS nd
+      |FROM lineitem""".stripMargin)
+
+  // A5: approx_count_distinct — implementation-defined sketch, so no
+  // hash oracle; driver does the rows-only check.
+  sparkOnly("a5_approx_distinct",
+    (s, d) => Tables.t(s, d, "lineitem")
+      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+           count_distinct(col("l_partkey")).as("exact_parts")))
+
+  common("a6_rollup",
+    """SELECT coalesce(l_returnflag, '<ALL>') AS rf, coalesce(l_linestatus, '<ALL>') AS ls,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g1, CAST(GROUPING(l_linestatus) AS BIGINT) AS g2,
+      |  count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY g1, g2, rf, ls""".stripMargin)
+
+  common("a6_cube",
+    """SELECT coalesce(o_orderstatus, '<ALL>') AS st, coalesce(o_orderpriority, '<ALL>') AS pri,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g1, CAST(GROUPING(o_orderpriority) AS BIGINT) AS g2,
+      |  count(*) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY g1, g2, st, pri""".stripMargin)
+
+  common("a7_filter_agg",
+    """SELECT o_orderpriority, count(*) AS n_all,
+      |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DECIMAL(18,2)) AS sum_f
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  common("a8_having",
+    """SELECT l_orderkey, count(*) AS n FROM lineitem
+      |GROUP BY l_orderkey HAVING count(*) >= 5 ORDER BY l_orderkey""".stripMargin)
+
+  // ---- §2.6 sorts / limits / set ops ----------------------------------
+  common("o1_sort_multikey",
+    """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+      |FROM lineitem
+      |ORDER BY qty DESC NULLS LAST, l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin)
+
+  common("o2_limit_offset",
+    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+      |ORDER BY price DESC NULLS LAST, o_orderkey NULLS FIRST LIMIT 10 OFFSET 5""".stripMargin)
+
+  common("o3_topk",
+    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+      |ORDER BY price DESC NULLS LAST, o_orderkey NULLS FIRST LIMIT 25""".stripMargin)
+
+  // O4: UNION deduplicates in both engines (SURVEY hard-part: never
+  // bare df.union for this).
+  common("o4_union_distinct",
+    """SELECT l_returnflag AS f FROM lineitem UNION SELECT o_orderstatus AS f FROM orders
+      |ORDER BY f NULLS FIRST""".stripMargin)
+
+  common("o5_union_all",
+    """SELECT f, count(*) AS n FROM
+      |  (SELECT l_returnflag AS f FROM lineitem UNION ALL SELECT o_orderstatus AS f FROM orders) AS u
+      |GROUP BY f ORDER BY f NULLS FIRST""".stripMargin)
+
+  common("o6_intersect",
+    """SELECT o_custkey AS k FROM orders
+      |INTERSECT
+      |SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY k""".stripMargin)
+
+  common("o6_except",
+    """SELECT c_custkey AS k FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS k FROM orders
+      |ORDER BY k""".stripMargin)
+
+  common("o7_distinct",
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+}

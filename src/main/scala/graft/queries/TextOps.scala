@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** North-star text analysis over `documents` (SURVEY.md §2.11):
+  * token counting (whitespace + regex tokenizer), quality scoring,
+  * language-ID heuristic, rolling-shingle document fingerprinting.
+  * All per-document map-side work — embarrassingly parallel, no
+  * shuffle except the fingerprint min-aggregation (partial+final).
+  */
+object TextOps {
+  val set = new QuerySet
+  import set._
+
+  // Token counting: whitespace tokens + a BPE-ish regex token count.
+  spark("t_tokens",
+    (s, d) => Tables.t(s, d, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_char"))
+      .orderBy("doc_id"),
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tok,
+      |  CAST(length(text) AS BIGINT) AS n_char
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  // Quality scoring: char count, word count, stopword ratio, mean word
+  // length. Ratios are single double divisions of exact ints → bit-equal.
+  spark("t_quality",
+    (s, d) => Tables.t(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_char"),
+        size(split(col("text"), " ")).cast("long").as("n_word"),
+        (regexp_count(col("text"), lit("\\b(the|a|of|and|to)\\b")).cast("double") /
+          size(split(col("text"), " "))).as("stop_ratio"),
+        ((length(col("text")) - size(split(col("text"), " ")) + 1).cast("double") /
+          size(split(col("text"), " "))).as("mean_wlen"))
+      .orderBy("doc_id"),
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_char,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_word,
+      |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS stop_ratio,
+      |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS mean_wlen
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  // Language-ID heuristic: marker-word scores per language, argmax with
+  // a deterministic tie order (en > es > zh).
+  spark("t_langid",
+    (s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val en = regexp_count(col("text"), lit("\\b(the|a|and|of)\\b"))
+      val es = regexp_count(col("text"), lit("\\b(el|la|de|los)\\b"))
+      val zh = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]"))
+      docs.select(col("doc_id"), col("lang"),
+          when(en >= es && en >= zh, "en").when(es >= zh, "es").otherwise("zh").as("pred"))
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id, lang,
+      |  CASE WHEN en_s >= es_s AND en_s >= zh_s THEN 'en'
+      |       WHEN es_s >= zh_s THEN 'es' ELSE 'zh' END AS pred
+      |FROM (SELECT doc_id, lang,
+      |        len(regexp_extract_all(text, '\b(the|a|and|of)\b')) AS en_s,
+      |        len(regexp_extract_all(text, '\b(el|la|de|los)\b')) AS es_s,
+      |        len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh_s
+      |      FROM documents) t ORDER BY doc_id""".stripMargin)
+
+  // Document fingerprinting: md5 of canonicalized text plus the minimum
+  // 8-char rolling shingle hash (winnowing-style min fingerprint).
+  spark("t_fingerprint",
+    (s, d) => {
+      val canon = lower(regexp_replace(col("text"), "\\s+", " "))
+      val docs = Tables.t(s, d, "documents").select(col("doc_id"), canon.as("canon"))
+      docs.select(col("doc_id"), col("canon"),
+          explode(sequence(lit(1), greatest(length(col("canon")) - 7, lit(1)))).as("i"))
+        .select(col("doc_id"), col("canon"), md5(expr("substr(canon, i, 8)")).as("sh"))
+        .groupBy(col("doc_id"), md5(col("canon")).as("fp"))
+        .agg(min(col("sh")).as("min_shingle"))
+        .select("doc_id", "fp", "min_shingle")
+        .orderBy("doc_id")
+    },
+    """WITH c AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS canon FROM documents),
+      |e AS (SELECT doc_id, canon, unnest(range(1, greatest(length(canon) - 7, 1) + 1)) AS i FROM c)
+      |SELECT doc_id, md5(canon) AS fp, min(md5(substr(canon, CAST(i AS INTEGER), 8))) AS min_shingle
+      |FROM e GROUP BY doc_id, canon ORDER BY doc_id""".stripMargin)
+
+  // Multimodal plumbing: byte length of the text payload as BLOB.
+  spark("t_blob_len",
+    (s, d) => Tables.t(s, d, "documents")
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("nbytes"))
+      .orderBy("doc_id"),
+    """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes
+      |FROM documents ORDER BY doc_id""".stripMargin)
+}
