@@ -1,10 +1,117 @@
 package graft.queries
 
-/** SURVEY.md §2.1 S1–S4: queries over the custom `vortex` DataSource
-  * (write → read round trips). Oracles run on the original parquet
-  * tables — round-trip identity makes them equivalent. Populated as
-  * the DataSource lands (M3–M5).
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.1 S1–S4 + P1/P2 over the custom `vortex` DataSource:
+  * write → read round trips with count/projection/filter on top.
+  * Oracles run the equivalent query on the original parquet tables —
+  * round-trip identity makes them equal iff the format is lossless.
   */
 object VortexQueries {
   val set = new QuerySet
+  import set._
+
+  /** Per-(query, sf) scratch dir for vortex files. */
+  private def vdir(name: String, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    s"${sys.props("java.io.tmpdir")}/graft_vortex/$sf/$name"
+  }
+
+  private def writeRead(s: SparkSession, df: DataFrame, dir: String,
+                        opts: Map[String, String] = Map.empty): DataFrame = {
+    df.write.format("vortex").options(opts).mode("overwrite").save(dir)
+    s.read.format("vortex").load(dir)
+  }
+
+  // S1: single-table round trip + scan aggregate
+  spark("s1_vortex_count",
+    (s, d) => {
+      val v = writeRead(s, Tables.t(s, d, "lineitem"), vdir("s1", d))
+      v.agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_key"))
+    },
+    "SELECT count(*) AS n, sum(l_orderkey) AS sum_key FROM lineitem")
+
+  // S2: multi-file write, glob read
+  spark("s2_vortex_glob",
+    (s, d) => {
+      val dir = vdir("s2", d)
+      Tables.t(s, d, "orders").repartition(2)
+        .write.format("vortex").mode("overwrite").save(dir)
+      s.read.format("vortex").load(s"$dir/*.vortex")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+    },
+    "SELECT count(*) AS n, sum(o_orderkey) AS sum_key FROM orders")
+
+  // S3: typed round trip (the reference's table.test shape over driver
+  // data): full ordered dump of a multi-type projection after vortex
+  // write→read, incl. the UBIGINT→DECIMAL(20,0) mapping.
+  spark("s3_vortex_types",
+    (s, d) => {
+      val df = Tables.t(s, d, "orders").selectExpr(
+        "o_orderkey",
+        "CAST(o_orderkey AS DECIMAL(20,0)) AS c_ubig",
+        "CAST(o_orderkey % 128 AS TINYINT) AS c_byte",
+        "CAST(o_orderkey % 32000 AS SMALLINT) AS c_short",
+        "CAST(o_orderkey AS INT) AS c_int",
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS c_dec",
+        "CAST(o_totalprice AS FLOAT) AS c_float",
+        "o_totalprice AS c_double",
+        "o_orderstatus AS c_str",
+        "CAST(o_orderdate AS DATE) AS c_date",
+        "o_orderdate AS c_ts",
+        "CAST(o_orderkey % 2 = 0 AS BOOLEAN) AS c_bool")
+      writeRead(s, df, vdir("s3", d)).orderBy("o_orderkey")
+    },
+    """SELECT o_orderkey,
+      |  CAST(o_orderkey AS DECIMAL(20,0)) AS c_ubig,
+      |  CAST(o_orderkey % 128 AS TINYINT) AS c_byte,
+      |  CAST(o_orderkey % 32000 AS SMALLINT) AS c_short,
+      |  CAST(o_orderkey AS INT) AS c_int,
+      |  CAST(o_totalprice AS DECIMAL(18,2)) AS c_dec,
+      |  CAST(o_totalprice AS FLOAT) AS c_float,
+      |  o_totalprice AS c_double,
+      |  o_orderstatus AS c_str,
+      |  CAST(o_orderdate AS DATE) AS c_date,
+      |  o_orderdate AS c_ts,
+      |  o_orderkey % 2 = 0 AS c_bool
+      |FROM orders ORDER BY o_orderkey""".stripMargin)
+
+  // S4: multi-chunk write (forced small chunks) + aggregate
+  spark("s4_vortex_multichunk",
+    (s, d) => {
+      val v = writeRead(s, Tables.t(s, d, "lineitem").repartition(1), vdir("s4", d),
+        Map("chunkRows" -> "8192"))
+      v.agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("sum_qty"))
+    },
+    """SELECT count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      |FROM lineitem""".stripMargin)
+
+  // P1 over vortex: projection subset (column pruning reaches the scan)
+  spark("p1_vortex_project",
+    (s, d) => {
+      val v = writeRead(s, Tables.t(s, d, "lineitem"), vdir("p1v", d))
+      v.select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+
+  // P2 over vortex: timestamp filter over the scan (the reference's
+  // timestamp.test:38-47 proof) — sorted write makes chunk stats
+  // disjoint so the filter prunes chunks, not just rows.
+  spark("p2_vortex_filter",
+    (s, d) => {
+      val dir = vdir("p2v", d)
+      Tables.t(s, d, "events").repartition(1).sortWithinPartitions("ts")
+        .write.format("vortex").option("chunkRows", "2048").mode("overwrite").save(dir)
+      s.read.format("vortex").load(dir)
+        .filter(col("ts") > expr("TIMESTAMP_NTZ '2024-01-15 00:00:00'"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_user"))
+    },
+    """SELECT count(*) AS n, sum(user_id) AS sum_user FROM events
+      |WHERE ts > TIMESTAMP '2024-01-15 00:00:00'""".stripMargin)
 }

@@ -1,0 +1,276 @@
+package graft.sources.vortex
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** DataSource V2 for the `vortex` format (SURVEY.md §7 M3/M4):
+  * `spark.read.format("vortex").load(p)` ≙ the reference's
+  * `read_vortex(p)` (README.md:76) and
+  * `df.write.format("vortex").save(p)` ≙ `COPY ... (FORMAT VORTEX)`
+  * (README.md:63-69).
+  *
+  * Scale design: schema + chunk index come from per-file footers
+  * (driver reads footers only); one InputPartition covers ~128 MB of
+  * consecutive chunks, so a 100 TB dataset fans out to ~800k splits
+  * scheduled across executors; filters prune whole chunks via footer
+  * stats before any page I/O; executors cache footers per JVM.
+  */
+class VortexDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "vortex"
+
+  private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq.flatMap { js =>
+      // Spark encodes multi-path loads as a JSON array string
+      js.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty)
+    }
+    single ++ multi
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val files = VortexDataSource.expand(paths(options), conf)
+    require(files.nonEmpty, s"vortex: no files found for ${paths(options).mkString(",")}")
+    VortexFileReader.readFooter(files.head, conf).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new VortexTable(schema, paths(new CaseInsensitiveStringMap(properties)))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object VortexDataSource {
+  /** Expand user paths: glob patterns, directories (non-hidden files), plain files. */
+  def expand(raw: Seq[String], conf: org.apache.hadoop.conf.Configuration): Seq[Path] =
+    raw.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+            .map(_.getPath)
+        else Seq(st.getPath)
+      }
+    }.sortBy(_.toString)
+}
+
+class VortexTable(schema: StructType, paths: Seq[String]) extends SupportsRead with SupportsWrite {
+  override def name(): String = s"vortex ${paths.mkString(",")}"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VortexScanBuilder(schema, paths)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val chunkRows = Option(info.options.get("chunkrows")).map(_.toInt)
+      .getOrElse(VortexFormat.DefaultChunkRows)
+    new VortexWriteBuilder(info.schema(), paths.head, chunkRows)
+  }
+}
+
+class VortexScanBuilder(schema: StructType, paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = schema
+  private var filters: Array[Filter] = Array.empty
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs // all filters re-evaluated by Spark post-scan; we use them only to skip chunks
+  }
+  override def pushedFilters(): Array[Filter] = filters
+  override def pruneColumns(req: StructType): Unit = {
+    // keep file-schema field order for stable decode indices
+    val names = req.fieldNames.toSet
+    required = StructType(schema.fields.filter(f => names.contains(f.name)))
+  }
+  override def build(): Scan = new VortexScan(schema, required, filters, paths)
+}
+
+/** One split = consecutive surviving chunks of one file, ~128 MB. */
+case class VortexInputPartition(file: String, chunkIdxs: Array[Int]) extends InputPartition
+
+class VortexScan(fileSchema: StructType, required: StructType,
+                 filters: Array[Filter], paths: Seq[String]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"VortexScan(files=${paths.mkString(",")}, pushed=[${filters.mkString(", ")}])"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val files = VortexDataSource.expand(paths, conf)
+    val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
+    files.foreach { f =>
+      val footer = VortexFileReader.readFooter(f, conf)
+      var cur = scala.collection.mutable.ArrayBuffer[Int]()
+      var bytes = 0L
+      footer.chunks.zipWithIndex.foreach { case (chunk, ci) =>
+        val keep = !filters.exists(fl => FilterPruning.canSkip(fl, chunk, footer.schema))
+        if (keep) {
+          cur += ci
+          bytes += chunk.columns.map(_.length.toLong).sum
+          if (bytes >= VortexFormat.TargetSplitBytes) {
+            parts += VortexInputPartition(f.toString, cur.toArray)
+            cur = scala.collection.mutable.ArrayBuffer[Int](); bytes = 0L
+          }
+        }
+      }
+      if (cur.nonEmpty) parts += VortexInputPartition(f.toString, cur.toArray)
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
+    val bc: Broadcast[SerializableConfiguration] =
+      SparkSession.active.sparkContext.broadcast(conf)
+    new VortexReaderFactory(bc, required)
+  }
+}
+
+class VortexReaderFactory(conf: Broadcast[SerializableConfiguration], required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[VortexInputPartition]
+    new VortexPartitionReader(p, conf.value.value, required)
+  }
+}
+
+class VortexPartitionReader(part: VortexInputPartition,
+                            conf: org.apache.hadoop.conf.Configuration,
+                            required: StructType) extends PartitionReader[InternalRow] {
+  private val path = new Path(part.file)
+  private val footer = VortexFileReader.readFooter(path, conf)
+  private val colIdx = required.fieldNames.map(footer.schema.fieldIndex)
+  private val dts = required.fields.map(_.dataType)
+  private val fs = path.getFileSystem(conf)
+  private val in = fs.open(path)
+  private val row = new GenericInternalRow(required.length)
+
+  private var chunkPos = 0          // index into part.chunkIdxs
+  private var vecs: Array[ColVec] = _
+  private var rowsInChunk = 0
+  private var i = 0
+
+  private def loadNextChunk(): Boolean = {
+    if (chunkPos >= part.chunkIdxs.length) return false
+    val ci = part.chunkIdxs(chunkPos); chunkPos += 1
+    val chunk = footer.chunks(ci)
+    vecs = colIdx.map { c =>
+      val m = chunk.columns(c)
+      val buf = new Array[Byte](m.length)
+      in.readFully(m.offset, buf)
+      PageCodec.decode(buf, m.encoding, m.compressed, chunk.rowCount, m.nullCount,
+        footer.schema.fields(c).dataType)
+    }
+    rowsInChunk = chunk.rowCount
+    i = 0
+    true
+  }
+
+  override def next(): Boolean = {
+    while (i >= rowsInChunk) if (!loadNextChunk()) return false
+    var c = 0
+    while (c < dts.length) {
+      row.update(c, VortexFileReader.value(vecs(c), i, dts(c)))
+      c += 1
+    }
+    i += 1
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
+
+// ---------------------------- write path ----------------------------------
+
+class VortexWriteBuilder(schema: StructType, path: String, chunkRows: Int)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new VortexWrite(schema, path, doTruncate, chunkRows)
+}
+
+class VortexWrite(schema: StructType, path: String, truncate: Boolean, chunkRows: Int) extends Write {
+  override def toBatch: BatchWrite = new VortexBatchWrite(schema, path, truncate, chunkRows)
+}
+
+class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunkRows: Int) extends BatchWrite {
+  private val spark = SparkSession.active
+  private val hconf = spark.sessionState.newHadoopConf()
+  // capture pre-existing files now; delete them on successful commit
+  private val preExisting: Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(hconf)
+    if (truncate && fs.exists(p))
+      fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).toSeq
+    else Seq.empty
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) fs.mkdirs(p)
+    new VortexWriterFactory(schema, dir, new SerializableConfiguration(hconf), chunkRows)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(hconf)
+    val written = messages.collect { case VortexCommit(f) => f }.toSet
+    preExisting.filterNot(written.contains).foreach(f => fs.delete(new Path(f), false))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(hconf)
+    messages.collect { case VortexCommit(f) => f }.foreach(f => fs.delete(new Path(f), false))
+  }
+}
+
+case class VortexCommit(file: String) extends WriterCommitMessage
+
+class VortexWriterFactory(schema: StructType, dir: String, conf: SerializableConfiguration,
+                          chunkRows: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new VortexDataWriter(schema, dir, conf.value, partitionId, taskId, chunkRows)
+}
+
+class VortexDataWriter(schema: StructType, dir: String,
+                       conf: org.apache.hadoop.conf.Configuration,
+                       partitionId: Int, taskId: Long, chunkRows: Int) extends DataWriter[InternalRow] {
+  private val file = new Path(dir, f"part-$partitionId%05d-$taskId.vortex")
+  private val writer = new VortexFileWriter(file, conf, schema, chunkRows)
+  private var closed = false
+
+  override def write(record: InternalRow): Unit = writer.write(record)
+  override def commit(): WriterCommitMessage = {
+    writer.close(); closed = true
+    VortexCommit(file.toString)
+  }
+  override def abort(): Unit = {
+    if (!closed) try writer.close() catch { case _: Exception => }
+    file.getFileSystem(conf).delete(file, false)
+  }
+  override def close(): Unit = {}
+}

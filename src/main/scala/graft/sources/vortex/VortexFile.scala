@@ -1,0 +1,186 @@
+package graft.sources.vortex
+
+import java.io.{BufferedOutputStream, ByteArrayInputStream, DataInputStream, DataOutputStream}
+import scala.collection.mutable.ArrayBuffer
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Chunked writer for one vortex file (one per write task — natural
+  * parallel sharding, SURVEY.md §3.3). Buffers `chunkRows` rows per
+  * column, encodes+compresses each column page, accumulates footer
+  * metadata, writes footer on close.
+  */
+final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType,
+                             chunkRows: Int = VortexFormat.DefaultChunkRows) {
+  import VortexFormat._
+
+  private val fs = path.getFileSystem(conf)
+  private val stream = fs.create(path, true)
+  private val out = new BufferedOutputStream(stream, 1 << 20)
+  private var pos: Long = 0
+  private val fields = schema.fields
+  private val nCols = fields.length
+  private val fixed = fields.map(f => PageCodec.isFixed(f.dataType))
+  private val chunks = ArrayBuffer[ChunkMeta]()
+
+  out.write(Magic); pos += Magic.length
+
+  private var count = 0
+  private var longs: Array[Array[Long]] = _
+  private var bins: Array[Array[Array[Byte]]] = _
+  private var nulls: Array[Array[Boolean]] = _
+  alloc()
+
+  private def alloc(): Unit = {
+    longs = Array.tabulate(nCols)(i => if (fixed(i)) new Array[Long](chunkRows) else null)
+    bins = Array.tabulate(nCols)(i => if (!fixed(i)) new Array[Array[Byte]](chunkRows) else null)
+    nulls = Array.fill(nCols)(new Array[Boolean](chunkRows))
+    count = 0
+  }
+
+  def write(row: InternalRow): Unit = {
+    var c = 0
+    while (c < nCols) {
+      if (row.isNullAt(c)) nulls(c)(count) = true
+      else fields(c).dataType match {
+        case BooleanType => longs(c)(count) = if (row.getBoolean(c)) 1L else 0L
+        case ByteType => longs(c)(count) = row.getByte(c).toLong
+        case ShortType => longs(c)(count) = row.getShort(c).toLong
+        case IntegerType | DateType => longs(c)(count) = row.getInt(c).toLong
+        case LongType | TimestampType | TimestampNTZType => longs(c)(count) = row.getLong(c)
+        case FloatType => longs(c)(count) = java.lang.Float.floatToIntBits(row.getFloat(c)).toLong
+        case DoubleType => longs(c)(count) = java.lang.Double.doubleToLongBits(row.getDouble(c))
+        case d: DecimalType if d.precision <= 18 =>
+          longs(c)(count) = row.getDecimal(c, d.precision, d.scale).toUnscaledLong
+        case d: DecimalType =>
+          bins(c)(count) = row.getDecimal(c, d.precision, d.scale)
+            .toJavaBigDecimal.unscaledValue.toByteArray
+        case StringType => bins(c)(count) = row.getUTF8String(c).getBytes
+        case BinaryType => bins(c)(count) = row.getBinary(c)
+        case other => throw new UnsupportedOperationException(s"vortex: unsupported type $other")
+      }
+      c += 1
+    }
+    count += 1
+    if (count == chunkRows) flushChunk()
+  }
+
+  private def flushChunk(): Unit = {
+    if (count == 0) return
+    val metas = new Array[ColumnChunkMeta](nCols)
+    var c = 0
+    while (c < nCols) {
+      val vec =
+        if (fixed(c)) new ColVec(count, nulls(c), longs(c), null)
+        else new ColVec(count, nulls(c), null, bins(c))
+      val enc = PageCodec.encode(vec, fields(c).dataType)
+      out.write(enc.bytes)
+      metas(c) = ColumnChunkMeta(pos, enc.bytes.length, enc.encoding, enc.compressed,
+        enc.nullCount, enc.min, enc.max)
+      pos += enc.bytes.length
+      c += 1
+    }
+    chunks += ChunkMeta(count, metas)
+    alloc()
+  }
+
+  def close(): Unit = {
+    flushChunk()
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new DataOutputStream(bos)
+    writeFooter(dos, Footer(schema, chunks.toArray))
+    dos.flush()
+    val fb = bos.toByteArray
+    out.write(fb)
+    val tail = java.nio.ByteBuffer.allocate(12)
+    tail.putLong(fb.length.toLong); tail.put(Magic)
+    out.write(tail.array())
+    out.flush(); out.close()
+  }
+}
+
+object VortexFileReader {
+  import VortexFormat._
+
+  // per-JVM footer cache (≙ the reference's moka metadata caches,
+  // Cargo.lock:4285,4428): executors re-open the same files across
+  // tasks; footers are small and immutable per (path,len,mtime).
+  private val footerCache = new java.util.concurrent.ConcurrentHashMap[String, Footer]()
+
+  def readFooter(path: Path, conf: Configuration): Footer = {
+    val fs = path.getFileSystem(conf)
+    val st = fs.getFileStatus(path)
+    val key = s"${path.toString}#${st.getLen}#${st.getModificationTime}"
+    val cached = footerCache.get(key)
+    if (cached != null) return cached
+    val in = fs.open(path)
+    try {
+      val len = st.getLen
+      val tail = new Array[Byte](12)
+      in.readFully(len - 12, tail)
+      val bb = java.nio.ByteBuffer.wrap(tail)
+      val footerLen = bb.getLong()
+      val magic = new Array[Byte](4); bb.get(magic)
+      require(java.util.Arrays.equals(magic, Magic), s"not a vortex file: $path")
+      val fb = new Array[Byte](footerLen.toInt)
+      in.readFully(len - 12 - footerLen, fb)
+      val footer = VortexFormat.readFooter(new DataInputStream(new ByteArrayInputStream(fb)))
+      footerCache.put(key, footer)
+      footer
+    } finally in.close()
+  }
+
+  /** Decode the requested columns of chunks [chunkStart, chunkEnd). */
+  def readChunks(path: Path, conf: Configuration, footer: Footer,
+                 chunkStart: Int, chunkEnd: Int,
+                 colIndices: Array[Int]): Iterator[(Int, Array[ColVec])] = {
+    val fs = path.getFileSystem(conf)
+    val in = fs.open(path)
+    var closed = false
+    new Iterator[(Int, Array[ColVec])] {
+      private var ci = chunkStart
+      override def hasNext: Boolean = {
+        val h = ci < chunkEnd
+        if (!h && !closed) { in.close(); closed = true }
+        h
+      }
+      override def next(): (Int, Array[ColVec]) = {
+        val chunk = footer.chunks(ci)
+        val vecs = colIndices.map { c =>
+          val m = chunk.columns(c)
+          val buf = new Array[Byte](m.length)
+          in.readFully(m.offset, buf)
+          PageCodec.decode(buf, m.encoding, m.compressed, chunk.rowCount, m.nullCount,
+            footer.schema.fields(c).dataType)
+        }
+        ci += 1
+        (chunk.rowCount, vecs)
+      }
+    }
+  }
+
+  /** Catalyst value from a decoded vector slot. */
+  def value(vec: ColVec, i: Int, dt: DataType): Any = {
+    if (vec.nulls(i)) return null
+    dt match {
+      case BooleanType => vec.longs(i) != 0L
+      case ByteType => vec.longs(i).toByte
+      case ShortType => vec.longs(i).toShort
+      case IntegerType | DateType => vec.longs(i).toInt
+      case LongType | TimestampType | TimestampNTZType => vec.longs(i)
+      case FloatType => java.lang.Float.intBitsToFloat(vec.longs(i).toInt)
+      case DoubleType => java.lang.Double.longBitsToDouble(vec.longs(i))
+      case d: DecimalType if d.precision <= 18 =>
+        org.apache.spark.sql.types.Decimal.createUnsafe(vec.longs(i), d.precision, d.scale)
+      case d: DecimalType =>
+        org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(new java.math.BigInteger(vec.bins(i)), d.scale), d.precision, d.scale)
+      case StringType => UTF8String.fromBytes(vec.bins(i))
+      case BinaryType => vec.bins(i)
+      case other => throw new UnsupportedOperationException(s"vortex: unsupported type $other")
+    }
+  }
+}

@@ -1,0 +1,103 @@
+package graft.sources.vortex
+
+import java.io.{DataInputStream, DataOutputStream}
+import org.apache.spark.sql.types._
+
+/** The `vortex` file container, v0.
+  *
+  * A logical re-design (not a byte-port) of the reference format's
+  * architecture: self-describing single file = chunked per-column
+  * compressed pages + per-chunk/column statistics + footer
+  * (≙ vortex-file / vortex-layout / vortex-btrblocks roles, see
+  * /root/reference Cargo.lock:4275-4319, 4414-4455, 4095-4119 and
+  * SURVEY.md §2.9, §7 M2).
+  *
+  * Layout:
+  * {{{
+  *   [magic "VGR1"]
+  *   page* ...               (chunk-major, column-minor)
+  *   footer:
+  *     schema DDL-JSON (len-prefixed UTF8)
+  *     chunkCount: i32
+  *     per chunk: rowCount i32, per column:
+  *       offset i64, length i32, encoding u8, compressed u8,
+  *       nullCount i32, hasStats u8, [min bytes][max bytes]
+  *   [footerLength i64][magic "VGR1"]
+  * }}}
+  *
+  * Stats min/max are stored as length-prefixed canonical byte forms
+  * (same codec as page values) and used for chunk skipping against
+  * pushed-down filters before any page decode — the 100 TB lever: a
+  * selective filter touches footers, not data.
+  */
+object VortexFormat {
+  val Magic: Array[Byte] = "VGR1".getBytes("UTF-8")
+  val DefaultChunkRows = 65536
+  /** target bytes per InputPartition (split granularity for executors) */
+  val TargetSplitBytes: Long = 128L * 1024 * 1024
+
+  // page encodings
+  val EncPlain: Byte = 0
+  val EncConstant: Byte = 1
+  val EncRunEnd: Byte = 2
+  val EncDict: Byte = 3
+
+  def supported(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  final case class ColumnChunkMeta(
+      offset: Long, length: Int, encoding: Byte, compressed: Boolean,
+      nullCount: Int, min: Option[Array[Byte]], max: Option[Array[Byte]])
+
+  final case class ChunkMeta(rowCount: Int, columns: Array[ColumnChunkMeta])
+
+  final case class Footer(schema: StructType, chunks: Array[ChunkMeta]) {
+    def rowCount: Long = chunks.map(_.rowCount.toLong).sum
+  }
+
+  def writeFooter(out: DataOutputStream, footer: Footer): Unit = {
+    val schemaBytes = footer.schema.json.getBytes("UTF-8")
+    out.writeInt(schemaBytes.length); out.write(schemaBytes)
+    out.writeInt(footer.chunks.length)
+    footer.chunks.foreach { c =>
+      out.writeInt(c.rowCount)
+      c.columns.foreach { m =>
+        out.writeLong(m.offset); out.writeInt(m.length)
+        out.writeByte(m.encoding); out.writeBoolean(m.compressed)
+        out.writeInt(m.nullCount)
+        out.writeBoolean(m.min.isDefined)
+        m.min.foreach { b => out.writeInt(b.length); out.write(b) }
+        m.max.foreach { b => out.writeInt(b.length); out.write(b) }
+      }
+    }
+  }
+
+  def readFooter(in: DataInputStream, nColsHint: Int = -1): Footer = {
+    val schemaBytes = new Array[Byte](in.readInt()); in.readFully(schemaBytes)
+    val schema = DataType.fromJson(new String(schemaBytes, "UTF-8")).asInstanceOf[StructType]
+    val nCols = schema.fields.length
+    val nChunks = in.readInt()
+    val chunks = Array.fill(nChunks) {
+      val rows = in.readInt()
+      val cols = Array.fill(nCols) {
+        val off = in.readLong(); val len = in.readInt()
+        val enc = in.readByte(); val comp = in.readBoolean()
+        val nulls = in.readInt()
+        val hasStats = in.readBoolean()
+        val (mn, mx) = if (hasStats) {
+          val a = new Array[Byte](in.readInt()); in.readFully(a)
+          val b = new Array[Byte](in.readInt()); in.readFully(b)
+          (Some(a), Some(b))
+        } else (None, None)
+        ColumnChunkMeta(off, len, enc, comp, nulls, mn, mx)
+      }
+      ChunkMeta(rows, cols)
+    }
+    Footer(schema, chunks)
+  }
+}
