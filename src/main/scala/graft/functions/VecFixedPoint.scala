@@ -1,0 +1,53 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+/** Exact fixed-point vector arithmetic for similarity search.
+  *
+  * Embedding floats are quantized to DECIMAL(18,8) (HALF_UP — identical
+  * to Spark's `CAST(float AS DECIMAL(18,8))` and DuckDB's cast), so a
+  * 64-dim dot product is an exact scale-16 unscaled value that fits a
+  * Long (|x| < 0.6 ⇒ |unscaled product| ≤ 3.6e15, ×64 ≤ 2.4e17 < 2^63).
+  * Exact integer sums are order-independent — the property that makes
+  * results reproducible across any cluster partitioning — and the tight
+  * Long loops are ~100× faster than interpreted decimal lambdas.
+  */
+object VecFixedPoint {
+  val Scale = 8
+  /** dot products carry scale 2*Scale = 16 */
+  val DotScale: Int = 2 * Scale
+
+  def quantize(e: Seq[Float]): Array[Long] = {
+    val out = new Array[Long](e.length)
+    var i = 0
+    e.foreach { x =>
+      out(i) = JBigDecimal.valueOf(x.toDouble).setScale(Scale, RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+      i += 1
+    }
+    out
+  }
+
+  /** exact dot product; result is the unscaled value at scale 16 */
+  def dot(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    val n = a.length
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** decimal(38,16) → double, matching Spark's Decimal.toDouble and
+    * (empirically) DuckDB's decimal→double cast */
+  def decToDouble(unscaled: Long): Double =
+    new JBigDecimal(java.math.BigInteger.valueOf(unscaled), DotScale).doubleValue()
+
+  /** cosine as the exact-decimal-to-double expression both engines use:
+    * CAST(dot AS DOUBLE) / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))) */
+  def cos(dotU: Long, saaU: Long, sbbU: Long): Double =
+    decToDouble(dotU) / (math.sqrt(decToDouble(saaU)) * math.sqrt(decToDouble(sbbU)))
+
+  /** round(cos, 4) as java BigDecimal — the output/threshold form */
+  def cos4(dotU: Long, saaU: Long, sbbU: Long): JBigDecimal =
+    JBigDecimal.valueOf(cos(dotU, saaU, sbbU)).setScale(4, RoundingMode.HALF_UP)
+}

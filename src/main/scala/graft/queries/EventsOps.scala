@@ -43,7 +43,7 @@ object EventsOps {
   spark("e_user_gaps",
     (s, d) => { Tables.registerAll(s, d)
       s.sql("""SELECT event_id, user_id,
-              |  unix_micros(ts) - unix_micros(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+              |  unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)) AS gap_us
               |FROM events ORDER BY event_id""".stripMargin) },
     """SELECT event_id, user_id,
       |  epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us

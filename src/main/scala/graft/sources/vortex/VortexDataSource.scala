@@ -220,12 +220,15 @@ class VortexWrite(schema: StructType, path: String, truncate: Boolean, chunkRows
 class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunkRows: Int) extends BatchWrite {
   private val spark = SparkSession.active
   private val hconf = spark.sessionState.newHadoopConf()
-  // capture pre-existing files now; delete them on successful commit
+  // unique per job: task files can never collide with files from a
+  // previous job into the same directory
+  private val jobId = java.util.UUID.randomUUID().toString.take(8)
+  // capture pre-existing files now (fully qualified); delete on commit
   private val preExisting: Seq[String] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(hconf)
     if (truncate && fs.exists(p))
-      fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).toSeq
+      fs.listStatus(p).filter(_.isFile).map(s => fs.makeQualified(s.getPath).toString).toSeq
     else Seq.empty
   }
 
@@ -233,12 +236,13 @@ class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunk
     val p = new Path(dir)
     val fs = p.getFileSystem(hconf)
     if (!fs.exists(p)) fs.mkdirs(p)
-    new VortexWriterFactory(schema, dir, new SerializableConfiguration(hconf), chunkRows)
+    new VortexWriterFactory(schema, dir, jobId, new SerializableConfiguration(hconf), chunkRows)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(hconf)
-    val written = messages.collect { case VortexCommit(f) => f }.toSet
+    val written = messages.collect { case VortexCommit(f) =>
+      fs.makeQualified(new Path(f)).toString }.toSet
     preExisting.filterNot(written.contains).foreach(f => fs.delete(new Path(f), false))
   }
 
@@ -250,16 +254,17 @@ class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunk
 
 case class VortexCommit(file: String) extends WriterCommitMessage
 
-class VortexWriterFactory(schema: StructType, dir: String, conf: SerializableConfiguration,
+class VortexWriterFactory(schema: StructType, dir: String, jobId: String,
+                          conf: SerializableConfiguration,
                           chunkRows: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new VortexDataWriter(schema, dir, conf.value, partitionId, taskId, chunkRows)
+    new VortexDataWriter(schema, dir, jobId, conf.value, partitionId, taskId, chunkRows)
 }
 
-class VortexDataWriter(schema: StructType, dir: String,
+class VortexDataWriter(schema: StructType, dir: String, jobId: String,
                        conf: org.apache.hadoop.conf.Configuration,
                        partitionId: Int, taskId: Long, chunkRows: Int) extends DataWriter[InternalRow] {
-  private val file = new Path(dir, f"part-$partitionId%05d-$taskId.vortex")
+  private val file = new Path(dir, f"part-$partitionId%05d-$jobId-$taskId.vortex")
   private val writer = new VortexFileWriter(file, conf, schema, chunkRows)
   private var closed = false
 

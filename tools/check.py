@@ -16,6 +16,8 @@ SKIP_SPARK = '--skip-spark' in sys.argv
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 if not SKIP_SPARK:
+    import shutil
+    shutil.rmtree(OUT, ignore_errors=True)   # stale outputs must not mask failures
     r = subprocess.run(['sbt', '-batch', f'runMain graft.Verify {SF} {OUT}'],
                        cwd='/root/repo', capture_output=True, text=True, timeout=3600)
     tail = (r.stdout + r.stderr)[-3000:]
