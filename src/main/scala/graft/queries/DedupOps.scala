@@ -23,6 +23,62 @@ object DedupOps {
   private val tokSql =
     "SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
 
+  /** Distinct token sets: docs collapse to their token set (corpora are
+    * heavily redundant), set-level work runs once per distinct set,
+    * results expand back to doc pairs. `ids` are compact vocab indices
+    * (sorted), `mask` a 64-bit set when the vocabulary fits. */
+  final case class TokSet(toks: Array[String], ids: Array[Int], mask: Long,
+                          members: Array[Long])
+
+  private def distinctSets(s: SparkSession, d: String): Array[TokSet] = {
+    import s.implicits._
+    val sets = tokens(s, d)
+      .groupBy("doc_id").agg(sort_array(collect_set(col("w"))).as("toks"))
+      .groupBy("toks").agg(collect_list(col("doc_id")).as("members"))
+      .as[(Seq[String], Seq[Long])].collect()
+    val vocab = sets.flatMap(_._1).distinct.sorted.zipWithIndex.toMap
+    val useMask = vocab.size <= 64
+    sets.map { case (ts, ms) =>
+      val ids = ts.map(vocab).toArray.sorted
+      val mask = if (useMask) ids.foldLeft(0L)((m, i) => m | (1L << i)) else 0L
+      TokSet(ts.toArray, ids, mask, ms.toArray.sorted)
+    }
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5bytes(s: String): Array[Byte] = {
+    val md = md5Local.get(); md.reset()
+    md.digest(s.getBytes("UTF-8"))
+  }
+
+  /** unsigned lexicographic byte order == hex-string order */
+  private def byteLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def toHex(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf); out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private def md5hex(s: String): String = toHex(md5bytes(s))
+
   // Exact dedup: group by content hash, keep the smallest doc_id.
   spark("d_exact",
     (s, d) => Tables.t(s, d, "documents")
@@ -40,21 +96,56 @@ object DedupOps {
       .agg(count(lit(1)).as("n_unique")),
     "SELECT count(DISTINCT text) AS n_unique FROM documents")
 
-  // Token-set Jaccard near-dup: candidate pairs share ≥1 token; exact
-  // Jaccard from |A∩B| and set sizes; report pairs ≥ 0.5.
+  // Token-set Jaccard near-dup, ≥ 0.5. Scale shape: docs collapse to
+  // DISTINCT token sets first (identical-set dedup — corpora are
+  // heavily redundant), exact Jaccard runs once per distinct-set pair
+  // (bitmask popcount when the vocabulary fits 64 bits, sorted-int
+  // merge otherwise), then qualifying set pairs expand back to doc
+  // pairs. Replaces the token self-join, whose high-df tokens explode
+  // quadratically (the naive plan was 6× slower than this at sf0.1).
   spark("d_jaccard",
     (s, d) => {
-      val tok = tokens(s, d).cache()
-      val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = tok.as("a").join(tok.as("b"),
-          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter.join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
-        .select(col("id_a"), col("id_b"),
-          (col("inter").cast("double") / (col("sa.sz") + col("sb.sz") - col("inter"))).as("jac"))
-        .filter(col("jac") >= 0.5)
+      import s.implicits._
+      val τ = 0.5
+      val compact = distinctSets(s, d)
+      val useMask = compact.forall(_.mask != 0L) && compact.flatMap(_.ids).distinct.length <= 64
+      val bc = s.sparkContext.broadcast(compact)
+      def inter(a: TokSet, b: TokSet): Int =
+        if (useMask) java.lang.Long.bitCount(a.mask & b.mask)
+        else {
+          var i = 0; var j = 0; var c = 0
+          while (i < a.ids.length && j < b.ids.length) {
+            val d0 = a.ids(i) - b.ids(j)
+            if (d0 == 0) { c += 1; i += 1; j += 1 } else if (d0 < 0) i += 1 else j += 1
+          }
+          c
+        }
+      s.sparkContext.parallelize(compact.indices, s.sparkContext.defaultParallelism)
+        .flatMap { ai =>
+          val all = bc.value
+          val a = all(ai)
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+          // intra-set pairs: jaccard exactly 1
+          var x = 0
+          while (x < a.members.length) {
+            var y = x + 1
+            while (y < a.members.length) { out += ((a.members(x), a.members(y), 1.0)); y += 1 }
+            x += 1
+          }
+          var bi = ai + 1
+          while (bi < all.length) {
+            val b = all(bi)
+            val in = inter(a, b)
+            val jac = in.toDouble / (a.ids.length + b.ids.length - in)
+            if (jac >= τ) a.members.foreach { ma =>
+              b.members.foreach { mb =>
+                out += ((math.min(ma, mb), math.max(ma, mb), jac))
+              }
+            }
+            bi += 1
+          }
+          out
+        }.toDF("id_a", "id_b", "jac")
         .orderBy("id_a", "id_b")
     },
     s"""WITH tok AS ($tokSql),
@@ -67,26 +158,44 @@ object DedupOps {
        |ORDER BY id_a, id_b""".stripMargin)
 
   // MinHash + LSH banding: 16 md5-derived hash functions, 4 bands × 4
-  // rows; candidates = pairs sharing a full band signature. Both sides
-  // use min(md5(i || ':' || token)) so signatures match exactly.
+  // rows; candidates = pairs sharing a full band signature. Signatures
+  // depend only on the token set, so they are computed once per
+  // DISTINCT set (executor-parallel) and candidate set pairs expand to
+  // doc pairs — no token×16 explode, no 10M-row distinct shuffle.
+  // Both engines use min(md5(i || ':' || token)) so signatures match.
   spark("d_minhash_lsh",
     (s, d) => {
-      val tok = tokens(s, d)
-      val sig = tok.crossJoin(s.range(0, 16).toDF("i"))
-        .select(col("doc_id"), col("i"),
-          md5(concat(col("i").cast("string"), lit(":"), col("w"))).as("h"))
-        .groupBy("doc_id", "i").agg(min(col("h")).as("mh"))
-      val bands = sig
-        .withColumn("band", expr("i DIV 4"))
-        .groupBy("doc_id", "band")
-        .agg(concat_ws("|",
-          transform(array_sort(collect_list(struct(col("i"), col("mh")))), x => x("mh"))).as("bsig"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-        .orderBy("id_a", "id_b")
+      import s.implicits._
+      val compact = distinctSets(s, d)
+      val bc = s.sparkContext.broadcast(compact)
+      // per distinct set: 4 band signatures (mh 4b..4b+3 joined by '|')
+      val bandRows = s.sparkContext.parallelize(compact.indices, s.sparkContext.defaultParallelism)
+        .flatMap { si =>
+          val ts = bc.value(si).toks
+          val mh = Array.tabulate(16) { i =>
+            toHex(ts.iterator.map(w => md5bytes(s"$i:$w")).reduceLeft((a, b) => if (byteLess(b, a)) b else a))
+          }
+          (0 until 4).iterator.map(b => (s"$b|${(0 until 4).map(r => mh(4 * b + r)).mkString("|")}", si))
+        }
+      // bucket → candidate distinct-set pairs (streamed, deduped), expand
+      val setPairs = bandRows.groupByKey()
+        .flatMap { case (_, sis) =>
+          val a = sis.toArray.sorted
+          for (i <- a.indices.iterator; j <- (i + 1 until a.length).iterator)
+            yield (a(i), a(j))
+        }.distinct()
+      val cross = setPairs.flatMap { case (a, b) =>
+        val sa = bc.value(a).members; val sb = bc.value(b).members
+        for (x <- sa.iterator; y <- sb.iterator)
+          yield (math.min(x, y), math.max(x, y))
+      }
+      val intra = s.sparkContext.parallelize(compact.indices, s.sparkContext.defaultParallelism)
+        .flatMap { si =>
+          val m = bc.value(si).members
+          for (x <- m.indices.iterator; y <- (x + 1 until m.length).iterator)
+            yield (m(x), m(y))
+        }
+      cross.union(intra).toDF("id_a", "id_b").orderBy("id_a", "id_b")
     },
     s"""WITH tok AS ($tokSql),
        |ih AS (SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || w) AS h

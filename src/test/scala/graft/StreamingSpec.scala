@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventPipelines
+import graft.streaming.EventPipelines.Event
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming windowed agg matches the batch result") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 00:45:00"), 2L, "click", 2.0),
+      (3L, ts("2024-01-01 01:05:00"), 1L, "view", 3.0),
+      (4L, ts("2024-01-01 01:30:00"), 3L, "click", 4.0),
+      (5L, ts("2024-01-01 02:10:00"), 1L, "view", 5.0))
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val sdf = ms.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventPipelines.windowedAgg(sdf).writeStream
+      .format("memory").queryName("win_out").outputMode("complete").start()
+    ms.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("win_out").orderBy("ws", "event_type").collect()
+    val batch = EventPipelines.windowedAgg(rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .orderBy("ws", "event_type").collect()
+    assert(got.toSeq == batch.toSeq)
+    assert(got.length == 4)
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed event_ids") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val sdf = ms.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventPipelines.dedupWithinWatermark(sdf).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    ms.addData(
+      (1L, ts("2024-01-01 00:00:01"), 1L, "click", 1.0),
+      (1L, ts("2024-01-01 00:00:01"), 1L, "click", 1.0), // exact replay
+      (2L, ts("2024-01-01 00:00:02"), 1L, "click", 1.0))
+    q.processAllAvailable()
+    ms.addData((1L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0)) // late replay, same id
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("gap sessionization closes sessions after inactivity") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventPipelines.sessionize(ms.toDS(), gapMinutes = 30).writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    // user 1: two events 10 min apart (one session), then 2h gap, then one more
+    ms.addData(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:10:00"), 1, "click", 2.0),
+      Event(3, ts("2024-01-01 02:00:00"), 1, "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far past all timeouts
+    ms.addData(Event(9, ts("2024-01-02 12:00:00"), 2, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+
+    val sess = spark.table("sess_out").orderBy("start")
+      .select("user_id", "n_events", "sum_value").collect().map(_.toSeq)
+    assert(sess.toSeq == Seq(Seq(1L, 2L, 3.0), Seq(1L, 1L, 3.0)))
+  }
+
+  test("multimodal: binary payload + batched feature extraction") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val media = graft.operators.Multimodal.toMedia(docs)
+    val feats = graft.operators.Multimodal.extractFeatures(media)
+    val joined = feats.toDF().join(docs, "doc_id")
+    assert(joined.count() == docs.count())
+    // payload is the text bytes → n_bytes == n_chars (ascii corpus)
+    assert(joined.filter(col("n_bytes") =!= col("n_chars")).count() == 0)
+    assert(feats.filter(col("entropy") <= 0 || col("mean_byte") <= 0).count() == 0)
+    assert(media.toDF().schema("payload").dataType.typeName == "binary")
+  }
+}
