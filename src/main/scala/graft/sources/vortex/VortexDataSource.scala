@@ -77,7 +77,7 @@ class VortexTable(schema: StructType, paths: Seq[String]) extends SupportsRead w
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+        TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VortexScanBuilder(schema, paths)
