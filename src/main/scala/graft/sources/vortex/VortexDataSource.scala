@@ -156,6 +156,97 @@ class VortexReaderFactory(conf: Broadcast[SerializableConfiguration], required: 
     val p = partition.asInstanceOf[VortexInputPartition]
     new VortexPartitionReader(p, conf.value.value, required)
   }
+
+  // Columnar scan path: decoded pages land directly in ColumnVectors,
+  // Spark's ColumnarToRow + WholeStageCodegen consume them batch-wise
+  // (the vectorized-execution role of SURVEY.md §4).
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[VortexInputPartition]
+    new VortexColumnarReader(p, conf.value.value, required)
+  }
+}
+
+class VortexColumnarReader(part: VortexInputPartition,
+                           conf: org.apache.hadoop.conf.Configuration,
+                           required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+  import org.apache.spark.sql.types._
+
+  private val path = new Path(part.file)
+  private val footer = VortexFileReader.readFooter(path, conf)
+  private val colIdx = required.fieldNames.map(footer.schema.fieldIndex)
+  private val dts = required.fields.map(_.dataType)
+  private val fs = path.getFileSystem(conf)
+  private val in = fs.open(path)
+  private var chunkPos = 0
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    if (chunkPos >= part.chunkIdxs.length) return false
+    val ci = part.chunkIdxs(chunkPos); chunkPos += 1
+    val chunk = footer.chunks(ci)
+    val n = chunk.rowCount
+    val vectors = new Array[org.apache.spark.sql.vectorized.ColumnVector](dts.length)
+    var c = 0
+    while (c < dts.length) {
+      val m = chunk.columns(colIdx(c))
+      val buf = new Array[Byte](m.length)
+      in.readFully(m.offset, buf)
+      val vec = PageCodec.decode(buf, m.encoding, m.compressed, n, m.nullCount,
+        footer.schema.fields(colIdx(c)).dataType)
+      val cv = new OnHeapColumnVector(n, dts(c))
+      fill(cv, vec, dts(c), n)
+      vectors(c) = cv
+      c += 1
+    }
+    batch = new ColumnarBatch(vectors, n)
+    true
+  }
+
+  private def fill(cv: OnHeapColumnVector, vec: ColVec, dt: DataType, n: Int): Unit = {
+    var i = 0
+    dt match {
+      case BooleanType =>
+        while (i < n) { if (vec.nulls(i)) cv.putNull(i) else cv.putBoolean(i, vec.longs(i) != 0L); i += 1 }
+      case ByteType =>
+        while (i < n) { if (vec.nulls(i)) cv.putNull(i) else cv.putByte(i, vec.longs(i).toByte); i += 1 }
+      case ShortType =>
+        while (i < n) { if (vec.nulls(i)) cv.putNull(i) else cv.putShort(i, vec.longs(i).toShort); i += 1 }
+      case IntegerType | DateType =>
+        while (i < n) { if (vec.nulls(i)) cv.putNull(i) else cv.putInt(i, vec.longs(i).toInt); i += 1 }
+      case LongType | TimestampType | TimestampNTZType =>
+        while (i < n) { if (vec.nulls(i)) cv.putNull(i) else cv.putLong(i, vec.longs(i)); i += 1 }
+      case FloatType =>
+        while (i < n) { if (vec.nulls(i)) cv.putNull(i) else cv.putFloat(i, java.lang.Float.intBitsToFloat(vec.longs(i).toInt)); i += 1 }
+      case DoubleType =>
+        while (i < n) { if (vec.nulls(i)) cv.putNull(i) else cv.putDouble(i, java.lang.Double.longBitsToDouble(vec.longs(i))); i += 1 }
+      case d: DecimalType =>
+        while (i < n) {
+          if (vec.nulls(i)) cv.putNull(i)
+          else cv.putDecimal(i, VortexFileReader.value(vec, i, d).asInstanceOf[Decimal], d.precision)
+          i += 1
+        }
+      case StringType | BinaryType =>
+        while (i < n) {
+          if (vec.nulls(i)) cv.putNull(i)
+          else cv.putByteArray(i, vec.bins(i))
+          i += 1
+        }
+      case other => throw new UnsupportedOperationException(s"vortex columnar: $other")
+    }
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = {
+    if (batch != null) batch.close()
+    in.close()
+  }
 }
 
 class VortexPartitionReader(part: VortexInputPartition,
