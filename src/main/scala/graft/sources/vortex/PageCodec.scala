@@ -118,6 +118,65 @@ object PageCodec {
     out
   }
 
+  // ---- frame-of-reference bit packing ------------------------------------
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType => true
+    case d: DecimalType => d.precision <= 18
+    case _ => false
+  }
+
+  /** pack (v - min) in `bits` bits each, little-endian bit order */
+  private def packBits(vals: Array[Long], n: Int, min: Long, bits: Int): Array[Byte] = {
+    val out = new Array[Byte](17 + (n.toLong * bits + 7).toInt / 8)
+    val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(min); bb.put(bits.toByte)
+    var bitPos = 0
+    val base = 9
+    var i = 0
+    while (i < n) {
+      var v = vals(i) - min
+      var left = bits
+      while (left > 0) {
+        val byteIdx = base + (bitPos >> 3)
+        val off = bitPos & 7
+        val take = math.min(8 - off, left)
+        out(byteIdx) = (out(byteIdx) | (((v & ((1L << take) - 1)) << off) & 0xff)).toByte
+        v >>>= take
+        bitPos += take
+        left -= take
+      }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, base + (bitPos + 7) / 8)
+  }
+
+  private def unpackBits(bb: ByteBuffer, n: Int): Array[Long] = {
+    val min = bb.getLong()
+    val bits = bb.get().toInt
+    val payload = new Array[Byte](((n.toLong * bits + 7) / 8).toInt)
+    bb.get(payload)
+    val out = new Array[Long](n)
+    var bitPos = 0
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var got = 0
+      while (got < bits) {
+        val b = payload(bitPos >> 3) & 0xff
+        val off = bitPos & 7
+        val take = math.min(8 - off, bits - got)
+        v |= (((b >> off) & ((1 << take) - 1)).toLong << got)
+        bitPos += take
+        got += take
+      }
+      out(i) = min + v
+      i += 1
+    }
+    out
+  }
+
   // ---- encoding selection ------------------------------------------------
 
   /** Substitute nulls with the previous value (0/empty at start) so runs
@@ -179,6 +238,30 @@ object PageCodec {
           ends.foreach(bb.putInt)
           bb.put(packFixed(rv, runs, w))
           (EncRunEnd, bb.array())
+        } else if (vec.isFixed && isIntegral(dt) && {
+          var mn = vec.longs(0); var mx = mn
+          var i = 1
+          while (i < n) {
+            val v = vec.longs(i)
+            if (v < mn) mn = v; if (v > mx) mx = v
+            i += 1
+          }
+          val range = mx - mn
+          // guard subtraction overflow (mx>0, mn<0, huge spread)
+          range >= 0 && {
+            val bits = if (range == 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(range)
+            bits < 8 * w && (9 + (n.toLong * bits + 7) / 8) < n.toLong * w
+          }
+        }) {
+          var mn = vec.longs(0)
+          var i = 1
+          while (i < n) { if (vec.longs(i) < mn) mn = vec.longs(i); i += 1 }
+          var mx = vec.longs(0)
+          i = 1
+          while (i < n) { if (vec.longs(i) > mx) mx = vec.longs(i); i += 1 }
+          val range = mx - mn
+          val bits = if (range == 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(range)
+          (EncBitpack, packBits(vec.longs, n, mn, bits))
         } else if (!vec.isFixed) {
           // dictionary for strings/binary when cardinality is low
           val dict = new java.util.LinkedHashMap[java.nio.ByteBuffer, Integer]()
@@ -259,6 +342,8 @@ object PageCodec {
           arr(i) = rv(r); i += 1
         }
         new ColVec(n, nulls, arr, null)
+      case EncBitpack =>
+        new ColVec(n, nulls, unpackBits(bb, n), null)
       case EncDict =>
         val dictSize = bb.getInt(); val dictLen = bb.getInt()
         val dictSlice = bb.slice(); dictSlice.limit(dictLen); dictSlice.order(ByteOrder.LITTLE_ENDIAN)

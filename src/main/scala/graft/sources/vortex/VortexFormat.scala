@@ -41,6 +41,9 @@ object VortexFormat {
   val EncConstant: Byte = 1
   val EncRunEnd: Byte = 2
   val EncDict: Byte = 3
+  /** frame-of-reference + bit packing for integral types (≙ the
+    * vortex-fastlanes FoR/bitpack role, SURVEY.md §2.9) */
+  val EncBitpack: Byte = 4
 
   def supported(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |

@@ -144,6 +144,24 @@ class VortexDataSourceSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema") || df.schema.fieldNames.sameElements(Array("y")))
   }
 
+  test("FoR bitpack encoding: chosen for narrow-range ints, round trips") {
+    val dir = tmp()
+    val df = spark.range(0, 50000).repartition(1).selectExpr(
+      "id",                                   // sequential: 16-17 bits vs 64
+      "CAST(id % 100 - 50 AS INT) AS small",  // negatives, 7 bits vs 32
+      "id * 1000000 + 123 AS wide")
+    df.write.format("vortex").mode("append").save(dir)
+    val back = spark.read.format("vortex").load(dir)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val f = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).find(_.getName.endsWith(".vortex")).get
+    val footer = graft.sources.vortex.VortexFileReader.readFooter(f, spark.sessionState.newHadoopConf())
+    val encs = footer.chunks(0).columns.map(_.encoding)
+    assert(encs(0) == graft.sources.vortex.VortexFormat.EncBitpack, s"id enc=${encs(0)}")
+    assert(encs(1) == graft.sources.vortex.VortexFormat.EncBitpack, s"small enc=${encs(1)}")
+  }
+
   test("encodings: constant, RLE, dict survive round trip") {
     val dir = tmp()
     val df = spark.range(0, 10000).repartition(1).selectExpr(
