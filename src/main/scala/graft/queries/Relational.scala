@@ -126,6 +126,28 @@ object Relational {
       |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY event_id""".stripMargin)
 
+  // J7b: as-of join with right-side payload via the reusable operator
+  // (deterministic tiebreak on o_orderkey, which DuckDB ASOF lacks —
+  // oracle uses the equivalent window formulation).
+  spark("j7_asof_payload",
+    (s, d) => {
+      val e = Tables.t(s, d, "events").select("event_id", "user_id", "ts")
+      val o = Tables.t(s, d, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+      graft.operators.AsOfJoin.backward(e, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          tieBreak = "o_orderkey", payload = Seq("o_orderkey", "o_orderdate"))
+        .select(col("event_id"), col("o_orderkey").as("okey"), col("o_orderdate").as("odate"))
+        .orderBy("event_id")
+    },
+    """SELECT event_id, okey, odate FROM (
+      |  SELECT e.event_id, o.o_orderkey AS okey, o.o_orderdate AS odate,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e LEFT JOIN orders o
+      |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+      |) t WHERE rn = 1 ORDER BY event_id""".stripMargin)
+
   // J8 star join: DataFrame API with an explicit broadcast of the dim
   // table — the 100 TB plan (fact shuffles once; dims broadcast).
   spark("j8_star",
