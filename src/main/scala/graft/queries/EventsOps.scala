@@ -37,6 +37,34 @@ object EventsOps {
       |SELECT ws, event_type, count(*) AS n FROM w GROUP BY ws, event_type
       |ORDER BY ws, event_type""".stripMargin)
 
+  // Batch sessionization: gap>30min starts a new session (window-based
+  // twin of graft.streaming.EventPipelines.sessionize — the scalable
+  // two-window shape: lag→break flags→running session ids→group).
+  spark("e_sessions",
+    (s, d) => { Tables.registerAll(s, d)
+      s.sql("""WITH g AS (
+              |  SELECT user_id, ts, event_id, value,
+              |    CASE WHEN lag(ts) OVER w IS NULL
+              |           OR unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+              |         THEN 1 ELSE 0 END AS brk
+              |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |                              ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+              |SELECT user_id, sid, count(*) AS n, min(ts) AS session_start, max(ts) AS session_end,
+              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v
+              |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin) },
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+      |SELECT user_id, sid, count(*) AS n, min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin)
+
   // Per-user event sequencing: gap to previous event in exact
   // microseconds (integer arithmetic — no interval-boundary semantics
   // to diverge between engines). Batch analog of sessionization state.

@@ -90,6 +90,20 @@ object VortexQueries {
     """SELECT count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
       |FROM lineitem""".stripMargin)
 
+  // S5: nested types — the embeddings table (list<float>) through the
+  // format; oracle reads the original parquet (round-trip identity).
+  spark("s5_vortex_nested",
+    (s, d) => {
+      val v = writeRead(s, Tables.t(s, d, "embeddings"), vdir("s5", d))
+      v.selectExpr("vec_id", "label",
+          "CAST(size(embedding) AS BIGINT) AS dim",
+          "CAST(element_at(embedding, 1) AS DECIMAL(18,6)) AS e1")
+        .orderBy("vec_id")
+    },
+    """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
+      |  CAST(embedding[1] AS DECIMAL(18,6)) AS e1
+      |FROM embeddings ORDER BY vec_id""".stripMargin)
+
   // P1 over vortex: projection subset (column pruning reaches the scan)
   spark("p1_vortex_project",
     (s, d) => {

@@ -33,6 +33,7 @@ object PageCodec {
   def isFixed(dt: DataType): Boolean = dt match {
     case StringType | BinaryType => false
     case d: DecimalType => d.precision <= 18
+    case dt if NestedCodec.isNested(dt) => false
     case _ => true
   }
 

@@ -160,7 +160,8 @@ class VortexReaderFactory(conf: Broadcast[SerializableConfiguration], required: 
   // Columnar scan path: decoded pages land directly in ColumnVectors,
   // Spark's ColumnarToRow + WholeStageCodegen consume them batch-wise
   // (the vectorized-execution role of SURVEY.md §4).
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    !required.fields.exists(f => NestedCodec.isNested(f.dataType))
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

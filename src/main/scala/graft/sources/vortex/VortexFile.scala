@@ -60,6 +60,8 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
             .toJavaBigDecimal.unscaledValue.toByteArray
         case StringType => bins(c)(count) = row.getUTF8String(c).getBytes
         case BinaryType => bins(c)(count) = row.getBinary(c)
+        case dt if NestedCodec.isNested(dt) && NestedCodec.supported(dt) =>
+          bins(c)(count) = NestedCodec.serialize(row.get(c, dt), dt)
         case other => throw new UnsupportedOperationException(s"vortex: unsupported type $other")
       }
       c += 1
@@ -180,6 +182,7 @@ object VortexFileReader {
           new java.math.BigDecimal(new java.math.BigInteger(vec.bins(i)), d.scale), d.precision, d.scale)
       case StringType => UTF8String.fromBytes(vec.bins(i))
       case BinaryType => vec.bins(i)
+      case dt if NestedCodec.isNested(dt) => NestedCodec.deserialize(vec.bins(i), dt)
       case other => throw new UnsupportedOperationException(s"vortex: unsupported type $other")
     }
   }

@@ -53,6 +53,9 @@ object VortexFormat {
     case _ => false
   }
 
+  /** full type support incl. nested (array/struct/map) */
+  def supportedFull(dt: DataType): Boolean = NestedCodec.supported(dt)
+
   final case class ColumnChunkMeta(
       offset: Long, length: Int, encoding: Byte, compressed: Boolean,
       nullCount: Int, min: Option[Array[Byte]], max: Option[Array[Byte]])

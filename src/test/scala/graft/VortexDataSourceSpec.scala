@@ -162,6 +162,27 @@ class VortexDataSourceSpec extends AnyFunSuite {
     assert(encs(1) == graft.sources.vortex.VortexFormat.EncBitpack, s"small enc=${encs(1)}")
   }
 
+  test("nested types: array/struct/map round trip (incl. embeddings table)") {
+    val dir = tmp()
+    val df = spark.range(0, 500).selectExpr(
+      "id",
+      "array(CAST(id AS FLOAT), CAST(id AS FLOAT) / 3.0f, NULL) AS arr_f",
+      "named_struct('a', id, 'b', concat('s', id), 'c', array(id, id + 1)) AS st",
+      "map(concat('k', id % 3), id, 'fixed', id * 2) AS mp",
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE array(concat('x', id)) END AS arr_s")
+    df.write.format("vortex").mode("append").save(dir)
+    val back = spark.read.format("vortex").load(dir)
+    assert(back.schema == df.schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+
+    // the real embeddings table (list<float>)
+    val dir2 = tmp()
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.write.format("vortex").mode("append").save(dir2)
+    val eback = spark.read.format("vortex").load(dir2)
+    assert(eback.orderBy("vec_id").collect().toSeq == emb.orderBy("vec_id").collect().toSeq)
+  }
+
   test("encodings: constant, RLE, dict survive round trip") {
     val dir = tmp()
     val df = spark.range(0, 10000).repartition(1).selectExpr(
