@@ -45,39 +45,7 @@ object DedupOps {
     }
   }
 
-  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-  private val hexDigits = "0123456789abcdef".toCharArray
-
-  private def md5bytes(s: String): Array[Byte] = {
-    val md = md5Local.get(); md.reset()
-    md.digest(s.getBytes("UTF-8"))
-  }
-
-  /** unsigned lexicographic byte order == hex-string order */
-  private def byteLess(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < 16) {
-      val x = a(i) & 0xff; val y = b(i) & 0xff
-      if (x != y) return x < y
-      i += 1
-    }
-    false
-  }
-
-  private def toHex(d: Array[Byte]): String = {
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = hexDigits((d(i) >> 4) & 0xf); out(2 * i + 1) = hexDigits(d(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
-
-  private def md5hex(s: String): String = toHex(md5bytes(s))
+  import graft.functions.Hashing.{md5bytes, byteLess, toHex}
 
   // Exact dedup: group by content hash, keep the smallest doc_id.
   spark("d_exact",
