@@ -77,7 +77,7 @@ class VortexTable(schema: StructType, paths: Seq[String]) extends SupportsRead w
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE).asJava
+        TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VortexScanBuilder(schema, paths)
@@ -307,6 +307,37 @@ class VortexWriteBuilder(schema: StructType, path: String, chunkRows: Int)
 
 class VortexWrite(schema: StructType, path: String, truncate: Boolean, chunkRows: Int) extends Write {
   override def toBatch: BatchWrite = new VortexBatchWrite(schema, path, truncate, chunkRows)
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new VortexStreamingWrite(schema, path, chunkRows)
+}
+
+/** Streaming sink: one self-describing file per (epoch, partition) —
+  * append-only micro-batch commits; the directory stays readable by
+  * the batch scan at every point (files are atomic units). */
+class VortexStreamingWrite(schema: StructType, dir: String, chunkRows: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+  private val hconf = SparkSession.active.sessionState.newHadoopConf()
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) fs.mkdirs(p)
+    new VortexStreamingWriterFactory(schema, dir, new SerializableConfiguration(hconf), chunkRows)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(hconf)
+    messages.collect { case VortexCommit(f) => f }.foreach(f => fs.delete(new Path(f), false))
+  }
+}
+
+class VortexStreamingWriterFactory(schema: StructType, dir: String,
+                                   conf: SerializableConfiguration, chunkRows: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new VortexDataWriter(schema, dir, f"e$epochId%06d", conf.value, partitionId, taskId, chunkRows)
 }
 
 class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunkRows: Int) extends BatchWrite {

@@ -79,6 +79,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(sess.toSeq == Seq(Seq(1L, 2L, 3.0), Seq(1L, 1L, 3.0)))
   }
 
+  test("streaming sink: writeStream.format(\"vortex\") lands queryable files per epoch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("vortex_stream_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vortex_ckpt_").toString
+    val ms = MemoryStream[(Long, String, Double)]
+    val q = ms.toDF.toDF("id", "kind", "v").writeStream
+      .format("vortex").option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    ms.addData((1L, "a", 1.5), (2L, "b", 2.5))
+    q.processAllAvailable()
+    ms.addData((3L, "c", 3.5))
+    q.processAllAvailable(); q.stop()
+    val back = spark.read.format("vortex").load(dir)
+    assert(back.count() == 3)
+    assert(back.agg(sum("id")).head().getLong(0) == 6L)
+    // files from two epochs coexist
+    val files = new java.io.File(dir).listFiles.count(_.getName.endsWith(".vortex"))
+    assert(files >= 2, s"expected >=2 epoch files, got $files")
+  }
+
   test("multimodal: binary payload + batched feature extraction") {
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val media = graft.operators.Multimodal.toMedia(docs)
