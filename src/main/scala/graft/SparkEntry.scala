@@ -12,7 +12,7 @@ import graft.queries._
   */
 object SparkEntry {
   private def sets: Seq[QuerySet] = Seq(
-    Relational.set, Windows.set, Functions.set, Coverage2.set,
+    Relational.set, Windows.set, Functions.set, Coverage2.set, Coverage3.set,
     EventsOps.set, TextOps.set, DedupOps.set, SimilarityOps.set,
     VortexQueries.set)
 
