@@ -75,9 +75,8 @@ object FilterPruning {
   /** true → the chunk definitely contains no matching row. */
   def canSkip(filter: Filter, chunk: ChunkMeta, schema: StructType): Boolean = {
     def col(name: String): Option[(ColumnChunkMeta, DataType)] = {
-      val i = schema.fieldIndex(name)
-      val m = chunk.columns(i)
-      Some((m, schema.fields(i).dataType))
+      val i = schema.fieldNames.indexOf(name)
+      if (i < 0) None else Some((chunk.columns(i), schema.fields(i).dataType))
     }
     def rangeSkip(name: String, v: Any)(decide: (Int, Int) => Boolean): Boolean =
       col(name) match {

@@ -1,0 +1,113 @@
+package graft.sources.vortex
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hive-style partitioned directory layout for vortex datasets:
+  * `root/k1=v1/k2=v2/part-*.vortex`. Partition columns live in the
+  * path, not the files; reads re-attach them as constants and prune
+  * whole directories against pushed filters before any footer I/O —
+  * at 100 TB this is the first and cheapest pruning tier (directory
+  * listing only), ahead of per-chunk stats.
+  */
+object PartitionedLayout {
+
+  /** Recursively list data files with their (key, value) partition
+    * path segments relative to root. */
+  def listWithPartitions(root: Path, conf: Configuration): Seq[(FileStatus, Seq[(String, String)])] = {
+    val fs = root.getFileSystem(conf)
+    def walk(st: FileStatus, parts: Seq[(String, String)]): Seq[(FileStatus, Seq[(String, String)])] =
+      if (st.isDirectory) {
+        fs.listStatus(st.getPath)
+          .filterNot(c => c.getPath.getName.startsWith("_") || c.getPath.getName.startsWith("."))
+          .toSeq.flatMap { c =>
+            val name = c.getPath.getName
+            val seg = if (c.isDirectory && name.contains("=")) {
+              val Array(k, v) = name.split("=", 2)
+              Seq(k -> unescape(v))
+            } else Seq.empty
+            walk(c, parts ++ seg)
+          }
+      } else Seq((st, parts))
+    if (!fs.exists(root)) Seq.empty else walk(fs.getFileStatus(root), Seq.empty)
+  }
+
+  /** Partition schema inferred across files (Long if every value
+    * parses, else Double, else String — mirroring Spark's parquet
+    * partition inference, minus dates). */
+  def inferPartitionSchema(files: Seq[(FileStatus, Seq[(String, String)])]): StructType = {
+    val keys = files.flatMap(_._2.map(_._1)).distinct
+    StructType(keys.map { k =>
+      val vals = files.flatMap(_._2.collect { case (`k`, v) => v })
+      val dt =
+        if (vals.forall(v => scala.util.Try(v.toLong).isSuccess)) LongType
+        else if (vals.forall(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
+        else StringType
+      StructField(k, dt, nullable = false)
+    })
+  }
+
+  /** external path string → Catalyst internal value */
+  def toInternal(v: String, dt: DataType): Any = dt match {
+    case LongType => v.toLong
+    case IntegerType => v.toInt
+    case DoubleType => v.toDouble
+    case StringType => UTF8String.fromString(v)
+    case other => throw new UnsupportedOperationException(s"partition type $other")
+  }
+
+  /** Catalyst internal value → path segment string */
+  def toPathString(v: Any): String = v match {
+    case u: UTF8String => escape(u.toString)
+    case other => other.toString
+  }
+
+  def escape(s: String): String =
+    s.flatMap(c => if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c.toString
+                   else f"%%${c.toInt}%02X")
+
+  def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(s(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Conservative directory pruning: false → no row in this partition
+    * can match. Uses the external (Scala) comparison domain. */
+  def survives(filter: Filter, parts: Map[String, String], partSchema: StructType): Boolean = {
+    def typed(k: String): Option[Any] = parts.get(k).map { raw =>
+      partSchema.fields.find(_.name == k).map(_.dataType) match {
+        case Some(LongType) => raw.toLong
+        case Some(DoubleType) => raw.toDouble
+        case _ => raw
+      }
+    }
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Long, y: Number) => Some(java.lang.Long.compare(x, y.longValue()))
+      case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None
+    }
+    filter match {
+      case EqualTo(a, v) if parts.contains(a) => typed(a).flatMap(cmp(_, v)).forall(_ == 0)
+      case In(a, vs) if parts.contains(a) =>
+        typed(a).forall(x => vs.exists(v => cmp(x, v).contains(0)))
+      case GreaterThan(a, v) if parts.contains(a) => typed(a).flatMap(cmp(_, v)).forall(_ > 0)
+      case GreaterThanOrEqual(a, v) if parts.contains(a) => typed(a).flatMap(cmp(_, v)).forall(_ >= 0)
+      case LessThan(a, v) if parts.contains(a) => typed(a).flatMap(cmp(_, v)).forall(_ < 0)
+      case LessThanOrEqual(a, v) if parts.contains(a) => typed(a).flatMap(cmp(_, v)).forall(_ <= 0)
+      case IsNull(a) if parts.contains(a) => false // path partitions are never null
+      case And(l, r) => survives(l, parts, partSchema) && survives(r, parts, partSchema)
+      case Or(l, r) => survives(l, parts, partSchema) || survives(r, parts, partSchema)
+      case _ => true
+    }
+  }
+}

@@ -43,9 +43,11 @@ class VortexDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val files = VortexDataSource.expand(paths(options), conf)
-    require(files.nonEmpty, s"vortex: no files found for ${paths(options).mkString(",")}")
-    VortexFileReader.readFooter(files.head, conf).schema
+    val listed = VortexDataSource.listAll(paths(options), conf)
+    require(listed.nonEmpty, s"vortex: no files found for ${paths(options).mkString(",")}")
+    val fileSchema = VortexFileReader.readFooter(listed.head._1.getPath, conf).schema
+    val partSchema = PartitionedLayout.inferPartitionSchema(listed)
+    StructType(fileSchema.fields ++ partSchema.fields.filterNot(f => fileSchema.fieldNames.contains(f.name)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -56,20 +58,19 @@ class VortexDataSource extends TableProvider with DataSourceRegister {
 }
 
 object VortexDataSource {
-  /** Expand user paths: glob patterns, directories (non-hidden files), plain files. */
-  def expand(raw: Seq[String], conf: org.apache.hadoop.conf.Configuration): Seq[Path] =
+  /** Expand user paths (glob patterns, dirs incl. partitioned
+    * subtrees, plain files) to data files + partition path values. */
+  def listAll(raw: Seq[String], conf: org.apache.hadoop.conf.Configuration)
+      : Seq[(org.apache.hadoop.fs.FileStatus, Seq[(String, String)])] =
     raw.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
       val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
-      matched.flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq
-            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-            .map(_.getPath)
-        else Seq(st.getPath)
-      }
-    }.sortBy(_.toString)
+      matched.flatMap(st => PartitionedLayout.listWithPartitions(st.getPath, conf))
+    }.sortBy(_._1.getPath.toString)
+
+  def expand(raw: Seq[String], conf: org.apache.hadoop.conf.Configuration): Seq[Path] =
+    listAll(raw, conf).map(_._1.getPath)
 }
 
 class VortexTable(schema: StructType, paths: Seq[String]) extends SupportsRead with SupportsWrite {
@@ -85,7 +86,9 @@ class VortexTable(schema: StructType, paths: Seq[String]) extends SupportsRead w
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val chunkRows = Option(info.options.get("chunkrows")).map(_.toInt)
       .getOrElse(VortexFormat.DefaultChunkRows)
-    new VortexWriteBuilder(info.schema(), paths.head, chunkRows)
+    val partitionCols = Option(info.options.get("partitionby")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    new VortexWriteBuilder(info.schema(), paths.head, chunkRows, partitionCols)
   }
 }
 
@@ -108,7 +111,9 @@ class VortexScanBuilder(schema: StructType, paths: Seq[String])
 }
 
 /** One split = consecutive surviving chunks of one file, ~128 MB. */
-case class VortexInputPartition(file: String, chunkIdxs: Array[Int]) extends InputPartition
+case class VortexInputPartition(file: String, chunkIdxs: Array[Int],
+                                partCols: Array[String] = Array.empty,
+                                partValues: Array[String] = Array.empty) extends InputPartition
 
 class VortexScan(fileSchema: StructType, required: StructType,
                  filters: Array[Filter], paths: Seq[String]) extends Scan with Batch {
@@ -120,24 +125,35 @@ class VortexScan(fileSchema: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
-    val files = VortexDataSource.expand(paths, conf)
+    val listed = VortexDataSource.listAll(paths, conf)
+    val partSchema = StructType(fileSchema.fields.filter(f =>
+      listed.exists(_._2.exists(_._1 == f.name))))
     val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
-    files.foreach { f =>
-      val footer = VortexFileReader.readFooter(f, conf)
-      var cur = scala.collection.mutable.ArrayBuffer[Int]()
-      var bytes = 0L
-      footer.chunks.zipWithIndex.foreach { case (chunk, ci) =>
-        val keep = !filters.exists(fl => FilterPruning.canSkip(fl, chunk, footer.schema))
-        if (keep) {
-          cur += ci
-          bytes += chunk.columns.map(_.length.toLong).sum
-          if (bytes >= VortexFormat.TargetSplitBytes) {
-            parts += VortexInputPartition(f.toString, cur.toArray)
-            cur = scala.collection.mutable.ArrayBuffer[Int](); bytes = 0L
+    listed.foreach { case (st, kvs) =>
+      val kvMap = kvs.toMap
+      // tier 1: whole-directory pruning on partition values (no I/O)
+      val partOk = filters.forall(fl => PartitionedLayout.survives(fl, kvMap, partSchema))
+      if (partOk) {
+        val f = st.getPath
+        val footer = VortexFileReader.readFooter(f, conf)
+        val pc = kvs.map(_._1).toArray
+        val pv = kvs.map(_._2).toArray
+        var cur = scala.collection.mutable.ArrayBuffer[Int]()
+        var bytes = 0L
+        footer.chunks.zipWithIndex.foreach { case (chunk, ci) =>
+          // tier 2: per-chunk stats pruning
+          val keep = !filters.exists(fl => FilterPruning.canSkip(fl, chunk, footer.schema))
+          if (keep) {
+            cur += ci
+            bytes += chunk.columns.map(_.length.toLong).sum
+            if (bytes >= VortexFormat.TargetSplitBytes) {
+              parts += VortexInputPartition(f.toString, cur.toArray, pc, pv)
+              cur = scala.collection.mutable.ArrayBuffer[Int](); bytes = 0L
+            }
           }
         }
+        if (cur.nonEmpty) parts += VortexInputPartition(f.toString, cur.toArray, pc, pv)
       }
-      if (cur.nonEmpty) parts += VortexInputPartition(f.toString, cur.toArray)
     }
     parts.toArray
   }
@@ -180,12 +196,33 @@ class VortexColumnarReader(part: VortexInputPartition,
 
   private val path = new Path(part.file)
   private val footer = VortexFileReader.readFooter(path, conf)
-  private val colIdx = required.fieldNames.map(footer.schema.fieldIndex)
+  private val partMap = part.partCols.zip(part.partValues).toMap
+  private val slots: Array[Either[Any, Int]] = required.fields.map { f =>
+    footer.schema.fieldNames.indexOf(f.name) match {
+      case -1 => Left(PartitionedLayout.toInternal(partMap(f.name), f.dataType))
+      case i => Right(i)
+    }
+  }
   private val dts = required.fields.map(_.dataType)
   private val fs = path.getFileSystem(conf)
   private val in = fs.open(path)
   private var chunkPos = 0
   private var batch: ColumnarBatch = _
+
+  private def constVector(n: Int, dt: DataType, v: Any): OnHeapColumnVector = {
+    val cv = new OnHeapColumnVector(n, dt)
+    var i = 0
+    dt match {
+      case LongType => while (i < n) { cv.putLong(i, v.asInstanceOf[Long]); i += 1 }
+      case IntegerType => while (i < n) { cv.putInt(i, v.asInstanceOf[Int]); i += 1 }
+      case DoubleType => while (i < n) { cv.putDouble(i, v.asInstanceOf[Double]); i += 1 }
+      case StringType =>
+        val b = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+        while (i < n) { cv.putByteArray(i, b); i += 1 }
+      case other => throw new UnsupportedOperationException(s"partition type $other")
+    }
+    cv
+  }
 
   override def next(): Boolean = {
     if (batch != null) { batch.close(); batch = null }
@@ -196,14 +233,18 @@ class VortexColumnarReader(part: VortexInputPartition,
     val vectors = new Array[org.apache.spark.sql.vectorized.ColumnVector](dts.length)
     var c = 0
     while (c < dts.length) {
-      val m = chunk.columns(colIdx(c))
-      val buf = new Array[Byte](m.length)
-      in.readFully(m.offset, buf)
-      val vec = PageCodec.decode(buf, m.encoding, m.compressed, n, m.nullCount,
-        footer.schema.fields(colIdx(c)).dataType)
-      val cv = new OnHeapColumnVector(n, dts(c))
-      fill(cv, vec, dts(c), n)
-      vectors(c) = cv
+      vectors(c) = slots(c) match {
+        case Right(fc) =>
+          val m = chunk.columns(fc)
+          val buf = new Array[Byte](m.length)
+          in.readFully(m.offset, buf)
+          val vec = PageCodec.decode(buf, m.encoding, m.compressed, n, m.nullCount,
+            footer.schema.fields(fc).dataType)
+          val cv = new OnHeapColumnVector(n, dts(c))
+          fill(cv, vec, dts(c), n)
+          cv
+        case Left(const) => constVector(n, dts(c), const)
+      }
       c += 1
     }
     batch = new ColumnarBatch(vectors, n)
@@ -255,14 +296,22 @@ class VortexPartitionReader(part: VortexInputPartition,
                             required: StructType) extends PartitionReader[InternalRow] {
   private val path = new Path(part.file)
   private val footer = VortexFileReader.readFooter(path, conf)
-  private val colIdx = required.fieldNames.map(footer.schema.fieldIndex)
+  private val partMap = part.partCols.zip(part.partValues).toMap
+  // required field → Right(file col index) or Left(partition constant)
+  private val slots: Array[Either[Any, Int]] = required.fields.map { f =>
+    footer.schema.fieldNames.indexOf(f.name) match {
+      case -1 => Left(PartitionedLayout.toInternal(partMap(f.name), f.dataType))
+      case i => Right(i)
+    }
+  }
   private val dts = required.fields.map(_.dataType)
   private val fs = path.getFileSystem(conf)
   private val in = fs.open(path)
   private val row = new GenericInternalRow(required.length)
+  slots.zipWithIndex.foreach { case (Left(const), c) => row.update(c, const); case _ => }
 
   private var chunkPos = 0          // index into part.chunkIdxs
-  private var vecs: Array[ColVec] = _
+  private var vecs: Array[ColVec] = _   // aligned with required; null for partition slots
   private var rowsInChunk = 0
   private var i = 0
 
@@ -270,12 +319,14 @@ class VortexPartitionReader(part: VortexInputPartition,
     if (chunkPos >= part.chunkIdxs.length) return false
     val ci = part.chunkIdxs(chunkPos); chunkPos += 1
     val chunk = footer.chunks(ci)
-    vecs = colIdx.map { c =>
-      val m = chunk.columns(c)
-      val buf = new Array[Byte](m.length)
-      in.readFully(m.offset, buf)
-      PageCodec.decode(buf, m.encoding, m.compressed, chunk.rowCount, m.nullCount,
-        footer.schema.fields(c).dataType)
+    vecs = slots.map {
+      case Right(c) =>
+        val m = chunk.columns(c)
+        val buf = new Array[Byte](m.length)
+        in.readFully(m.offset, buf)
+        PageCodec.decode(buf, m.encoding, m.compressed, chunk.rowCount, m.nullCount,
+          footer.schema.fields(c).dataType)
+      case Left(_) => null
     }
     rowsInChunk = chunk.rowCount
     i = 0
@@ -286,7 +337,7 @@ class VortexPartitionReader(part: VortexInputPartition,
     while (i >= rowsInChunk) if (!loadNextChunk()) return false
     var c = 0
     while (c < dts.length) {
-      row.update(c, VortexFileReader.value(vecs(c), i, dts(c)))
+      if (vecs(c) != null) row.update(c, VortexFileReader.value(vecs(c), i, dts(c)))
       c += 1
     }
     i += 1
@@ -298,15 +349,17 @@ class VortexPartitionReader(part: VortexInputPartition,
 
 // ---------------------------- write path ----------------------------------
 
-class VortexWriteBuilder(schema: StructType, path: String, chunkRows: Int)
+class VortexWriteBuilder(schema: StructType, path: String, chunkRows: Int,
+                         partitionCols: Seq[String])
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new VortexWrite(schema, path, doTruncate, chunkRows)
+  override def build(): Write = new VortexWrite(schema, path, doTruncate, chunkRows, partitionCols)
 }
 
-class VortexWrite(schema: StructType, path: String, truncate: Boolean, chunkRows: Int) extends Write {
-  override def toBatch: BatchWrite = new VortexBatchWrite(schema, path, truncate, chunkRows)
+class VortexWrite(schema: StructType, path: String, truncate: Boolean, chunkRows: Int,
+                  partitionCols: Seq[String] = Seq.empty) extends Write {
+  override def toBatch: BatchWrite = new VortexBatchWrite(schema, path, truncate, chunkRows, partitionCols)
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new VortexStreamingWrite(schema, path, chunkRows)
 }
@@ -329,7 +382,8 @@ class VortexStreamingWrite(schema: StructType, dir: String, chunkRows: Int)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(hconf)
-    messages.collect { case VortexCommit(f) => f }.foreach(f => fs.delete(new Path(f), false))
+    messages.collect { case VortexCommit(fls) => fls }.flatten
+      .foreach(f => fs.delete(new Path(f), false))
   }
 }
 
@@ -340,7 +394,8 @@ class VortexStreamingWriterFactory(schema: StructType, dir: String,
     new VortexDataWriter(schema, dir, f"e$epochId%06d", conf.value, partitionId, taskId, chunkRows)
 }
 
-class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunkRows: Int) extends BatchWrite {
+class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunkRows: Int,
+                       partitionCols: Seq[String]) extends BatchWrite {
   private val spark = SparkSession.active
   private val hconf = spark.sessionState.newHadoopConf()
   // unique per job: task files can never collide with files from a
@@ -351,7 +406,8 @@ class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunk
     val p = new Path(dir)
     val fs = p.getFileSystem(hconf)
     if (truncate && fs.exists(p))
-      fs.listStatus(p).filter(_.isFile).map(s => fs.makeQualified(s.getPath).toString).toSeq
+      PartitionedLayout.listWithPartitions(p, hconf)
+        .map { case (st, _) => fs.makeQualified(st.getPath).toString }
     else Seq.empty
   }
 
@@ -359,29 +415,81 @@ class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunk
     val p = new Path(dir)
     val fs = p.getFileSystem(hconf)
     if (!fs.exists(p)) fs.mkdirs(p)
-    new VortexWriterFactory(schema, dir, jobId, new SerializableConfiguration(hconf), chunkRows)
+    new VortexWriterFactory(schema, dir, jobId, new SerializableConfiguration(hconf),
+      chunkRows, partitionCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(hconf)
-    val written = messages.collect { case VortexCommit(f) =>
-      fs.makeQualified(new Path(f)).toString }.toSet
+    val written = messages.collect { case VortexCommit(fls) => fls }.flatten
+      .map(f => fs.makeQualified(new Path(f)).toString).toSet
     preExisting.filterNot(written.contains).foreach(f => fs.delete(new Path(f), false))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(hconf)
-    messages.collect { case VortexCommit(f) => f }.foreach(f => fs.delete(new Path(f), false))
+    messages.collect { case VortexCommit(fls) => fls }.flatten
+      .foreach(f => fs.delete(new Path(f), false))
   }
 }
 
-case class VortexCommit(file: String) extends WriterCommitMessage
+case class VortexCommit(files: Seq[String]) extends WriterCommitMessage
 
 class VortexWriterFactory(schema: StructType, dir: String, jobId: String,
                           conf: SerializableConfiguration,
-                          chunkRows: Int) extends DataWriterFactory {
+                          chunkRows: Int, partitionCols: Seq[String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new VortexDataWriter(schema, dir, jobId, conf.value, partitionId, taskId, chunkRows)
+    if (partitionCols.isEmpty)
+      new VortexDataWriter(schema, dir, jobId, conf.value, partitionId, taskId, chunkRows)
+    else
+      new VortexPartitionedDataWriter(schema, dir, jobId, conf.value, partitionId, taskId,
+        chunkRows, partitionCols)
+}
+
+/** Hive-style partitioned writer: one open file per partition value
+  * combination seen by this task; partition columns are stored in the
+  * path, not the pages. */
+class VortexPartitionedDataWriter(schema: StructType, dir: String, jobId: String,
+                                  conf: org.apache.hadoop.conf.Configuration,
+                                  partitionId: Int, taskId: Long, chunkRows: Int,
+                                  partitionCols: Seq[String]) extends DataWriter[InternalRow] {
+  private val partIdx = partitionCols.map(schema.fieldIndex).toArray
+  private val partDts = partIdx.map(schema.fields(_).dataType)
+  private val storedIdx = schema.fields.indices.filterNot(partIdx.contains).toArray
+  private val storedSchema = StructType(storedIdx.map(schema.fields(_)))
+  private val writers = scala.collection.mutable.LinkedHashMap[String, (Path, VortexFileWriter)]()
+  private val reuse = new GenericInternalRow(storedIdx.length)
+
+  override def write(record: InternalRow): Unit = {
+    val segs = partIdx.indices.map { i =>
+      val v = record.get(partIdx(i), partDts(i))
+      require(v != null, s"vortex: null partition value for ${partitionCols(i)}")
+      s"${partitionCols(i)}=${PartitionedLayout.toPathString(v)}"
+    }
+    val key = segs.mkString("/")
+    val (_, w) = writers.getOrElseUpdate(key, {
+      val p = new Path(new Path(dir, key), f"part-$partitionId%05d-$jobId-$taskId.vortex")
+      (p, new VortexFileWriter(p, conf, storedSchema, chunkRows))
+    })
+    var c = 0
+    while (c < storedIdx.length) {
+      reuse.update(c, record.get(storedIdx(c), storedSchema.fields(c).dataType))
+      c += 1
+    }
+    w.write(reuse)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_._2.close())
+    VortexCommit(writers.values.map(_._1.toString).toSeq)
+  }
+  override def abort(): Unit = {
+    writers.values.foreach { case (p, w) =>
+      try w.close() catch { case _: Exception => }
+      p.getFileSystem(conf).delete(p, false)
+    }
+  }
+  override def close(): Unit = {}
 }
 
 class VortexDataWriter(schema: StructType, dir: String, jobId: String,
@@ -394,7 +502,7 @@ class VortexDataWriter(schema: StructType, dir: String, jobId: String,
   override def write(record: InternalRow): Unit = writer.write(record)
   override def commit(): WriterCommitMessage = {
     writer.close(); closed = true
-    VortexCommit(file.toString)
+    VortexCommit(Seq(file.toString))
   }
   override def abort(): Unit = {
     if (!closed) try writer.close() catch { case _: Exception => }

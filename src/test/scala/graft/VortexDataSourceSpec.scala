@@ -183,6 +183,37 @@ class VortexDataSourceSpec extends AnyFunSuite {
     assert(eback.orderBy("vec_id").collect().toSeq == emb.orderBy("vec_id").collect().toSeq)
   }
 
+  test("partitioned layout: write partitionBy, read back, prune directories") {
+    val dir = tmp()
+    val df = spark.range(0, 10000).selectExpr(
+      "id", "CAST(id % 4 AS BIGINT) AS bucket",
+      "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity",
+      "CAST(id AS DOUBLE) / 3.0 AS v")
+    df.write.format("vortex").option("partitionBy", "bucket,parity")
+      .mode("append").save(dir)
+    // layout: bucket=N/parity=S dirs
+    assert(new java.io.File(s"$dir/bucket=0/parity=even").exists())
+    val back = spark.read.format("vortex").load(dir)
+    assert(back.schema.fieldNames.toSet == df.schema.fieldNames.toSet)
+    assert(back.count() == 10000)
+    // values identical (partition cols re-attached with inferred types)
+    val a = df.selectExpr("id", "bucket", "parity", "v").orderBy("id").collect().toSeq
+    val b = back.selectExpr("id", "bucket", "parity", "v").orderBy("id").collect().toSeq
+    assert(a == b)
+    // directory pruning: filter on partition col plans only matching dirs
+    val scan = new graft.sources.vortex.VortexScan(
+      back.schema, back.schema,
+      Array(org.apache.spark.sql.sources.EqualTo("bucket", 2L),
+            org.apache.spark.sql.sources.EqualTo("parity", "even")),
+      Seq(dir))
+    val files = scan.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.vortex.VortexInputPartition].file).distinct
+    assert(files.nonEmpty && files.forall(f => f.contains("bucket=2") && f.contains("parity=even")), files.toSeq.toString)
+    // and the filtered read is correct
+    assert(back.filter("bucket = 2 AND parity = 'even'").count() ==
+      df.filter("bucket = 2 AND parity = 'even'").count())
+  }
+
   test("encodings: constant, RLE, dict survive round trip") {
     val dir = tmp()
     val df = spark.range(0, 10000).repartition(1).selectExpr(
