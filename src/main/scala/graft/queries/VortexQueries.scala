@@ -104,6 +104,24 @@ object VortexQueries {
       |  CAST(embedding[1] AS DECIMAL(18,6)) AS e1
       |FROM embeddings ORDER BY vec_id""".stripMargin)
 
+  // S7: partitioned layout end-to-end — write lineitem partitioned by
+  // returnflag, read back with a partition filter (pruned to one
+  // directory subtree before any footer I/O).
+  spark("s7_vortex_partitioned",
+    (s, d) => {
+      val dir = vdir("s7", d)
+      Tables.t(s, d, "lineitem")
+        .write.format("vortex").option("partitionBy", "l_returnflag")
+        .mode("overwrite").save(dir)
+      s.read.format("vortex").load(dir)
+        .filter(col("l_returnflag") === "A")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("sum_qty"))
+    },
+    """SELECT count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      |FROM lineitem WHERE l_returnflag = 'A'""".stripMargin)
+
   // P1 over vortex: projection subset (column pruning reaches the scan)
   spark("p1_vortex_project",
     (s, d) => {
