@@ -116,11 +116,45 @@ case class VortexInputPartition(file: String, chunkIdxs: Array[Int],
                                 partValues: Array[String] = Array.empty) extends InputPartition
 
 class VortexScan(fileSchema: StructType, required: StructType,
-                 filters: Array[Filter], paths: Seq[String]) extends Scan with Batch {
+                 initialFilters: Array[Filter], paths: Seq[String])
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+  private var filters: Array[Filter] = initialFilters
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"VortexScan(files=${paths.mkString(",")}, pushed=[${filters.mkString(", ")}])"
+
+  /** footer-derived stats (post static pruning): row count + encoded
+    * bytes — lets Catalyst/AQE size joins over vortex tables correctly
+    * (broadcast the small side without hints). */
+  override def estimateStatistics(): Statistics = {
+    val parts = planInputPartitions()
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    var rows = 0L
+    var bytes = 0L
+    parts.foreach { ip =>
+      val p = ip.asInstanceOf[VortexInputPartition]
+      val footer = VortexFileReader.readFooter(new Path(p.file), conf)
+      p.chunkIdxs.foreach { ci =>
+        rows += footer.chunks(ci).rowCount
+        bytes += footer.chunks(ci).columns.map(_.length.toLong).sum
+      }
+    }
+    val r = rows; val b = math.max(bytes, 1L)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(r)
+    }
+  }
+
+  /** Runtime filtering (dynamic partition/chunk pruning): join-derived
+    * filters arrive after planning; merging them tightens directory-
+    * and chunk-level pruning on the next planInputPartitions call. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    fileSchema.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(runtimeFilters: Array[Filter]): Unit =
+    filters = filters ++ runtimeFilters
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
