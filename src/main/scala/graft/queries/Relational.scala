@@ -255,6 +255,41 @@ object Relational {
     """SELECT l_orderkey, count(*) AS n FROM lineitem
       |GROUP BY l_orderkey HAVING count(*) >= 5 ORDER BY l_orderkey""".stripMargin)
 
+  // ---- TPC-H-shaped multi-join analytics (Q3/Q5/Q10 skeletons) --------
+  common("tpch_q3_shipping",
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS odate
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC NULLS LAST, l_orderkey LIMIT 20""".stripMargin)
+
+  common("tpch_q5_local_supplier",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'AMERICA'
+      |GROUP BY n_name ORDER BY revenue DESC NULLS LAST, n_name""".stripMargin)
+
+  common("tpch_q10_returns",
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+      |  CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS acctbal,
+      |  n_name
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC NULLS LAST, c_custkey LIMIT 20""".stripMargin)
+
   // ---- §2.6 sorts / limits / set ops ----------------------------------
   common("o1_sort_multikey",
     """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty

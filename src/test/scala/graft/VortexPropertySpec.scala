@@ -25,7 +25,8 @@ class VortexPropertySpec extends AnyFunSuite {
   private val leafTypes: Seq[DataType] = Seq(
     BooleanType, ByteType, ShortType, IntegerType, LongType, FloatType,
     DoubleType, StringType, BinaryType, DateType, TimestampNTZType,
-    DecimalType(10, 2), DecimalType(20, 0), DecimalType(38, 6))
+    DecimalType(10, 2), DecimalType(20, 0), DecimalType(38, 6),
+    ArrayType(LongType), ArrayType(StringType))
 
   private def genValue(dt: DataType, nullDensity: Double): Gen[Any] =
     Gen.frequency(
@@ -47,6 +48,11 @@ class VortexPropertySpec extends AnyFunSuite {
         case d: DecimalType =>
           Gen.choose(-1000000L, 1000000L).map(v =>
             new java.math.BigDecimal(java.math.BigInteger.valueOf(v), d.scale))
+        case ArrayType(LongType, _) =>
+          Gen.listOf(Gen.oneOf(Gen.choose(-100L, 100L).map(Long.box), Gen.const(null)))
+            .map(_.take(5).toSeq)
+        case ArrayType(StringType, _) =>
+          Gen.listOf(Gen.alphaNumStr.map(_.take(8))).map(_.take(5).toSeq)
         case _ => Gen.const(null)
       }))
 
@@ -79,6 +85,7 @@ class VortexPropertySpec extends AnyFunSuite {
       val back = spark.read.format("vortex").load(dir).collect()
       def norm(r: Row): Seq[Any] = r.toSeq.map {
         case b: Array[Byte] => b.toSeq
+        case s: scala.collection.Seq[_] => s.toList
         case x => x
       }
       assert(back.length == rows.length)
