@@ -175,6 +175,28 @@ object DedupOps {
        |FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin)
 
+  // MinHash signatures via the typed Aggregator (partial+final merge —
+  // the shape that scales to any token distribution). Same signature
+  // scheme as the LSH query, oracle-matched per document.
+  spark("d_minhash_sigs",
+    (s, d) => {
+      import s.implicits._
+      val agg = new graft.functions.MinHashAgg(16).toColumn
+      tokens(s, d).as[(Long, String)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(agg.name("sig"))
+        .map { case (id, sig) => (id, sig) }
+        .toDF("doc_id", "sig")
+        .orderBy("doc_id")
+    },
+    s"""WITH tok AS ($tokSql),
+       |ih AS (SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || w) AS h
+       |       FROM tok CROSS JOIN range(0, 16) r(i)),
+       |sig AS (SELECT doc_id, i, min(h) AS mh FROM ih GROUP BY doc_id, i)
+       |SELECT doc_id, string_agg(mh, '|' ORDER BY i) AS sig
+       |FROM sig GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   // SimHash: 64-bit signature from per-token md5 bits (majority vote per
   // bit; tie → 0). Output as a 64-char '0'/'1' string.
   spark("d_simhash",

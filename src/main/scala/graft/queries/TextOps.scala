@@ -99,6 +99,19 @@ object TextOps {
       |SELECT doc_id, md5(canon) AS fp, min(md5(substr(canon, CAST(i AS INTEGER), 8))) AS min_shingle
       |FROM e GROUP BY doc_id, canon ORDER BY doc_id""".stripMargin)
 
+  // Multimodal pipeline end-to-end (binary payload + metadata struct +
+  // partition-batched decode stub) — features are from the stubbed
+  // decoder, so rows-only check.
+  sparkOnly("t_multimodal",
+    (s, d) => {
+      val media = graft.operators.Multimodal.toMedia(Tables.t(s, d, "documents"))
+      graft.operators.Multimodal.extractFeatures(media).toDF()
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+          col("entropy").cast("decimal(18,4)").as("entropy"),
+          col("frames_sampled"))
+        .orderBy("doc_id")
+    })
+
   // Multimodal plumbing: byte length of the text payload as BLOB.
   spark("t_blob_len",
     (s, d) => Tables.t(s, d, "documents")
