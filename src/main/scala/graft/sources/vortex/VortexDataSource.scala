@@ -78,7 +78,8 @@ class VortexTable(schema: StructType, paths: Seq[String]) extends SupportsRead w
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
+        TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+        TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VortexScanBuilder(schema, paths)
@@ -122,6 +123,9 @@ class VortexScan(fileSchema: StructType, required: StructType,
   private var filters: Array[Filter] = initialFilters
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new VortexMicroBatchStream(required, paths, checkpointLocation)
   override def description(): String =
     s"VortexScan(files=${paths.mkString(",")}, pushed=[${filters.mkString(", ")}])"
 

@@ -100,6 +100,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(files >= 2, s"expected >=2 epoch files, got $files")
   }
 
+  test("streaming source: readStream over a growing vortex directory") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("vortex_src_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vortex_ckpt2_").toString
+    spark.range(0, 100).selectExpr("id", "id * 2 AS y")
+      .write.format("vortex").mode("append").save(src)
+    val stream = spark.readStream.format("vortex").load(src)
+      .groupBy().agg(count(lit(1)).as("n"), sum("id").as("s"))
+    val q = stream.writeStream.format("memory").queryName("vsrc_out")
+      .option("checkpointLocation", ckpt).outputMode("complete").start()
+    q.processAllAvailable()
+    assert(spark.table("vsrc_out").head().toSeq == Seq(100L, 4950L))
+    // new file arrives → next trigger picks up only the delta
+    spark.range(100, 150).selectExpr("id", "id * 2 AS y")
+      .write.format("vortex").mode("append").save(src)
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("vsrc_out").head().toSeq == Seq(150L, (0L until 150L).sum))
+  }
+
   test("multimodal: binary payload + batched feature extraction") {
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val media = graft.operators.Multimodal.toMedia(docs)
