@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** User-facing facade: everything a user of the reference engine
+  * (read_vortex / COPY TO vortex + the DuckDB relational surface) plus
+  * the training-data pipeline operators, in one import.
+  *
+  * {{{
+  * import graft.Engine
+  * val e = Engine(spark)
+  * e.readVortex("/data/docs")                      // ≙ read_vortex(...)
+  * e.writeVortex(df, "/data/out")                  // ≙ COPY ... (FORMAT VORTEX)
+  * e.dedupExact(docs, "text")
+  * e.nearDupCandidates(docs, "doc_id", "text")     // MinHash + LSH
+  * e.textQuality(docs, "doc_id", "text")
+  * }}}
+  */
+final case class Engine(spark: SparkSession) {
+  import spark.implicits._
+
+  // ---- storage (≙ the reference's whole own surface) -------------------
+  def readVortex(path: String): DataFrame =
+    spark.read.format("vortex").load(path)
+
+  def writeVortex(df: DataFrame, path: String, overwrite: Boolean = true,
+                  partitionBy: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.format("vortex").mode(if (overwrite) "overwrite" else "append")
+    (if (partitionBy.nonEmpty) w.option("partitionBy", partitionBy.mkString(",")) else w)
+      .save(path)
+  }
+
+  def readVortexStream(path: String): DataFrame =
+    spark.readStream.format("vortex").load(path)
+
+  // ---- dedup -----------------------------------------------------------
+  /** exact content dedup: keep one row per distinct value of `col` */
+  def dedupExact(df: DataFrame, col: String): DataFrame = df.dropDuplicates(col)
+
+  /** MinHash+LSH candidate pairs over whitespace tokens of `textCol` */
+  def nearDupCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    queries.DedupOps.minhashCandidates(spark,
+      df.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("w")))
+
+  /** per-document k-function MinHash signature (typed Aggregator) */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int = 16): DataFrame = {
+    val agg = new functions.MinHashAgg(k).toColumn
+    df.select(col(idCol).cast("long"), explode(array_distinct(split(col(textCol), " "))))
+      .as[(Long, String)]
+      .groupByKey(_._1).mapValues(_._2).agg(agg.name("sig"))
+      .toDF(idCol, "sig")
+  }
+
+  // ---- similarity ------------------------------------------------------
+  /** brute-force cosine top-k neighbors of `queryIds` (exact fixed-point) */
+  def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                 queryIds: Set[Long], k: Int): DataFrame = {
+    val ds = embeddings.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, e) =>
+        val q = functions.VecFixedPoint.quantize(e)
+        (id, q, functions.VecFixedPoint.dot(q, q))
+      }
+    val bq = spark.sparkContext.broadcast(ds.filter(t => queryIds.contains(t._1)).collect())
+    val scored = ds.flatMap { case (id, q, saa) =>
+      bq.value.iterator.filter(_._1 != id).map { case (qid, qq, qsaa) =>
+        (qid, id, functions.VecFixedPoint.cos(functions.VecFixedPoint.dot(qq, q), qsaa, saa))
+      }
+    }.toDF("id_q", "id_n", "cos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_q").orderBy(col("cos").desc, col("id_n"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  // ---- text analysis ---------------------------------------------------
+  def textQuality(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), length(col(textCol)).cast("long").as("n_char"),
+      size(split(col(textCol), " ")).cast("long").as("n_word"),
+      (regexp_count(col(textCol), lit("\\b(the|a|of|and|to)\\b")).cast("double") /
+        size(split(col(textCol), " "))).as("stop_ratio"))
+
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val canon = text.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
+        (id, functions.Hashing.md5hex(canon))
+      }.toDF(idCol, "fp")
+  }
+
+  // ---- streaming -------------------------------------------------------
+  def windowedEventCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    streaming.EventPipelines.windowedAgg(events, watermark)
+
+  def sessionize(events: Dataset[streaming.EventPipelines.Event], gapMinutes: Int = 30)
+      : Dataset[streaming.EventPipelines.Session] =
+    streaming.EventPipelines.sessionize(events, gapMinutes)
+}

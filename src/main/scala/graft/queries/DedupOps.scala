@@ -30,9 +30,13 @@ object DedupOps {
   final case class TokSet(toks: Array[String], ids: Array[Int], mask: Long,
                           members: Array[Long])
 
-  private def distinctSets(s: SparkSession, d: String): Array[TokSet] = {
+  private def distinctSets(s: SparkSession, d: String): Array[TokSet] =
+    distinctSetsOf(s, tokens(s, d))
+
+  /** docs tokens (doc_id, w) → distinct token sets */
+  def distinctSetsOf(s: SparkSession, tok: DataFrame): Array[TokSet] = {
     import s.implicits._
-    val sets = tokens(s, d)
+    val sets = tok
       .groupBy("doc_id").agg(sort_array(collect_set(col("w"))).as("toks"))
       .groupBy("toks").agg(collect_list(col("doc_id")).as("members"))
       .as[(Seq[String], Seq[Long])].collect()
@@ -131,10 +135,10 @@ object DedupOps {
   // DISTINCT set (executor-parallel) and candidate set pairs expand to
   // doc pairs — no token×16 explode, no 10M-row distinct shuffle.
   // Both engines use min(md5(i || ':' || token)) so signatures match.
-  spark("d_minhash_lsh",
-    (s, d) => {
+  /** MinHash+LSH candidate doc pairs from a (doc_id, w) token frame. */
+  def minhashCandidates(s: SparkSession, tok: DataFrame): DataFrame = {
       import s.implicits._
-      val compact = distinctSets(s, d)
+      val compact = distinctSetsOf(s, tok)
       val bc = s.sparkContext.broadcast(compact)
       // per distinct set: 4 band signatures (mh 4b..4b+3 joined by '|')
       val bandRows = s.sparkContext.parallelize(compact.indices, s.sparkContext.defaultParallelism)
@@ -164,7 +168,10 @@ object DedupOps {
             yield (m(x), m(y))
         }
       cross.union(intra).toDF("id_a", "id_b").orderBy("id_a", "id_b")
-    },
+  }
+
+  spark("d_minhash_lsh",
+    (s, d) => minhashCandidates(s, tokens(s, d)),
     s"""WITH tok AS ($tokSql),
        |ih AS (SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || w) AS h
        |       FROM tok CROSS JOIN range(0, 16) r(i)),

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the user-facing Engine facade end-to-end on real testdata. */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+  lazy val e = Engine(spark)
+  val sf = "/root/testdata/sf0.001"
+
+  test("vortex write/read round trip through the facade, partitioned") {
+    val dir = java.nio.file.Files.createTempDirectory("engine_vtx_").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    e.writeVortex(li, dir, partitionBy = Seq("l_returnflag"))
+    val back = e.readVortex(dir)
+    assert(back.count() == li.count())
+    assert(back.filter("l_returnflag = 'A'").count() == li.filter("l_returnflag = 'A'").count())
+  }
+
+  test("dedup + signatures + quality + fingerprint over documents") {
+    val docs = Tables.t(spark, sf, "documents")
+    assert(e.dedupExact(docs, "text").count() <= docs.count())
+    val cands = e.nearDupCandidates(docs, "doc_id", "text")
+    assert(cands.columns.toSeq == Seq("id_a", "id_b"))
+    val sigs = e.minHashSignatures(docs, "doc_id", "text")
+    assert(sigs.count() == docs.count())
+    assert(sigs.head().getString(1).split("\\|").length == 16)
+    assert(e.textQuality(docs, "doc_id", "text").count() == docs.count())
+    assert(e.fingerprint(docs, "doc_id", "text").select("fp").distinct().count() ==
+      docs.selectExpr("lower(regexp_replace(text, '\\\\s+', ' '))").distinct().count())
+  }
+
+  test("cosine top-k through the facade") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val topk = e.cosineTopK(emb, "vec_id", "embedding", Set(0L, 1L), 3)
+    assert(topk.count() == 6)
+    assert(topk.groupBy("id_q").count().collect().forall(_.getLong(1) == 3))
+  }
+}
