@@ -129,6 +129,63 @@ object DedupOps {
        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin)
 
+  // Character 3-gram Jaccard near-dup (bounded to doc_id < 200 so the
+  // oracle's gram self-join stays tractable): same distinct-set kernel,
+  // general sorted-int-merge path (gram vocabulary exceeds 64).
+  spark("d_ngram_jaccard",
+    (s, d) => {
+      import s.implicits._
+      val τ = 0.8
+      val grams = Tables.t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(array_distinct(expr(
+            "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substr(text, i, 3))"))).as("w"))
+      val compact = distinctSetsOf(s, grams)
+      val bc = s.sparkContext.broadcast(compact)
+      def inter(a: TokSet, b: TokSet): Int = {
+        var i = 0; var j = 0; var c = 0
+        while (i < a.ids.length && j < b.ids.length) {
+          val d0 = a.ids(i) - b.ids(j)
+          if (d0 == 0) { c += 1; i += 1; j += 1 } else if (d0 < 0) i += 1 else j += 1
+        }
+        c
+      }
+      s.sparkContext.parallelize(compact.indices, s.sparkContext.defaultParallelism)
+        .flatMap { ai =>
+          val all = bc.value
+          val a = all(ai)
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+          var x = 0
+          while (x < a.members.length) {
+            var y = x + 1
+            while (y < a.members.length) { out += ((a.members(x), a.members(y), 1.0)); y += 1 }
+            x += 1
+          }
+          var bi = ai + 1
+          while (bi < all.length) {
+            val b = all(bi)
+            val in = inter(a, b)
+            val jac = in.toDouble / (a.ids.length + b.ids.length - in)
+            if (jac >= τ) a.members.foreach { ma =>
+              b.members.foreach { mb => out += ((math.min(ma, mb), math.max(ma, mb), jac)) }
+            }
+            bi += 1
+          }
+          out
+        }.toDF("id_a", "id_b", "jac")
+        .orderBy("id_a", "id_b")
+    },
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      |g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS w
+      |      FROM docs, unnest(range(1, greatest(length(text) - 2, 1) + 1)) r(i)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |      FROM g a JOIN g b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jac
+      |FROM p JOIN sz sa ON p.id_a = sa.doc_id JOIN sz sb ON p.id_b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin)
+
   // MinHash + LSH banding: 16 md5-derived hash functions, 4 bands × 4
   // rows; candidates = pairs sharing a full band signature. Signatures
   // depend only on the token set, so they are computed once per
