@@ -34,6 +34,24 @@ final case class Engine(spark: SparkSession) {
   def readVortexStream(path: String): DataFrame =
     spark.readStream.format("vortex").load(path)
 
+  /** Compact a directory of small vortex files (e.g. streaming-sink
+    * epochs) into `numFiles` larger ones — the standard antidote to
+    * small-files accumulation; writes to a temp dir then swaps. */
+  def compactVortex(path: String, numFiles: Int = 1): Unit = {
+    val tmp = path.stripSuffix("/") + ".compact.tmp"
+    readVortex(path).repartition(numFiles)
+      .write.format("vortex").mode("overwrite").save(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(conf)
+    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".compact.bak")
+    fs.delete(bak, true)
+    if (!fs.rename(p, bak) || !fs.rename(t, p))
+      throw new java.io.IOException(s"vortex: compaction swap failed for $path")
+    fs.delete(bak, true)
+  }
+
   // ---- dedup -----------------------------------------------------------
   /** exact content dedup: keep one row per distinct value of `col` */
   def dedupExact(df: DataFrame, col: String): DataFrame = df.dropDuplicates(col)

@@ -506,8 +506,10 @@ class VortexPartitionedDataWriter(schema: StructType, dir: String, jobId: String
     }
     val key = segs.mkString("/")
     val (_, w) = writers.getOrElseUpdate(key, {
-      val p = new Path(new Path(dir, key), f"part-$partitionId%05d-$jobId-$taskId.vortex")
-      (p, new VortexFileWriter(p, conf, storedSchema, chunkRows))
+      val name = f"part-$partitionId%05d-$jobId-$taskId.vortex"
+      val p = new Path(new Path(dir, key), name)
+      (p, new VortexFileWriter(new Path(new Path(dir, key), s".$name.inprogress"),
+        conf, storedSchema, chunkRows))
     })
     var c = 0
     while (c < storedIdx.length) {
@@ -518,33 +520,50 @@ class VortexPartitionedDataWriter(schema: StructType, dir: String, jobId: String
   }
 
   override def commit(): WriterCommitMessage = {
-    writers.values.foreach(_._2.close())
+    writers.values.foreach { case (p, w) =>
+      w.close()
+      val fs = p.getFileSystem(conf)
+      val tmp = new Path(p.getParent, s".${p.getName}.inprogress")
+      if (!fs.rename(tmp, p)) throw new java.io.IOException(s"vortex: rename failed for $p")
+    }
     VortexCommit(writers.values.map(_._1.toString).toSeq)
   }
   override def abort(): Unit = {
     writers.values.foreach { case (p, w) =>
       try w.close() catch { case _: Exception => }
-      p.getFileSystem(conf).delete(p, false)
+      val fs = p.getFileSystem(conf)
+      fs.delete(new Path(p.getParent, s".${p.getName}.inprogress"), false)
+      fs.delete(p, false)
     }
   }
   override def close(): Unit = {}
 }
 
+/** Task writer with atomic visibility: bytes land in a hidden
+  * `.…inprogress` file (excluded from listings) and only become a
+  * data file via rename at task commit — readers never observe a
+  * partially-written file, which also makes the streaming sink's
+  * per-epoch files safe to tail. */
 class VortexDataWriter(schema: StructType, dir: String, jobId: String,
                        conf: org.apache.hadoop.conf.Configuration,
                        partitionId: Int, taskId: Long, chunkRows: Int) extends DataWriter[InternalRow] {
-  private val file = new Path(dir, f"part-$partitionId%05d-$jobId-$taskId.vortex")
-  private val writer = new VortexFileWriter(file, conf, schema, chunkRows)
+  private val name = f"part-$partitionId%05d-$jobId-$taskId.vortex"
+  private val file = new Path(dir, name)
+  private val tmp = new Path(dir, s".$name.inprogress")
+  private val writer = new VortexFileWriter(tmp, conf, schema, chunkRows)
   private var closed = false
 
   override def write(record: InternalRow): Unit = writer.write(record)
   override def commit(): WriterCommitMessage = {
     writer.close(); closed = true
+    val fs = file.getFileSystem(conf)
+    if (!fs.rename(tmp, file)) throw new java.io.IOException(s"vortex: rename failed for $file")
     VortexCommit(Seq(file.toString))
   }
   override def abort(): Unit = {
     if (!closed) try writer.close() catch { case _: Exception => }
-    file.getFileSystem(conf).delete(file, false)
+    val fs = file.getFileSystem(conf)
+    fs.delete(tmp, false); fs.delete(file, false)
   }
   override def close(): Unit = {}
 }

@@ -37,6 +37,22 @@ class EngineSpec extends AnyFunSuite {
       docs.selectExpr("lower(regexp_replace(text, '\\\\s+', ' '))").distinct().count())
   }
 
+  test("compaction merges streaming small files, preserving data") {
+    val dir = java.nio.file.Files.createTempDirectory("engine_compact_").toString
+    (0 until 5).foreach { i =>
+      spark.range(i * 100, (i + 1) * 100).toDF("id")
+        .repartition(2).write.format("vortex").mode("append").save(dir)
+    }
+    val before = new java.io.File(dir).listFiles.count(_.getName.endsWith(".vortex"))
+    assert(before >= 5)
+    val sumBefore = e.readVortex(dir).agg(sum("id")).head().getLong(0)
+    e.compactVortex(dir, numFiles = 1)
+    val after = new java.io.File(dir).listFiles.count(_.getName.endsWith(".vortex"))
+    assert(after == 1, s"expected 1 file after compaction, got $after")
+    assert(e.readVortex(dir).agg(sum("id")).head().getLong(0) == sumBefore)
+    assert(e.readVortex(dir).count() == 500)
+  }
+
   test("cosine top-k through the facade") {
     val emb = Tables.t(spark, sf, "embeddings")
     val topk = e.cosineTopK(emb, "vec_id", "embedding", Set(0L, 1L), 3)
