@@ -197,27 +197,41 @@ object DedupOps {
       import s.implicits._
       val compact = distinctSetsOf(s, tok)
       val bc = s.sparkContext.broadcast(compact)
-      // per distinct set: 4 band signatures (mh 4b..4b+3 joined by '|')
-      val bandRows = s.sparkContext.parallelize(compact.indices, s.sparkContext.defaultParallelism)
-        .flatMap { si =>
+      // per distinct set: 4 band signatures (mh 4b..4b+3 joined by '|'),
+      // computed distributed, collected (4 short strings per DISTINCT
+      // set — tiny) and broadcast so pair dedup needs no shuffle
+      val bandSigs: Array[Array[String]] = s.sparkContext
+        .parallelize(compact.indices, s.sparkContext.defaultParallelism)
+        .map { si =>
           val ts = bc.value(si).toks
           val mh = Array.tabulate(16) { i =>
             toHex(ts.iterator.map(w => md5bytes(s"$i:$w")).reduceLeft((a, b) => if (byteLess(b, a)) b else a))
           }
-          (0 until 4).iterator.map(b => (s"$b|${(0 until 4).map(r => mh(4 * b + r)).mkString("|")}", si))
+          (si, Array.tabulate(4)(b => (0 until 4).map(r => mh(4 * b + r)).mkString("|")))
+        }.collect().sortBy(_._1).map(_._2)
+      val bcSigs = s.sparkContext.broadcast(bandSigs)
+      val bandRows = s.sparkContext.parallelize(compact.indices, s.sparkContext.defaultParallelism)
+        .flatMap { si => (0 until 4).iterator.map(b => (s"$b|${bcSigs.value(si)(b)}", (b, si))) }
+      // bucket → candidate set pairs; each pair emitted only from the
+      // FIRST band it collides in (checked against broadcast sigs) —
+      // globally deduped without a distinct() shuffle
+      val cross = bandRows.groupByKey()
+        .flatMap { case (_, members) =>
+          val items = members.toArray
+          val band = items.head._1
+          val sis = items.map(_._2).sorted
+          val sigs = bcSigs.value
+          for {
+            i <- sis.indices.iterator
+            j <- (i + 1 until sis.length).iterator
+            if !(0 until band).exists(b0 => sigs(sis(i))(b0) == sigs(sis(j))(b0))
+          } yield (sis(i), sis(j))
         }
-      // bucket → candidate distinct-set pairs (streamed, deduped), expand
-      val setPairs = bandRows.groupByKey()
-        .flatMap { case (_, sis) =>
-          val a = sis.toArray.sorted
-          for (i <- a.indices.iterator; j <- (i + 1 until a.length).iterator)
-            yield (a(i), a(j))
-        }.distinct()
-      val cross = setPairs.flatMap { case (a, b) =>
-        val sa = bc.value(a).members; val sb = bc.value(b).members
-        for (x <- sa.iterator; y <- sb.iterator)
-          yield (math.min(x, y), math.max(x, y))
-      }
+        .flatMap { case (a, b) =>
+          val sa = bc.value(a).members; val sb = bc.value(b).members
+          for (x <- sa.iterator; y <- sb.iterator)
+            yield (math.min(x, y), math.max(x, y))
+        }
       val intra = s.sparkContext.parallelize(compact.indices, s.sparkContext.defaultParallelism)
         .flatMap { si =>
           val m = bc.value(si).members
