@@ -47,14 +47,14 @@ object Coverage2 {
   spark("q_percentile",
     (s, d) => { Tables.registerAll(s, d)
       s.sql("""SELECT l_returnflag,
-              |  CAST(percentile(l_quantity, 0.5) AS DECIMAL(18,4)) AS p50,
-              |  CAST(percentile(l_quantity, 0.9) AS DECIMAL(18,4)) AS p90,
-              |  CAST(percentile(l_extendedprice, 0.25) AS DECIMAL(18,4)) AS p25_price
+              |  CAST(CAST(percentile(l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS p50,
+              |  CAST(CAST(percentile(l_quantity, 0.9) AS DECIMAL(18,4)) AS DOUBLE) AS p90,
+              |  CAST(CAST(percentile(l_extendedprice, 0.25) AS DECIMAL(18,4)) AS DOUBLE) AS p25_price
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) },
     """SELECT l_returnflag,
-      |  CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,4)) AS p50,
-      |  CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,4)) AS p90,
-      |  CAST(quantile_cont(l_extendedprice, 0.25) AS DECIMAL(18,4)) AS p25_price
+      |  CAST(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS p50,
+      |  CAST(CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,4)) AS DOUBLE) AS p90,
+      |  CAST(CAST(quantile_cont(l_extendedprice, 0.25) AS DECIMAL(18,4)) AS DOUBLE) AS p25_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
   common("f_string2",
@@ -74,15 +74,15 @@ object Coverage2 {
       s.sql("""SELECT o_orderkey,
               |  CAST(sign(o_orderkey % 5 - 2) AS BIGINT) AS sg,
               |  mod(o_orderkey, 97) AS md,
-              |  CAST(round(log10(CAST(o_orderkey + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS l10,
-              |  CAST(round(log2(CAST(o_orderkey + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS l2,
+              |  CAST(CAST(round(log10(CAST(o_orderkey + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS l10,
+              |  CAST(CAST(round(log2(CAST(o_orderkey + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS l2,
               |  o_orderkey & 255 AS band, o_orderkey | 7 AS bor, o_orderkey ^ 255 AS bxor
               |FROM orders ORDER BY o_orderkey""".stripMargin) },
     """SELECT o_orderkey,
       |  CAST(sign(o_orderkey % 5 - 2) AS BIGINT) AS sg,
       |  mod(o_orderkey, 97) AS md,
-      |  CAST(round(log10(CAST(o_orderkey + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS l10,
-      |  CAST(round(log2(CAST(o_orderkey + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS l2,
+      |  CAST(CAST(round(log10(CAST(o_orderkey + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS l10,
+      |  CAST(CAST(round(log2(CAST(o_orderkey + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS l2,
       |  o_orderkey & 255 AS band, o_orderkey | 7 AS bor, xor(o_orderkey, 255) AS bxor
       |FROM orders ORDER BY o_orderkey""".stripMargin)
 

@@ -18,11 +18,11 @@ object EventsOps {
     (s, d) => Tables.t(s, d, "events")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_v"))
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_v"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_v"))
       .orderBy("ws", "event_type"),
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, count(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
       |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)
 
   spark("e_sliding_window",
@@ -50,8 +50,8 @@ object EventsOps {
               |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
               |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
               |                              ROWS UNBOUNDED PRECEDING) AS sid FROM g)
-              |SELECT user_id, sid, count(*) AS n, min(ts) AS session_start, max(ts) AS session_end,
-              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v
+              |SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n, min(ts) AS session_start, max(ts) AS session_end,
+              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
               |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin) },
     """WITH g AS (
       |  SELECT user_id, ts, event_id, value,
@@ -61,8 +61,8 @@ object EventsOps {
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                              ROWS UNBOUNDED PRECEDING) AS sid FROM g)
-      |SELECT user_id, sid, count(*) AS n, min(ts) AS session_start, max(ts) AS session_end,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v
+      |SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n, min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
       |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin)
 
   // Per-user event sequencing: gap to previous event in exact

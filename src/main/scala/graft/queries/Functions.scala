@@ -81,9 +81,9 @@ object Functions {
       |  CAST(abs(p_size - 25) AS BIGINT) AS ab,
       |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
       |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
-      |  CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS rd,
-      |  CAST(round(sqrt(CAST(p_size AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sq,
-      |  CAST(round(ln(CAST(p_partkey + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lg,
+      |  CAST(CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS DOUBLE) AS rd,
+      |  CAST(CAST(round(sqrt(CAST(p_size AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS sq,
+      |  CAST(CAST(round(ln(CAST(p_partkey + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS lg,
       |  CAST(power(CAST(p_size AS DOUBLE), 2) AS BIGINT) AS pw
       |FROM part ORDER BY p_partkey""".stripMargin)
 

@@ -28,8 +28,13 @@ object Relational {
     "SELECT range AS id FROM range(0, 5) ORDER BY id")
 
   // ---- §2.2 projection / filter / expressions / cast ------------------
+  // Output discipline: every DECIMAL is final-cast to DOUBLE (exact
+  // decimal → double is identically rounded on both engines) and every
+  // integer SUM is CAST to BIGINT so DuckDB never surfaces HUGEINT —
+  // the driver's canonicalizer float-coerces one side, so a surviving
+  // DECIMAL output renders '17.00' vs 17.0 and hash-fails.
   common("p1_project",
-    """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+    """SELECT l_orderkey, l_linenumber, CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
 
   common("p2_filter_cmp",
@@ -38,7 +43,7 @@ object Relational {
       |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 
   common("p2_filter_in",
-    """SELECT count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+    """SELECT count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |WHERE l_returnflag IN ('A', 'R') AND l_shipdate >= TIMESTAMP '2000-06-01 00:00:00' OR l_quantity = 1""".stripMargin)
 
@@ -55,7 +60,7 @@ object Relational {
       |       CAST(l_quantity AS INTEGER) AS q_int,
       |       CAST(l_quantity AS SMALLINT) AS q_short,
       |       CAST(l_quantity AS BIGINT) AS q_long,
-      |       CAST(l_extendedprice AS DECIMAL(18,2)) AS p_dec,
+      |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS p_dec,
       |       CAST(l_linenumber AS DOUBLE) AS ln_d,
       |       CAST(l_orderkey AS VARCHAR(30)) AS key_s,
       |       CAST(l_shipdate AS DATE) AS ship_d
@@ -63,7 +68,7 @@ object Relational {
 
   // ---- §2.3 joins ------------------------------------------------------
   common("j1_inner",
-    """SELECT o_orderkey, o_custkey, c_name, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    """SELECT o_orderkey, o_custkey, c_name, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
       |FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin)
 
   common("j2_left",
@@ -161,12 +166,12 @@ object Relational {
         .groupBy(n("n_name").as("n_name"))
         .agg(
           sum(li("l_extendedprice").cast(dec) * (lit(1).cast(dec) - li("l_discount").cast(dec)))
-            .cast(DecimalType(18, 4)).as("revenue"),
+            .cast(DecimalType(18, 4)).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     },
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  JOIN customer ON o_custkey = c_custkey
@@ -176,9 +181,9 @@ object Relational {
   // ---- §2.4 aggregations ----------------------------------------------
   common("a1_agg_global",
     """SELECT count(*) AS n, count(l_orderkey) AS n_key,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price,
-      |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+      |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
       |FROM lineitem""".stripMargin)
 
   // A2: TPC-H Q1 skeleton. Inner cast keeps every product exact; the
@@ -186,10 +191,10 @@ object Relational {
   // under 38 while Spark follows the identical lossless path.
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -199,8 +204,8 @@ object Relational {
 
   common("a3_minmax",
     """SELECT p_brand,
-      |  CAST(MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price,
-      |  CAST(MAX(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price,
+      |  CAST(MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+      |  CAST(MAX(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
       |  count(*) AS n
       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)
 
@@ -220,7 +225,7 @@ object Relational {
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
 
   common("a4_sum_distinct",
-    """SELECT CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sd,
+    """SELECT CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sd,
       |       count(DISTINCT l_quantity) AS nd
       |FROM lineitem""".stripMargin)
 
@@ -234,7 +239,7 @@ object Relational {
   common("a6_rollup",
     """SELECT coalesce(l_returnflag, '<ALL>') AS rf, coalesce(l_linestatus, '<ALL>') AS ls,
       |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g1, CAST(GROUPING(l_linestatus) AS BIGINT) AS g2,
-      |  count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      |  count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY g1, g2, rf, ls""".stripMargin)
 
@@ -248,7 +253,7 @@ object Relational {
   common("a7_filter_agg",
     """SELECT o_orderpriority, count(*) AS n_all,
       |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DECIMAL(18,2)) AS sum_f
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 
   common("a8_having",
@@ -258,7 +263,7 @@ object Relational {
   // ---- TPC-H-shaped multi-join analytics (Q3/Q5/Q10 skeletons) --------
   common("tpch_q3_shipping",
     """SELECT l_orderkey,
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
       |  CAST(o_orderdate AS DATE) AS odate
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -269,7 +274,7 @@ object Relational {
 
   common("tpch_q5_local_supplier",
     """SELECT n_name,
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |  JOIN lineitem ON l_orderkey = o_orderkey
       |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -280,8 +285,8 @@ object Relational {
 
   common("tpch_q10_returns",
     """SELECT c_custkey, c_name,
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
-      |  CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS acctbal,
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+      |  CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal,
       |  n_name
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -292,16 +297,16 @@ object Relational {
 
   // ---- §2.6 sorts / limits / set ops ----------------------------------
   common("o1_sort_multikey",
-    """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+    """SELECT l_orderkey, l_linenumber, CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
       |FROM lineitem
       |ORDER BY qty DESC NULLS LAST, l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin)
 
   common("o2_limit_offset",
-    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+    """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price FROM orders
       |ORDER BY price DESC NULLS LAST, o_orderkey NULLS FIRST LIMIT 10 OFFSET 5""".stripMargin)
 
   common("o3_topk",
-    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+    """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price FROM orders
       |ORDER BY price DESC NULLS LAST, o_orderkey NULLS FIRST LIMIT 25""".stripMargin)
 
   // O4: UNION deduplicates in both engines (SURVEY hard-part: never

@@ -62,7 +62,8 @@ object SimilarityOps {
           } else None
         }
       }.toDF("id_a", "id_b", "cos_s")
-        .select(col("id_a"), col("id_b"), col("cos_s").cast("decimal(18,4)").as("cos"))
+        .select(col("id_a"), col("id_b"),
+          col("cos_s").cast("decimal(18,4)").cast("double").as("cos"))
         .orderBy("id_a", "id_b")
     },
     s"""WITH $oracleVecs,
@@ -72,7 +73,7 @@ object SimilarityOps {
        |        JOIN el ea ON ea.vec_id = a.vec_id
        |        JOIN el eb ON eb.vec_id = b.vec_id AND ea.i = eb.i
        |      GROUP BY 1, 2)
-       |SELECT id_a, id_b, CAST($oracleCos AS DECIMAL(18,4)) AS cos
+       |SELECT id_a, id_b, CAST(CAST($oracleCos AS DECIMAL(18,4)) AS DOUBLE) AS cos
        |FROM p JOIN nrm na ON p.id_a = na.vec_id JOIN nrm nb ON p.id_b = nb.vec_id
        |WHERE dot > 0 AND CAST($oracleCos AS DECIMAL(18,4)) >= 0.95
        |ORDER BY id_a, id_b""".stripMargin)
@@ -98,7 +99,7 @@ object SimilarityOps {
     val w = Window.partitionBy("id_q").orderBy(col("cosd").desc, col("id_n"))
     val r = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
     val base = r.select(col("id_q"), col("rnk").cast("long").as("rnk"), col("id_n"),
-      col("cosd").cast("decimal(18,4)").as("cos"))
+      col("cosd").cast("decimal(18,4)").cast("double").as("cos"))
     (if (withCos) base else base.drop("cos")).orderBy("id_q", "rnk")
   }
 
@@ -118,7 +119,7 @@ object SimilarityOps {
        |rk AS (SELECT id_q, id_n, cosd,
        |         row_number() OVER (PARTITION BY id_q ORDER BY cosd DESC, id_n) AS rnk
        |       FROM sc)
-       |SELECT id_q, CAST(rnk AS BIGINT) AS rnk, id_n, CAST(cosd AS DECIMAL(18,4)) AS cos
+       |SELECT id_q, CAST(rnk AS BIGINT) AS rnk, id_n, CAST(CAST(cosd AS DECIMAL(18,4)) AS DOUBLE) AS cos
        |FROM rk WHERE rnk <= 5 ORDER BY id_q, rnk""".stripMargin)
 
   // IVF-style partition-pruned ANN: probe only the query's coarse bucket.

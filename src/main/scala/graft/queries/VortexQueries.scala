@@ -31,7 +31,7 @@ object VortexQueries {
       val v = writeRead(s, Tables.t(s, d, "lineitem"), vdir("s1", d))
       v.agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_key"))
     },
-    "SELECT count(*) AS n, sum(l_orderkey) AS sum_key FROM lineitem")
+    "SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sum_key FROM lineitem")
 
   // S2: multi-file write, glob read
   spark("s2_vortex_glob",
@@ -42,7 +42,7 @@ object VortexQueries {
       s.read.format("vortex").load(s"$dir/*.vortex")
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
     },
-    "SELECT count(*) AS n, sum(o_orderkey) AS sum_key FROM orders")
+    "SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key FROM orders")
 
   // S3: typed round trip (the reference's table.test shape over driver
   // data): full ordered dump of a multi-type projection after vortex
@@ -62,14 +62,19 @@ object VortexQueries {
         "CAST(o_orderdate AS DATE) AS c_date",
         "o_orderdate AS c_ts",
         "CAST(o_orderkey % 2 = 0 AS BOOLEAN) AS c_bool")
-      writeRead(s, df, vdir("s3", d)).orderBy("o_orderkey")
+      // decimal columns round-trip through the format as DECIMAL; only
+      // the *surfaced* output is double (driver canon, see Relational)
+      writeRead(s, df, vdir("s3", d))
+        .withColumn("c_ubig", col("c_ubig").cast("double"))
+        .withColumn("c_dec", col("c_dec").cast("double"))
+        .orderBy("o_orderkey")
     },
     """SELECT o_orderkey,
-      |  CAST(o_orderkey AS DECIMAL(20,0)) AS c_ubig,
+      |  CAST(CAST(o_orderkey AS DECIMAL(20,0)) AS DOUBLE) AS c_ubig,
       |  CAST(o_orderkey % 128 AS TINYINT) AS c_byte,
       |  CAST(o_orderkey % 32000 AS SMALLINT) AS c_short,
       |  CAST(o_orderkey AS INT) AS c_int,
-      |  CAST(o_totalprice AS DECIMAL(18,2)) AS c_dec,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS c_dec,
       |  CAST(o_totalprice AS FLOAT) AS c_float,
       |  o_totalprice AS c_double,
       |  o_orderstatus AS c_str,
@@ -85,9 +90,9 @@ object VortexQueries {
         Map("chunkRows" -> "8192"))
       v.agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("sum_qty"))
+          .cast("double").as("sum_qty"))
     },
-    """SELECT count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+    """SELECT count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem""".stripMargin)
 
   // S5: nested types — the embeddings table (list<float>) through the
@@ -97,11 +102,11 @@ object VortexQueries {
       val v = writeRead(s, Tables.t(s, d, "embeddings"), vdir("s5", d))
       v.selectExpr("vec_id", "label",
           "CAST(size(embedding) AS BIGINT) AS dim",
-          "CAST(element_at(embedding, 1) AS DECIMAL(18,6)) AS e1")
+          "CAST(CAST(element_at(embedding, 1) AS DECIMAL(18,6)) AS DOUBLE) AS e1")
         .orderBy("vec_id")
     },
     """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
-      |  CAST(embedding[1] AS DECIMAL(18,6)) AS e1
+      |  CAST(CAST(embedding[1] AS DECIMAL(18,6)) AS DOUBLE) AS e1
       |FROM embeddings ORDER BY vec_id""".stripMargin)
 
   // S7: partitioned layout end-to-end — write lineitem partitioned by
@@ -117,9 +122,9 @@ object VortexQueries {
         .filter(col("l_returnflag") === "A")
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-            .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("sum_qty"))
+            .cast("double").as("sum_qty"))
     },
-    """SELECT count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+    """SELECT count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem WHERE l_returnflag = 'A'""".stripMargin)
 
   // P1 over vortex: projection subset (column pruning reaches the scan)
@@ -144,6 +149,6 @@ object VortexQueries {
         .filter(col("ts") > expr("TIMESTAMP_NTZ '2024-01-15 00:00:00'"))
         .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_user"))
     },
-    """SELECT count(*) AS n, sum(user_id) AS sum_user FROM events
+    """SELECT count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_user FROM events
       |WHERE ts > TIMESTAMP '2024-01-15 00:00:00'""".stripMargin)
 }

@@ -54,13 +54,13 @@ object Windows {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       o.select(col("o_custkey"), col("o_orderkey"),
           sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
-            .cast(DecimalType(18, 2)).as("running"))
+            .cast("double").as("running"))
         .orderBy("o_custkey", "o_orderkey")
     },
     """SELECT o_custkey, o_orderkey,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
       |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
 
   common("w4_range_frame",

@@ -33,6 +33,8 @@ for t in TABLES:
 
 oracle = json.load(open(f'{OUT}/oracle_sql.json'))
 
+import decimal
+
 def canon(rows, cols):
     """rows: list of tuples in column order `cols`; canonicalize."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -50,6 +52,20 @@ def canon(rows, cols):
             vals.append(v)
         out.append('\x01'.join(vals))
     return hashlib.md5('\x02'.join(out).encode()).hexdigest(), out
+
+def type_lint(rows):
+    """The driver's canonicalizer float-coerces one side, so DECIMAL
+    outputs ('17.00' vs 17.0) and DuckDB HUGEINT sums hash-mismatch
+    even when values are identical. Ban them outright: every output
+    column must be int64-range int / float / str / date / ts / bool /
+    bytes / None."""
+    for row in rows[:1000]:
+        for v in row:
+            if isinstance(v, decimal.Decimal):
+                return 'DECIMAL output (final-cast it to DOUBLE on both sides)'
+            if isinstance(v, int) and not isinstance(v, bool) and abs(v) > 2**63 - 1:
+                return 'out-of-int64 int (CAST the sum to BIGINT oracle-side)'
+    return None
 
 fails = []
 names = ONLY if ONLY else sorted(oracle.keys())
@@ -73,6 +89,9 @@ for name in names:
     if sorted(scols) != sorted(ocols):
         print(f'{name}: COLUMN MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}')
         fails.append(name); continue
+    lint = type_lint(srows) or type_lint(orows)
+    if lint:
+        print(f'{name}: TYPE LINT: {lint}'); fails.append(name); continue
     sh, sv = canon(srows, scols)
     oh, ov = canon(orows, ocols)
     if sh == oh:
