@@ -351,10 +351,18 @@ object PageCodec {
         val entries = unpackVar(dictSlice, dictSize)
         bb.position(bb.position() + dictLen)
         val iw = bb.get().toInt
-        val idx = unpackFixed(bb, n, iw)
+        // dict indices are UNSIGNED — a signed read sign-extends byte
+        // indices 128..255 (short 32768..65535) to negatives and AIOOBEs
         val arr = new Array[Array[Byte]](n)
         var i = 0
-        while (i < n) { arr(i) = entries(idx(i).toInt); i += 1 }
+        while (i < n) {
+          val id = iw match {
+            case 1 => bb.get() & 0xFF
+            case 2 => bb.getShort() & 0xFFFF
+            case _ => bb.getInt()
+          }
+          arr(i) = entries(id); i += 1
+        }
         new ColVec(n, nulls, null, arr)
       case _ => // plain
         if (fixed) new ColVec(n, nulls, unpackFixed(bb, n, w), null)
@@ -411,6 +419,17 @@ object PageCodec {
         while (i < vec.n) {
           if (!vec.nulls(i)) {
             val v = vec.longs(i)
+            // NaN compares false both ways, so a chunk [1.0, NaN] would
+            // record max=1.0 and pruning for `> 5.0` would drop matching
+            // NaN rows (Spark orders NaN above +Inf). No stats then —
+            // parquet's approach.
+            dt match {
+              case FloatType if java.lang.Float.isNaN(java.lang.Float.intBitsToFloat(v.toInt)) =>
+                return (None, None)
+              case DoubleType if java.lang.Double.isNaN(java.lang.Double.longBitsToDouble(v)) =>
+                return (None, None)
+              case _ =>
+            }
             if (!seen) { mn = v; mx = v; seen = true }
             else {
               if (lessThan(v, mn, dt)) mn = v

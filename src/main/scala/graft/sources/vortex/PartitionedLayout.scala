@@ -65,19 +65,29 @@ object PartitionedLayout {
     case other => other.toString
   }
 
-  def escape(s: String): String =
-    s.flatMap(c => if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c.toString
-                   else f"%%${c.toInt}%02X")
-
-  def unescape(s: String): String = {
+  /** Percent-encode UTF-8 BYTES (each ≤ 0xFF → exactly two hex digits),
+    * not raw code points: '€' as %20AC would encode fine but
+    * decode as two chars, corrupting non-Latin-1 values on round-trip. */
+  def escape(s: String): String = {
     val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      if (s(i) == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
-      } else { sb.append(s(i)); i += 1 }
+    s.getBytes("UTF-8").foreach { b =>
+      val c = (b & 0xFF).toChar
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.') sb.append(c)
+      else sb.append(f"%%${b & 0xFF}%02X")
     }
     sb.toString
+  }
+
+  def unescape(s: String): String = {
+    val bytes = new java.io.ByteArrayOutputStream
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '%' && i + 3 <= s.length) {
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+      } else { bytes.write(s.substring(i, i + 1).getBytes("UTF-8")); i += 1 }
+    }
+    new String(bytes.toByteArray, "UTF-8")
   }
 
   /** Conservative directory pruning: false → no row in this partition

@@ -34,9 +34,11 @@ class VortexDataSource extends TableProvider with DataSourceRegister {
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val single = Option(options.get("path")).toSeq
     val multi = Option(options.get("paths")).toSeq.flatMap { js =>
-      // Spark encodes multi-path loads as a JSON array string
-      js.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty)
+      // Spark encodes multi-path loads as a JSON array string; a real
+      // JSON parse keeps paths containing commas/quotes intact
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+      if (node != null && node.isArray) (0 until node.size()).map(node.get(_).asText())
+      else Seq.empty
     }
     single ++ multi
   }
