@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev utility: time individual SparkEntry queries.
+  * Usage: runMain graft.BenchOne <sfDir> <query>... */
+object BenchOne extends App {
+  val sfDir = args(0)
+  val spark = SparkSession.builder().master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
+  graft.Tables.names.foreach(n => graft.Tables.t(spark, sfDir, n).count())
+  args.drop(1).foreach { name =>
+    val fn = SparkEntry.queries(name)
+    (0 until 2).foreach { r =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[bench1] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+  }
+  spark.stop()
+}

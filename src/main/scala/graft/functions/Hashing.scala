@@ -26,6 +26,29 @@ object Hashing {
     false
   }
 
+  /** unsigned 16-byte compare at offsets: a[ao..ao+16) < b[bo..bo+16) */
+  def less(a: Array[Byte], ao: Int, b: Array[Byte], bo: Int): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(ao + i) & 0xff; val y = b(bo + i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** hex of the 16 bytes at offset `off` */
+  def toHexAt(d: Array[Byte], off: Int): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(off + i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(off + i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   def toHex(d: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0

@@ -6,10 +6,16 @@ import graft.Tables
 
 /** North-star deduplication suite over `documents` (SURVEY.md §2.11):
   * exact (hash groupBy), n-gram/token Jaccard, MinHash+LSH banding,
-  * SimHash. Every variant is shuffle-bounded: tokens/signatures are
-  * computed map-side, candidate generation joins only on short keys
-  * (band signatures / tokens), never on full text — the shape that
-  * survives 100 TB (LSH turns O(n²) pair search into per-bucket work).
+  * SimHash.
+  *
+  * Scale discipline: every kernel here is shuffle-formulated — no
+  * driver-side `collect()` of O(corpus) state anywhere on these paths.
+  * Jaccard joins use distributed prefix filtering (Vernica et al.,
+  * SIGMOD'10 set-similarity join); MinHash banding groups on
+  * (band, band-signature) and dedups pairs by first-shared-band inside
+  * the bucket, so no post-hoc `distinct()` shuffle of the pair set is
+  * needed. A driver-kernel fast path for tiny corpora lives behind an
+  * explicit size check in [[jaccardDocPairsAuto]] only.
   */
 object DedupOps {
   val set = new QuerySet
@@ -23,17 +29,222 @@ object DedupOps {
   private val tokSql =
     "SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
 
-  /** Distinct token sets: docs collapse to their token set (corpora are
-    * heavily redundant), set-level work runs once per distinct set,
-    * results expand back to doc pairs. `ids` are compact vocab indices
-    * (sorted), `mask` a 64-bit set when the vocabulary fits. */
+  // ---- distinct token sets (shuffle) -----------------------------------
+
+  /** Docs collapse to their DISTINCT token set (corpora are heavily
+    * redundant): (toks sorted, members sorted, sid = min member). Two
+    * hash aggregations — partial+final, any corpus size. */
+  def distinctSetsDF(tok: DataFrame): DataFrame =
+    tok.groupBy("doc_id").agg(sort_array(collect_set(col("w"))).as("toks"))
+      .groupBy("toks").agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .withColumn("sid", element_at(col("members"), 1))
+
+  // ---- exact Jaccard join (distributed prefix filter) ------------------
+
+  /** Exact Jaccard-≥-τ doc pairs, fully distributed. Two physical
+    * strategies, chosen by a cost probe (two scalar aggregates):
+    *
+    *  - PREFIX-FILTER JOIN (Vernica et al., SIGMOD'10): tokens ordered
+    *    by ascending document frequency; each distinct set indexes only
+    *    its `n - ceil(τ·n) + 1` rarest tokens (two sets with Jaccard ≥ τ
+    *    MUST share one); a salted self-join on prefix tokens + length +
+    *    PPJoin position filters yields candidates; `array_intersect`
+    *    verifies. Candidate volume is output-bound on natural (zipfian)
+    *    corpora — the 100 TB default.
+    *
+    *  - BLOCK JOIN: when the probe predicts prefix candidates ≳ all set
+    *    pairs (tiny/template vocabularies where no filter can prune
+    *    below the output size), replicate each distinct set to B block
+    *    buckets and intersect within buckets — Θ(sets²) work spread
+    *    evenly, O(sets·B) shuffle, no driver state.
+    *
+    * Either way docs first collapse to DISTINCT token sets and
+    * qualifying set pairs expand back to doc pairs at the end
+    * (intra-set pairs are Jaccard 1 by identity); Catalyst reuses the
+    * distinct-set exchange across its consumers. */
+  def jaccardDocPairs(s: SparkSession, tok: DataFrame, tau: Double): DataFrame = {
+    val sets = distinctSetsDF(tok)
+    val st = sets.select(col("sid"), explode(col("toks")).as("w"))
+    val dfreq = st.groupBy("w").agg(count(lit(1)).as("df"))
+    // per-set token array sorted rare-first (ties by token): the prefix
+    // is then the most selective possible set of join keys
+    val arr = st.join(dfreq, "w")
+      .groupBy("sid").agg(sort_array(collect_list(struct(col("df"), col("w")))).as("dw"))
+      .select(col("sid"), expr("transform(dw, x -> x.w)").as("ids"), size(col("dw")).as("n"))
+    val pre = arr.select(col("sid"), col("n"),
+      posexplode(expr(s"slice(ids, 1, CAST(size(ids) - CEIL($tau * size(ids)) + 1 AS INT))")))
+      .withColumnRenamed("col", "w")
+    // cost probe: candidate volume of the prefix join (Σ prefix-df²/2)
+    // vs. all set pairs. Two scalar aggregates — cheap at any scale.
+    val probe = pre.groupBy("w").agg(count(lit(1)).as("pdf"))
+      .agg(sum(col("pdf") * col("pdf")).as("vol")).first()
+    val prefixVolume = if (probe.isNullAt(0)) 0L else probe.getLong(0) / 2
+    val nSets = sets.count()
+    val ver =
+      if (prefixVolume > nSets * nSets / 2) blockJoinSetPairs(s, sets, tau)
+      else {
+        // token frequencies can be Zipf-heavy, making the raw token key
+        // badly skewed: salt the probe side by sid and replicate the
+        // build side over all salts so every core gets work. The PPJoin
+        // position filter prunes pairs whose best-case remaining overlap
+        // min(n_a-pos_a, n_b-pos_b)+1 can't reach α = ceil(τ/(1+τ)(n_a+n_b)).
+        val R = 32
+        val preA = pre.withColumn("salt", pmod(col("sid"), lit(R)).cast("int"))
+        val preB = pre.withColumn("salt", explode(expr(s"sequence(0, ${R - 1})")))
+        val alpha = ceil(lit(tau / (1 + tau)) * (col("a.n") + col("b.n")))
+        val cand = preA.as("a").join(preB.as("b"),
+            col("a.w") === col("b.w") && col("a.salt") === col("b.salt") &&
+            col("a.sid") < col("b.sid") &&
+            col("a.n") >= lit(tau) * col("b.n") && col("b.n") >= lit(tau) * col("a.n") &&
+            least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) + lit(1) >= alpha)
+          .select(col("a.sid").as("sa"), col("b.sid").as("sb")).distinct()
+        val va = arr.select(col("sid").as("sa"), col("ids").as("ids_a"), col("n").as("na"))
+        val vb = arr.select(col("sid").as("sb"), col("ids").as("ids_b"), col("n").as("nb"))
+        cand.join(va, "sa").join(vb, "sb")
+          .withColumn("inter", size(array_intersect(col("ids_a"), col("ids_b"))))
+          .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jac") >= tau)
+          .select(col("sa"), col("sb"), col("jac"))
+      }
+    val mem = sets.select(col("sid"), col("members"))
+    val cross = ver
+      .join(mem.select(col("sid").as("sa"), col("members").as("ma")), "sa")
+      .join(mem.select(col("sid").as("sb"), col("members").as("mb")), "sb")
+      .select(explode(col("ma")).as("x"), col("mb"), col("jac"))
+      .select(col("x"), explode(col("mb")).as("y"), col("jac"))
+      .select(least(col("x"), col("y")).as("id_a"),
+              greatest(col("x"), col("y")).as("id_b"), col("jac"))
+    val intra = sets.select(explode(expr(
+        "flatten(transform(members, (x, i) -> " +
+        "transform(slice(members, i + 2, size(members)), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), lit(1.0).as("jac"))
+    cross.union(intra)
+  }
+
+  /** Θ(sets²) exact set-pair join for corpora where no similarity filter
+    * can prune (the cost probe found prefix candidates ≳ all pairs, i.e.
+    * the output itself is near-quadratic): every distinct set replicates
+    * to B block buckets; each unordered block pair (bi ≤ bj) is one
+    * task-sized group that hash-intersects its two sides. Shuffle is
+    * O(sets·B), work spreads evenly over B(B+1)/2 groups, zero driver
+    * state. Returns qualifying (sa, sb, jac) set pairs. */
+  private def blockJoinSetPairs(s: SparkSession, sets: DataFrame, tau: Double): DataFrame = {
+    import s.implicits._
+    val B = 32
+    val rows = sets
+      .select(pmod(col("sid"), lit(B)).cast("int").as("blk"), col("sid"), col("toks"))
+      .as[(Int, Long, Seq[String])]
+    val repl = rows.flatMap { case (blk, sid, toks) =>
+      Iterator.tabulate(B)(c => (math.min(blk, c), math.max(blk, c), blk, sid, toks))
+    }
+    repl.groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Long, Seq[String])]) =>
+        val (bi, bj) = key
+        // per-member token hash set built ONCE; the O(m²) pair loop does
+        // allocation-free membership counting on the smaller side
+        val items = it.map { t =>
+          val arr = t._5.toArray
+          val hs = new java.util.HashSet[String](arr.length * 2)
+          arr.foreach(hs.add)
+          (t._3, t._4, arr, hs)
+        }.toArray
+        def inter(a: (Int, Long, Array[String], java.util.HashSet[String]),
+                  b: (Int, Long, Array[String], java.util.HashSet[String])): Int = {
+          val (probe, build) = if (a._3.length <= b._3.length) (a._3, b._4) else (b._3, a._4)
+          var c = 0; var i = 0
+          while (i < probe.length) { if (build.contains(probe(i))) c += 1; i += 1 }
+          c
+        }
+        def pair(a: (Int, Long, Array[String], java.util.HashSet[String]),
+                 b: (Int, Long, Array[String], java.util.HashSet[String]))
+            : Option[(Long, Long, Double)] = {
+          val in = inter(a, b)
+          val jac = in.toDouble / (a._3.length + b._3.length - in)
+          if (jac >= tau) Some((math.min(a._2, b._2), math.max(a._2, b._2), jac)) else None
+        }
+        if (bi == bj)
+          for {
+            i <- items.indices.iterator
+            j <- (i + 1 until items.length).iterator
+            p <- pair(items(i), items(j)).iterator
+          } yield p
+        else {
+          val left = items.filter(_._1 == bi)
+          val right = items.filter(_._1 == bj)
+          for {
+            a <- left.iterator
+            b <- right.iterator
+            p <- pair(a, b).iterator
+          } yield p
+        }
+      }
+      .toDF("sa", "sb", "jac")
+  }
+
+  /** Small-corpus driver kernel (bitmask/merge intersection over
+    * broadcast distinct sets): lower latency than the shuffle join when
+    * the distinct-set count is tiny, but O(sets²) work and O(sets)
+    * driver memory — NEVER the default. */
+  def jaccardDocPairsKernel(s: SparkSession, tok: DataFrame, tau: Double): DataFrame = {
+    import s.implicits._
+    val compact = distinctSetsOf(s, tok)
+    val useMask = compact.nonEmpty && compact.forall(_.mask != 0L) &&
+      compact.flatMap(_.ids).distinct.length <= 64
+    val bc = s.sparkContext.broadcast(compact)
+    def inter(a: TokSet, b: TokSet): Int =
+      if (useMask) java.lang.Long.bitCount(a.mask & b.mask)
+      else {
+        var i = 0; var j = 0; var c = 0
+        while (i < a.ids.length && j < b.ids.length) {
+          val d0 = a.ids(i) - b.ids(j)
+          if (d0 == 0) { c += 1; i += 1; j += 1 } else if (d0 < 0) i += 1 else j += 1
+        }
+        c
+      }
+    s.sparkContext.parallelize(compact.indices, s.sparkContext.defaultParallelism)
+      .flatMap { ai =>
+        val all = bc.value
+        val a = all(ai)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        var x = 0
+        while (x < a.members.length) {
+          var y = x + 1
+          while (y < a.members.length) { out += ((a.members(x), a.members(y), 1.0)); y += 1 }
+          x += 1
+        }
+        var bi = ai + 1
+        while (bi < all.length) {
+          val b = all(bi)
+          val in = inter(a, b)
+          val jac = in.toDouble / (a.ids.length + b.ids.length - in)
+          if (jac >= tau) a.members.foreach { ma =>
+            b.members.foreach { mb =>
+              out += ((math.min(ma, mb), math.max(ma, mb), jac))
+            }
+          }
+          bi += 1
+        }
+        out
+      }.toDF("id_a", "id_b", "jac")
+  }
+
+  /** Dispatch: the shuffle join unless the corpus provably fits the
+    * driver kernel (`maxKernelSets` distinct sets). The count is one
+    * cheap aggregate job; at scale callers should pass 0 to skip it. */
+  def jaccardDocPairsAuto(s: SparkSession, tok: DataFrame, tau: Double,
+                          maxKernelSets: Int = 4096): DataFrame = {
+    if (maxKernelSets > 0 &&
+        distinctSetsDF(tok).select(col("sid")).limit(maxKernelSets + 1).count() <= maxKernelSets)
+      jaccardDocPairsKernel(s, tok, tau)
+    else jaccardDocPairs(s, tok, tau)
+  }
+
+  /** Distinct token sets, collected: the driver-kernel representation.
+    * `ids` are compact vocab indices (sorted), `mask` a 64-bit set when
+    * the vocabulary fits. Small corpora only (see kernel scaladoc). */
   final case class TokSet(toks: Array[String], ids: Array[Int], mask: Long,
                           members: Array[Long])
 
-  private def distinctSets(s: SparkSession, d: String): Array[TokSet] =
-    distinctSetsOf(s, tokens(s, d))
-
-  /** docs tokens (doc_id, w) → distinct token sets */
   def distinctSetsOf(s: SparkSession, tok: DataFrame): Array[TokSet] = {
     import s.implicits._
     val sets = tok
@@ -68,58 +279,10 @@ object DedupOps {
       .agg(count(lit(1)).as("n_unique")),
     "SELECT count(DISTINCT text) AS n_unique FROM documents")
 
-  // Token-set Jaccard near-dup, ≥ 0.5. Scale shape: docs collapse to
-  // DISTINCT token sets first (identical-set dedup — corpora are
-  // heavily redundant), exact Jaccard runs once per distinct-set pair
-  // (bitmask popcount when the vocabulary fits 64 bits, sorted-int
-  // merge otherwise), then qualifying set pairs expand back to doc
-  // pairs. Replaces the token self-join, whose high-df tokens explode
-  // quadratically (the naive plan was 6× slower than this at sf0.1).
+  // Token-set Jaccard near-dup, ≥ 0.5 — the distributed prefix-filter
+  // join (see jaccardDocPairs). The oracle is the naive token self-join.
   spark("d_jaccard",
-    (s, d) => {
-      import s.implicits._
-      val τ = 0.5
-      val compact = distinctSets(s, d)
-      val useMask = compact.forall(_.mask != 0L) && compact.flatMap(_.ids).distinct.length <= 64
-      val bc = s.sparkContext.broadcast(compact)
-      def inter(a: TokSet, b: TokSet): Int =
-        if (useMask) java.lang.Long.bitCount(a.mask & b.mask)
-        else {
-          var i = 0; var j = 0; var c = 0
-          while (i < a.ids.length && j < b.ids.length) {
-            val d0 = a.ids(i) - b.ids(j)
-            if (d0 == 0) { c += 1; i += 1; j += 1 } else if (d0 < 0) i += 1 else j += 1
-          }
-          c
-        }
-      s.sparkContext.parallelize(compact.indices, s.sparkContext.defaultParallelism)
-        .flatMap { ai =>
-          val all = bc.value
-          val a = all(ai)
-          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-          // intra-set pairs: jaccard exactly 1
-          var x = 0
-          while (x < a.members.length) {
-            var y = x + 1
-            while (y < a.members.length) { out += ((a.members(x), a.members(y), 1.0)); y += 1 }
-            x += 1
-          }
-          var bi = ai + 1
-          while (bi < all.length) {
-            val b = all(bi)
-            val in = inter(a, b)
-            val jac = in.toDouble / (a.ids.length + b.ids.length - in)
-            if (jac >= τ) a.members.foreach { ma =>
-              b.members.foreach { mb =>
-                out += ((math.min(ma, mb), math.max(ma, mb), jac))
-              }
-            }
-            bi += 1
-          }
-          out
-        }.toDF("id_a", "id_b", "jac")
-        .orderBy("id_a", "id_b")
-    },
+    (s, d) => jaccardDocPairs(s, tokens(s, d), 0.5).orderBy("id_a", "id_b"),
     s"""WITH tok AS ($tokSql),
        |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -130,50 +293,15 @@ object DedupOps {
        |ORDER BY id_a, id_b""".stripMargin)
 
   // Character 3-gram Jaccard near-dup (bounded to doc_id < 200 so the
-  // oracle's gram self-join stays tractable): same distinct-set kernel,
-  // general sorted-int-merge path (gram vocabulary exceeds 64).
+  // oracle's gram self-join stays tractable): same distributed join,
+  // gram vocabulary well beyond 64 → general array-intersect path.
   spark("d_ngram_jaccard",
     (s, d) => {
-      import s.implicits._
-      val τ = 0.8
       val grams = Tables.t(s, d, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"),
           explode(array_distinct(expr(
             "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substr(text, i, 3))"))).as("w"))
-      val compact = distinctSetsOf(s, grams)
-      val bc = s.sparkContext.broadcast(compact)
-      def inter(a: TokSet, b: TokSet): Int = {
-        var i = 0; var j = 0; var c = 0
-        while (i < a.ids.length && j < b.ids.length) {
-          val d0 = a.ids(i) - b.ids(j)
-          if (d0 == 0) { c += 1; i += 1; j += 1 } else if (d0 < 0) i += 1 else j += 1
-        }
-        c
-      }
-      s.sparkContext.parallelize(compact.indices, s.sparkContext.defaultParallelism)
-        .flatMap { ai =>
-          val all = bc.value
-          val a = all(ai)
-          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-          var x = 0
-          while (x < a.members.length) {
-            var y = x + 1
-            while (y < a.members.length) { out += ((a.members(x), a.members(y), 1.0)); y += 1 }
-            x += 1
-          }
-          var bi = ai + 1
-          while (bi < all.length) {
-            val b = all(bi)
-            val in = inter(a, b)
-            val jac = in.toDouble / (a.ids.length + b.ids.length - in)
-            if (jac >= τ) a.members.foreach { ma =>
-              b.members.foreach { mb => out += ((math.min(ma, mb), math.max(ma, mb), jac)) }
-            }
-            bi += 1
-          }
-          out
-        }.toDF("id_a", "id_b", "jac")
-        .orderBy("id_a", "id_b")
+      jaccardDocPairs(s, grams, 0.8).orderBy("id_a", "id_b")
     },
     """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
       |g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS w
@@ -186,63 +314,56 @@ object DedupOps {
       |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin)
 
-  // MinHash + LSH banding: 16 md5-derived hash functions, 4 bands × 4
-  // rows; candidates = pairs sharing a full band signature. Signatures
-  // depend only on the token set, so they are computed once per
-  // DISTINCT set (executor-parallel) and candidate set pairs expand to
-  // doc pairs — no token×16 explode, no 10M-row distinct shuffle.
-  // Both engines use min(md5(i || ':' || token)) so signatures match.
-  /** MinHash+LSH candidate doc pairs from a (doc_id, w) token frame. */
+  // ---- MinHash + LSH banding (shuffle) ----------------------------------
+
+  /** first band (0-based) on which two pre-split k=16 signatures agree
+    * over all 4 of its rows; -1 if none. */
+  private[queries] def firstSharedBand(a: Array[String], b: Array[String]): Int = {
+    var bd = 0
+    while (bd < 4) {
+      var r = 0; var same = true
+      while (r < 4 && same) { same = a(4 * bd + r) == b(4 * bd + r); r += 1 }
+      if (same) return bd
+      bd += 1
+    }
+    -1
+  }
+
+  /** MinHash+LSH candidate doc pairs from a (doc_id, w) token frame —
+    * fully distributed: per-doc signatures via the MinHashAgg typed
+    * Aggregator (partial+final merge), then one shuffle grouping on
+    * (band, band-signature). Each bucket emits a pair only when this is
+    * the FIRST band the two signatures share (both full signatures ride
+    * along in the bucket rows), so the global pair set is exactly
+    * deduplicated without a second `distinct()` shuffle and without any
+    * driver-side signature table. 16 hash functions, 4 bands × 4 rows;
+    * both engines use min(md5(i || ':' || token)) so signatures match. */
   def minhashCandidates(s: SparkSession, tok: DataFrame): DataFrame = {
-      import s.implicits._
-      val compact = distinctSetsOf(s, tok)
-      val bc = s.sparkContext.broadcast(compact)
-      // per distinct set: 4 band signatures (mh 4b..4b+3 joined by '|'),
-      // computed distributed, collected (4 short strings per DISTINCT
-      // set — tiny) and broadcast so pair dedup needs no shuffle
-      val bandSigs: Array[Array[String]] = s.sparkContext
-        .parallelize(compact.indices, s.sparkContext.defaultParallelism)
-        .map { si =>
-          val ts = bc.value(si).toks
-          val mh = Array.tabulate(16) { i =>
-            toHex(ts.iterator.map(w => md5bytes(s"$i:$w")).reduceLeft((a, b) => if (byteLess(b, a)) b else a))
-          }
-          (si, Array.tabulate(4)(b => (0 until 4).map(r => mh(4 * b + r)).mkString("|")))
-        }.collect().sortBy(_._1).map(_._2)
-      val bcSigs = s.sparkContext.broadcast(bandSigs)
-      val bandRows = s.sparkContext.parallelize(compact.indices, s.sparkContext.defaultParallelism)
-        .flatMap { si => (0 until 4).iterator.map(b => (s"$b|${bcSigs.value(si)(b)}", (b, si))) }
-      // bucket → candidate set pairs; each pair emitted only from the
-      // FIRST band it collides in (checked against broadcast sigs) —
-      // globally deduped without a distinct() shuffle
-      val cross = bandRows.groupByKey()
-        .flatMap { case (_, members) =>
-          val items = members.toArray
-          val band = items.head._1
-          val sis = items.map(_._2).sorted
-          val sigs = bcSigs.value
-          for {
-            i <- sis.indices.iterator
-            j <- (i + 1 until sis.length).iterator
-            if !(0 until band).exists(b0 => sigs(sis(i))(b0) == sigs(sis(j))(b0))
-          } yield (sis(i), sis(j))
-        }
-        .flatMap { case (a, b) =>
-          val sa = bc.value(a).members; val sb = bc.value(b).members
-          for (x <- sa.iterator; y <- sb.iterator)
-            yield (math.min(x, y), math.max(x, y))
-        }
-      val intra = s.sparkContext.parallelize(compact.indices, s.sparkContext.defaultParallelism)
-        .flatMap { si =>
-          val m = bc.value(si).members
-          for (x <- m.indices.iterator; y <- (x + 1 until m.length).iterator)
-            yield (m(x), m(y))
-        }
-      cross.union(intra).toDF("id_a", "id_b").orderBy("id_a", "id_b")
+    import s.implicits._
+    val agg = new graft.functions.MinHashAgg(16).toColumn
+    val sigs = tok.as[(Long, String)]
+      .groupByKey(_._1).mapValues(_._2).agg(agg.name("sig"))
+    val bandRows = sigs.flatMap { case (id, sig) =>
+      val mh = sig.split('|')
+      Iterator.tabulate(4)(b => (b, mh.slice(4 * b, 4 * b + 4).mkString("|"), id, sig))
+    }
+    bandRows.groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, String), it: Iterator[(Int, String, Long, String)]) =>
+        val band = key._1
+        // parse each member's signature ONCE — the pair loop is O(m²)
+        // and must not allocate per pair
+        val items = it.map(t => (t._3, t._4.split('|'))).toArray.sortInPlaceBy(_._1)
+        for {
+          i <- items.indices.iterator
+          j <- (i + 1 until items.length).iterator
+          if firstSharedBand(items(i)._2, items(j)._2) == band
+        } yield (items(i)._1, items(j)._1)
+      }
+      .toDF("id_a", "id_b")
   }
 
   spark("d_minhash_lsh",
-    (s, d) => minhashCandidates(s, tokens(s, d)),
+    (s, d) => minhashCandidates(s, tokens(s, d)).orderBy("id_a", "id_b"),
     s"""WITH tok AS ($tokSql),
        |ih AS (SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || w) AS h
        |       FROM tok CROSS JOIN range(0, 16) r(i)),
@@ -252,6 +373,20 @@ object DedupOps {
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin)
+
+  /** LSH candidates verified by exact Jaccard (join back to the token
+    * sets): the full near-dup operation a pipeline would run. */
+  def minhashNearDup(s: SparkSession, tok: DataFrame, tau: Double): DataFrame = {
+    val sets = tok.groupBy("doc_id").agg(sort_array(collect_set(col("w"))).as("toks"))
+    val cand = minhashCandidates(s, tok)
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("toks").as("ta"), size(col("toks")).as("na")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("toks").as("tb"), size(col("toks")).as("nb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= tau)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
 
   // MinHash signatures via the typed Aggregator (partial+final merge —
   // the shape that scales to any token distribution). Same signature

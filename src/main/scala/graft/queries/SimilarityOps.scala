@@ -45,23 +45,70 @@ object SimilarityOps {
   private val oracleCos =
     "CAST(dot AS DOUBLE) / (sqrt(CAST(na.saa AS DOUBLE)) * sqrt(CAST(nb.saa AS DOUBLE)))"
 
-  // Near-duplicate pairs: cosine (rounded to 4 decimals) ≥ 0.95.
-  // Corpus broadcast once; each executor scores its slice against it.
+  /** deterministic ±1 hyperplane weights from md5 parity */
+  private def md5Planes(n: Int, salt: String): Array[Array[Long]] =
+    Array.tabulate(n) { p =>
+      Array.tabulate(64) { j =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$salt$p:$j".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1L else -1L
+      }
+    }
+
+  /** first band (0-based) where the two plane-sign signatures agree on
+    * every bit; -1 if none */
+  private def firstSharedBandBits(sa: Long, sb: Long, nBands: Int, bits: Int): Int = {
+    val mask = (1L << bits) - 1
+    var b = 0
+    while (b < nBands) {
+      if ((((sa ^ sb) >>> (b * bits)) & mask) == 0L) return b
+      b += 1
+    }
+    -1
+  }
+
+  // Near-duplicate pairs: cosine (rounded to 4 decimals) ≥ 0.95 —
+  // banded random-hyperplane LSH (8 bands × 6 md5-derived planes),
+  // exact fixed-point scoring inside each (band, bucket) group. One
+  // shuffle keyed on (band, bucket); pairs dedup by first-shared-band
+  // inside the bucket (both signatures ride along), so no distinct()
+  // pass and no driver-side corpus state. Detection probability for a
+  // true cos ≥ 0.95 pair is 1-(1-p^6)^8 ≈ 0.998 (p = 1-θ/π ≈ 0.899);
+  // the scan-everything exactness of the old whole-corpus broadcast
+  // does not survive 100 TB, this does.
   spark("v_cos_neardup",
     (s, d) => {
       import s.implicits._
       val ds = qvecs(s, d)
-      val bc = s.sparkContext.broadcast(ds.collect().sortBy(_.id))
+      val nBands = 8; val bits = 6
+      val bp = s.sparkContext.broadcast(md5Planes(nBands * bits, "np:"))
       val thr = new java.math.BigDecimal("0.9500")
-      ds.flatMap { a =>
-        bc.value.iterator.filter(_.id > a.id).flatMap { b =>
-          val dot = VecFixedPoint.dot(a.q, b.q)
-          if (dot > 0) {
-            val c4 = VecFixedPoint.cos4(dot, a.saa, b.saa)
-            if (c4.compareTo(thr) >= 0) Some((a.id, b.id, c4.toString)) else None
-          } else None
+      val bandRows = ds.flatMap { v =>
+        var sig = 0L
+        var p = 0
+        while (p < nBands * bits) {
+          if (VecFixedPoint.dot(bp.value(p), v.q) >= 0) sig |= (1L << p)
+          p += 1
         }
-      }.toDF("id_a", "id_b", "cos_s")
+        val sg = sig
+        Iterator.tabulate(nBands)(b =>
+          (b, ((sg >>> (b * bits)) & ((1L << bits) - 1)).toInt, v.id, sg, v.q, v.saa))
+      }
+      bandRows.groupByKey(t => (t._1, t._2))
+        .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Long, Array[Long], Long)]) =>
+          val band = key._1
+          val items = it.map(t => (t._3, t._4, t._5, t._6)).toArray.sortInPlaceBy(_._1)
+          for {
+            i <- items.indices.iterator
+            j <- (i + 1 until items.length).iterator
+            if firstSharedBandBits(items(i)._2, items(j)._2, nBands, bits) == band
+            dot = VecFixedPoint.dot(items(i)._3, items(j)._3)
+            if dot > 0
+            c4 = VecFixedPoint.cos4(dot, items(i)._4, items(j)._4)
+            if c4.compareTo(thr) >= 0
+          } yield (items(i)._1, items(j)._1, c4.toString)
+        }
+        .toDF("id_a", "id_b", "cos_s")
         .select(col("id_a"), col("id_b"),
           col("cos_s").cast("decimal(18,4)").cast("double").as("cos"))
         .orderBy("id_a", "id_b")

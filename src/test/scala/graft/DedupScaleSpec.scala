@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.DedupOps
+
+/** The dedup kernels must be shuffle-formulated (no driver-side
+  * O(corpus) state) AND agree with the small-corpus driver kernel on
+  * both physical strategies of the exact Jaccard join (prefix-filter
+  * join for zipfian vocabularies, block join for template corpora
+  * where nothing prunes).
+  */
+class DedupScaleSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def toks(docs: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select("id_a", "id_b", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+
+  // template corpus: tiny vocabulary, heavy overlap → block-join branch
+  private val template: Seq[(Long, String)] = (0L until 40L).map { i =>
+    val words = (0 until 8).map(j => s"w${(i + j) % 12}")
+    (i, words.mkString(" "))
+  } ++ Seq((40L, "w0 w1 w2 w3 w4 w5 w6 w7"))
+
+  // zipf-ish corpus: wide vocabulary, rare tokens prune → prefix branch
+  private val zipfish: Seq[(Long, String)] = (0L until 40L).map { i =>
+    val rare = s"rare_$i"
+    val shared = if (i % 2 == 0) "alpha beta" else "alpha gamma"
+    val near = if (i % 10 == 0) s"rare_${i + 1} extra" else s"uniq_$i only_$i"
+    (i, s"$shared $rare $near")
+  }
+
+  test("jaccard shuffle join ≡ driver kernel (block-join branch)") {
+    val t = toks(template)
+    assert(pairs(DedupOps.jaccardDocPairs(spark, t, 0.5)) ==
+           pairs(DedupOps.jaccardDocPairsKernel(spark, t, 0.5)))
+  }
+
+  test("jaccard shuffle join ≡ driver kernel (prefix branch)") {
+    val t = toks(zipfish)
+    for (tau <- Seq(0.3, 0.6)) {
+      assert(pairs(DedupOps.jaccardDocPairs(spark, t, tau)) ==
+             pairs(DedupOps.jaccardDocPairsKernel(spark, t, tau)),
+        s"mismatch at tau=$tau")
+    }
+  }
+
+  test("jaccardDocPairsAuto dispatches and agrees") {
+    val t = toks(template)
+    val expect = pairs(DedupOps.jaccardDocPairsKernel(spark, t, 0.5))
+    assert(pairs(DedupOps.jaccardDocPairsAuto(spark, t, 0.5, maxKernelSets = 4)) == expect)
+    assert(pairs(DedupOps.jaccardDocPairsAuto(spark, t, 0.5, maxKernelSets = 4096)) == expect)
+    assert(pairs(DedupOps.jaccardDocPairsAuto(spark, t, 0.5, maxKernelSets = 0)) == expect)
+  }
+
+  test("minhashNearDup = LSH candidates verified by exact Jaccard") {
+    val t = toks(template)
+    val exact = pairs(DedupOps.jaccardDocPairs(spark, t, 0.5)).map(p => (p._1, p._2))
+    val lsh = pairs(DedupOps.minhashNearDup(spark, t, 0.5)).map(p => (p._1, p._2))
+    // LSH-verified pairs are a subset of the exact join (recall < 1,
+    // precision 1 after verification)
+    assert(lsh.subsetOf(exact))
+    // identical docs always collide (equal signatures) → recall 1 there
+    val dup = exact.filter(p => template.toMap.apply(p._1) == template.toMap.apply(p._2))
+    assert(dup.subsetOf(lsh))
+  }
+
+  test("dedup query paths contain no O(corpus) driver collect") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/queries/DedupOps.scala")))
+    // collect() may appear only once in the file: inside distinctSetsOf,
+    // the explicitly-gated small-corpus kernel representation. None of
+    // the shuffle paths (distinctSetsDF, jaccardDocPairs, blockJoin,
+    // minhashCandidates, minhashNearDup) may collect.
+    val hits = java.util.regex.Pattern.quote(".collect()").r
+      .findAllIn(src.replaceAll("(?s)/\\*.*?\\*/", "")).size
+    assert(hits == 1, s"expected exactly 1 gated collect() in DedupOps, found $hits")
+    val body = src.substring(src.indexOf("def distinctSetsOf"))
+    assert(body.take(body.indexOf("\n  }")).contains(".collect()"))
+  }
+}
