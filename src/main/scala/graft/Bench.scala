@@ -5,8 +5,23 @@ import org.apache.spark.sql.SparkSession
   * best of 2 runs per query (the same methodology as the DuckDB
   * baseline in tools/baseline.py, and the standard way to shave
   * host-contention variance on a shared box). Prints one JSON line.
+  *
+  * Forcing is symmetric with the DuckDB side's fetchall(): the PLANNED
+  * query executes as-is via queryExecution.toRdd and every output row
+  * is produced (final sorts and all output columns included). A bare
+  * count() would let Catalyst drop top-level sorts and prune every
+  * column — under-timing exactly the ordered-dump queries.
   */
 object Bench {
+
+  /** run the physical plan to completion; returns produced row count */
+  def force(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.mapPartitions { it =>
+      var c = 0L
+      while (it.hasNext) { it.next(); c += 1 }
+      Iterator.single(c)
+    }.fold(0L)(_ + _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,7 +39,7 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val best = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.min
       name -> best

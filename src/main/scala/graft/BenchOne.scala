@@ -14,7 +14,7 @@ object BenchOne extends App {
     val fn = SparkEntry.queries(name)
     (0 until 2).foreach { r =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val n = Bench.force(fn(spark, sfDir))
       println(f"[bench1] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
   }

@@ -73,15 +73,32 @@ object FilterPruning {
   }
 
   /** true → the chunk definitely contains no matching row. */
+  /** Filter constants arrive in µs; unit-scaled timestamp columns
+    * (VortexFormat.TsUnitKey) store longs in their own unit, so the
+    * constant maps into that domain. Only exactly-representable values
+    * prune (a µs value between ms ticks has no sound floor/ceil under
+    * every predicate shape); inexact → conservative no-skip. */
+  private def toStoredUnit(dom: Either[Long, Array[Byte]], unit: String): Option[Either[Long, Array[Byte]]] =
+    (dom, unit) match {
+      case (_, "us") => Some(dom)
+      case (Left(l), "ns") =>
+        try Some(Left(Math.multiplyExact(l, 1000L))) catch { case _: ArithmeticException => None }
+      case (Left(l), u) =>
+        val f = if (u == "ms") 1000L else 1000000L
+        if (Math.floorMod(l, f) == 0L) Some(Left(Math.floorDiv(l, f))) else None
+      case _ => None
+    }
+
   def canSkip(filter: Filter, chunk: ChunkMeta, schema: StructType): Boolean = {
-    def col(name: String): Option[(ColumnChunkMeta, DataType)] = {
+    def col(name: String): Option[(ColumnChunkMeta, DataType, String)] = {
       val i = schema.fieldNames.indexOf(name)
-      if (i < 0) None else Some((chunk.columns(i), schema.fields(i).dataType))
+      if (i < 0) None
+      else Some((chunk.columns(i), schema.fields(i).dataType, VortexFormat.tsUnit(schema.fields(i))))
     }
     def rangeSkip(name: String, v: Any)(decide: (Int, Int) => Boolean): Boolean =
       col(name) match {
-        case Some((m, dt)) if m.min.isDefined =>
-          toDomain(v, dt) match {
+        case Some((m, dt, unit)) if m.min.isDefined =>
+          toDomain(v, dt).flatMap(toStoredUnit(_, unit)) match {
             case Some(dom) => decide(cmp(dom, m.min.get, dt), cmp(dom, m.max.get, dt))
             case None => false
           }
@@ -97,8 +114,8 @@ object FilterPruning {
       case LessThanOrEqual(a, v) => rangeSkip(a, v)((cMin, _) => cMin < 0)
       case In(a, vs) if vs != null && vs.nonEmpty =>
         vs.forall(v => rangeSkip(a, v)((cMin, cMax) => cMin < 0 || cMax > 0))
-      case IsNull(a) => col(a).exists { case (m, _) => m.nullCount == 0 }
-      case IsNotNull(a) => col(a).exists { case (m, _) => m.nullCount == chunk.rowCount }
+      case IsNull(a) => col(a).exists { case (m, _, _) => m.nullCount == 0 }
+      case IsNotNull(a) => col(a).exists { case (m, _, _) => m.nullCount == chunk.rowCount }
       case And(l, r) => canSkip(l, chunk, schema) || canSkip(r, chunk, schema)
       case Or(l, r) => canSkip(l, chunk, schema) && canSkip(r, chunk, schema)
       case _ => false

@@ -91,7 +91,20 @@ class VortexTable(schema: StructType, paths: Seq[String]) extends SupportsRead w
       .getOrElse(VortexFormat.DefaultChunkRows)
     val partitionCols = Option(info.options.get("partitionby")).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    new VortexWriteBuilder(info.schema(), paths.head, chunkRows, partitionCols)
+    // "timestampUnits" = "col=ns,col2=s" pins per-column storage units;
+    // columns already carrying unit metadata (e.g. a vortex read being
+    // written back) keep it, so round trips are unit-faithful.
+    val unitOpt = Option(info.options.get("timestampunits")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val Array(k, u) = kv.split("=").map(_.trim)
+        require(VortexFormat.validUnit(u), s"vortex: invalid timestamp unit '$u' for $k")
+        k -> u
+      }.toMap
+    val schema = StructType(info.schema().fields.map { f =>
+      unitOpt.get(f.name).map(VortexFormat.withTsUnit(f, _)).getOrElse(f)
+    })
+    new VortexWriteBuilder(schema, paths.head, chunkRows, partitionCols)
   }
 }
 
@@ -162,18 +175,33 @@ class VortexScan(fileSchema: StructType, required: StructType,
   override def filter(runtimeFilters: Array[Filter]): Unit =
     filters = filters ++ runtimeFilters
 
+  /** planning is memoized per pushed-filter set: Spark calls
+    * planInputPartitions from estimateStatistics, batch planning, and
+    * every runtime-filter round — only a filter change re-plans. */
+  private var lastPlan: (Seq[Filter], Array[InputPartition]) = _
+
   override def planInputPartitions(): Array[InputPartition] = {
+    val planKey = filters.toSeq
+    if (lastPlan != null && lastPlan._1 == planKey) return lastPlan._2
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     val listed = VortexDataSource.listAll(paths, conf)
     val partSchema = StructType(fileSchema.fields.filter(f =>
       listed.exists(_._2.exists(_._1 == f.name))))
     val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
-    listed.foreach { case (st, kvs) =>
-      val kvMap = kvs.toMap
-      // tier 1: whole-directory pruning on partition values (no I/O)
-      val partOk = filters.forall(fl => PartitionedLayout.survives(fl, kvMap, partSchema))
-      if (partOk) {
+    // tier 1 first (no I/O), then prefetch surviving footers in
+    // parallel: at large file counts against an object store the
+    // serial footer round-trips would dominate planning latency; the
+    // fetches land in the per-JVM cache and the sequential pass below
+    // only hits memory.
+    val surviving = listed.filter { case (_, kvs) =>
+      filters.forall(fl => PartitionedLayout.survives(fl, kvs.toMap, partSchema))
+    }
+    if (surviving.length > 1)
+      java.util.Arrays.stream(surviving.map(_._1.getPath).toArray).parallel()
+        .forEach(p => { VortexFileReader.readFooter(p, conf); () })
+    surviving.foreach { case (st, kvs) =>
+      {
         val f = st.getPath
         val footer = VortexFileReader.readFooter(f, conf)
         val pc = kvs.map(_._1).toArray
@@ -195,7 +223,9 @@ class VortexScan(fileSchema: StructType, required: StructType,
         if (cur.nonEmpty) parts += VortexInputPartition(f.toString, cur.toArray, pc, pv)
       }
     }
-    parts.toArray
+    val out = parts.toArray
+    lastPlan = (planKey, out)
+    out
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -278,8 +308,7 @@ class VortexColumnarReader(part: VortexInputPartition,
           val m = chunk.columns(fc)
           val buf = new Array[Byte](m.length)
           in.readFully(m.offset, buf)
-          val vec = PageCodec.decode(buf, m.encoding, m.compressed, n, m.nullCount,
-            footer.schema.fields(fc).dataType)
+          val vec = VortexFileReader.decodeColumn(buf, m, n, footer.schema.fields(fc))
           val cv = new OnHeapColumnVector(n, dts(c))
           fill(cv, vec, dts(c), n)
           cv
@@ -364,8 +393,7 @@ class VortexPartitionReader(part: VortexInputPartition,
         val m = chunk.columns(c)
         val buf = new Array[Byte](m.length)
         in.readFully(m.offset, buf)
-        PageCodec.decode(buf, m.encoding, m.compressed, chunk.rowCount, m.nullCount,
-          footer.schema.fields(c).dataType)
+        VortexFileReader.decodeColumn(buf, m, chunk.rowCount, footer.schema.fields(c))
       case Left(_) => null
     }
     rowsInChunk = chunk.rowCount

@@ -24,6 +24,8 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
   private val fields = schema.fields
   private val nCols = fields.length
   private val fixed = fields.map(f => PageCodec.isFixed(f.dataType))
+  // non-"us" entries store unit-scaled longs on disk (format §ts-unit)
+  private val tsUnits = fields.map(tsUnit)
   private val chunks = ArrayBuffer[ChunkMeta]()
 
   out.write(Magic); pos += Magic.length
@@ -50,7 +52,11 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
         case ByteType => longs(c)(count) = row.getByte(c).toLong
         case ShortType => longs(c)(count) = row.getShort(c).toLong
         case IntegerType | DateType => longs(c)(count) = row.getInt(c).toLong
-        case LongType | TimestampType | TimestampNTZType => longs(c)(count) = row.getLong(c)
+        case TimestampType | TimestampNTZType =>
+          longs(c)(count) =
+            if (tsUnits(c) == "us") row.getLong(c)
+            else storedFromMicros(row.getLong(c), tsUnits(c))
+        case LongType => longs(c)(count) = row.getLong(c)
         case FloatType => longs(c)(count) = java.lang.Float.floatToIntBits(row.getFloat(c)).toLong
         case DoubleType => longs(c)(count) = java.lang.Double.doubleToLongBits(row.getDouble(c))
         case d: DecimalType if d.precision <= 18 =>
@@ -112,12 +118,17 @@ object VortexFileReader {
   // tasks; footers are small and immutable per (path,len,mtime).
   private val footerCache = new java.util.concurrent.ConcurrentHashMap[String, Footer]()
 
+  /** actual (non-cache) footer fetches in this JVM — planning-path
+    * observability; tests pin this to ≤1 per file */
+  val footerFetches = new java.util.concurrent.atomic.AtomicLong()
+
   def readFooter(path: Path, conf: Configuration): Footer = {
     val fs = path.getFileSystem(conf)
     val st = fs.getFileStatus(path)
     val key = s"${path.toString}#${st.getLen}#${st.getModificationTime}"
     val cached = footerCache.get(key)
     if (cached != null) return cached
+    footerFetches.incrementAndGet()
     val in = fs.open(path)
     try {
       val len = st.getLen
@@ -133,6 +144,19 @@ object VortexFileReader {
       footerCache.put(key, footer)
       footer
     } finally in.close()
+  }
+
+  /** Decode one column page and normalize unit-scaled timestamp longs
+    * to µs (format §ts-unit) — the single decode entry for every scan
+    * path, so unit handling can't diverge between readers. */
+  def decodeColumn(buf: Array[Byte], m: ColumnChunkMeta, rows: Int, field: StructField): ColVec = {
+    val vec = PageCodec.decode(buf, m.encoding, m.compressed, rows, m.nullCount, field.dataType)
+    val u = tsUnit(field)
+    if (u != "us" && vec.longs != null) {
+      var i = 0
+      while (i < vec.n) { vec.longs(i) = microsFromStored(vec.longs(i), u); i += 1 }
+    }
+    vec
   }
 
   /** Decode the requested columns of chunks [chunkStart, chunkEnd). */
@@ -155,8 +179,7 @@ object VortexFileReader {
           val m = chunk.columns(c)
           val buf = new Array[Byte](m.length)
           in.readFully(m.offset, buf)
-          PageCodec.decode(buf, m.encoding, m.compressed, chunk.rowCount, m.nullCount,
-            footer.schema.fields(c).dataType)
+          decodeColumn(buf, m, chunk.rowCount, footer.schema.fields(c))
         }
         ci += 1
         (chunk.rowCount, vecs)

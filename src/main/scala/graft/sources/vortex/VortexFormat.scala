@@ -45,6 +45,46 @@ object VortexFormat {
     * vortex-fastlanes FoR/bitpack role, SURVEY.md §2.9) */
   val EncBitpack: Byte = 4
 
+  /** Per-column timestamp storage unit (reference parity: the format
+    * round-trips TIMESTAMP_S/MS/µs/NS as distinct types —
+    * /root/reference/test/sql/table.test:22-25, timestamp.test:28-37).
+    * Spark's in-memory timestamp is always µs, so the unit lives as
+    * field metadata under this key ("s" | "ms" | "us" | "ns"), rides
+    * inside the footer's schema JSON, and the file stores raw longs in
+    * that unit: writes convert µs → unit (ns exact, s/ms truncating —
+    * the same semantics as a precision downcast), reads convert back.
+    * A read → write round trip restores the original unit because the
+    * metadata survives the Spark schema. */
+  val TsUnitKey = "vortex.ts.unit"
+
+  def tsUnit(f: StructField): String =
+    if ((f.dataType == TimestampType || f.dataType == TimestampNTZType) &&
+        f.metadata.contains(TsUnitKey)) f.metadata.getString(TsUnitKey)
+    else "us"
+
+  /** µs per stored tick for coarse units; ns is the sub-µs special case */
+  def validUnit(u: String): Boolean = u == "s" || u == "ms" || u == "us" || u == "ns"
+
+  def storedFromMicros(us: Long, unit: String): Long = unit match {
+    case "us" => us
+    case "ns" => Math.multiplyExact(us, 1000L)
+    case "ms" => Math.floorDiv(us, 1000L)
+    case "s"  => Math.floorDiv(us, 1000000L)
+  }
+
+  def microsFromStored(v: Long, unit: String): Long = unit match {
+    case "us" => v
+    case "ns" => Math.floorDiv(v, 1000L)
+    case "ms" => Math.multiplyExact(v, 1000L)
+    case "s"  => Math.multiplyExact(v, 1000000L)
+  }
+
+  def withTsUnit(f: StructField, unit: String): StructField = {
+    require(validUnit(unit), s"vortex: invalid timestamp unit '$unit'")
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putString(TsUnitKey, unit).build())
+  }
+
   def supported(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType | StringType | BinaryType | DateType |
