@@ -188,26 +188,20 @@ object SimilarityOps {
        |SELECT id_q, CAST(rnk AS BIGINT) AS rnk, id_n
        |FROM rk WHERE rnk <= 3 ORDER BY id_q, rnk""".stripMargin)
 
-  // Random-hyperplane LSH bucketing (16 md5-derived planes → 16-bit
-  // bucket), exact scoring within bucket. Approximate recall →
-  // rows-only check.
-  sparkOnly("v_cos_lsh",
+  // Random-hyperplane LSH bucketing (8 md5-derived planes → 8-bit
+  // bucket), exact scoring within bucket. The planes are deterministic
+  // (md5 parity), so the bucketing — approximation included — is
+  // reproducible in SQL and the oracle checks it end-to-end.
+  spark("v_cos_lsh",
     (s, d) => {
       import s.implicits._
       val ds = qvecs(s, d)
-      // deterministic ±1 plane weights from md5 parity
-      val planes: Array[Array[Long]] = Array.tabulate(16) { p =>
-        Array.tabulate(64) { j =>
-          val h = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$p:$j".getBytes("UTF-8"))
-          if ((h(0) & 1) == 0) 1L else -1L
-        }
-      }
-      val bp = s.sparkContext.broadcast(planes)
+      val nP = 8
+      val bp = s.sparkContext.broadcast(md5Planes(nP, ""))
       val withBuckets = ds.map { v =>
         var bucket = 0
         var p = 0
-        while (p < 16) {
+        while (p < nP) {
           if (VecFixedPoint.dot(bp.value(p), v.q) >= 0) bucket |= (1 << p)
           p += 1
         }
@@ -222,5 +216,29 @@ object SimilarityOps {
         }
       }.toDF("id_q", "id_n", "cosd")
       topk(cand, 3, withCos = false)
-    })
+    },
+    s"""WITH $oracleVecs,
+       |pl AS (SELECT p, j,
+       |         CASE WHEN substr(md5(CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 2, 1)
+       |              IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS w
+       |       FROM range(0, 8) rp(p), range(0, 64) rj(j)),
+       |dp AS (SELECT el.vec_id, pl.p, sum(pl.w * el.x) AS s
+       |       FROM el JOIN pl ON pl.j = el.i GROUP BY 1, 2),
+       |bkt AS (SELECT vec_id, sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS bucket
+       |        FROM dp GROUP BY 1),
+       |p AS (SELECT q.vec_id AS id_q, c.vec_id AS id_n,
+       |             CAST(sum(eq.x * ec.x) AS DECIMAL(38,16)) AS dot
+       |      FROM bkt q JOIN bkt c
+       |        ON q.vec_id < 20 AND q.vec_id <> c.vec_id AND q.bucket = c.bucket
+       |        JOIN el eq ON eq.vec_id = q.vec_id
+       |        JOIN el ec ON ec.vec_id = c.vec_id AND eq.i = ec.i
+       |      GROUP BY 1, 2),
+       |sc AS (SELECT id_q, id_n,
+       |         CAST(dot AS DOUBLE) / (sqrt(CAST(nq.saa AS DOUBLE)) * sqrt(CAST(nc.saa AS DOUBLE))) AS cosd
+       |       FROM p JOIN nrm nq ON p.id_q = nq.vec_id JOIN nrm nc ON p.id_n = nc.vec_id),
+       |rk AS (SELECT id_q, id_n,
+       |         row_number() OVER (PARTITION BY id_q ORDER BY cosd DESC, id_n) AS rnk
+       |       FROM sc)
+       |SELECT id_q, CAST(rnk AS BIGINT) AS rnk, id_n
+       |FROM rk WHERE rnk <= 3 ORDER BY id_q, rnk""".stripMargin)
 }

@@ -100,17 +100,32 @@ object TextOps {
       |FROM e GROUP BY doc_id, canon ORDER BY doc_id""".stripMargin)
 
   // Multimodal pipeline end-to-end (binary payload + metadata struct +
-  // partition-batched decode stub) — features are from the stubbed
-  // decoder, so rows-only check.
-  sparkOnly("t_multimodal",
+  // partition-batched decode stub). The stub's features are pure
+  // byte-math (Shannon entropy of the payload histogram + frame count)
+  // so the whole pipeline is oracle-checkable in SQL: documents text
+  // is ASCII, so the char histogram IS the byte histogram.
+  spark("t_multimodal",
     (s, d) => {
       val media = graft.operators.Multimodal.toMedia(Tables.t(s, d, "documents"))
       graft.operators.Multimodal.extractFeatures(media).toDF()
         .select(col("doc_id"), col("mime"), col("n_bytes"),
-          col("entropy").cast("decimal(18,4)").as("entropy"),
-          col("frames_sampled"))
+          col("entropy").cast("decimal(18,4)").cast("double").as("entropy"),
+          col("frames_sampled").cast("long").as("frames"))
         .orderBy("doc_id")
-    })
+    },
+    """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      |hist AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+      |base AS (SELECT doc_id, 'application/x-fake-' || lang AS mime,
+      |                CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      |         FROM documents),
+      |ent AS (SELECT h.doc_id,
+      |               -sum((CAST(h.k AS DOUBLE) / b.n_bytes) * ln(CAST(h.k AS DOUBLE) / b.n_bytes) / ln(2)) AS e
+      |        FROM hist h JOIN base b ON h.doc_id = b.doc_id GROUP BY 1)
+      |SELECT b.doc_id, b.mime, b.n_bytes,
+      |       CAST(CAST(CASE WHEN b.n_bytes = 0 THEN 0.0 ELSE ent.e END AS DECIMAL(18,4)) AS DOUBLE) AS entropy,
+      |       CAST(CASE WHEN b.n_bytes = 0 THEN 0 ELSE 1 + b.n_bytes // 4096 END AS BIGINT) AS frames
+      |FROM base b LEFT JOIN ent ON b.doc_id = ent.doc_id
+      |ORDER BY b.doc_id""".stripMargin)
 
   // Multimodal plumbing: byte length of the text payload as BLOB.
   spark("t_blob_len",
