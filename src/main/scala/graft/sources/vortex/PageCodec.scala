@@ -70,7 +70,7 @@ object PageCodec {
     out
   }
 
-  private def packVar(vals: Array[Array[Byte]], n: Int): Array[Byte] = {
+  private[vortex] def packVar(vals: Array[Array[Byte]], n: Int): Array[Byte] = {
     var total = 0
     var i = 0
     while (i < n) { if (vals(i) != null) total += vals(i).length; i += 1 }
@@ -88,7 +88,7 @@ object PageCodec {
     bb.array()
   }
 
-  private def unpackVar(bytes: ByteBuffer, n: Int): Array[Array[Byte]] = {
+  private[vortex] def unpackVar(bytes: ByteBuffer, n: Int): Array[Array[Byte]] = {
     val offs = new Array[Int](n + 1)
     var i = 0
     while (i <= n) { offs(i) = bytes.getInt(); i += 1 }
@@ -288,7 +288,23 @@ object PageCodec {
             bb.putInt(entries.length); bb.putInt(dictBytes.length); bb.put(dictBytes)
             bb.put(iw.toByte); bb.put(packFixed(idx, n, iw))
             (EncDict, bb.array())
-          } else (EncPlain, packVar(vec.bins, n))
+          } else {
+            // high-cardinality strings: FSST-role candidate vs plain,
+            // judged on POST-zstd size so the tier can never regress
+            val plain = packVar(vec.bins, n)
+            val avgLen = plain.length.toDouble / math.max(n, 1)
+            val fsstPick: Option[Array[Byte]] =
+              if ((dt == StringType || dt == BinaryType) && avgLen >= 12 && n >= 64) {
+                val syms = FsstCodec.train(vec.bins, n)
+                if (syms.length >= 8) {
+                  val fsst = FsstCodec.encode(vec.bins, n, syms)
+                  val zp = Zstd.compress(plain, 3).length
+                  val zf = Zstd.compress(fsst, 3).length
+                  if (zf < zp) Some(fsst) else None
+                } else None
+              } else None
+            fsstPick.map((EncFsst, _)).getOrElse((EncPlain, plain))
+          }
         } else (EncPlain, packFixed(vec.longs, n, w))
       }
 
@@ -364,6 +380,8 @@ object PageCodec {
           arr(i) = entries(id); i += 1
         }
         new ColVec(n, nulls, null, arr)
+      case EncFsst =>
+        new ColVec(n, nulls, null, FsstCodec.decode(bb, n))
       case _ => // plain
         if (fixed) new ColVec(n, nulls, unpackFixed(bb, n, w), null)
         else new ColVec(n, nulls, null, unpackVar(bb, n))

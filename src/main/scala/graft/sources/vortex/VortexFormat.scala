@@ -44,6 +44,9 @@ object VortexFormat {
   /** frame-of-reference + bit packing for integral types (≙ the
     * vortex-fastlanes FoR/bitpack role, SURVEY.md §2.9) */
   val EncBitpack: Byte = 4
+  /** sampled static-symbol-table string compression (≙ the
+    * vortex-fsst role, SURVEY.md §2.9; reference Cargo.lock:4331-4344) */
+  val EncFsst: Byte = 5
 
   /** Per-column timestamp storage unit (reference parity: the format
     * round-trips TIMESTAMP_S/MS/µs/NS as distinct types —
