@@ -282,7 +282,10 @@ object DedupOps {
   // Token-set Jaccard near-dup, ≥ 0.5 — the distributed prefix-filter
   // join (see jaccardDocPairs). The oracle is the naive token self-join.
   spark("d_jaccard",
-    (s, d) => jaccardDocPairs(s, tokens(s, d), 0.5).orderBy("id_a", "id_b"),
+    // lazy localCheckpoint: the global sort's range-sampling pass would
+    // otherwise re-execute the whole multi-million-row join pipeline
+    (s, d) => jaccardDocPairs(s, tokens(s, d), 0.5)
+      .localCheckpoint(eager = false).orderBy("id_a", "id_b"),
     s"""WITH tok AS ($tokSql),
        |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -340,30 +343,62 @@ object DedupOps {
     * both engines use min(md5(i || ':' || token)) so signatures match. */
   def minhashCandidates(s: SparkSession, tok: DataFrame): DataFrame = {
     import s.implicits._
-    val agg = new graft.functions.MinHashAgg(16).toColumn
-    val sigs = tok.as[(Long, String)]
-      .groupByKey(_._1).mapValues(_._2).agg(agg.name("sig"))
-    val bandRows = sigs.flatMap { case (id, sig) =>
-      val mh = sig.split('|')
-      Iterator.tabulate(4)(b => (b, mh.slice(4 * b, 4 * b + 4).mkString("|"), id, sig))
-    }
-    bandRows.groupByKey(t => (t._1, t._2))
-      .flatMapGroups { (key: (Int, String), it: Iterator[(Int, String, Long, String)]) =>
+    import graft.functions.Hashing
+    // docs collapse to DISTINCT token sets first (identical docs are
+    // common in real corpora): signatures are computed once per set —
+    // map-side over the already-grouped token array — and buckets pair
+    // SETS, so the O(m²) loops shrink quadratically with redundancy.
+    // Identical-set doc pairs share every band by construction and are
+    // emitted directly from the membership lists.
+    val sets = distinctSetsDF(tok)
+    val bandRows = sets.select(col("toks"), col("members")).as[(Seq[String], Seq[Long])]
+      .flatMap { case (toks, members) =>
+        val k = 16
+        val mh = new Array[Byte](k * 16)
+        java.util.Arrays.fill(mh, 0xFF.toByte)
+        toks.foreach { w =>
+          var i = 0
+          while (i < k) {
+            val h = Hashing.md5bytes(s"$i:$w")
+            if (Hashing.less(h, 0, mh, i * 16)) System.arraycopy(h, 0, mh, i * 16, 16)
+            i += 1
+          }
+        }
+        val hex = Array.tabulate(k)(i => Hashing.toHexAt(mh, i * 16))
+        val m = members.toArray
+        Iterator.tabulate(4)(b => (b, hex.slice(4 * b, 4 * b + 4).mkString("|"), m, hex))
+      }
+    val cross = bandRows.groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, String), it: Iterator[(Int, String, Array[Long], Array[String])]) =>
         val band = key._1
-        // parse each member's signature ONCE — the pair loop is O(m²)
-        // and must not allocate per pair
-        val items = it.map(t => (t._3, t._4.split('|'))).toArray.sortInPlaceBy(_._1)
+        val items = it.map(t => (t._3, t._4)).toArray.sortInPlaceBy(_._1.head)
         for {
           i <- items.indices.iterator
           j <- (i + 1 until items.length).iterator
           if firstSharedBand(items(i)._2, items(j)._2) == band
-        } yield (items(i)._1, items(j)._1)
+          a <- items(i)._1.iterator
+          b <- items(j)._1.iterator
+        } yield (math.min(a, b), math.max(a, b))
       }
       .toDF("id_a", "id_b")
+    // intra-set pairs: members are sorted, so x < y holds positionally
+    val intra = sets.select(explode(expr(
+        "flatten(transform(members, (x, i) -> " +
+        "transform(slice(members, i + 2, size(members)), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    cross.union(intra)
   }
 
   spark("d_minhash_lsh",
-    (s, d) => minhashCandidates(s, tokens(s, d)).orderBy("id_a", "id_b"),
+    // lazy localCheckpoint (the sort's range-sampling would re-execute
+    // the bucket pipeline) + pack the pair into ONE long sort key
+    // (doc ids < 2^31): narrower sort rows, one comparison per pair
+    (s, d) => minhashCandidates(s, tokens(s, d))
+      .select((col("id_a") * lit(1L << 32) + col("id_b")).as("k"))
+      .localCheckpoint(eager = false)
+      .orderBy("k")
+      .select(shiftright(col("k"), 32).as("id_a"),
+              (col("k") - shiftright(col("k"), 32) * lit(1L << 32)).as("id_b")),
     s"""WITH tok AS ($tokSql),
        |ih AS (SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || w) AS h
        |       FROM tok CROSS JOIN range(0, 16) r(i)),
