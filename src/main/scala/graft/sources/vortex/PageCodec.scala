@@ -239,7 +239,8 @@ object PageCodec {
           ends.foreach(bb.putInt)
           bb.put(packFixed(rv, runs, w))
           (EncRunEnd, bb.array())
-        } else if (vec.isFixed && isIntegral(dt) && {
+        } else if (vec.isFixed && isIntegral(dt)) {
+          // FoR-bitpack vs delta+bitpack vs plain: pick the fewest bits.
           var mn = vec.longs(0); var mx = mn
           var i = 1
           while (i < n) {
@@ -248,21 +249,44 @@ object PageCodec {
             i += 1
           }
           val range = mx - mn
-          // guard subtraction overflow (mx>0, mn<0, huge spread)
-          range >= 0 && {
-            val bits = if (range == 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(range)
-            bits < 8 * w && (9 + (n.toLong * bits + 7) / 8) < n.toLong * w
-          }
-        }) {
-          var mn = vec.longs(0)
-          var i = 1
-          while (i < n) { if (vec.longs(i) < mn) mn = vec.longs(i); i += 1 }
-          var mx = vec.longs(0)
+          val forBits =
+            if (range < 0) -1 // subtraction overflow (mx>0, mn<0, huge spread)
+            else if (range == 0) 1
+            else 64 - java.lang.Long.numberOfLeadingZeros(range)
+          // deltas of near-sorted columns (timestamps, assigned ids)
+          // span far fewer bits than the values themselves
+          var dMn = 0L; var dMx = 0L; var dOk = n > 1
           i = 1
-          while (i < n) { if (vec.longs(i) > mx) mx = vec.longs(i); i += 1 }
-          val range = mx - mn
-          val bits = if (range == 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(range)
-          (EncBitpack, packBits(vec.longs, n, mn, bits))
+          while (i < n && dOk) {
+            val d = vec.longs(i) - vec.longs(i - 1)
+            // overflow check: sign of (a-b) must match the comparison
+            if ((vec.longs(i) >= vec.longs(i - 1)) != (d >= 0)) dOk = false
+            else {
+              if (i == 1) { dMn = d; dMx = d }
+              if (d < dMn) dMn = d
+              if (d > dMx) dMx = d
+            }
+            i += 1
+          }
+          val dRange = dMx - dMn
+          val deltaBits =
+            if (!dOk || dRange < 0) -1
+            else if (dRange == 0) 1
+            else 64 - java.lang.Long.numberOfLeadingZeros(dRange)
+          val forSize = if (forBits > 0 && forBits < 8 * w) 9 + (n.toLong * forBits + 7) / 8 else Long.MaxValue
+          val deltaSize = if (deltaBits > 0) 17 + ((n - 1).toLong * deltaBits + 7) / 8 else Long.MaxValue
+          val plainSize = n.toLong * w
+          if (deltaSize < forSize && deltaSize < plainSize) {
+            val deltas = new Array[Long](n - 1)
+            i = 1
+            while (i < n) { deltas(i - 1) = vec.longs(i) - vec.longs(i - 1); i += 1 }
+            val packed = packBits(deltas, n - 1, dMn, deltaBits)
+            val bb = ByteBuffer.allocate(8 + packed.length).order(ByteOrder.LITTLE_ENDIAN)
+            bb.putLong(vec.longs(0)); bb.put(packed)
+            (EncDelta, bb.array())
+          } else if (forSize < plainSize) {
+            (EncBitpack, packBits(vec.longs, n, mn, forBits))
+          } else (EncPlain, packFixed(vec.longs, n, w))
         } else if (!vec.isFixed) {
           // dictionary for strings/binary when cardinality is low
           val dict = new java.util.LinkedHashMap[java.nio.ByteBuffer, Integer]()
@@ -380,6 +404,16 @@ object PageCodec {
           arr(i) = entries(id); i += 1
         }
         new ColVec(n, nulls, null, arr)
+      case EncDelta =>
+        val first = bb.getLong()
+        val arr = new Array[Long](n)
+        arr(0) = first
+        if (n > 1) {
+          val deltas = unpackBits(bb, n - 1)
+          var i = 1
+          while (i < n) { arr(i) = arr(i - 1) + deltas(i - 1); i += 1 }
+        }
+        new ColVec(n, nulls, arr, null)
       case EncFsst =>
         new ColVec(n, nulls, null, FsstCodec.decode(bb, n))
       case _ => // plain

@@ -276,7 +276,6 @@ class VortexColumnarReader(part: VortexInputPartition,
   private val dts = required.fields.map(_.dataType)
   private val fs = path.getFileSystem(conf)
   private val in = fs.open(path)
-  private var chunkPos = 0
   private var batch: ColumnarBatch = _
 
   private def constVector(n: Int, dt: DataType, v: Any): OnHeapColumnVector = {
@@ -294,10 +293,15 @@ class VortexColumnarReader(part: VortexInputPartition,
     cv
   }
 
+  // async single-slot prefetch: see ChunkPrefetcher (I/O ∥ decode+fill)
+  private val prefetchQ = new ChunkPrefetcher(in, footer, part.chunkIdxs,
+    slots.map { case Right(c) => c; case Left(_) => -1 })
+
   override def next(): Boolean = {
     if (batch != null) { batch.close(); batch = null }
-    if (chunkPos >= part.chunkIdxs.length) return false
-    val ci = part.chunkIdxs(chunkPos); chunkPos += 1
+    val nx = prefetchQ.next()
+    if (nx == null) return false
+    val (ci, raw) = nx
     val chunk = footer.chunks(ci)
     val n = chunk.rowCount
     val vectors = new Array[org.apache.spark.sql.vectorized.ColumnVector](dts.length)
@@ -305,10 +309,8 @@ class VortexColumnarReader(part: VortexInputPartition,
     while (c < dts.length) {
       vectors(c) = slots(c) match {
         case Right(fc) =>
-          val m = chunk.columns(fc)
-          val buf = new Array[Byte](m.length)
-          in.readFully(m.offset, buf)
-          val vec = VortexFileReader.decodeColumn(buf, m, n, footer.schema.fields(fc))
+          val vec = VortexFileReader.decodeColumn(raw(c), chunk.columns(fc), n,
+            footer.schema.fields(fc))
           val cv = new OnHeapColumnVector(n, dts(c))
           fill(cv, vec, dts(c), n)
           cv
@@ -356,7 +358,7 @@ class VortexColumnarReader(part: VortexInputPartition,
   override def get(): ColumnarBatch = batch
   override def close(): Unit = {
     if (batch != null) batch.close()
-    in.close()
+    prefetchQ.close()
   }
 }
 
@@ -379,22 +381,24 @@ class VortexPartitionReader(part: VortexInputPartition,
   private val row = new GenericInternalRow(required.length)
   slots.zipWithIndex.foreach { case (Left(const), c) => row.update(c, const); case _ => }
 
-  private var chunkPos = 0          // index into part.chunkIdxs
+  // async single-slot prefetch: chunk i+1's pages stream in while
+  // chunk i decodes (I/O ∥ decode)
+  private val prefetch = new ChunkPrefetcher(in, footer, part.chunkIdxs,
+    slots.map { case Right(c) => c; case Left(_) => -1 })
   private var vecs: Array[ColVec] = _   // aligned with required; null for partition slots
   private var rowsInChunk = 0
   private var i = 0
 
   private def loadNextChunk(): Boolean = {
-    if (chunkPos >= part.chunkIdxs.length) return false
-    val ci = part.chunkIdxs(chunkPos); chunkPos += 1
+    val nx = prefetch.next()
+    if (nx == null) return false
+    val (ci, raw) = nx
     val chunk = footer.chunks(ci)
-    vecs = slots.map {
-      case Right(c) =>
-        val m = chunk.columns(c)
-        val buf = new Array[Byte](m.length)
-        in.readFully(m.offset, buf)
-        VortexFileReader.decodeColumn(buf, m, chunk.rowCount, footer.schema.fields(c))
-      case Left(_) => null
+    vecs = slots.zipWithIndex.map {
+      case (Right(c), k) =>
+        VortexFileReader.decodeColumn(raw(k), chunk.columns(c), chunk.rowCount,
+          footer.schema.fields(c))
+      case (Left(_), _) => null
     }
     rowsInChunk = chunk.rowCount
     i = 0
@@ -412,7 +416,7 @@ class VortexPartitionReader(part: VortexInputPartition,
     true
   }
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = prefetch.close()
 }
 
 // ---------------------------- write path ----------------------------------

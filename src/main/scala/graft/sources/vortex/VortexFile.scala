@@ -110,6 +110,66 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
   }
 }
 
+/** Single-slot async page prefetcher: while the consumer decodes chunk
+  * i, a pool thread fetches chunk i+1's column pages — I/O overlaps
+  * decode (≙ the reference scan's async I/O role). At most ONE task is
+  * outstanding per reader, so the underlying stream is never touched by
+  * two threads at once and memory overhead is bounded at one chunk.
+  */
+final class ChunkPrefetcher(in: org.apache.hadoop.fs.FSDataInputStream,
+                            footer: VortexFormat.Footer,
+                            chunkIdxs: Array[Int],
+                            fileCols: Array[Int]) extends AutoCloseable {
+  private var pos = 0
+  private var pending: java.util.concurrent.Future[Array[Array[Byte]]] = _
+
+  private def fetch(ci: Int): Array[Array[Byte]] = {
+    val chunk = footer.chunks(ci)
+    fileCols.map { c =>
+      if (c < 0) null
+      else {
+        val m = chunk.columns(c)
+        val buf = new Array[Byte](m.length)
+        in.readFully(m.offset, buf)
+        buf
+      }
+    }
+  }
+
+  /** (chunk index, raw pages aligned with fileCols), or null at end */
+  def next(): (Int, Array[Array[Byte]]) = {
+    if (pos >= chunkIdxs.length) return null
+    val ci = chunkIdxs(pos); pos += 1
+    val raw = if (pending != null) pending.get() else fetch(ci)
+    pending =
+      if (pos < chunkIdxs.length) {
+        val nci = chunkIdxs(pos)
+        ChunkPrefetcher.pool.submit(new java.util.concurrent.Callable[Array[Array[Byte]]] {
+          override def call(): Array[Array[Byte]] = fetch(nci)
+        })
+      } else null
+    (ci, raw)
+  }
+
+  override def close(): Unit = {
+    if (pending != null) {
+      try pending.get() catch { case _: Exception => }
+      pending = null
+    }
+    in.close()
+  }
+}
+
+object ChunkPrefetcher {
+  /** shared daemon pool — prefetch is I/O-bound; a few threads suffice */
+  lazy val pool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, Runtime.getRuntime.availableProcessors()),
+      (r: Runnable) => {
+        val t = new Thread(r, "vortex-prefetch"); t.setDaemon(true); t
+      })
+}
+
 object VortexFileReader {
   import VortexFormat._
 

@@ -47,6 +47,10 @@ object VortexFormat {
   /** sampled static-symbol-table string compression (≙ the
     * vortex-fsst role, SURVEY.md §2.9; reference Cargo.lock:4331-4344) */
   val EncFsst: Byte = 5
+  /** delta + FoR-bitpack for near-sorted integral columns (timestamps,
+    * monotonically assigned ids): deltas span far fewer bits than the
+    * values (≙ the vortex-fastlanes delta role, SURVEY.md §2.9) */
+  val EncDelta: Byte = 6
 
   /** Per-column timestamp storage unit (reference parity: the format
     * round-trips TIMESTAMP_S/MS/µs/NS as distinct types —

@@ -64,4 +64,43 @@ class CodecRegressionSpec extends AnyFunSuite {
     assert(back.select("k", "v").as[(String, Long)].collect().toMap ==
       Map("€uro" -> 1L, "日本" -> 2L, "plain" -> 3L))
   }
+  test("delta encoding: chosen for sorted timestamps/ids, exact round trip") {
+    import graft.sources.vortex.{ColVec, PageCodec, VortexFormat}
+    import org.apache.spark.sql.types.LongType
+    // sorted with small jitter: value range spans 36 bits, delta range ~10
+    val rnd = new scala.util.Random(11)
+    val n = 5000
+    val vals = new Array[Long](n)
+    var v = 1700000000000000L
+    (0 until n).foreach { i => v += 1 + rnd.nextInt(1000); vals(i) = v }
+    val vec = new ColVec(n, new Array[Boolean](n), vals.clone(), null)
+    val enc = PageCodec.encode(vec, LongType)
+    assert(enc.encoding == VortexFormat.EncDelta, s"expected delta, got ${enc.encoding}")
+    val dec = PageCodec.decode(enc.bytes, enc.encoding, enc.compressed, n, enc.nullCount, LongType)
+    assert(java.util.Arrays.equals(dec.longs, vals))
+  }
+
+  test("delta encoding: descending and mixed-sign deltas round trip") {
+    import graft.sources.vortex.{ColVec, PageCodec, VortexFormat}
+    import org.apache.spark.sql.types.LongType
+    val vals: Array[Long] = Array.tabulate(2000)(i => 5000000000L - i.toLong * 3 + (i % 7))
+    val vec = new ColVec(vals.length, new Array[Boolean](vals.length), vals.clone(), null)
+    val enc = PageCodec.encode(vec, LongType)
+    assert(enc.encoding == VortexFormat.EncDelta)
+    val dec = PageCodec.decode(enc.bytes, enc.encoding, enc.compressed, vals.length,
+      enc.nullCount, LongType)
+    assert(java.util.Arrays.equals(dec.longs, vals))
+  }
+
+  test("delta-vs-FoR selection: wide random values keep FoR/plain") {
+    import graft.sources.vortex.{ColVec, PageCodec, VortexFormat}
+    import org.apache.spark.sql.types.LongType
+    val rnd = new scala.util.Random(13)
+    val vals = Array.fill(1000)(rnd.nextLong() >> 20) // wide but not overflowing deltas everywhere
+    val vec = new ColVec(vals.length, new Array[Boolean](vals.length), vals.clone(), null)
+    val enc = PageCodec.encode(vec, LongType)
+    val dec = PageCodec.decode(enc.bytes, enc.encoding, enc.compressed, vals.length,
+      enc.nullCount, LongType)
+    assert(java.util.Arrays.equals(dec.longs, vals))
+  }
 }

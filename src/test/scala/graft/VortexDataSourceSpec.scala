@@ -158,7 +158,10 @@ class VortexDataSourceSpec extends AnyFunSuite {
       .map(_.getPath).find(_.getName.endsWith(".vortex")).get
     val footer = graft.sources.vortex.VortexFileReader.readFooter(f, spark.sessionState.newHadoopConf())
     val encs = footer.chunks(0).columns.map(_.encoding)
-    assert(encs(0) == graft.sources.vortex.VortexFormat.EncBitpack, s"id enc=${encs(0)}")
+    // sequential ids: constant delta (1 bit) now beats FoR (17 bits)
+    assert(encs(0) == graft.sources.vortex.VortexFormat.EncDelta, s"id enc=${encs(0)}")
+    // cyclic small ints: delta range (~100) ties FoR's 7 bits and FoR's
+    // smaller header wins the size comparison
     assert(encs(1) == graft.sources.vortex.VortexFormat.EncBitpack, s"small enc=${encs(1)}")
   }
 
