@@ -447,20 +447,16 @@ object DedupOps {
 
   // SimHash: 64-bit signature from per-token md5 bits (majority vote per
   // bit; tie → 0). Output as a 64-char '0'/'1' string.
+  // SimHash via the typed Aggregator: 64 ±1 votes per token taken
+  // straight off the md5 bytes, partial+final merge — no ×64 explode,
+  // no (doc, bit) shuffle (38M rows at sf0.1 under the old shape).
   spark("d_simhash",
     (s, d) => {
-      val tok = tokens(s, d).select(col("doc_id"), md5(col("w")).as("h"))
-      val bits = tok.crossJoin(s.range(0, 64).toDF("b"))
-        .select(col("doc_id"), col("b"),
-          // hex digit at position b/4 (1-based), bit (3 - b%4) within it
-          (expr("CAST(floor((instr('0123456789abcdef', substr(h, CAST(b DIV 4 AS INT) + 1, 1)) - 1) " +
-                "/ power(2, 3 - b % 4)) AS BIGINT) % 2")).as("bit"))
-      bits.groupBy("doc_id", "b")
-        .agg(sum(col("bit") * 2 - 1).as("vote"))
-        .withColumn("sb", when(col("vote") > 0, "1").otherwise("0"))
-        .groupBy("doc_id")
-        .agg(concat_ws("",
-          transform(array_sort(collect_list(struct(col("b"), col("sb")))), x => x("sb"))).as("sim64"))
+      import s.implicits._
+      val agg = new graft.functions.SimHashAgg().toColumn
+      tokens(s, d).as[(Long, String)]
+        .groupByKey(_._1).mapValues(_._2).agg(agg.name("sim64"))
+        .toDF("doc_id", "sim64")
         .orderBy("doc_id")
     },
     s"""WITH tok AS (SELECT doc_id, md5(w) AS h FROM ($tokSql) t),

@@ -36,15 +36,19 @@ object PartitionedLayout {
   }
 
   /** Partition schema inferred across files (Long if every value
-    * parses, else Double, else String — mirroring Spark's parquet
-    * partition inference, minus dates). */
+    * parses, else Double, else ISO date/timestamp, else String —
+    * mirroring Spark's parquet partition inference). */
   def inferPartitionSchema(files: Seq[(FileStatus, Seq[(String, String)])]): StructType = {
     val keys = files.flatMap(_._2.map(_._1)).distinct
     StructType(keys.map { k =>
       val vals = files.flatMap(_._2.collect { case (`k`, v) => v })
+      def all(p: String => Unit): Boolean =
+        vals.forall(v => scala.util.Try(p(v)).isSuccess)
       val dt =
-        if (vals.forall(v => scala.util.Try(v.toLong).isSuccess)) LongType
-        else if (vals.forall(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
+        if (all(_.toLong: Unit)) LongType
+        else if (all(_.toDouble: Unit)) DoubleType
+        else if (all(java.time.LocalDate.parse(_): Unit)) DateType
+        else if (all(java.time.LocalDateTime.parse(_): Unit)) TimestampNTZType
         else StringType
       StructField(k, dt, nullable = false)
     })
@@ -55,14 +59,26 @@ object PartitionedLayout {
     case LongType => v.toLong
     case IntegerType => v.toInt
     case DoubleType => v.toDouble
+    case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+    case TimestampNTZType =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateTimeToMicros(java.time.LocalDateTime.parse(v))
     case StringType => UTF8String.fromString(v)
     case other => throw new UnsupportedOperationException(s"partition type $other")
   }
 
-  /** Catalyst internal value → path segment string */
-  def toPathString(v: Any): String = v match {
-    case u: UTF8String => escape(u.toString)
-    case other => other.toString
+  /** Catalyst internal value → path segment string (typed: dates print
+    * ISO-8601, not raw epoch numbers, so paths are human-readable and
+    * the inference above round-trips the type) */
+  def toPathString(v: Any, dt: DataType): String = dt match {
+    case DateType => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+    case TimestampNTZType =>
+      escape(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .microsToLocalDateTime(v.asInstanceOf[Long]).toString)
+    case _ => v match {
+      case u: UTF8String => escape(u.toString)
+      case other => other.toString
+    }
   }
 
   /** Percent-encode UTF-8 BYTES (each ≤ 0xFF → exactly two hex digits),
@@ -97,6 +113,8 @@ object PartitionedLayout {
       partSchema.fields.find(_.name == k).map(_.dataType) match {
         case Some(LongType) => raw.toLong
         case Some(DoubleType) => raw.toDouble
+        case Some(DateType) => java.time.LocalDate.parse(raw) // compared as epochDay
+        case Some(TimestampNTZType) => java.time.LocalDateTime.parse(raw)
         case _ => raw
       }
     }
@@ -104,6 +122,11 @@ object PartitionedLayout {
       case (x: Long, y: Number) => Some(java.lang.Long.compare(x, y.longValue()))
       case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
       case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: java.time.LocalDate, y: java.time.LocalDate) =>
+        Some(java.lang.Long.compare(x.toEpochDay, y.toEpochDay))
+      case (x: java.time.LocalDate, y: java.sql.Date) =>
+        Some(java.lang.Long.compare(x.toEpochDay, y.toLocalDate.toEpochDay))
+      case (x: java.time.LocalDateTime, y: java.time.LocalDateTime) => Some(x.compareTo(y))
       case _ => None
     }
     filter match {

@@ -126,15 +126,24 @@ class VortexScanBuilder(schema: StructType, paths: Seq[String])
   override def build(): Scan = new VortexScan(schema, required, filters, paths)
 }
 
-/** One split = consecutive surviving chunks of one file, ~128 MB. */
+/** One split = consecutive surviving chunks of one file, ~128 MB.
+  * `partKey` (nullable) carries the typed Hive-partition values so the
+  * scan can report KeyGroupedPartitioning — Spark groups splits by key
+  * and storage-partitioned joins / partition-keyed aggregations run
+  * with NO shuffle (the 100 TB co-location lever). */
 case class VortexInputPartition(file: String, chunkIdxs: Array[Int],
                                 partCols: Array[String] = Array.empty,
-                                partValues: Array[String] = Array.empty) extends InputPartition
+                                partValues: Array[String] = Array.empty,
+                                partKey: org.apache.spark.sql.catalyst.InternalRow = null)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = partKey
+}
 
 class VortexScan(fileSchema: StructType, required: StructType,
                  initialFilters: Array[Filter], paths: Seq[String])
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   private var filters: Array[Filter] = initialFilters
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -170,10 +179,36 @@ class VortexScan(fileSchema: StructType, required: StructType,
   /** Runtime filtering (dynamic partition/chunk pruning): join-derived
     * filters arrive after planning; merging them tightens directory-
     * and chunk-level pruning on the next planInputPartitions call. */
+  // only columns that survive projection: Spark resolves these against
+  // the scan OUTPUT (a pruned-away column would throw in DPP planning)
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    fileSchema.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
   override def filter(runtimeFilters: Array[Filter]): Unit =
     filters = filters ++ runtimeFilters
+
+  /** Hive-partitioned datasets report their layout as
+    * KeyGroupedPartitioning(identity(partCol)…): Spark groups splits by
+    * partition key, so equi-joins between co-partitioned vortex tables
+    * and aggregations keyed on partition columns skip the exchange
+    * entirely (storage-partitioned join; needs
+    * spark.sql.sources.v2.bucketing.enabled). Non-partitioned datasets
+    * report UnknownPartitioning. */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val parts = planInputPartitions().map(_.asInstanceOf[VortexInputPartition])
+    val grouped = parts.nonEmpty && parts.head.partCols.nonEmpty && parts.head.partKey != null &&
+      parts.forall(p => p.partCols.sameElements(parts.head.partCols) && p.partKey != null) &&
+      SparkSession.active.conf.get("spark.sql.sources.v2.bucketing.enabled", "false") == "true" &&
+      // key columns must survive projection for the keys to resolve
+      parts.head.partCols.forall(c => required.fieldNames.contains(c))
+    if (grouped)
+      new KeyGroupedPartitioning(
+        parts.head.partCols.map(c => Expressions.identity(c):
+          org.apache.spark.sql.connector.expressions.Expression),
+        parts.length)
+    else new UnknownPartitioning(parts.length)
+  }
 
   /** planning is memoized per pushed-filter set: Spark calls
     * planInputPartitions from estimateStatistics, batch planning, and
@@ -206,6 +241,12 @@ class VortexScan(fileSchema: StructType, required: StructType,
         val footer = VortexFileReader.readFooter(f, conf)
         val pc = kvs.map(_._1).toArray
         val pv = kvs.map(_._2).toArray
+        val pk =
+          if (kvs.isEmpty) null
+          else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            kvs.map { case (k, v) =>
+              PartitionedLayout.toInternal(v, partSchema(k).dataType)
+            }.toArray[Any])
         var cur = scala.collection.mutable.ArrayBuffer[Int]()
         var bytes = 0L
         footer.chunks.zipWithIndex.foreach { case (chunk, ci) =>
@@ -215,12 +256,12 @@ class VortexScan(fileSchema: StructType, required: StructType,
             cur += ci
             bytes += chunk.columns.map(_.length.toLong).sum
             if (bytes >= VortexFormat.TargetSplitBytes) {
-              parts += VortexInputPartition(f.toString, cur.toArray, pc, pv)
+              parts += VortexInputPartition(f.toString, cur.toArray, pc, pv, pk)
               cur = scala.collection.mutable.ArrayBuffer[Int](); bytes = 0L
             }
           }
         }
-        if (cur.nonEmpty) parts += VortexInputPartition(f.toString, cur.toArray, pc, pv)
+        if (cur.nonEmpty) parts += VortexInputPartition(f.toString, cur.toArray, pc, pv, pk)
       }
     }
     val out = parts.toArray
@@ -282,8 +323,10 @@ class VortexColumnarReader(part: VortexInputPartition,
     val cv = new OnHeapColumnVector(n, dt)
     var i = 0
     dt match {
-      case LongType => while (i < n) { cv.putLong(i, v.asInstanceOf[Long]); i += 1 }
-      case IntegerType => while (i < n) { cv.putInt(i, v.asInstanceOf[Int]); i += 1 }
+      case LongType | TimestampType | TimestampNTZType =>
+        while (i < n) { cv.putLong(i, v.asInstanceOf[Long]); i += 1 }
+      case IntegerType | DateType =>
+        while (i < n) { cv.putInt(i, v.asInstanceOf[Int]); i += 1 }
       case DoubleType => while (i < n) { cv.putDouble(i, v.asInstanceOf[Double]); i += 1 }
       case StringType =>
         val b = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
@@ -536,7 +579,7 @@ class VortexPartitionedDataWriter(schema: StructType, dir: String, jobId: String
     val segs = partIdx.indices.map { i =>
       val v = record.get(partIdx(i), partDts(i))
       require(v != null, s"vortex: null partition value for ${partitionCols(i)}")
-      s"${partitionCols(i)}=${PartitionedLayout.toPathString(v)}"
+      s"${partitionCols(i)}=${PartitionedLayout.toPathString(v, partDts(i))}"
     }
     val key = segs.mkString("/")
     val (_, w) = writers.getOrElseUpdate(key, {

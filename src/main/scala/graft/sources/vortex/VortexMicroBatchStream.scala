@@ -8,23 +8,55 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 
-/** File-set offset: the set of data files already emitted. Robust to
-  * any file naming (new files = set difference), at the cost of offset
-  * size growing with file count — fine for micro-batch ETL volumes;
-  * compaction is a later refinement.
+/** Compacted streaming offset: instead of the full file set (which
+  * grows without bound over a long-lived stream), the offset records a
+  * modification-time WATERMARK plus only the file names AT that exact
+  * tick: a file is "seen" iff mtime < watermark, or mtime == watermark
+  * and its name is listed. Offset size is bounded by the newest-tick
+  * file count regardless of stream age. Assumes new files never appear
+  * with an mtime older than already-committed ones (the same growing-
+  * directory contract Spark's own file source makes under maxFileAge).
+  * Legacy full-set offsets (a bare JSON array) still deserialize, so
+  * pre-compaction checkpoints resume cleanly.
   */
-case class VortexOffset(files: Seq[String]) extends Offset {
-  override def json(): String =
-    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+case class VortexOffset(maxMtime: Long, atMax: Seq[String],
+                        legacyAll: Option[Set[String]] = None) extends Offset {
+  private def esc(f: String): String =
+    "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  def seen(file: String, mtime: Long): Boolean = legacyAll match {
+    case Some(all) => all.contains(file)
+    case None => mtime < maxMtime || (mtime == maxMtime && atMax.contains(file))
+  }
+
+  override def json(): String = legacyAll match {
+    case Some(all) => all.toSeq.sorted.map(esc).mkString("[", ",", "]")
+    case None =>
+      s"""{"m":$maxMtime,"files":${atMax.map(esc).mkString("[", ",", "]")}}"""
+  }
 }
 
 object VortexOffset {
+  val Empty: VortexOffset = VortexOffset(Long.MinValue, Seq.empty)
+
+  private def parseArray(t: String): Seq[String] = {
+    val inner = t.trim.stripPrefix("[").stripSuffix("]").trim
+    if (inner.isEmpty) Seq.empty
+    else inner.split("\",\\s*\"").map(_.stripPrefix("\"").stripSuffix("\"")
+      .replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+  }
+
   def fromJson(s: String): VortexOffset = {
-    val t = s.trim.stripPrefix("[").stripSuffix("]").trim
-    if (t.isEmpty) VortexOffset(Seq.empty)
-    else VortexOffset(t.split("\",\\s*\"").map(_.stripPrefix("\"").stripSuffix("\"")
-      .replace("\\\"", "\"").replace("\\\\", "\\")).toSeq)
+    val t = s.trim
+    if (t.startsWith("[")) // legacy full-set offset from an old checkpoint
+      VortexOffset(Long.MinValue, Seq.empty, Some(parseArray(t).toSet))
+    else {
+      val m = "\"m\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(t)
+        .map(_.group(1).toLong).getOrElse(Long.MinValue)
+      val files = "\"files\"\\s*:\\s*(\\[.*\\])".r.findFirstMatchIn(t)
+        .map(mm => parseArray(mm.group(1))).getOrElse(Seq.empty)
+      VortexOffset(m, files)
+    }
   }
 }
 
@@ -39,19 +71,33 @@ class VortexMicroBatchStream(schema: StructType, paths: Seq[String],
   private val spark = SparkSession.active
   private def conf = spark.sessionState.newHadoopConf()
 
-  private def currentFiles: Seq[String] =
-    VortexDataSource.listAll(paths, conf).map(_._1.getPath.toString)
+  private def listing: Seq[(String, Long)] =
+    VortexDataSource.listAll(paths, conf)
+      .map(t => (t._1.getPath.toString, t._1.getModificationTime))
 
-  override def initialOffset(): Offset = VortexOffset(Seq.empty)
-  override def latestOffset(): Offset = VortexOffset(currentFiles)
+  override def initialOffset(): Offset = VortexOffset.Empty
+  override def latestOffset(): Offset = {
+    val ls = listing
+    if (ls.isEmpty) VortexOffset.Empty
+    else {
+      val m = ls.map(_._2).max
+      VortexOffset(m, ls.collect { case (f, mt) if mt == m => f })
+    }
+  }
   override def deserializeOffset(json: String): Offset = VortexOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[VortexOffset].files.toSet
-    val fresh = end.asInstanceOf[VortexOffset].files.filterNot(seen)
-    fresh.flatMap { f =>
+    val startO = start.asInstanceOf[VortexOffset]
+    val endO = end.asInstanceOf[VortexOffset]
+    // the listing may already contain files NEWER than `end` (written
+    // after latestOffset was computed): exclude them — they belong to
+    // the next batch, and including them here would double-read.
+    val fresh = listing.filter { case (f, mt) =>
+      !startO.seen(f, mt) && endO.seen(f, mt)
+    }
+    fresh.flatMap { case (f, _) =>
       val footer = VortexFileReader.readFooter(new Path(f), conf)
       if (footer.chunks.isEmpty) None
       else Some(VortexInputPartition(f, footer.chunks.indices.toArray))

@@ -31,8 +31,24 @@ class RuntimeFilterSpec extends AnyFunSuite {
 
   test("streaming offset JSON round trip incl. escaping") {
     val files = Seq("/a/b/part-1.vortex", "/weird \"name\"/x.vortex")
-    val o = VortexOffset(files)
-    assert(VortexOffset.fromJson(o.json()).files == files)
-    assert(VortexOffset.fromJson(VortexOffset(Seq.empty).json()).files.isEmpty)
+    val o = VortexOffset(1723450000123L, files)
+    val back = VortexOffset.fromJson(o.json())
+    assert(back.maxMtime == o.maxMtime && back.atMax == files && back.legacyAll.isEmpty)
+    assert(VortexOffset.fromJson(VortexOffset.Empty.json()) == VortexOffset.Empty)
+  }
+
+  test("legacy full-set offsets still deserialize (checkpoint compat)") {
+    val legacy = """["/a/b/part-1.vortex", "/weird \"name\"\/x.vortex"]"""
+      .replace("\\/", "/")
+    val o = VortexOffset.fromJson(legacy)
+    assert(o.legacyAll.isDefined)
+    assert(o.seen("/a/b/part-1.vortex", 123L))
+    assert(!o.seen("/new/file.vortex", 123L))
+    // compacted semantics: seen = strictly-older mtime or listed at tick
+    val c = VortexOffset(1000L, Seq("/tie.vortex"))
+    assert(c.seen("/old.vortex", 999L))
+    assert(c.seen("/tie.vortex", 1000L))
+    assert(!c.seen("/other-tie.vortex", 1000L))
+    assert(!c.seen("/new.vortex", 1001L))
   }
 }
