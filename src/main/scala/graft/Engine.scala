@@ -25,10 +25,13 @@ final case class Engine(spark: SparkSession) {
     spark.read.format("vortex").load(path)
 
   def writeVortex(df: DataFrame, path: String, overwrite: Boolean = true,
-                  partitionBy: Seq[String] = Seq.empty): Unit = {
-    val w = df.write.format("vortex").mode(if (overwrite) "overwrite" else "append")
-    (if (partitionBy.nonEmpty) w.option("partitionBy", partitionBy.mkString(",")) else w)
-      .save(path)
+                  partitionBy: Seq[String] = Seq.empty,
+                  timestampUnits: Map[String, String] = Map.empty): Unit = {
+    var w = df.write.format("vortex").mode(if (overwrite) "overwrite" else "append")
+    if (partitionBy.nonEmpty) w = w.option("partitionBy", partitionBy.mkString(","))
+    if (timestampUnits.nonEmpty)
+      w = w.option("timestampUnits", timestampUnits.map { case (k, u) => s"$k=$u" }.mkString(","))
+    w.save(path)
   }
 
   def readVortexStream(path: String): DataFrame =
@@ -61,6 +64,31 @@ final case class Engine(spark: SparkSession) {
     queries.DedupOps.minhashCandidates(spark,
       df.select(col(idCol).cast("long").as("doc_id"),
         explode(array_distinct(split(col(textCol), " "))).as("w")))
+
+  /** Exact Jaccard-≥-τ near-duplicate pairs over whitespace tokens —
+    * distributed prefix-filter self-join with a cost-probed block-join
+    * fallback; no driver-side corpus state at any size. */
+  def jaccardNearDup(df: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame =
+    queries.DedupOps.jaccardDocPairs(spark,
+      df.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("w")), tau)
+
+  /** MinHash-LSH candidates verified by exact Jaccard ≥ τ (precision 1,
+    * LSH recall) — the full near-dup operation a pipeline runs. */
+  def minhashNearDup(df: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame =
+    queries.DedupOps.minhashNearDup(spark,
+      df.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("w")), tau)
+
+  /** 64-bit SimHash signature per document (typed Aggregator — one
+    * pass, map-side partial merge) */
+  def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val agg = new functions.SimHashAgg().toColumn
+    df.select(col(idCol).cast("long"), explode(array_distinct(split(col(textCol), " "))))
+      .as[(Long, String)]
+      .groupByKey(_._1).mapValues(_._2).agg(agg.name("sim64"))
+      .toDF(idCol, "sim64")
+  }
 
   /** per-document k-function MinHash signature (typed Aggregator) */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int = 16): DataFrame = {

@@ -473,7 +473,24 @@ class VortexWriteBuilder(schema: StructType, path: String, chunkRows: Int,
 }
 
 class VortexWrite(schema: StructType, path: String, truncate: Boolean, chunkRows: Int,
-                  partitionCols: Seq[String] = Seq.empty) extends Write {
+                  partitionCols: Seq[String] = Seq.empty) extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+
+  /** Partitioned writes cluster rows by the partition columns first:
+    * without this every task opens a writer for every partition value
+    * it happens to see — at 1000 executors × K values that is 1000·K
+    * small files per job. Clustered, each partition value lands in few
+    * tasks and file count scales with data, not with parallelism. */
+  override def requiredDistribution(): Distribution =
+    if (partitionCols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray)
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+  override def requiredNumPartitions(): Int = 0 // Spark picks
+
   override def toBatch: BatchWrite = new VortexBatchWrite(schema, path, truncate, chunkRows, partitionCols)
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new VortexStreamingWrite(schema, path, chunkRows)

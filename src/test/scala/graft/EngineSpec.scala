@@ -33,6 +33,14 @@ class EngineSpec extends AnyFunSuite {
     assert(sigs.count() == docs.count())
     assert(sigs.head().getString(1).split("\\|").length == 16)
     assert(e.textQuality(docs, "doc_id", "text").count() == docs.count())
+    val sim = e.simHashSignatures(docs, "doc_id", "text")
+    assert(sim.count() == docs.count() && sim.head().getString(1).length == 64)
+    // verified near-dups are a subset of exact Jaccard pairs at the same τ
+    val exact = e.jaccardNearDup(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = e.minhashNearDup(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
     assert(e.fingerprint(docs, "doc_id", "text").select("fp").distinct().count() ==
       docs.selectExpr("lower(regexp_replace(text, '\\\\s+', ' '))").distinct().count())
   }

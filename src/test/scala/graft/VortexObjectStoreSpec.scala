@@ -14,12 +14,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * production) and runs the round trip through it.
   */
 class VortexObjectStoreSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.hadoop.fs.mockfs.impl", classOf[MockFs].getName)
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    // getOrCreate may reuse another suite's session, dropping builder
+    // confs — register the scheme on the live Hadoop conf instead
+    s.sparkContext.hadoopConfiguration.set("fs.mockfs.impl", classOf[MockFs].getName)
+    s
+  }
 
   test("vortex write + glob read + pushdown over a non-file FS scheme") {
     import org.apache.spark.sql.functions._

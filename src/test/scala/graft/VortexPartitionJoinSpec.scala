@@ -71,6 +71,19 @@ class VortexPartitionJoinSpec extends AnyFunSuite {
     assert(back.filter(col("d") > java.sql.Date.valueOf("2024-01-03")).count() == 25)
   }
 
+  test("partitioned write clusters by partition value (no small-files blowup)") {
+    val dir = Files.createTempDirectory("vortex_spj_clus_").toString
+    // 4 upstream partitions × 8 keys: unclustered would write up to 32
+    // files; the write's required clustered distribution bounds files
+    // by distinct key count
+    spark.range(0, 2000).repartition(4).selectExpr("id AS v", "CAST(id % 8 AS BIGINT) AS k")
+      .write.format("vortex").option("partitionBy", "k").mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.startsWith("k="))
+      .flatMap(_.listFiles).count(_.getName.endsWith(".vortex"))
+    assert(files <= 8, s"expected ≤8 clustered files, found $files")
+    assert(spark.read.format("vortex").load(dir).count() == 2000)
+  }
+
   test("non-partitioned scans still report unknown partitioning (no regression)") {
     val dir = Files.createTempDirectory("vortex_spj_flat_").toString
     spark.range(0, 1000).selectExpr("id AS v", "id % 8 AS k")
