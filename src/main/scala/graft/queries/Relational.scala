@@ -295,6 +295,42 @@ object Relational {
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY revenue DESC NULLS LAST, c_custkey LIMIT 20""".stripMargin)
 
+  // Q6 skeleton: selective filter + single exact-decimal aggregate —
+  // the canonical predicate-pushdown-then-scan query.
+  common("tpch_q6_forecast",
+    """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin)
+
+  // Q4 skeleton: EXISTS-correlated subquery (adapted: ship-after-order
+  // stands in for commit<receipt, which the synthetic schema lacks).
+  common("tpch_q4_priority",
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  // Q14 skeleton: conditional revenue ratio over a fact-dim join.
+  common("tpch_q14_promo",
+    """SELECT CAST(100 AS DOUBLE) *
+      |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |  / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin)
+
+  // Q18 skeleton: group-having over the 3-way join (large-volume orders).
+  common("tpch_q18_large",
+    """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
+      |ORDER BY price DESC NULLS LAST, o_orderkey LIMIT 20""".stripMargin)
+
   // ---- §2.6 sorts / limits / set ops ----------------------------------
   common("o1_sort_multikey",
     """SELECT l_orderkey, l_linenumber, CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
