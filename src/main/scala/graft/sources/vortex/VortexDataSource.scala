@@ -232,10 +232,32 @@ class VortexScan(fileSchema: StructType, required: StructType,
     val surviving = listed.filter { case (_, kvs) =>
       filters.forall(fl => PartitionedLayout.survives(fl, kvs.toMap, partSchema))
     }
-    if (surviving.length > 1)
-      java.util.Arrays.stream(surviving.map(_._1.getPath).toArray).parallel()
+    // pruning tier 1.5: file-level stats from commit manifests — a file
+    // whose whole range a filter excludes drops here, before any footer
+    // I/O (entries validated by length; absent/invalid → footer path)
+    val manifests: Map[String, StatsManifest.FileStats] =
+      if (filters.isEmpty) Map.empty
+      else paths.flatMap { raw =>
+        try {
+          val p = new Path(raw)
+          val fs = p.getFileSystem(conf)
+          if (fs.getFileStatus(p).isDirectory) {
+            val rootQ = fs.makeQualified(p).toString
+            StatsManifest.read(p, conf).values.map(e => s"$rootQ/${e.relPath}" -> e)
+          } else Nil
+        } catch { case _: Exception => Nil }
+      }.toMap
+    val needFooter = surviving.filter { case (st, _) =>
+      manifests.get(st.getPath.toString) match {
+        case Some(m) if m.len == st.getLen =>
+          !filters.exists(fl => FilterPruning.canSkip(fl, m.toChunkMeta(fileSchema), fileSchema))
+        case _ => true
+      }
+    }
+    if (needFooter.length > 1)
+      java.util.Arrays.stream(needFooter.map(_._1.getPath).toArray).parallel()
         .forEach(p => { VortexFileReader.readFooter(p, conf); () })
-    surviving.foreach { case (st, kvs) =>
+    needFooter.foreach { case (st, kvs) =>
       {
         val f = st.getPath
         val footer = VortexFileReader.readFooter(f, conf)
@@ -552,10 +574,24 @@ class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunk
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(dir).getFileSystem(hconf)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
     val written = messages.collect { case VortexCommit(fls) => fls }.flatten
       .map(f => fs.makeQualified(new Path(f)).toString).toSet
     preExisting.filterNot(written.contains).foreach(f => fs.delete(new Path(f), false))
+    if (truncate) StatsManifest.delete(root, hconf) // stale stats go with the data
+    // pruning tier 1.5: aggregate each committed footer to file-level
+    // stats in one manifest per commit job (see StatsManifest)
+    val rootQ = fs.makeQualified(root).toString
+    val entries = written.toSeq.sorted.flatMap { f =>
+      try {
+        val p = new Path(f)
+        val st = fs.getFileStatus(p)
+        val rel = f.stripPrefix(rootQ).stripPrefix("/")
+        Some(StatsManifest.fromFooter(rel, st.getLen, VortexFileReader.readFooter(p, hconf)))
+      } catch { case _: Exception => None }
+    }
+    StatsManifest.write(root, hconf, jobId, entries)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

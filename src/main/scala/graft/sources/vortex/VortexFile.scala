@@ -182,6 +182,9 @@ object VortexFileReader {
     * observability; tests pin this to ≤1 per file */
   val footerFetches = new java.util.concurrent.atomic.AtomicLong()
 
+  /** test hook: force cold-footer conditions */
+  def clearFooterCache(): Unit = footerCache.clear()
+
   def readFooter(path: Path, conf: Configuration): Footer = {
     val fs = path.getFileSystem(conf)
     val st = fs.getFileStatus(path)

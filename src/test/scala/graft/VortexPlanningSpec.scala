@@ -34,4 +34,28 @@ class VortexPlanningSpec extends AnyFunSuite {
     val delta = VortexFileReader.footerFetches.get() - before
     assert(delta <= nFiles, s"footers fetched $delta times for $nFiles files")
   }
+
+  test("commit manifest prunes whole files before any footer fetch") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("vortex_manifest_").toString
+    // 4 files with disjoint id ranges; the commit writes _manifests/
+    spark.range(0, 40000).select(col("id"))
+      .repartitionByRange(4, col("id"))
+      .write.format("vortex").mode("append").save(dir)
+    assert(new java.io.File(dir, "_manifests").listFiles.exists(_.getName.endsWith(".json")))
+    VortexFileReader.clearFooterCache() // cold planning conditions
+    val before = VortexFileReader.footerFetches.get()
+    val cnt = spark.read.format("vortex").load(dir).filter(col("id") < 5000).count()
+    assert(cnt == 5000)
+    val delta = VortexFileReader.footerFetches.get() - before
+    // schema inference reads one footer + the single surviving file;
+    // the 3 range-excluded files must never be fetched
+    assert(delta <= 2, s"manifest pruning should leave ≤2 footer fetches, got $delta")
+    // staleness: overwrite flushes old manifests with the data
+    spark.range(100, 200).select(col("id"))
+      .write.format("vortex").mode("overwrite").save(dir)
+    val back = spark.read.format("vortex").load(dir)
+    assert(back.count() == 100)
+    assert(back.filter(col("id") < 5000).count() == 100)
+  }
 }
