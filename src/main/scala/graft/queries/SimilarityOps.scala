@@ -188,6 +188,102 @@ object SimilarityOps {
        |SELECT id_q, CAST(rnk AS BIGINT) AS rnk, id_n
        |FROM rk WHERE rnk <= 3 ORDER BY id_q, rnk""".stripMargin)
 
+  // IVF with LEARNED coarse centroids: fixed-point Lloyd's k-means
+  // (K=8; 3 assignment rounds over 2 centroid refinements; init = the
+  // 8 lowest vec_ids). Every quantity
+  // stays in the long domain — squared distances and component sums
+  // are exact and order-independent, centroids use floor division —
+  // so the clustering is bit-reproducible in SQL and the oracle checks
+  // the WHOLE pipeline: train → assign → probe own cluster → top-3.
+  // At scale: assignment is a map over the corpus against K broadcast
+  // centroids; centroid update is a K-group aggregation; the probe
+  // touches one cluster instead of the corpus.
+  spark("v_cos_ivf_kmeans",
+    (s, d) => {
+      import s.implicits._
+      // 3 assignment rounds over 2 centroid refinements: the final
+      // assignment uses c2, exactly the oracle's a3(c2) chain
+      val K = 8; val iters = 2
+      val ds = qvecs(s, d)
+      def dist(q: Array[Long], c: Array[Long]): Long = {
+        var sum = 0L; var j = 0
+        while (j < 64) { val dd = q(j) - c(j); sum += dd * dd; j += 1 }
+        sum
+      }
+      def assignOf(q: Array[Long], cs: Array[Array[Long]]): Int = {
+        var best = 0; var bd = dist(q, cs(0)); var k = 1
+        while (k < cs.length) {
+          val dd = dist(q, cs(k)); if (dd < bd) { bd = dd; best = k }; k += 1
+        }
+        best
+      }
+      var cents: Array[Array[Long]] = ds.sort("id").limit(K).collect().map(_.q)
+      for (_ <- 1 to iters) {
+        val bc = s.sparkContext.broadcast(cents)
+        val sums = ds.map(v => (assignOf(v.q, bc.value), v.q))
+          .groupByKey(_._1)
+          .mapGroups { (k, it) =>
+            val acc = new Array[Long](64); var n = 0L
+            it.foreach { t => var j = 0; while (j < 64) { acc(j) += t._2(j); j += 1 }; n += 1 }
+            (k, acc, n)
+          }.collect()
+        val next = cents.clone()
+        // plain long division truncates toward zero — matching DuckDB's
+        // `//` on negative component sums (floorDiv would round down)
+        sums.foreach { case (k, acc, n) => next(k) = acc.map(x => x / n) }
+        cents = next
+      }
+      val bc = s.sparkContext.broadcast(cents)
+      val assigned = ds.map(v => (v.id, assignOf(v.q, bc.value), v.q, v.saa))
+      val queries = assigned.filter(_._1 < 20).collect()
+      val bq = s.sparkContext.broadcast(queries)
+      val cand = assigned.flatMap { case (id, k, q, saa) =>
+        bq.value.iterator.filter(t => t._1 != id && t._2 == k).map { t =>
+          (t._1, id, VecFixedPoint.cos(VecFixedPoint.dot(t._3, q), t._4, saa))
+        }
+      }.toDF("id_q", "id_n", "cosd")
+      topk(cand, 3, withCos = false)
+    },
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |el AS (SELECT vec_id, i, CAST(e[CAST(i AS INTEGER) + 1] AS DECIMAL(18,8)) AS x,
+      |       CAST(CAST(e[CAST(i AS INTEGER) + 1] AS DECIMAL(18,8)) * 100000000 AS BIGINT) AS q
+      |       FROM v, range(0, 64) r(i)),
+      |nrm AS (SELECT vec_id, CAST(sum(x * x) AS DECIMAL(38,16)) AS saa FROM el GROUP BY 1),
+      |init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS k
+      |         FROM (SELECT DISTINCT vec_id FROM el ORDER BY vec_id LIMIT 8) t),
+      |c0 AS (SELECT init.k, el.i, el.q AS c FROM init JOIN el ON el.vec_id = init.vec_id),
+      |d1 AS (SELECT el.vec_id, c0.k, sum((el.q - c0.c) * (el.q - c0.c)) AS dist
+      |       FROM el JOIN c0 ON el.i = c0.i GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, k FROM (SELECT vec_id, k,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d1) t WHERE rn = 1),
+      |c1 AS (SELECT a1.k, el.i, CAST(sum(el.q) // count(*) AS BIGINT) AS c
+      |       FROM a1 JOIN el ON el.vec_id = a1.vec_id GROUP BY 1, 2
+      |       UNION ALL SELECT k, i, CAST(c AS BIGINT) FROM c0 WHERE k NOT IN (SELECT k FROM a1)),
+      |d2 AS (SELECT el.vec_id, c1.k, sum((el.q - c1.c) * (el.q - c1.c)) AS dist
+      |       FROM el JOIN c1 ON el.i = c1.i GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, k FROM (SELECT vec_id, k,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d2) t WHERE rn = 1),
+      |c2 AS (SELECT a2.k, el.i, CAST(sum(el.q) // count(*) AS BIGINT) AS c
+      |       FROM a2 JOIN el ON el.vec_id = a2.vec_id GROUP BY 1, 2
+      |       UNION ALL SELECT k, i, CAST(c AS BIGINT) FROM c1 WHERE k NOT IN (SELECT k FROM a2)),
+      |d3 AS (SELECT el.vec_id, c2.k, sum((el.q - c2.c) * (el.q - c2.c)) AS dist
+      |       FROM el JOIN c2 ON el.i = c2.i GROUP BY 1, 2),
+      |a3 AS (SELECT vec_id, k FROM (SELECT vec_id, k,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d3) t WHERE rn = 1),
+      |p AS (SELECT q.vec_id AS id_q, c.vec_id AS id_n
+      |      FROM a3 q JOIN a3 c ON q.k = c.k AND q.vec_id < 20 AND q.vec_id <> c.vec_id),
+      |dt AS (SELECT p.id_q, p.id_n, CAST(sum(ea.x * eb.x) AS DECIMAL(38,16)) AS dot
+      |       FROM p JOIN el ea ON ea.vec_id = p.id_q
+      |         JOIN el eb ON eb.vec_id = p.id_n AND ea.i = eb.i
+      |       GROUP BY 1, 2),
+      |sc AS (SELECT id_q, id_n,
+      |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.saa AS DOUBLE)) * sqrt(CAST(nb.saa AS DOUBLE))) AS cosd
+      |       FROM dt JOIN nrm na ON id_q = na.vec_id JOIN nrm nb ON id_n = nb.vec_id),
+      |rk AS (SELECT id_q, id_n,
+      |         row_number() OVER (PARTITION BY id_q ORDER BY cosd DESC, id_n) AS rnk FROM sc)
+      |SELECT id_q, CAST(rnk AS BIGINT) AS rnk, id_n FROM rk WHERE rnk <= 3
+      |ORDER BY id_q, rnk""".stripMargin)
+
   // Random-hyperplane LSH bucketing (8 md5-derived planes → 8-bit
   // bucket), exact scoring within bucket. The planes are deterministic
   // (md5 parity), so the bucketing — approximation included — is
