@@ -120,6 +120,32 @@ final case class Engine(spark: SparkSession) {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** IVF ANN with a learned coarse quantizer: fixed-point k-means over
+    * the corpus (exact, reproducible under any partitioning), then each
+    * query probes only its own cluster — the 100 TB path where
+    * brute-force scoring is off the table. */
+  def cosineTopKIvf(embeddings: DataFrame, idCol: String, vecCol: String,
+                    queryIds: Set[Long], k: Int, clusters: Int = 8,
+                    refinements: Int = 2): DataFrame = {
+    val ds = embeddings.select(col(idCol).cast("long"), lit(0),
+        col(vecCol).cast("array<float>"))
+      .as[(Long, Int, Seq[Float])]
+      .map { case (id, _, e) =>
+        val q = functions.VecFixedPoint.quantize(e)
+        queries.SimilarityOps.QVec(id, 0, q, functions.VecFixedPoint.dot(q, q))
+      }
+    val assigned = queries.SimilarityOps.kmeansAssign(spark, ds, clusters, refinements)
+    val bq = spark.sparkContext.broadcast(assigned.filter(t => queryIds.contains(t._1)).collect())
+    val scored = assigned.flatMap { case (id, kc, q, saa) =>
+      bq.value.iterator.filter(t => t._1 != id && t._2 == kc).map { t =>
+        (t._1, id, functions.VecFixedPoint.cos(functions.VecFixedPoint.dot(t._3, q), t._4, saa))
+      }
+    }.toDF("id_q", "id_n", "cos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_q").orderBy(col("cos").desc, col("id_n"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   // ---- text analysis ---------------------------------------------------
   def textQuality(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), length(col(textCol)).cast("long").as("n_char"),

@@ -198,43 +198,53 @@ object SimilarityOps {
   // At scale: assignment is a map over the corpus against K broadcast
   // centroids; centroid update is a K-group aggregation; the probe
   // touches one cluster instead of the corpus.
+  /** Fixed-point Lloyd's k-means over quantized vectors: `refinements`
+    * centroid updates (init = lowest-id vectors), then a final
+    * assignment against the last centroids. Squared distances and
+    * component sums are exact longs (order-independent on any
+    * partitioning); centroids use truncating division. Driver state is
+    * O(K·dims) only. Returns (id, cluster, q, saa). */
+  def kmeansAssign(s: SparkSession, ds: Dataset[QVec], K: Int,
+                   refinements: Int): Dataset[(Long, Int, Array[Long], Long)] = {
+    import s.implicits._
+    def dist(q: Array[Long], c: Array[Long]): Long = {
+      var sum = 0L; var j = 0
+      while (j < q.length) { val dd = q(j) - c(j); sum += dd * dd; j += 1 }
+      sum
+    }
+    def assignOf(q: Array[Long], cs: Array[Array[Long]]): Int = {
+      var best = 0; var bd = dist(q, cs(0)); var k = 1
+      while (k < cs.length) {
+        val dd = dist(q, cs(k)); if (dd < bd) { bd = dd; best = k }; k += 1
+      }
+      best
+    }
+    var cents: Array[Array[Long]] = ds.sort("id").limit(K).collect().map(_.q)
+    for (_ <- 1 to refinements) {
+      val bc = s.sparkContext.broadcast(cents)
+      val sums = ds.map(v => (assignOf(v.q, bc.value), v.q))
+        .groupByKey(_._1)
+        .mapGroups { (k, it) =>
+          val acc = new Array[Long](64); var n = 0L
+          it.foreach { t => var j = 0; while (j < 64) { acc(j) += t._2(j); j += 1 }; n += 1 }
+          (k, acc, n)
+        }.collect()
+      val next = cents.clone()
+      // plain long division truncates toward zero — matching DuckDB's
+      // `//` on negative component sums (floorDiv would round down)
+      sums.foreach { case (k, acc, n) => next(k) = acc.map(x => x / n) }
+      cents = next
+    }
+    val bc = s.sparkContext.broadcast(cents)
+    ds.map(v => (v.id, assignOf(v.q, bc.value), v.q, v.saa))
+  }
+
   spark("v_cos_ivf_kmeans",
     (s, d) => {
       import s.implicits._
       // 3 assignment rounds over 2 centroid refinements: the final
       // assignment uses c2, exactly the oracle's a3(c2) chain
-      val K = 8; val iters = 2
-      val ds = qvecs(s, d)
-      def dist(q: Array[Long], c: Array[Long]): Long = {
-        var sum = 0L; var j = 0
-        while (j < 64) { val dd = q(j) - c(j); sum += dd * dd; j += 1 }
-        sum
-      }
-      def assignOf(q: Array[Long], cs: Array[Array[Long]]): Int = {
-        var best = 0; var bd = dist(q, cs(0)); var k = 1
-        while (k < cs.length) {
-          val dd = dist(q, cs(k)); if (dd < bd) { bd = dd; best = k }; k += 1
-        }
-        best
-      }
-      var cents: Array[Array[Long]] = ds.sort("id").limit(K).collect().map(_.q)
-      for (_ <- 1 to iters) {
-        val bc = s.sparkContext.broadcast(cents)
-        val sums = ds.map(v => (assignOf(v.q, bc.value), v.q))
-          .groupByKey(_._1)
-          .mapGroups { (k, it) =>
-            val acc = new Array[Long](64); var n = 0L
-            it.foreach { t => var j = 0; while (j < 64) { acc(j) += t._2(j); j += 1 }; n += 1 }
-            (k, acc, n)
-          }.collect()
-        val next = cents.clone()
-        // plain long division truncates toward zero — matching DuckDB's
-        // `//` on negative component sums (floorDiv would round down)
-        sums.foreach { case (k, acc, n) => next(k) = acc.map(x => x / n) }
-        cents = next
-      }
-      val bc = s.sparkContext.broadcast(cents)
-      val assigned = ds.map(v => (v.id, assignOf(v.q, bc.value), v.q, v.saa))
+      val assigned = kmeansAssign(s, qvecs(s, d), K = 8, refinements = 2)
       val queries = assigned.filter(_._1 < 20).collect()
       val bq = s.sparkContext.broadcast(queries)
       val cand = assigned.flatMap { case (id, k, q, saa) =>

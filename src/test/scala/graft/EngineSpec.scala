@@ -61,6 +61,18 @@ class EngineSpec extends AnyFunSuite {
     assert(e.readVortex(dir).count() == 500)
   }
 
+  test("cosine IVF top-k (learned k-means) through the facade") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val out = e.cosineTopKIvf(emb, "vec_id", "embedding", queryIds = Set(1L, 2L, 3L), k = 3)
+    assert(out.select("id_q").distinct().count() == 3)
+    assert(out.count() <= 9)
+    // IVF results are a subset of brute-force candidates for each query
+    val bf = e.cosineTopK(emb, "vec_id", "embedding", Set(1L, 2L, 3L), k = 1000)
+      .select("id_q", "id_n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = out.select("id_q", "id_n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(bf))
+  }
+
   test("cosine top-k through the facade") {
     val emb = Tables.t(spark, sf, "embeddings")
     val topk = e.cosineTopK(emb, "vec_id", "embedding", Set(0L, 1L), 3)
