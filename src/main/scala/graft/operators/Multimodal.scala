@@ -65,4 +65,47 @@ object Multimodal {
       }
     }
   }
+
+  /** STUB resize: a real implementation rescales pixels through the
+    * partition-local codec context; the stub deterministically samples
+    * the payload down to w·h bytes. Schema, metadata propagation, and
+    * the partition-batched execution are the real pipeline. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val target = math.max(1, w * h)
+        val out =
+          if (m.payload.length <= target) m.payload
+          else {
+            val res = new Array[Byte](target)
+            var i = 0
+            while (i < target) {
+              res(i) = m.payload((i.toLong * m.payload.length / target).toInt)
+              i += 1
+            }
+            res
+          }
+        m.copy(payload = out, width = w, height = h)
+      }
+    }
+  }
+
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: one `frameLen`-byte frame every `stride` payload
+    * bytes (a real video decoder emits decoded frames at the same
+    * positions). Fan-out is per-row bounded by payload size — the
+    * flatMap shape that distributes at any corpus scale. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 4096,
+                   frameLen: Int = 256): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      if (m.payload.length == 0) Iterator.empty
+      else Iterator.range(0, m.payload.length, stride).zipWithIndex.map { case (off, idx) =>
+        MediaFrame(m.doc_id, idx,
+          java.util.Arrays.copyOfRange(m.payload, off, math.min(off + frameLen, m.payload.length)))
+      }
+    }
+  }
 }

@@ -158,5 +158,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter(col("n_bytes") =!= col("n_chars")).count() == 0)
     assert(feats.filter(col("entropy") <= 0 || col("mean_byte") <= 0).count() == 0)
     assert(media.toDF().schema("payload").dataType.typeName == "binary")
+    // resize: payload bounded by w*h, metadata updated, row count kept
+    val small = graft.operators.Multimodal.resize(media, 8, 8)
+    assert(small.count() == docs.count())
+    assert(small.filter(octet_length(col("payload")) > 64).count() == 0)
+    assert(small.filter(col("width") =!= 8 || col("height") =!= 8).count() == 0)
+    // frame sampling: ceil(len/stride) frames per doc, each ≤ frameLen
+    val frames = graft.operators.Multimodal.sampleFrames(media, stride = 50, frameLen = 16)
+    val perDoc = frames.groupBy("doc_id").count()
+      .join(media.toDF().select(col("doc_id"), octet_length(col("payload")).as("n")), "doc_id")
+    assert(perDoc.filter(col("count") =!= ceil(col("n") / 50.0)).count() == 0)
+    assert(frames.filter(octet_length(col("frame")) > 16).count() == 0)
   }
 }
