@@ -320,8 +320,24 @@ object Relational {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin)
 
-  // Q18 skeleton: group-having over the 3-way join (large-volume orders).
-  common("tpch_q18_large",
+  // Q18 skeleton: group-having over the 3-way join (large-volume
+  // orders). Spark plan aggregates the FACT table first (one shuffle
+  // on l_orderkey, HAVING shrinks 150k orders to a handful) and joins
+  // the dims after — Catalyst does not push aggregates below joins, so
+  // the naive join-then-group shape would shuffle the full join output.
+  // Keys are functionally determined by o_orderkey, so results are
+  // identical to the oracle's textbook formulation.
+  spark("tpch_q18_large",
+    (s, d) => { Tables.registerAll(s, d)
+      s.sql("""WITH big AS (
+              |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              |  FROM lineitem GROUP BY l_orderkey
+              |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+              |SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+              |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price, sum_qty
+              |FROM big JOIN orders ON o_orderkey = big.l_orderkey
+              |  JOIN customer ON c_custkey = o_custkey
+              |ORDER BY price DESC NULLS LAST, o_orderkey LIMIT 20""".stripMargin) },
     """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
