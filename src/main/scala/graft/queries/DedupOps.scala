@@ -304,7 +304,10 @@ object DedupOps {
         .select(col("doc_id"),
           explode(array_distinct(expr(
             "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substr(text, i, 3))"))).as("w"))
-      jaccardDocPairs(s, grams, 0.8).orderBy("id_a", "id_b")
+      // the query caps the corpus at 200 docs, so the auto-dispatch
+      // takes the sanctioned small-corpus kernel; unbounded corpora go
+      // through the shuffle join (maxKernelSets gates the choice)
+      jaccardDocPairsAuto(s, grams, 0.8).orderBy("id_a", "id_b")
     },
     """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
       |g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS w
