@@ -90,6 +90,34 @@ final case class Engine(spark: SparkSession) {
       .toDF(idCol, "sim64")
   }
 
+  /** End-to-end near-duplicate clustering: MinHash-LSH candidates,
+    * verified by exact Jaccard ≥ τ, connected via 4-round min-label
+    * propagation. Returns (doc_id, cluster); cluster = the lowest doc
+    * id reachable within 4 hops — identical docs collapse in one. */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
+    val docs = df.select(col(idCol).cast("long").as("doc_id"))
+    val pairs = minhashNearDup(df, idCol, textCol, tau).select("id_a", "id_b")
+    var labels = queries.DedupOps.labelPropagate(docs, pairs, rounds = 4)
+    // pointer-jumping: lbl ← lbl(lbl) three times squares the resolved
+    // depth (≈32 hops) so every cluster label is its own root — the
+    // invariant dedupNear's keep-the-root rule relies on
+    for (_ <- 1 to 3) {
+      labels = labels
+        .join(labels.select(col("doc_id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
+        .select(col("doc_id"), col("lbl2").as("lbl"))
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster"))
+  }
+
+  /** near-dup REMOVAL: keep one canonical row (lowest id) per cluster */
+  def dedupNear(df: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame =
+    df.join(
+      dedupClusters(df, idCol, textCol, tau)
+        .filter(col("doc_id") === col("cluster"))
+        .select(col("doc_id").as(s"__keep_$idCol")),
+      col(idCol).cast("long") === col(s"__keep_$idCol"))
+      .drop(s"__keep_$idCol")
+
   /** per-document k-function MinHash signature (typed Aggregator) */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int = 16): DataFrame = {
     val agg = new functions.MinHashAgg(k).toColumn

@@ -412,6 +412,65 @@ object DedupOps {
        |FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin)
 
+  /** Bounded min-label propagation over an undirected pair graph:
+    * `rounds` iterations of label(v) ← min(label(v), min label of
+    * neighbors), labels initialized to doc_id. Each round is one
+    * join + one aggregation (both shuffle on doc id) — the
+    * large-star/small-star family's scalable shape; K rounds connect
+    * components of diameter ≤ K, and identical-doc cliques collapse in
+    * one round. Deterministic at any K on any partitioning, so the
+    * K-round result itself is oracle-checkable. */
+  def labelPropagate(docs: DataFrame, pairs: DataFrame, rounds: Int): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("u"), col("lbl").as("ulbl")), "u")
+        .groupBy(col("v").as("doc_id")).agg(min(col("ulbl")).as("nlbl"))
+      labels = labels.join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+    }
+    labels
+  }
+
+  // Dedup clusters: exact Jaccard-≥-τ pairs → 4-round min-label
+  // propagation → (doc, cluster). Bounded to doc_id < 300 so the
+  // oracle's all-pairs formulation stays tractable; the operator
+  // itself is corpus-size-agnostic (see Engine.dedupClusters).
+  spark("d_dedup_clusters",
+    (s, d) => {
+      val docs = Tables.t(s, d, "documents").filter(col("doc_id") < 300).select("doc_id")
+      val tok = tokens(s, d).filter(col("doc_id") < 300)
+      val pairs = jaccardDocPairsAuto(s, tok, 0.5).select("id_a", "id_b")
+      labelPropagate(docs, pairs, 4)
+        .select(col("doc_id"), col("lbl").as("cluster"))
+        .orderBy("doc_id")
+    },
+    s"""WITH tok AS (SELECT * FROM ($tokSql) t WHERE doc_id < 300),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |pr AS (SELECT id_a, id_b FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |       WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+       |e AS (SELECT id_a AS u, id_b AS v FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+       |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents WHERE doc_id < 300),
+       |l1 AS (SELECT l.doc_id, least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl FROM l0 l
+       |       LEFT JOIN (SELECT e.v AS doc_id, min(x.lbl) AS nl FROM e JOIN l0 x ON x.doc_id = e.u GROUP BY 1) m
+       |       USING (doc_id)),
+       |l2 AS (SELECT l.doc_id, least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl FROM l1 l
+       |       LEFT JOIN (SELECT e.v AS doc_id, min(x.lbl) AS nl FROM e JOIN l1 x ON x.doc_id = e.u GROUP BY 1) m
+       |       USING (doc_id)),
+       |l3 AS (SELECT l.doc_id, least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl FROM l2 l
+       |       LEFT JOIN (SELECT e.v AS doc_id, min(x.lbl) AS nl FROM e JOIN l2 x ON x.doc_id = e.u GROUP BY 1) m
+       |       USING (doc_id)),
+       |l4 AS (SELECT l.doc_id, least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl FROM l3 l
+       |       LEFT JOIN (SELECT e.v AS doc_id, min(x.lbl) AS nl FROM e JOIN l3 x ON x.doc_id = e.u GROUP BY 1) m
+       |       USING (doc_id))
+       |SELECT doc_id, lbl AS cluster FROM l4 ORDER BY doc_id""".stripMargin)
+
   /** LSH candidates verified by exact Jaccard (join back to the token
     * sets): the full near-dup operation a pipeline would run. */
   def minhashNearDup(s: SparkSession, tok: DataFrame, tau: Double): DataFrame = {

@@ -41,6 +41,14 @@ class EngineSpec extends AnyFunSuite {
     val lsh = e.minhashNearDup(docs, "doc_id", "text", 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact))
+    // clustering: every cluster label is a member doc; canonical keep
+    // set = one row per cluster; paired docs never both survive
+    val clusters = e.dedupClusters(docs, "doc_id", "text", 0.5)
+    assert(clusters.count() == docs.count())
+    val kept = e.dedupNear(docs, "doc_id", "text", 0.5)
+    assert(kept.count() == clusters.select("cluster").distinct().count())
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lsh.forall { case (a, b) => !(keptIds(a) && keptIds(b)) })
     assert(e.fingerprint(docs, "doc_id", "text").select("fp").distinct().count() ==
       docs.selectExpr("lower(regexp_replace(text, '\\\\s+', ' '))").distinct().count())
   }
