@@ -151,4 +151,27 @@ object VortexQueries {
     },
     """SELECT count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_user FROM events
       |WHERE ts > TIMESTAMP '2024-01-15 00:00:00'""".stripMargin)
+
+  // S8: hash-bucketed layout (bucketBy role) — write orders bucketed by
+  // o_custkey; the IN-filter read plans only the literals' buckets
+  // (tier-0.5 pruning: 1/16 of files per key), then aggregates.
+  // Oracle: same query on the original parquet (round-trip identity —
+  // bucketing is layout, not semantics).
+  spark("s8_vortex_bucketed",
+    (s, d) => {
+      val dir = vdir("s8", d)
+      Tables.t(s, d, "orders")
+        .write.format("vortex")
+        .option("bucketBy", "o_custkey").option("buckets", "16")
+        .mode("overwrite").save(dir)
+      s.read.format("vortex").load(dir)
+        .filter(col("o_custkey").isin(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_price"))
+    },
+    """SELECT count(*) AS n, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_custkey IN (1,2,3,4,5,6,7)""".stripMargin)
 }

@@ -22,7 +22,12 @@ object PartitionedLayout {
     def walk(st: FileStatus, parts: Seq[(String, String)]): Seq[(FileStatus, Seq[(String, String)])] =
       if (st.isDirectory) {
         fs.listStatus(st.getPath)
-          .filterNot(c => c.getPath.getName.startsWith("_") || c.getPath.getName.startsWith("."))
+          .filterNot { c =>
+            val n = c.getPath.getName
+            // hidden/metadata names — except the bucket-layout dirs,
+            // which deliberately use a name no user column can shadow
+            (n.startsWith("_") || n.startsWith(".")) && !n.startsWith(BucketSpecFile.BucketCol + "=")
+          }
           .toSeq.flatMap { c =>
             val name = c.getPath.getName
             val seg = if (c.isDirectory && name.contains("=")) {

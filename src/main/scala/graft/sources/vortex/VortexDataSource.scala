@@ -49,7 +49,9 @@ class VortexDataSource extends TableProvider with DataSourceRegister {
     require(listed.nonEmpty, s"vortex: no files found for ${paths(options).mkString(",")}")
     val fileSchema = VortexFileReader.readFooter(listed.head._1.getPath, conf).schema
     val partSchema = PartitionedLayout.inferPartitionSchema(listed)
-    StructType(fileSchema.fields ++ partSchema.fields.filterNot(f => fileSchema.fieldNames.contains(f.name)))
+    // __bucket is layout, not data: never surfaces as a column
+    StructType(fileSchema.fields ++ partSchema.fields.filterNot(f =>
+      fileSchema.fieldNames.contains(f.name) || f.name == BucketSpecFile.BucketCol))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -104,8 +106,95 @@ class VortexTable(schema: StructType, paths: Seq[String]) extends SupportsRead w
     val schema = StructType(info.schema().fields.map { f =>
       unitOpt.get(f.name).map(VortexFormat.withTsUnit(f, _)).getOrElse(f)
     })
-    new VortexWriteBuilder(schema, paths.head, chunkRows, partitionCols)
+    // "bucketBy"+"buckets": hash-bucketed layout (bucketBy role) — the
+    // co-location lever for joins on NON-partition columns at 100 TB
+    val bucketSpec = Option(info.options.get("bucketby")).map { k =>
+      val n = Option(info.options.get("buckets")).map(_.toInt)
+        .getOrElse(throw new IllegalArgumentException("vortex: bucketBy requires buckets=N"))
+      require(n > 0, s"vortex: buckets must be positive, got $n")
+      require(schema.fieldNames.contains(k), s"vortex: bucketBy column $k not in schema")
+      require(!partitionCols.contains(k), s"vortex: bucketBy column $k is a partition column")
+      (k, n)
+    }
+    new VortexWriteBuilder(schema, paths.head, chunkRows, partitionCols, bucketSpec)
   }
+}
+
+/** Bucket layout metadata: `_vortex_bucket.json` at the dataset root
+  * records (key column, bucket count, hash) so readers can verify two
+  * datasets are co-bucketed before planning a shuffle-free join. The
+  * bucket id itself is a derived Hive-style path partition
+  * `__bucket=k`, k = pmod(murmur3_32(key, seed 42), n) — identical to
+  * Spark's `pmod(hash(col), n)`, so a pre-shuffle on that expression
+  * aligns task boundaries with bucket boundaries. */
+object BucketSpecFile {
+  val BucketCol = "__bucket"
+  private val FileName = "_vortex_bucket.json"
+
+  def bucketOf(v: Any, dt: org.apache.spark.sql.types.DataType, n: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(v, dt, 42L).toInt
+    ((h % n) + n) % n
+  }
+
+  /** Conservative bucket-set inference from pushed filters (top-level
+    * filters are AND-ed): Some(set) = only these buckets can hold
+    * matching rows; None = no constraint. Equality/IN literals hash to
+    * their bucket; range predicates constrain nothing (hash layout). */
+  def allowedBuckets(filters: Array[Filter], key: String,
+                     dt: org.apache.spark.sql.types.DataType, n: Int): Option[Set[Int]] = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst
+    def one(f: Filter): Option[Set[Int]] = f match {
+      case EqualTo(a, v) if a == key && v != null => Some(Set(bucketOf(convertToCatalyst(v), dt, n)))
+      case EqualNullSafe(a, v) if a == key =>
+        Some(Set(bucketOf(if (v == null) null else convertToCatalyst(v), dt, n)))
+      case In(a, vs) if a == key =>
+        Some(vs.filter(_ != null).map(v => bucketOf(convertToCatalyst(v), dt, n)).toSet)
+      case IsNull(a) if a == key => Some(Set(bucketOf(null, dt, n)))
+      case And(l, r) => (one(l), one(r)) match {
+        case (Some(x), Some(y)) => Some(x intersect y)
+        case (x, None) => x
+        case (None, y) => y
+      }
+      case Or(l, r) => for { x <- one(l); y <- one(r) } yield x union y
+      case _ => None
+    }
+    filters.foldLeft(None: Option[Set[Int]]) { (acc, f) =>
+      (acc, one(f)) match {
+        case (Some(x), Some(y)) => Some(x intersect y)
+        case (x, None) => x
+        case (None, y) => y
+      }
+    }
+  }
+
+  def write(root: Path, conf: org.apache.hadoop.conf.Configuration, key: String, n: Int): Unit = {
+    val fs = root.getFileSystem(conf)
+    val out = fs.create(new Path(root, FileName), true)
+    try out.write(s"""{"key":"$key","buckets":$n,"hash":"murmur3_32_seed42"}"""
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def read(root: Path, conf: org.apache.hadoop.conf.Configuration): Option[(String, Int)] =
+    try {
+      val fs = root.getFileSystem(conf)
+      val p = new Path(root, FileName)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+        Some((node.get("key").asText(), node.get("buckets").asInt()))
+      }
+    } catch { case _: Exception => None }
+
+  def delete(root: Path, conf: org.apache.hadoop.conf.Configuration): Unit =
+    try {
+      val fs = root.getFileSystem(conf)
+      fs.delete(new Path(root, FileName), false); ()
+    } catch { case _: Exception => }
 }
 
 class VortexScanBuilder(schema: StructType, paths: Seq[String])
@@ -229,8 +318,30 @@ class VortexScan(fileSchema: StructType, required: StructType,
     // serial footer round-trips would dominate planning latency; the
     // fetches land in the per-JVM cache and the sequential pass below
     // only hits memory.
-    val surviving = listed.filter { case (_, kvs) =>
+    val surviving0 = listed.filter { case (_, kvs) =>
       filters.forall(fl => PartitionedLayout.survives(fl, kvs.toMap, partSchema))
+    }
+    // pruning tier 0.5: bucket pruning — an equality/IN filter on the
+    // bucket key hashes its literals to the only buckets that can hold
+    // them; every other `__bucket=k` directory drops with zero I/O
+    // (point lookups on a bucketed 100 TB dataset touch 1/n of files)
+    val surviving = (if (filters.isEmpty) None
+                     else paths.flatMap { raw =>
+                       try BucketSpecFile.read(new Path(raw), conf) catch { case _: Exception => None }
+                     }.headOption) match {
+      case Some((bkey, n)) if fileSchema.fieldNames.contains(bkey) =>
+        val dt = fileSchema(bkey).dataType
+        BucketSpecFile.allowedBuckets(filters, bkey, dt, n) match {
+          case Some(allowed) =>
+            surviving0.filter { case (_, kvs) =>
+              kvs.collectFirst { case (BucketSpecFile.BucketCol, v) => v } match {
+                case Some(b) => scala.util.Try(b.toInt).toOption.forall(allowed.contains)
+                case None => true // unbucketed stray file: keep
+              }
+            }
+          case None => surviving0
+        }
+      case _ => surviving0
     }
     // pruning tier 1.5: file-level stats from commit manifests — a file
     // whose whole range a filter excludes drops here, before any footer
@@ -257,10 +368,12 @@ class VortexScan(fileSchema: StructType, required: StructType,
     if (needFooter.length > 1)
       java.util.Arrays.stream(needFooter.map(_._1.getPath).toArray).parallel()
         .forEach(p => { VortexFileReader.readFooter(p, conf); () })
-    needFooter.foreach { case (st, kvs) =>
+    needFooter.foreach { case (st, kvs0) =>
       {
         val f = st.getPath
         val footer = VortexFileReader.readFooter(f, conf)
+        // __bucket is a layout segment, not a partition column
+        val kvs = kvs0.filter { case (k, _) => partSchema.fieldNames.contains(k) }
         val pc = kvs.map(_._1).toArray
         val pv = kvs.map(_._2).toArray
         val pk =
@@ -487,15 +600,18 @@ class VortexPartitionReader(part: VortexInputPartition,
 // ---------------------------- write path ----------------------------------
 
 class VortexWriteBuilder(schema: StructType, path: String, chunkRows: Int,
-                         partitionCols: Seq[String])
+                         partitionCols: Seq[String],
+                         bucketSpec: Option[(String, Int)] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new VortexWrite(schema, path, doTruncate, chunkRows, partitionCols)
+  override def build(): Write =
+    new VortexWrite(schema, path, doTruncate, chunkRows, partitionCols, bucketSpec)
 }
 
 class VortexWrite(schema: StructType, path: String, truncate: Boolean, chunkRows: Int,
-                  partitionCols: Seq[String] = Seq.empty) extends Write
+                  partitionCols: Seq[String] = Seq.empty,
+                  bucketSpec: Option[(String, Int)] = None) extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 
@@ -503,17 +619,26 @@ class VortexWrite(schema: StructType, path: String, truncate: Boolean, chunkRows
     * without this every task opens a writer for every partition value
     * it happens to see — at 1000 executors × K values that is 1000·K
     * small files per job. Clustered, each partition value lands in few
-    * tasks and file count scales with data, not with parallelism. */
-  override def requiredDistribution(): Distribution =
-    if (partitionCols.isEmpty) Distributions.unspecified()
-    else Distributions.clustered(partitionCols.map(c =>
+    * tasks and file count scales with data, not with parallelism.
+    * Bucketed writes additionally cluster on the bucket key; with
+    * requiredNumPartitions = n (and no path partitioning) Spark's hash
+    * partitioning is pmod(murmur3_32(key, 42), n) — exactly the bucket
+    * function — so each task receives exactly one bucket and writes
+    * exactly one file, instead of every task touching every bucket. */
+  override def requiredDistribution(): Distribution = {
+    val cluster = partitionCols ++ bucketSpec.map(_._1)
+    if (cluster.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(cluster.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)
         : org.apache.spark.sql.connector.expressions.Expression).toArray)
+  }
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     Array.empty
-  override def requiredNumPartitions(): Int = 0 // Spark picks
+  override def requiredNumPartitions(): Int =
+    if (partitionCols.isEmpty) bucketSpec.map(_._2).getOrElse(0) else 0
 
-  override def toBatch: BatchWrite = new VortexBatchWrite(schema, path, truncate, chunkRows, partitionCols)
+  override def toBatch: BatchWrite =
+    new VortexBatchWrite(schema, path, truncate, chunkRows, partitionCols, bucketSpec)
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new VortexStreamingWrite(schema, path, chunkRows)
 }
@@ -549,9 +674,22 @@ class VortexStreamingWriterFactory(schema: StructType, dir: String,
 }
 
 class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunkRows: Int,
-                       partitionCols: Seq[String]) extends BatchWrite {
+                       partitionCols: Seq[String],
+                       bucketSpec: Option[(String, Int)] = None) extends BatchWrite {
   private val spark = SparkSession.active
   private val hconf = spark.sessionState.newHadoopConf()
+  // appending into an existing bucketed layout with a different spec
+  // would silently break pruning + co-location guarantees: fail fast
+  if (!truncate) {
+    val existing = BucketSpecFile.read(new Path(dir), hconf)
+    (existing, bucketSpec) match {
+      case (Some(old), spec) if spec != Some(old) =>
+        throw new IllegalArgumentException(
+          s"vortex: dataset at $dir is bucketed by ${old._1} into ${old._2} buckets; " +
+          s"append must use the same bucketBy/buckets options (got $spec)")
+      case _ =>
+    }
+  }
   // unique per job: task files can never collide with files from a
   // previous job into the same directory
   private val jobId = java.util.UUID.randomUUID().toString.take(8)
@@ -570,7 +708,7 @@ class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunk
     val fs = p.getFileSystem(hconf)
     if (!fs.exists(p)) fs.mkdirs(p)
     new VortexWriterFactory(schema, dir, jobId, new SerializableConfiguration(hconf),
-      chunkRows, partitionCols)
+      chunkRows, partitionCols, bucketSpec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -592,6 +730,11 @@ class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunk
       } catch { case _: Exception => None }
     }
     StatsManifest.write(root, hconf, jobId, entries)
+    bucketSpec match {
+      case Some((k, n)) => BucketSpecFile.write(root, hconf, k, n)
+      case None if truncate => BucketSpecFile.delete(root, hconf)
+      case None =>
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -605,26 +748,33 @@ case class VortexCommit(files: Seq[String]) extends WriterCommitMessage
 
 class VortexWriterFactory(schema: StructType, dir: String, jobId: String,
                           conf: SerializableConfiguration,
-                          chunkRows: Int, partitionCols: Seq[String]) extends DataWriterFactory {
+                          chunkRows: Int, partitionCols: Seq[String],
+                          bucketSpec: Option[(String, Int)] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    if (partitionCols.isEmpty)
+    if (partitionCols.isEmpty && bucketSpec.isEmpty)
       new VortexDataWriter(schema, dir, jobId, conf.value, partitionId, taskId, chunkRows)
     else
       new VortexPartitionedDataWriter(schema, dir, jobId, conf.value, partitionId, taskId,
-        chunkRows, partitionCols)
+        chunkRows, partitionCols, bucketSpec)
 }
 
 /** Hive-style partitioned writer: one open file per partition value
   * combination seen by this task; partition columns are stored in the
-  * path, not the pages. */
+  * path, not the pages. A bucket spec adds an innermost `__bucket=k`
+  * path segment with k derived per row from the key column (which
+  * stays stored — it is data, not layout). */
 class VortexPartitionedDataWriter(schema: StructType, dir: String, jobId: String,
                                   conf: org.apache.hadoop.conf.Configuration,
                                   partitionId: Int, taskId: Long, chunkRows: Int,
-                                  partitionCols: Seq[String]) extends DataWriter[InternalRow] {
+                                  partitionCols: Seq[String],
+                                  bucketSpec: Option[(String, Int)] = None) extends DataWriter[InternalRow] {
   private val partIdx = partitionCols.map(schema.fieldIndex).toArray
   private val partDts = partIdx.map(schema.fields(_).dataType)
   private val storedIdx = schema.fields.indices.filterNot(partIdx.contains).toArray
   private val storedSchema = StructType(storedIdx.map(schema.fields(_)))
+  private val bucketAt = bucketSpec.map { case (k, n) =>
+    (schema.fieldIndex(k), schema(k).dataType, n)
+  }
   private val writers = scala.collection.mutable.LinkedHashMap[String, (Path, VortexFileWriter)]()
   private val reuse = new GenericInternalRow(storedIdx.length)
 
@@ -633,6 +783,9 @@ class VortexPartitionedDataWriter(schema: StructType, dir: String, jobId: String
       val v = record.get(partIdx(i), partDts(i))
       require(v != null, s"vortex: null partition value for ${partitionCols(i)}")
       s"${partitionCols(i)}=${PartitionedLayout.toPathString(v, partDts(i))}"
+    } ++ bucketAt.map { case (idx, dt, n) =>
+      val v = if (record.isNullAt(idx)) null else record.get(idx, dt)
+      s"${BucketSpecFile.BucketCol}=${BucketSpecFile.bucketOf(v, dt, n)}"
     }
     val key = segs.mkString("/")
     val (_, w) = writers.getOrElseUpdate(key, {
