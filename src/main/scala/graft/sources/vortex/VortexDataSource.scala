@@ -77,9 +77,25 @@ object VortexDataSource {
     listAll(raw, conf).map(_._1.getPath)
 }
 
-class VortexTable(schema: StructType, paths: Seq[String]) extends SupportsRead with SupportsWrite {
+class VortexTable(schema: StructType, paths: Seq[String],
+                  tablePartitionCols: Seq[String] = Seq.empty,
+                  tableBucketSpec: Option[(String, Int)] = None)
+    extends SupportsRead with SupportsWrite {
   override def name(): String = s"vortex ${paths.mkString(",")}"
   override def schema(): StructType = schema
+
+  /** Discovered-or-declared bucket layout (marker file wins the tie:
+    * it describes what is actually on disk). */
+  lazy val bucketLayout: Option[(String, Int)] =
+    (try BucketSpecFile.read(new Path(paths.head),
+           SparkSession.active.sessionState.newHadoopConf())
+     catch { case _: Exception => None }).orElse(tableBucketSpec)
+
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    (tablePartitionCols.map(Expressions.identity) ++
+      bucketLayout.map { case (k, n) => Expressions.bucket(n, k) }).toArray
+  }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
@@ -91,8 +107,10 @@ class VortexTable(schema: StructType, paths: Seq[String]) extends SupportsRead w
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val chunkRows = Option(info.options.get("chunkrows")).map(_.toInt)
       .getOrElse(VortexFormat.DefaultChunkRows)
-    val partitionCols = Option(info.options.get("partitionby")).toSeq
+    val optPartitionCols = Option(info.options.get("partitionby")).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val partitionCols =
+      if (optPartitionCols.nonEmpty) optPartitionCols else tablePartitionCols
     // "timestampUnits" = "col=ns,col2=s" pins per-column storage units;
     // columns already carrying unit metadata (e.g. a vortex read being
     // written back) keep it, so round trips are unit-faithful.
@@ -107,7 +125,10 @@ class VortexTable(schema: StructType, paths: Seq[String]) extends SupportsRead w
       unitOpt.get(f.name).map(VortexFormat.withTsUnit(f, _)).getOrElse(f)
     })
     // "bucketBy"+"buckets": hash-bucketed layout (bucketBy role) — the
-    // co-location lever for joins on NON-partition columns at 100 TB
+    // co-location lever for joins on NON-partition columns at 100 TB.
+    // No explicit option → inherit the table/marker layout, so appends
+    // into a bucketed dataset keep bucketing (explicit mismatches
+    // still fail fast in VortexBatchWrite).
     val bucketSpec = Option(info.options.get("bucketby")).map { k =>
       val n = Option(info.options.get("buckets")).map(_.toInt)
         .getOrElse(throw new IllegalArgumentException("vortex: bucketBy requires buckets=N"))
@@ -115,7 +136,7 @@ class VortexTable(schema: StructType, paths: Seq[String]) extends SupportsRead w
       require(schema.fieldNames.contains(k), s"vortex: bucketBy column $k not in schema")
       require(!partitionCols.contains(k), s"vortex: bucketBy column $k is a partition column")
       (k, n)
-    }
+    }.orElse(bucketLayout.filter { case (k, _) => schema.fieldNames.contains(k) })
     new VortexWriteBuilder(schema, paths.head, chunkRows, partitionCols, bucketSpec)
   }
 }
@@ -223,7 +244,8 @@ class VortexScanBuilder(schema: StructType, paths: Seq[String])
 case class VortexInputPartition(file: String, chunkIdxs: Array[Int],
                                 partCols: Array[String] = Array.empty,
                                 partValues: Array[String] = Array.empty,
-                                partKey: org.apache.spark.sql.catalyst.InternalRow = null)
+                                partKey: org.apache.spark.sql.catalyst.InternalRow = null,
+                                bucketId: Int = -1)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = partKey
 }
@@ -275,23 +297,44 @@ class VortexScan(fileSchema: StructType, required: StructType,
   override def filter(runtimeFilters: Array[Filter]): Unit =
     filters = filters ++ runtimeFilters
 
-  /** Hive-partitioned datasets report their layout as
-    * KeyGroupedPartitioning(identity(partCol)…): Spark groups splits by
-    * partition key, so equi-joins between co-partitioned vortex tables
-    * and aggregations keyed on partition columns skip the exchange
-    * entirely (storage-partitioned join; needs
-    * spark.sql.sources.v2.bucketing.enabled). Non-partitioned datasets
-    * report UnknownPartitioning. */
+  /** Dataset bucket layout, read once per scan from the root marker. */
+  private lazy val datasetBucket: Option[(String, Int)] =
+    paths.flatMap { raw =>
+      try BucketSpecFile.read(new Path(raw),
+            SparkSession.active.sessionState.newHadoopConf())
+      catch { case _: Exception => None }
+    }.headOption
+
+  /** Layout-aware partitioning report (needs
+    * spark.sql.sources.v2.bucketing.enabled):
+    *  - bucketed datasets → KeyGroupedPartitioning(bucket(n, key)):
+    *    when the table is addressed through VortexCatalog (whose
+    *    FunctionCatalog resolves `bucket`), joins between co-bucketed
+    *    tables and aggregations on the key run with NO exchange —
+    *    storage-partitioned execution on a non-partition column.
+    *  - Hive-partitioned datasets → KeyGroupedPartitioning(identity…):
+    *    same elision, keyed on the partition columns.
+    * Everything else reports UnknownPartitioning. */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
     import org.apache.spark.sql.connector.expressions.Expressions
     val parts = planInputPartitions().map(_.asInstanceOf[VortexInputPartition])
-    val grouped = parts.nonEmpty && parts.head.partCols.nonEmpty && parts.head.partKey != null &&
+    val spjOn =
+      SparkSession.active.conf.get("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+    val bucketGrouped = datasetBucket.isDefined && spjOn && parts.nonEmpty &&
+      parts.forall(p => p.bucketId >= 0 && p.partKey != null) &&
+      required.fieldNames.contains(datasetBucket.get._1)
+    val identityGrouped = !bucketGrouped && datasetBucket.isEmpty && spjOn &&
+      parts.nonEmpty && parts.head.partCols.nonEmpty && parts.head.partKey != null &&
       parts.forall(p => p.partCols.sameElements(parts.head.partCols) && p.partKey != null) &&
-      SparkSession.active.conf.get("spark.sql.sources.v2.bucketing.enabled", "false") == "true" &&
       // key columns must survive projection for the keys to resolve
       parts.head.partCols.forall(c => required.fieldNames.contains(c))
-    if (grouped)
+    if (bucketGrouped) {
+      val (key, n) = datasetBucket.get
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(n, key): org.apache.spark.sql.connector.expressions.Expression),
+        parts.length)
+    } else if (identityGrouped)
       new KeyGroupedPartitioning(
         parts.head.partCols.map(c => Expressions.identity(c):
           org.apache.spark.sql.connector.expressions.Expression),
@@ -376,8 +419,15 @@ class VortexScan(fileSchema: StructType, required: StructType,
         val kvs = kvs0.filter { case (k, _) => partSchema.fieldNames.contains(k) }
         val pc = kvs.map(_._1).toArray
         val pv = kvs.map(_._2).toArray
+        val bucketId = kvs0.collectFirst { case (BucketSpecFile.BucketCol, v) => v }
+          .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(-1)
+        // bucketed datasets group by bucket id (see outputPartitioning);
+        // otherwise the typed Hive-partition values are the group key
         val pk =
-          if (kvs.isEmpty) null
+          if (datasetBucket.isDefined && bucketId >= 0)
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](bucketId))
+          else if (kvs.isEmpty) null
           else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
             kvs.map { case (k, v) =>
               PartitionedLayout.toInternal(v, partSchema(k).dataType)
@@ -391,12 +441,12 @@ class VortexScan(fileSchema: StructType, required: StructType,
             cur += ci
             bytes += chunk.columns.map(_.length.toLong).sum
             if (bytes >= VortexFormat.TargetSplitBytes) {
-              parts += VortexInputPartition(f.toString, cur.toArray, pc, pv, pk)
+              parts += VortexInputPartition(f.toString, cur.toArray, pc, pv, pk, bucketId)
               cur = scala.collection.mutable.ArrayBuffer[Int](); bytes = 0L
             }
           }
         }
-        if (cur.nonEmpty) parts += VortexInputPartition(f.toString, cur.toArray, pc, pv, pk)
+        if (cur.nonEmpty) parts += VortexInputPartition(f.toString, cur.toArray, pc, pv, pk, bucketId)
       }
     }
     val out = parts.toArray

@@ -83,15 +83,24 @@ class VortexBucketSpec extends AnyFunSuite {
     assert(spark.read.format("vortex").load(dir).where("k = 123").selectExpr("v").head.getLong(0) == 369)
   }
 
-  test("append with a different bucket spec fails fast; same spec appends") {
+  test("append: no options inherits the marker spec; explicit mismatch fails fast") {
     val dir = Files.createTempDirectory("vortex_bucket_").toString
     writeBucketed(dir, 8)
     val ex = intercept[Exception] {
       spark.range(0, 10).selectExpr("id AS k", "id AS v")
-        .write.format("vortex").mode("append").save(dir)
+        .write.format("vortex")
+        .option("bucketBy", "k").option("buckets", "4")
+        .mode("append").save(dir)
     }
     assert(ex.getMessage.contains("bucketed by"))
+    // optionless append inherits bucketing: rows land in bucket dirs,
+    // never loose at the root
+    spark.range(5000, 5010).selectExpr("id AS k", "id * 3 AS v")
+      .write.format("vortex").mode("append").save(dir)
+    val root = new java.io.File(dir)
+    assert(!root.listFiles().exists(f => f.isFile && f.getName.endsWith(".vortex")))
+    assert(spark.read.format("vortex").load(dir).count() == 5010)
     writeBucketed(dir, 8, mode = "append")
-    assert(spark.read.format("vortex").load(dir).count() == 10000)
+    assert(spark.read.format("vortex").load(dir).count() == 10010)
   }
 }
