@@ -129,7 +129,7 @@ object PageCodec {
   }
 
   /** pack (v - min) in `bits` bits each, little-endian bit order */
-  private def packBits(vals: Array[Long], n: Int, min: Long, bits: Int): Array[Byte] = {
+  private[vortex] def packBits(vals: Array[Long], n: Int, min: Long, bits: Int): Array[Byte] = {
     val out = new Array[Byte](17 + (n.toLong * bits + 7).toInt / 8)
     val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
     bb.putLong(min); bb.put(bits.toByte)
@@ -153,7 +153,7 @@ object PageCodec {
     java.util.Arrays.copyOf(out, base + (bitPos + 7) / 8)
   }
 
-  private def unpackBits(bb: ByteBuffer, n: Int): Array[Long] = {
+  private[vortex] def unpackBits(bb: ByteBuffer, n: Int): Array[Long] = {
     val min = bb.getLong()
     val bits = bb.get().toInt
     val payload = new Array[Byte](((n.toLong * bits + 7) / 8).toInt)
@@ -329,6 +329,12 @@ object PageCodec {
               } else None
             fsstPick.map((EncFsst, _)).getOrElse((EncPlain, plain))
           }
+        } else if (dt == DoubleType || dt == FloatType) {
+          // ALP tier: decimal-origin floats are scaled ints in disguise
+          AlpCodec.tryEncode(vec.longs, n, dt == FloatType) match {
+            case Some(alp) => (EncAlp, alp)
+            case None => (EncPlain, packFixed(vec.longs, n, w))
+          }
         } else (EncPlain, packFixed(vec.longs, n, w))
       }
 
@@ -416,6 +422,8 @@ object PageCodec {
         new ColVec(n, nulls, arr, null)
       case EncFsst =>
         new ColVec(n, nulls, null, FsstCodec.decode(bb, n))
+      case EncAlp =>
+        new ColVec(n, nulls, AlpCodec.decode(bb, n, dt == FloatType), null)
       case _ => // plain
         if (fixed) new ColVec(n, nulls, unpackFixed(bb, n, w), null)
         else new ColVec(n, nulls, null, unpackVar(bb, n))

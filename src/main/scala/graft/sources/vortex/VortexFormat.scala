@@ -51,6 +51,10 @@ object VortexFormat {
     * monotonically assigned ids): deltas span far fewer bits than the
     * values (≙ the vortex-fastlanes delta role, SURVEY.md §2.9) */
   val EncDelta: Byte = 6
+  /** decimal-scaled integer encoding for floats/doubles with an
+    * exception list (≙ the vortex-alp role, reference
+    * Cargo.lock:3998-4014); see AlpCodec */
+  val EncAlp: Byte = 7
 
   /** Per-column timestamp storage unit (reference parity: the format
     * round-trips TIMESTAMP_S/MS/µs/NS as distinct types —
