@@ -12,8 +12,8 @@ import graft.queries._
   */
 object SparkEntry {
   private def sets: Seq[QuerySet] = Seq(
-    Relational.set, Windows.set, Functions.set, Coverage2.set, Coverage3.set,
-    EventsOps.set, TextOps.set, DedupOps.set, SimilarityOps.set,
+    Relational.set, TpchSuite.set, Windows.set, Functions.set, Coverage2.set,
+    Coverage3.set, EventsOps.set, TextOps.set, DedupOps.set, SimilarityOps.set,
     VortexQueries.set)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,223 @@
+package graft.queries
+
+/** TPC-H completion: the 14 query skeletons not already covered by
+  * Relational.scala (Q1≙a2, Q3/Q4/Q5/Q6/Q10/Q14/Q18 there). The
+  * synthetic schema has no partsupp table and no commit/receipt dates,
+  * so four skeletons substitute lineitem's (l_partkey, l_suppkey) as
+  * the part↔supplier bridge and ship-after-order as the lateness
+  * predicate — each adaptation keeps the original query's SHAPE
+  * (correlated scalar subqueries, EXISTS/NOT-EXISTS pairs, CTE reuse,
+  * OR-matrix pushdown, two-level aggregation), which is what exercises
+  * the planner.
+  *
+  * Scale notes: every query is plain declarative SQL — Catalyst gives
+  * partial aggregation, join reordering, broadcast for the dim tables
+  * (nation/region/supplier/part all ≪ broadcast threshold at any SF;
+  * lineitem⋈orders shuffles on the join key, the right plan at 100 TB).
+  * Correlated subqueries decorrelate to aggregates + joins, not
+  * per-row re-execution.
+  */
+object TpchSuite {
+  val set = new QuerySet
+  import set._
+
+  private val rev =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+
+  // Q2: min-cost supplier → max-acctbal supplier per part (lineitem
+  // bridge); correlated scalar subquery repeated over the same join.
+  common("tpch_q2_supplier",
+    s"""SELECT DISTINCT p_partkey, p_brand, s_name,
+       |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+       |FROM part JOIN lineitem ON l_partkey = p_partkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |WHERE p_size = 15 AND r_name = 'AMERICA'
+       |  AND s_acctbal = (SELECT MAX(s2.s_acctbal)
+       |                   FROM supplier s2
+       |                     JOIN lineitem l2 ON l2.l_suppkey = s2.s_suppkey
+       |                     JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+       |                     JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+       |                   WHERE l2.l_partkey = p_partkey AND r2.r_name = 'AMERICA')
+       |ORDER BY acctbal DESC NULLS LAST, p_partkey, s_name""".stripMargin)
+
+  // Q7: volume shipping between two nations, grouped by year.
+  common("tpch_q7_volume",
+    s"""SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+       |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |        CAST(year(l_shipdate) AS BIGINT) AS l_year, $rev AS volume
+       |      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+       |        JOIN orders ON o_orderkey = l_orderkey
+       |        JOIN customer ON c_custkey = o_custkey
+       |        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       |         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+
+  // Q8: national market share within a region, by year.
+  common("tpch_q8_mktshare",
+    s"""SELECT o_year,
+       |  CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+       |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, $rev AS volume,
+       |        n2.n_name AS nation
+       |      FROM part JOIN lineitem ON p_partkey = l_partkey
+       |        JOIN supplier ON s_suppkey = l_suppkey
+       |        JOIN orders ON l_orderkey = o_orderkey
+       |        JOIN customer ON o_custkey = c_custkey
+       |        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |        JOIN region ON n1.n_regionkey = r_regionkey
+       |        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY') all_nations
+       |GROUP BY o_year ORDER BY o_year""".stripMargin)
+
+  // Q9: product-type profit (supplycost → retailprice·qty stand-in),
+  // by supplier nation and year.
+  common("tpch_q9_profit",
+    s"""SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+       |FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |        $rev - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS amount
+       |      FROM part JOIN lineitem ON p_partkey = l_partkey
+       |        JOIN supplier ON s_suppkey = l_suppkey
+       |        JOIN orders ON o_orderkey = l_orderkey
+       |        JOIN nation ON s_nationkey = n_nationkey
+       |      WHERE p_name LIKE '%red%') profit
+       |GROUP BY nation, o_year
+       |ORDER BY nation, o_year DESC NULLS LAST""".stripMargin)
+
+  // Q11: important parts by shipped value for one nation's suppliers;
+  // HAVING against a scalar subquery over the same aggregate.
+  common("tpch_q11_important",
+    """SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_2'
+      |GROUP BY l_partkey
+      |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) >
+      |  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.001
+      |   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |     JOIN nation ON s_nationkey = n_nationkey
+      |   WHERE n_name = 'NATION_2')
+      |ORDER BY value DESC NULLS LAST, l_partkey""".stripMargin)
+
+  // Q12: ship-mode split → returnflag split; late = shipped after the
+  // order date inside the year window.
+  common("tpch_q12_shipmode",
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > o_orderdate
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  // Q13: distribution of customers by order count (two-level agg over
+  // a filtered LEFT JOIN — the ON-clause filter must not drop
+  // customers).
+  common("tpch_q13_custdist",
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST""".stripMargin)
+
+  // Q15: top supplier by quarterly revenue — CTE referenced twice
+  // (once as the join input, once inside the MAX scalar subquery).
+  common("tpch_q15_top_supplier",
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no, SUM($rev) AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS revenue
+       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin)
+
+  // Q16: distinct suppliers per part attribute set, minus suppliers on
+  // the "complaints" list (acctbal < 0 stand-in) via NOT IN.
+  common("tpch_q16_partsupp",
+    """SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_size IN (1, 4, 7, 10)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC NULLS LAST, p_brand, p_type, p_size""".stripMargin)
+
+  // Q17: revenue loss from small-quantity lines — per-part correlated
+  // average (decorrelates to an aggregate + rejoin, not 200k subquery
+  // executions).
+  common("tpch_q17_small_qty",
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#3'
+      |  AND l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+
+  // Q19: OR-matrix of brand/size/quantity windows — the whole
+  // disjunction must reach the scan as one pushed residual.
+  common("tpch_q19_matrix",
+    s"""SELECT CAST(SUM($rev) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity >= 1 AND l_quantity <= 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10 AND l_quantity <= 20)
+       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin)
+
+  // Q20: suppliers who shipped substantial volume of a part family in
+  // a year (availqty → shipped-quantity HAVING), semi-joined to one
+  // nation.
+  common("tpch_q20_promotion",
+    """SELECT s_suppkey, s_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_4'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      |    WHERE p_name LIKE 'red%'
+      |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |    GROUP BY l_suppkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 20)
+      |ORDER BY s_suppkey""".stripMargin)
+
+  // Q21: suppliers who kept multi-supplier orders waiting (late =
+  // shipped after order date); EXISTS + NOT-EXISTS pair over the same
+  // fact table.
+  common("tpch_q21_waiting",
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |  JOIN orders ON o_orderkey = l1.l_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND n_name = 'NATION_6'
+      |  AND l1.l_shipdate > o_orderdate
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC NULLS LAST, s_name LIMIT 20""".stripMargin)
+
+  // Q22: sales opportunity — country code → custkey mod 7; above-avg
+  // balance (scalar subquery) and never ordered urgently (NOT EXISTS;
+  // the unfiltered original is empty at every SF of the synthetic
+  // data — all high-balance customers have orders).
+  common("tpch_q22_opportunity",
+    """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM (SELECT CAST(c_custkey % 7 AS BIGINT) AS cntrycode, c_acctbal
+      |      FROM customer
+      |      WHERE c_custkey % 7 IN (1, 2, 3, 4, 5)
+      |        AND c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |                         FROM customer c2
+      |                         WHERE c2.c_acctbal > 0 AND c2.c_custkey % 7 IN (1, 2, 3, 4, 5))
+      |        AND NOT EXISTS (SELECT 1 FROM orders
+      |                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')) custsale
+      |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)
+}
