@@ -36,7 +36,12 @@ object Bench {
     // warm the JVM/codegen/file-footer paths so the first measured
     // query doesn't absorb ~3 s of one-time startup cost
     graft.Tables.names.foreach(n => graft.Tables.t(spark, sfDir, n).count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional focus list for perf iteration (comma-separated names)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val best = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }

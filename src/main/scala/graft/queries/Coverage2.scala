@@ -43,14 +43,30 @@ object Coverage2 {
       |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 
-  // Exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont)
+  // Exact interpolated percentiles (≡ DuckDB quantile_cont), via
+  // graft.operators.ExactPercentile: distributed histogram + targeted
+  // bucket fetch. The built-in `percentile` buffers a whole group's
+  // values in one task (OOM at 100 TB group sizes) and a window
+  // row_number formulation sorts each group on one task; the histogram
+  // plan keeps every pass narrow and parallel. Same interpolation
+  // expression as quantile_cont; DECIMAL(18,4) rounding absorbs
+  // last-ulp differences, as everywhere in the suite.
   spark("q_percentile",
-    (s, d) => { Tables.registerAll(s, d)
-      s.sql("""SELECT l_returnflag,
-              |  CAST(CAST(percentile(l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS p50,
-              |  CAST(CAST(percentile(l_quantity, 0.9) AS DECIMAL(18,4)) AS DOUBLE) AS p90,
-              |  CAST(CAST(percentile(l_extendedprice, 0.25) AS DECIMAL(18,4)) AS DOUBLE) AS p25_price
-              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) },
+    (s, d) => {
+      val li = Tables.t(s, d, "lineitem")
+      val q = graft.operators.ExactPercentile.compute(
+        li, "l_returnflag", "l_quantity", Seq(0.5, 0.9), Seq("p50r", "p90r"),
+        materialize = false)
+      val p = graft.operators.ExactPercentile.compute(
+        li, "l_returnflag", "l_extendedprice", Seq(0.25), Seq("p25r"),
+        materialize = false)
+      q.join(p, "l_returnflag")
+        .selectExpr("l_returnflag",
+          "CAST(CAST(p50r AS DECIMAL(18,4)) AS DOUBLE) AS p50",
+          "CAST(CAST(p90r AS DECIMAL(18,4)) AS DOUBLE) AS p90",
+          "CAST(CAST(p25r AS DECIMAL(18,4)) AS DOUBLE) AS p25_price")
+        .orderBy("l_returnflag")
+    },
     """SELECT l_returnflag,
       |  CAST(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS p50,
       |  CAST(CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,4)) AS DOUBLE) AS p90,

@@ -200,7 +200,32 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  common("a2_q1_agg", q1Sql)
+  // Q1 runs the cents kernel on the Spark side: 2-decimal doubles are
+  // exact integer cents, so every per-row product/sum stays in LONG
+  // codegen (no Decimal allocation on the hot path) and only the six
+  // group results touch decimal — one exact decimal division each, so
+  // the surfaced doubles are bit-identical to the oracle's
+  // decimal-sum-then-cast. Exact while the scaled sums fit a long
+  // (charge in 1e-6 units: ~6e16 at sf0.1, bound ~9.2e18) — beyond
+  // that, shard the sum or use the decimal formulation (the oracle's).
+  spark("a2_q1_agg",
+    (s, d) => { Tables.registerAll(s, d)
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  CAST(CAST(CAST(SUM(qc) AS DECIMAL(24,0)) / 100 AS DECIMAL(30,6)) AS DOUBLE) AS sum_qty,
+              |  CAST(CAST(CAST(SUM(pc) AS DECIMAL(24,0)) / 100 AS DECIMAL(30,6)) AS DOUBLE) AS sum_base_price,
+              |  CAST(CAST(CAST(SUM(pc * (100 - dc)) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS sum_disc_price,
+              |  CAST(CAST(CAST(SUM(pc * (100 - dc) * (100 + tc)) AS DECIMAL(24,0)) / 1000000 AS DECIMAL(30,6)) AS DOUBLE) AS sum_charge,
+              |  count(*) AS count_order
+              |FROM (SELECT l_returnflag, l_linestatus,
+              |        CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+              |        CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+              |        CAST(round(l_discount * 100) AS BIGINT) AS dc,
+              |        CAST(round(l_tax * 100) AS BIGINT) AS tc
+              |      FROM lineitem
+              |      WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00') c
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin) },
+    q1Sql)
 
   common("a3_minmax",
     """SELECT p_brand,

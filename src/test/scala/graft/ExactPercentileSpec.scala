@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ExactPercentile
+
+/** Distributed exact percentile: histogram + targeted fetch must equal
+  * the built-in exact `percentile` aggregate on every shape —
+  * heavy-hitter skew (resolved with no fetch), forced recursion (tiny
+  * fetchCap), nulls, single-value groups, interpolated ranks. */
+class ExactPercentileSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  private def reference(df: org.apache.spark.sql.DataFrame, p: Double): Map[String, Double] =
+    df.groupBy("g").agg(org.apache.spark.sql.functions.expr(s"percentile(v, $p)").as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  private def check(df: org.apache.spark.sql.DataFrame, ps: Seq[Double],
+                    buckets: Int = 64, fetchCap: Int = 1 << 17): Unit = {
+    val names = ps.indices.map(i => s"p$i")
+    val got = ExactPercentile.compute(df, "g", "v", ps, names,
+      buckets = buckets, fetchCap = fetchCap).collect()
+      .map(r => r.getString(0) -> ps.indices.map(r.getDouble _ compose (_ + 1))).toMap
+    ps.zipWithIndex.foreach { case (p, i) =>
+      val ref = reference(df, p)
+      ref.foreach { case (g, expect) =>
+        val v = got(g)(i)
+        assert(math.abs(v - expect) <= math.abs(expect) * 1e-12 + 1e-12,
+          s"group $g p=$p: got $v expected $expect")
+      }
+    }
+  }
+
+  test("matches built-in percentile on mixed continuous data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 20000).map(i => (s"g${i % 3}", rnd.nextGaussian() * 100)).toDF("g", "v")
+    check(df, Seq(0.0, 0.25, 0.5, 0.9, 1.0))
+  }
+
+  test("heavy-hitter skew: dominant single value resolves without fetch") {
+    import spark.implicits._
+    val df = ((1 to 50000).map(_ => ("a", 42.0)) ++ (1 to 100).map(i => ("a", i.toDouble)))
+      .toDF("g", "v")
+    check(df, Seq(0.5, 0.99), buckets = 8)
+  }
+
+  test("tiny fetchCap forces recursive re-bucketing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 30000).map(i => ("a", rnd.nextDouble())).toDF("g", "v")
+    check(df, Seq(0.5), buckets = 4, fetchCap = 512)
+  }
+
+  test("nulls ignored; single-value and tiny groups exact") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+                 ("b", Some(7.0)), ("c", Some(2.0)), ("c", Some(4.0)))
+      .toDF("g", "v")
+    check(df, Seq(0.5))
+  }
+}
