@@ -159,14 +159,18 @@ object Relational {
     (s, d) => {
       val li = Tables.t(s, d, "lineitem"); val o = Tables.t(s, d, "orders")
       val c = Tables.t(s, d, "customer"); val n = Tables.t(s, d, "nation")
-      val dec = DecimalType(18, 2)
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      // cents kernel: the join carries two longs instead of decimals;
+      // the only decimal op is one exact division per nation
+      val fact = li.select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+      fact.join(o, fact("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(n("n_name").as("n_name"))
         .agg(
-          sum(li("l_extendedprice").cast(dec) * (lit(1).cast(dec) - li("l_discount").cast(dec)))
-            .cast(DecimalType(18, 4)).cast("double").as("revenue"),
+          (sum(col("rev4")).cast(DecimalType(24, 0)) / 10000)
+            .cast(DecimalType(30, 6)).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     },
@@ -261,7 +265,18 @@ object Relational {
       .agg(approx_count_distinct("l_partkey").as("approx_parts"),
            count_distinct(col("l_partkey")).as("exact_parts")))
 
-  common("a6_rollup",
+  // Spark side runs the cents kernel (see a2_q1_agg): long arithmetic
+  // per row, one exact decimal division per output group.
+  spark("a6_rollup",
+    (s, d) => { Tables.registerAll(s, d)
+      s.sql("""SELECT coalesce(l_returnflag, '<ALL>') AS rf, coalesce(l_linestatus, '<ALL>') AS ls,
+              |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g1, CAST(GROUPING(l_linestatus) AS BIGINT) AS g2,
+              |  count(*) AS n,
+              |  CAST(CAST(CAST(SUM(qc) AS DECIMAL(24,0)) / 100 AS DECIMAL(30,6)) AS DOUBLE) AS sum_qty
+              |FROM (SELECT l_returnflag, l_linestatus,
+              |        CAST(round(l_quantity * 100) AS BIGINT) AS qc FROM lineitem) c
+              |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              |ORDER BY g1, g2, rf, ls""".stripMargin) },
     """SELECT coalesce(l_returnflag, '<ALL>') AS rf, coalesce(l_linestatus, '<ALL>') AS ls,
       |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g1, CAST(GROUPING(l_linestatus) AS BIGINT) AS g2,
       |  count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -297,7 +312,22 @@ object Relational {
       |GROUP BY l_orderkey, o_orderdate
       |ORDER BY revenue DESC NULLS LAST, l_orderkey LIMIT 20""".stripMargin)
 
-  common("tpch_q5_local_supplier",
+  // cents kernel on the Spark side (oracle keeps the decimal
+  // formulation): long revenue units through the 6-way join, one exact
+  // decimal division per nation at the end.
+  spark("tpch_q5_local_supplier",
+    (s, d) => { Tables.registerAll(s, d)
+      s.sql("""SELECT n_name,
+              |  CAST(CAST(CAST(SUM(rev4) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+              |FROM customer JOIN orders ON c_custkey = o_custkey
+              |  JOIN (SELECT l_orderkey, l_suppkey,
+              |          CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
+              |        FROM lineitem) l ON l_orderkey = o_orderkey
+              |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |  JOIN nation ON c_nationkey = n_nationkey
+              |  JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'AMERICA'
+              |GROUP BY n_name ORDER BY revenue DESC NULLS LAST, n_name""".stripMargin) },
     """SELECT n_name,
       |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
       |FROM customer JOIN orders ON c_custkey = o_custkey

@@ -75,8 +75,23 @@ object TpchSuite {
        |GROUP BY o_year ORDER BY o_year""".stripMargin)
 
   // Q9: product-type profit (supplycost → retailprice·qty stand-in),
-  // by supplier nation and year.
-  common("tpch_q9_profit",
+  // by supplier nation and year. Spark side runs the cents kernel
+  // (long profit units through the joins, one exact decimal division
+  // per group); the oracle keeps the decimal formulation.
+  spark("tpch_q9_profit",
+    (s, d) => { graft.Tables.registerAll(s, d)
+      s.sql("""SELECT nation, o_year,
+              |  CAST(CAST(CAST(SUM(amount4) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS sum_profit
+              |FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              |        CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
+              |          - CAST(round(p_retailprice * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT) AS amount4
+              |      FROM part JOIN lineitem ON p_partkey = l_partkey
+              |        JOIN supplier ON s_suppkey = l_suppkey
+              |        JOIN orders ON o_orderkey = l_orderkey
+              |        JOIN nation ON s_nationkey = n_nationkey
+              |      WHERE p_name LIKE '%red%') profit
+              |GROUP BY nation, o_year
+              |ORDER BY nation, o_year DESC NULLS LAST""".stripMargin) },
     s"""SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
        |FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        |        $rev - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS amount
