@@ -301,7 +301,21 @@ object Relational {
       |GROUP BY l_orderkey HAVING count(*) >= 5 ORDER BY l_orderkey""".stripMargin)
 
   // ---- TPC-H-shaped multi-join analytics (Q3/Q5/Q10 skeletons) --------
-  common("tpch_q3_shipping",
+  // Spark sides of the TPC-H revenue queries run the cents kernel
+  // (see a2_q1_agg); oracles keep the decimal formulation.
+  spark("tpch_q3_shipping",
+    (s, d) => { Tables.registerAll(s, d)
+      s.sql("""SELECT l_orderkey,
+              |  CAST(CAST(CAST(SUM(rev4) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
+              |  CAST(o_orderdate AS DATE) AS odate
+              |FROM customer JOIN orders ON c_custkey = o_custkey
+              |  JOIN (SELECT l_orderkey, l_shipdate,
+              |          CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
+              |        FROM lineitem) l ON l_orderkey = o_orderkey
+              |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+              |  AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+              |GROUP BY l_orderkey, o_orderdate
+              |ORDER BY revenue DESC NULLS LAST, l_orderkey LIMIT 20""".stripMargin) },
     """SELECT l_orderkey,
       |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
       |  CAST(o_orderdate AS DATE) AS odate
@@ -338,7 +352,19 @@ object Relational {
       |WHERE r_name = 'AMERICA'
       |GROUP BY n_name ORDER BY revenue DESC NULLS LAST, n_name""".stripMargin)
 
-  common("tpch_q10_returns",
+  spark("tpch_q10_returns",
+    (s, d) => { Tables.registerAll(s, d)
+      s.sql("""SELECT c_custkey, c_name,
+              |  CAST(CAST(CAST(SUM(rev4) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
+              |  CAST(CAST(CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS DECIMAL(24,0)) / 100 AS DECIMAL(30,6)) AS DOUBLE) AS acctbal,
+              |  n_name
+              |FROM customer JOIN orders ON c_custkey = o_custkey
+              |  JOIN (SELECT l_orderkey,
+              |          CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
+              |        FROM lineitem WHERE l_returnflag = 'R') l ON l_orderkey = o_orderkey
+              |  JOIN nation ON c_nationkey = n_nationkey
+              |GROUP BY c_custkey, c_name, n_name
+              |ORDER BY revenue DESC NULLS LAST, c_custkey LIMIT 20""".stripMargin) },
     """SELECT c_custkey, c_name,
       |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
       |  CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal,
@@ -368,7 +394,18 @@ object Relational {
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 
   // Q14 skeleton: conditional revenue ratio over a fact-dim join.
-  common("tpch_q14_promo",
+  // Spark side on the cents kernel; both sums surface through the same
+  // exact decimal→double path before the (identical) double ops.
+  spark("tpch_q14_promo",
+    (s, d) => { Tables.registerAll(s, d)
+      s.sql("""SELECT CAST(100 AS DOUBLE) *
+              |  CAST(CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev4 ELSE 0 END) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE)
+              |  / CAST(CAST(CAST(SUM(rev4) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS promo_revenue
+              |FROM (SELECT l_partkey,
+              |        CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
+              |      FROM lineitem
+              |      WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00') l
+              |  JOIN part ON l_partkey = p_partkey""".stripMargin) },
     """SELECT CAST(100 AS DOUBLE) *
       |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
       |  / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
@@ -385,9 +422,10 @@ object Relational {
   spark("tpch_q18_large",
     (s, d) => { Tables.registerAll(s, d)
       s.sql("""WITH big AS (
-              |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              |  SELECT l_orderkey,
+              |    CAST(CAST(CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DECIMAL(24,0)) / 100 AS DECIMAL(30,6)) AS DOUBLE) AS sum_qty
               |  FROM lineitem GROUP BY l_orderkey
-              |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+              |  HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 20000)
               |SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
               |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price, sum_qty
               |FROM big JOIN orders ON o_orderkey = big.l_orderkey

@@ -42,8 +42,24 @@ object TpchSuite {
        |                   WHERE l2.l_partkey = p_partkey AND r2.r_name = 'AMERICA')
        |ORDER BY acctbal DESC NULLS LAST, p_partkey, s_name""".stripMargin)
 
-  // Q7: volume shipping between two nations, grouped by year.
-  common("tpch_q7_volume",
+  // Q7: volume shipping between two nations, grouped by year. Spark
+  // side on the cents kernel (see Relational a2_q1_agg).
+  spark("tpch_q7_volume",
+    (s, d) => { graft.Tables.registerAll(s, d)
+      s.sql("""SELECT supp_nation, cust_nation, l_year,
+              |  CAST(CAST(CAST(SUM(rev4) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+              |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+              |        CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
+              |      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+              |        JOIN orders ON o_orderkey = l_orderkey
+              |        JOIN customer ON c_custkey = o_custkey
+              |        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              |         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) shipping
+              |GROUP BY supp_nation, cust_nation, l_year
+              |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) },
     s"""SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        |        CAST(year(l_shipdate) AS BIGINT) AS l_year, $rev AS volume
@@ -57,8 +73,26 @@ object TpchSuite {
        |GROUP BY supp_nation, cust_nation, l_year
        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
 
-  // Q8: national market share within a region, by year.
-  common("tpch_q8_mktshare",
+  // Q8: national market share within a region, by year. Spark side on
+  // the cents kernel; both sums surface through the same exact
+  // decimal→double path before the (identical) double division.
+  spark("tpch_q8_mktshare",
+    (s, d) => { graft.Tables.registerAll(s, d)
+      s.sql("""SELECT o_year,
+              |  CAST(CAST(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN rev4 ELSE 0 END) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE)
+              |    / CAST(CAST(CAST(SUM(rev4) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS mkt_share
+              |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              |        CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4,
+              |        n2.n_name AS nation
+              |      FROM part JOIN lineitem ON p_partkey = l_partkey
+              |        JOIN supplier ON s_suppkey = l_suppkey
+              |        JOIN orders ON l_orderkey = o_orderkey
+              |        JOIN customer ON o_custkey = c_custkey
+              |        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              |        JOIN region ON n1.n_regionkey = r_regionkey
+              |        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              |      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY') all_nations
+              |GROUP BY o_year ORDER BY o_year""".stripMargin) },
     s"""SELECT o_year,
        |  CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
        |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
