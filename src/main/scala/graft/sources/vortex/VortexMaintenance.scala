@@ -1,0 +1,144 @@
+package graft.sources.vortex
+
+import java.io.{BufferedOutputStream, DataOutputStream}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
+import VortexFormat._
+
+/** Offline small-file compaction for vortex datasets — the maintenance
+  * half of a streaming/appending table's lifecycle: per-epoch sink
+  * files and per-task append shards accumulate until listings, footer
+  * reads, and task scheduling are dominated by file COUNT rather than
+  * bytes (at 100 TB, millions of 1 MB files would mean millions of
+  * splits). `compact` rewrites each layout directory's small files
+  * into ~targetBytes files.
+  *
+  * Scale design: batches are built driver-side from the listing (no
+  * data read), then rewritten DISTRIBUTED — one task per output file.
+  * The rewrite is a chunk-level BYTE COPY: encoded column pages move
+  * verbatim (offset-rebased), so compaction never decodes, re-encodes,
+  * or re-compresses — cost is pure sequential I/O. Partition and
+  * `__bucket=k` layout are preserved by construction (batches never
+  * cross a directory). The per-job stats manifest is extended with the
+  * new files; entries for absorbed files go stale harmlessly (the
+  * scan consults the manifest only for files that still exist).
+  *
+  * Caveat (documented, inherent to a manifest-less directory format):
+  * a reader listing the directory in the instant between a batch's
+  * rename-in and its sources' deletes could see a row twice — run
+  * compaction when the table has no concurrent readers, as with
+  * Hive-style tables.
+  */
+object VortexMaintenance {
+
+  final case class CompactResult(dirs: Int, batches: Int,
+                                 filesAbsorbed: Int, bytesRewritten: Long)
+
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024,
+              minFiles: Int = 2): CompactResult = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val rootQ = fs.makeQualified(root).toString
+
+    // group data files by their layout directory (partition/bucket)
+    val listed = PartitionedLayout.listWithPartitions(root, hconf)
+    val byDir = listed.groupBy(_._1.getPath.getParent.toString)
+
+    val batches = byDir.toSeq.sortBy(_._1).flatMap { case (d, files) =>
+      val small = files.map(_._1).filter(_.getLen < targetBytes)
+        .sortBy(_.getPath.getName)
+      val out = scala.collection.mutable.ListBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ListBuffer[String]()
+      var bytes = 0L
+      small.foreach { st =>
+        if (bytes + st.getLen > targetBytes && cur.nonEmpty) {
+          if (cur.length >= minFiles) out += cur.toSeq
+          cur = scala.collection.mutable.ListBuffer[String](); bytes = 0L
+        }
+        cur += st.getPath.toString; bytes += st.getLen
+      }
+      if (cur.length >= minFiles) out += cur.toSeq
+      out.toSeq
+    }
+    if (batches.isEmpty) return CompactResult(byDir.size, 0, 0, 0L)
+
+    val sconf = new SerializableConfiguration(hconf)
+    val results = spark.sparkContext
+      .parallelize(batches, batches.length)
+      .map(batch => compactBatch(batch, sconf.value))
+      .collect()
+
+    // extend the stats manifest with the new files (tier-1.5 pruning)
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
+    val entries = results.flatMap { case (created, _) =>
+      try {
+        val p = new Path(created)
+        val st = fs.getFileStatus(p)
+        val rel = fs.makeQualified(p).toString.stripPrefix(rootQ).stripPrefix("/")
+        Some(StatsManifest.fromFooter(rel, st.getLen, VortexFileReader.readFooter(p, hconf)))
+      } catch { case _: Exception => None }
+    }
+    StatsManifest.write(root, hconf, s"compact-$jobId", entries.toSeq)
+
+    CompactResult(byDir.size, batches.length,
+      batches.map(_.length).sum, results.map(_._2).sum)
+  }
+
+  /** Merge one batch into one file by chunk byte-copy; returns
+    * (created path, bytes copied). Runs on an executor. */
+  private def compactBatch(batch: Seq[String],
+                           conf: org.apache.hadoop.conf.Configuration): (String, Long) = {
+    val first = new Path(batch.head)
+    val fs = first.getFileSystem(conf)
+    val parent = first.getParent
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val name = s"part-compact-$id.vortex"
+    val tmp = new Path(parent, s".$name.inprogress")
+    val dst = new Path(parent, name)
+
+    val footers = batch.map(f => new Path(f) -> VortexFileReader.readFooter(new Path(f), conf))
+    val schemaJson = footers.head._2.schema.json
+    footers.foreach { case (p, f) =>
+      require(f.schema.json == schemaJson,
+        s"vortex compact: schema mismatch between ${batch.head} and $p")
+    }
+
+    val stream = fs.create(tmp, true)
+    val out = new BufferedOutputStream(stream, 1 << 20)
+    var pos: Long = 0
+    var copied: Long = 0
+    out.write(Magic); pos += Magic.length
+    val chunks = scala.collection.mutable.ArrayBuffer[ChunkMeta]()
+    footers.foreach { case (p, footer) =>
+      val in = fs.open(p)
+      try footer.chunks.foreach { chunk =>
+        val metas = chunk.columns.map { m =>
+          val buf = new Array[Byte](m.length)
+          in.readFully(m.offset, buf)
+          out.write(buf)
+          val nm = m.copy(offset = pos)
+          pos += m.length; copied += m.length
+          nm
+        }
+        chunks += ChunkMeta(chunk.rowCount, metas)
+      } finally in.close()
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new DataOutputStream(bos)
+    writeFooter(dos, Footer(footers.head._2.schema, chunks.toArray))
+    dos.flush()
+    val fb = bos.toByteArray
+    out.write(fb)
+    val tail = java.nio.ByteBuffer.allocate(12)
+    tail.putLong(fb.length.toLong); tail.put(Magic)
+    out.write(tail.array())
+    out.flush(); out.close()
+
+    if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"vortex compact: rename failed for $dst")
+    batch.foreach(f => fs.delete(new Path(f), false))
+    (dst.toString, copied)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.vortex.VortexMaintenance
+
+/** Small-file compaction: chunk byte-copy merge must preserve every
+  * row/value (incl. across encodings) while collapsing file counts,
+  * and must respect partition + bucket layout boundaries. */
+class VortexCompactionSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  private def vortexFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".vortex")) Seq(f) else Seq.empty
+    walk(new java.io.File(dir))
+  }
+
+  private def fingerprint(dir: String): (Long, Long) = {
+    val df = spark.read.format("vortex").load(dir)
+    (df.count(), df.selectExpr("sum(hash(*))").head.getLong(0))
+  }
+
+  test("flat dataset: many small files collapse to few, data identical") {
+    val dir = Files.createTempDirectory("vortex_compact_").toString
+    spark.range(0, 40000).selectExpr("id AS k", "CAST(id AS DOUBLE) / 100 AS v",
+        "repeat(uuid(), 2) AS s")
+      .repartition(40)
+      .write.format("vortex").mode("overwrite").save(dir)
+    assert(vortexFiles(dir).size == 40)
+    val before = fingerprint(dir)
+    val res = VortexMaintenance.compact(spark, dir)
+    assert(res.filesAbsorbed == 40 && res.batches >= 1)
+    val after = vortexFiles(dir)
+    assert(after.size == res.batches)
+    assert(fingerprint(dir) == before)
+  }
+
+  test("partitioned + bucketed layouts compact within their directories") {
+    val dir = Files.createTempDirectory("vortex_compact_b_").toString
+    // 8 buckets x several appends = many small files per bucket dir
+    (0 until 4).foreach { i =>
+      spark.range(i * 2000, (i + 1) * 2000).selectExpr("id AS k", "id * 3 AS v")
+        .write.format("vortex")
+        .option("bucketBy", "k").option("buckets", "8")
+        .mode(if (i == 0) "overwrite" else "append").save(dir)
+    }
+    val before = fingerprint(dir)
+    val perDirBefore = vortexFiles(dir).groupBy(_.getParentFile.getName)
+    assert(perDirBefore.values.forall(_.size == 4))
+    val res = VortexMaintenance.compact(spark, dir)
+    assert(res.batches == 8 && res.filesAbsorbed == 32)
+    val perDir = vortexFiles(dir).groupBy(_.getParentFile.getName)
+    assert(perDir.size == 8 && perDir.values.forall(_.size == 1))
+    assert(fingerprint(dir) == before)
+    // bucket placement still correct after compaction
+    val b5 = spark.read.format("vortex").load(s"$dir/__bucket=5")
+    assert(b5.selectExpr("pmod(hash(k), 8) AS b").where("b <> 5").count() == 0)
+  }
+
+  test("files at or above target size are left alone") {
+    val dir = Files.createTempDirectory("vortex_compact_t_").toString
+    spark.range(0, 10000).selectExpr("id AS k").repartition(5)
+      .write.format("vortex").mode("overwrite").save(dir)
+    val names = vortexFiles(dir).map(_.getName).toSet
+    val res = VortexMaintenance.compact(spark, dir, targetBytes = 1024)
+    assert(res.batches == 0 && res.filesAbsorbed == 0)
+    assert(vortexFiles(dir).map(_.getName).toSet == names)
+  }
+
+  test("timestamp-unit metadata survives the byte-copy merge") {
+    val dir = Files.createTempDirectory("vortex_compact_ts_").toString
+    spark.sql("SELECT TIMESTAMP_NTZ '2024-03-01 10:20:30.123456' + make_interval(0,0,0,0,0,0,id) AS ts FROM range(0, 1000)")
+      .repartition(4)
+      .write.format("vortex").option("timestampUnits", "ts=ns")
+      .mode("overwrite").save(dir)
+    val before = spark.read.format("vortex").load(dir)
+      .selectExpr("sum(hash(ts))").head.getLong(0)
+    val res = VortexMaintenance.compact(spark, dir)
+    assert(res.filesAbsorbed == 4)
+    val back = spark.read.format("vortex").load(dir)
+    assert(back.selectExpr("sum(hash(ts))").head.getLong(0) == before)
+    import graft.sources.vortex.{VortexFileReader, VortexFormat}
+    val f = vortexFiles(dir).head
+    val footer = VortexFileReader.readFooter(new org.apache.hadoop.fs.Path(f.toString),
+      spark.sessionState.newHadoopConf())
+    assert(VortexFormat.tsUnit(footer.schema("ts")) == "ns")
+  }
+}
