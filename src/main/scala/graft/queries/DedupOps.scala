@@ -343,10 +343,18 @@ object DedupOps {
     * along in the bucket rows), so the global pair set is exactly
     * deduplicated without a second `distinct()` shuffle and without any
     * driver-side signature table. 16 hash functions, 4 bands × 4 rows;
-    * both engines use min(md5(i || ':' || token)) so signatures match. */
-  def minhashCandidates(s: SparkSession, tok: DataFrame): DataFrame = {
+    * both engines use min(md5(i || ':' || token)) so signatures match.
+    *
+    * Hot buckets (template corpora: near-identical, non-equal sets
+    * sharing a band signature) are bounded by [[BoundedBucketPairs]]:
+    * buckets over `bucketCap` sets split into block-pair tasks — the
+    * identical pair set, but ≤ 2·⌈m/blocks⌉ sets per task instead of
+    * the whole bucket on one task. */
+  def minhashCandidates(s: SparkSession, tok: DataFrame,
+                        bucketCap: Int = 4096, blocks: Int = 16): DataFrame = {
     import s.implicits._
     import graft.functions.Hashing
+    import graft.operators.BoundedBucketPairs
     // docs collapse to DISTINCT token sets first (identical docs are
     // common in real corpora): signatures are computed once per set —
     // map-side over the already-grouped token array — and buckets pair
@@ -369,20 +377,16 @@ object DedupOps {
         }
         val hex = Array.tabulate(k)(i => Hashing.toHexAt(mh, i * 16))
         val m = members.toArray
-        Iterator.tabulate(4)(b => (b, hex.slice(4 * b, 4 * b + 4).mkString("|"), m, hex))
+        Iterator.tabulate(4)(b => (b, hex.slice(4 * b, 4 * b + 4).mkString("|"), (m, hex)))
       }
-    val cross = bandRows.groupByKey(t => (t._1, t._2))
-      .flatMapGroups { (key: (Int, String), it: Iterator[(Int, String, Array[Long], Array[String])]) =>
-        val band = key._1
-        val items = it.map(t => (t._3, t._4)).toArray.sortInPlaceBy(_._1.head)
-        for {
-          i <- items.indices.iterator
-          j <- (i + 1 until items.length).iterator
-          if firstSharedBand(items(i)._2, items(j)._2) == band
-          a <- items(i)._1.iterator
-          b <- items(j)._1.iterator
-        } yield (math.min(a, b), math.max(a, b))
-      }
+    val cross = BoundedBucketPairs.pairs[(Array[Long], Array[String]), (Long, Long)](
+      bandRows, bucketCap, blocks,
+      blockOf = item => item._1.head.toInt,
+      emit = (band, a, b) =>
+        if (firstSharedBand(a._2, b._2) == band)
+          for { x <- a._1.iterator; y <- b._1.iterator }
+            yield (math.min(x, y), math.max(x, y))
+        else Iterator.empty)
       .toDF("id_a", "id_b")
     // intra-set pairs: members are sorted, so x < y holds positionally
     val intra = sets.select(explode(expr(

@@ -55,64 +55,82 @@ object SimilarityOps {
       }
     }
 
-  /** first band (0-based) where the two plane-sign signatures agree on
-    * every bit; -1 if none */
-  private def firstSharedBandBits(sa: Long, sb: Long, nBands: Int, bits: Int): Int = {
-    val mask = (1L << bits) - 1
+  /** first band (0-based) where the two per-band signatures agree;
+    * -1 if none */
+  private def firstSharedSig(sa: Array[Int], sb: Array[Int]): Int = {
     var b = 0
-    while (b < nBands) {
-      if ((((sa ^ sb) >>> (b * bits)) & mask) == 0L) return b
+    while (b < sa.length) {
+      if (sa(b) == sb(b)) return b
       b += 1
     }
     -1
   }
 
-  // Near-duplicate pairs: cosine (rounded to 4 decimals) ≥ 0.95 —
-  // banded random-hyperplane LSH (8 bands × 6 md5-derived planes),
-  // exact fixed-point scoring inside each (band, bucket) group. One
-  // shuffle keyed on (band, bucket); pairs dedup by first-shared-band
-  // inside the bucket (both signatures ride along), so no distinct()
-  // pass and no driver-side corpus state. Detection probability for a
-  // true cos ≥ 0.95 pair is 1-(1-p^6)^8 ≈ 0.998 (p = 1-θ/π ≈ 0.899);
-  // the scan-everything exactness of the old whole-corpus broadcast
-  // does not survive 100 TB, this does.
-  spark("v_cos_neardup",
-    (s, d) => {
-      import s.implicits._
-      val ds = qvecs(s, d)
-      val nBands = 8; val bits = 6
-      val bp = s.sparkContext.broadcast(md5Planes(nBands * bits, "np:"))
-      val thr = new java.math.BigDecimal("0.9500")
-      val bandRows = ds.flatMap { v =>
-        var sig = 0L
-        var p = 0
-        while (p < nBands * bits) {
-          if (VecFixedPoint.dot(bp.value(p), v.q) >= 0) sig |= (1L << p)
-          p += 1
+  /** Near-duplicate pairs: cosine (rounded to 4 decimals) ≥ 0.95 —
+    * banded random-hyperplane LSH, exact fixed-point scoring inside
+    * each (band, bucket) group. One shuffle keyed on (band, bucket);
+    * pairs dedup by first-shared-band inside the bucket (both
+    * signatures ride along), so no distinct() pass and no driver-side
+    * corpus state.
+    *
+    * Scale parameterization: `bits` per band derives from the corpus
+    * count so the EXPECTED bucket holds ~1k vectors (bits =
+    * ⌈log₂(n/1024)⌉ clamped to [6, 20]); 8 bands always. Per-band
+    * collision probability for a true cos ≥ 0.95 pair is p^bits
+    * (p = 1-θ/π ≈ 0.899), detection 1-(1-p^bits)^8 — ≈ 0.998 at
+    * bits = 6, the standard LSH S-curve trade at larger corpora.
+    * Buckets that still exceed `cap` (duplicate-heavy corpora: vectors
+    * of near-identical direction share every plane sign, so no bit
+    * count splits them) are bounded by [[graft.operators.BoundedBucketPairs]]
+    * block-pair tasks — the exact same pair set, ≤ 2·⌈m/blocks⌉
+    * vectors per task. */
+  def cosineNearDupPairs(s: SparkSession, d: String,
+                         cap: Int = 4096, blocks: Int = 16): DataFrame = {
+    import s.implicits._
+    val ds = qvecs(s, d)
+    val n = math.max(Tables.t(s, d, "embeddings").count(), 1L)
+    val nBands = 8
+    val bits = {
+      val target = math.max(n / 1024L, 1L)
+      val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(target - 1, 1L))
+      math.max(6, math.min(20, ceilLog2.toInt))
+    }
+    val bp = s.sparkContext.broadcast(md5Planes(nBands * bits, "np:"))
+    val thr = new java.math.BigDecimal("0.9500")
+    val bandRows = ds.flatMap { v =>
+      val sig = new Array[Int](nBands)
+      var b = 0
+      while (b < nBands) {
+        var sg = 0; var j = 0
+        while (j < bits) {
+          if (VecFixedPoint.dot(bp.value(b * bits + j), v.q) >= 0) sg |= (1 << j)
+          j += 1
         }
-        val sg = sig
-        Iterator.tabulate(nBands)(b =>
-          (b, ((sg >>> (b * bits)) & ((1L << bits) - 1)).toInt, v.id, sg, v.q, v.saa))
+        sig(b) = sg; b += 1
       }
-      bandRows.groupByKey(t => (t._1, t._2))
-        .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Long, Array[Long], Long)]) =>
-          val band = key._1
-          val items = it.map(t => (t._3, t._4, t._5, t._6)).toArray.sortInPlaceBy(_._1)
-          for {
-            i <- items.indices.iterator
-            j <- (i + 1 until items.length).iterator
-            if firstSharedBandBits(items(i)._2, items(j)._2, nBands, bits) == band
-            dot = VecFixedPoint.dot(items(i)._3, items(j)._3)
-            if dot > 0
-            c4 = VecFixedPoint.cos4(dot, items(i)._4, items(j)._4)
-            if c4.compareTo(thr) >= 0
-          } yield (items(i)._1, items(j)._1, c4.toString)
-        }
-        .toDF("id_a", "id_b", "cos_s")
-        .select(col("id_a"), col("id_b"),
-          col("cos_s").cast("decimal(18,4)").cast("double").as("cos"))
-        .orderBy("id_a", "id_b")
-    },
+      Iterator.tabulate(nBands)(b => (b, sig(b).toString, (v.id, sig, v.q, v.saa)))
+    }
+    graft.operators.BoundedBucketPairs.pairs[(Long, Array[Int], Array[Long], Long), (Long, Long, String)](
+      bandRows, cap, blocks,
+      blockOf = item => item._1.toInt,
+      emit = (band, a, b) =>
+        if (firstSharedSig(a._2, b._2) == band) {
+          val dot = VecFixedPoint.dot(a._3, b._3)
+          if (dot > 0) {
+            val c4 = VecFixedPoint.cos4(dot, a._4, b._4)
+            if (c4.compareTo(thr) >= 0)
+              Iterator.single((math.min(a._1, b._1), math.max(a._1, b._1), c4.toString))
+            else Iterator.empty
+          } else Iterator.empty
+        } else Iterator.empty)
+      .toDF("id_a", "id_b", "cos_s")
+      .select(col("id_a"), col("id_b"),
+        col("cos_s").cast("decimal(18,4)").cast("double").as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  spark("v_cos_neardup",
+    (s, d) => cosineNearDupPairs(s, d),
     s"""WITH $oracleVecs,
        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |             CAST(sum(ea.x * eb.x) AS DECIMAL(38,16)) AS dot

@@ -10,7 +10,7 @@ import duckdb, pyarrow.parquet as pq
 
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith('-') else '/root/testdata/sf0.01'
 OUT = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith('-') else '/tmp/verify_out'
-ONLY = [a for a in sys.argv[3:] if not a.startswith('-')]
+ONLY = [x for a in sys.argv[3:] if not a.startswith('-') for x in a.split(',') if x]
 SKIP_SPARK = '--skip-spark' in sys.argv
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -18,7 +18,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 if not SKIP_SPARK:
     import shutil
     shutil.rmtree(OUT, ignore_errors=True)   # stale outputs must not mask failures
-    r = subprocess.run(['sbt', '-batch', f'runMain graft.Verify {SF} {OUT}'],
+    filt = (' ' + ','.join(ONLY)) if ONLY else ''
+    r = subprocess.run(['sbt', '-batch', f'runMain graft.Verify {SF} {OUT}{filt}'],
                        cwd='/root/repo', capture_output=True, text=True, timeout=3600)
     tail = (r.stdout + r.stderr)[-3000:]
     if r.returncode != 0:
