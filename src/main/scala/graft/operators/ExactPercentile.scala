@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   * re-buckets recursively within its range. All distributed passes are
   * broadcast-join + codegen expressions (no Scala UDF on the hot
   * path). At 100 TB: a handful of narrow scans, no group-sized task
-  * state anywhere.
+  * state anywhere. Driver state is O(groups·buckets) histogram cells —
+  * fine up to ~10⁵ groups; beyond that, shard the group domain across
+  * calls.
+  *
+  * Multiple value columns share every pass: [[computeMulti]] stacks
+  * (group, column, value) into one frame, so N columns still cost one
+  * extent scan + one histogram scan, not N of each.
   *
   * Determinism: ranks are exact integers and the returned lo/hi values
   * are exact data values, so the interpolated result is independent of
@@ -30,38 +36,26 @@ object ExactPercentile {
   private case class Need(g: String, ranks: Seq[Long], lo: Double, hi: Double,
                           startRank: Long, count: Long)
 
-  /** Returns one row per group: (groupCol: string, <names(i)>: double).
-    * Null values are ignored (SQL aggregate semantics); groups with no
-    * non-null values are omitted. */
-  def compute(df: DataFrame, groupCol: String, valueCol: String,
-              ps: Seq[Double], names: Seq[String],
-              buckets: Int = 4096, fetchCap: Int = 1 << 17,
-              materialize: Boolean = true): DataFrame = {
-    require(ps.nonEmpty && ps.length == names.length)
-    require(ps.forall(p => p >= 0.0 && p <= 1.0))
-    val spark = df.sparkSession
+  /** Core solver over a (g: string, v: double, v non-null) frame:
+    * for every group g present, the interpolated percentile for each
+    * p in psOf(g). */
+  private def solve(base: DataFrame, psOf: String => Seq[Double],
+                    buckets: Int, fetchCap: Int): Map[(String, Double), Double] = {
+    val spark = base.sparkSession
     import spark.implicits._
-
-    val projected = df.select(col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("double").as("v"))
-      .where(col("v").isNotNull)
-    // materialize once when the input is an expensive pipeline; leave
-    // off for bare table scans (column-pruned re-reads beat a
-    // checkpoint write)
-    val base = if (materialize) projected.localCheckpoint(false) else projected
 
     // (A) per-group extent
     val extent: Map[String, (Long, Double, Double)] =
       base.groupBy("g").agg(count("v").as("n"), min("v").as("mn"), max("v").as("mx"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
 
-    def targetRanks(n: Long): Seq[Long] =
-      ps.flatMap { p => val h = (n - 1) * p
+    def targetRanks(g: String, n: Long): Seq[Long] =
+      psOf(g).flatMap { p => val h = (n - 1) * p
         Seq(math.floor(h).toLong, math.ceil(h).toLong) }.distinct.sorted
 
     val resolved = scala.collection.mutable.Map[(String, Long), Double]()
     var work: List[Need] = extent.toList.map { case (g, (n, mn, mx)) =>
-      Need(g, targetRanks(n), mn, mx, 0L, n) }
+      Need(g, targetRanks(g, n), mn, mx, 0L, n) }
 
     while (work.nonEmpty) {
       // degenerate ranges (all values equal) resolve with no I/O
@@ -115,18 +109,78 @@ object ExactPercentile {
         }
     }
 
-    val out = extent.toSeq.sortBy(_._1).map { case (g, (n, _, _)) =>
-      val vs = ps.map { p =>
+    extent.flatMap { case (g, (n, _, _)) =>
+      psOf(g).map { p =>
         val h = (n - 1) * p
         val lo = resolved((g, math.floor(h).toLong))
         val hi = resolved((g, math.ceil(h).toLong))
-        lo + (hi - lo) * (h - math.floor(h))
+        (g, p) -> (lo + (hi - lo) * (h - math.floor(h)))
       }
-      Row.fromSeq(g +: vs)
+    }
+  }
+
+  /** Returns one row per group: (groupCol: string, <names(i)>: double).
+    * Null values are ignored (SQL aggregate semantics); groups with no
+    * non-null values are omitted. */
+  def compute(df: DataFrame, groupCol: String, valueCol: String,
+              ps: Seq[Double], names: Seq[String],
+              buckets: Int = 4096, fetchCap: Int = 1 << 17,
+              materialize: Boolean = true): DataFrame =
+    computeMulti(df, groupCol, Seq((valueCol, ps, names)), buckets, fetchCap, materialize)
+
+  /** Percentiles of SEVERAL value columns in the same passes: the
+    * stacked (group, column, value) frame makes the extent and
+    * histogram aggregates one scan each for ALL columns. `specs` is
+    * (valueCol, ps, names) per column; output is one row per group
+    * with every spec's names, columns in spec order. A group appears
+    * only if every spec has at least one non-null value for it (inner
+    * semantics, matching a multi-aggregate SQL GROUP BY over non-null
+    * groups). */
+  def computeMulti(df: DataFrame, groupCol: String,
+                   specs: Seq[(String, Seq[Double], Seq[String])],
+                   buckets: Int = 4096, fetchCap: Int = 1 << 17,
+                   materialize: Boolean = true): DataFrame = {
+    require(specs.nonEmpty)
+    specs.foreach { case (_, ps, names) =>
+      require(ps.nonEmpty && ps.length == names.length)
+      require(ps.forall(p => p >= 0.0 && p <= 1.0))
+    }
+    val spark = df.sparkSession
+
+    // one frame: g = "<colIdx>|<group>", v = that column's value
+    val stackExpr = s"stack(${specs.length}, " +
+      specs.zipWithIndex.map { case (sp, i) => s"'$i', double_${i}" }.mkString(", ") +
+      ") AS (cidx, v)"
+    val projected = df.select(
+        col(groupCol).cast("string").as("g0") +:
+        specs.zipWithIndex.map { case (sp, i) => col(sp._1).cast("double").as(s"double_$i") }: _*)
+      .selectExpr("g0", stackExpr)
+      .where(col("v").isNotNull)
+      .select(concat(col("cidx"), lit("|"), col("g0")).as("g"), col("v"))
+    // materialize once when the input is an expensive pipeline; leave
+    // off for bare table scans (column-pruned re-reads beat a
+    // checkpoint write)
+    val base = if (materialize) projected.localCheckpoint(false) else projected
+
+    val psArr = specs.map(_._2).toArray
+    val psOf: String => Seq[Double] = g => psArr(g.substring(0, g.indexOf('|')).toInt)
+    val sol = solve(base, psOf, buckets, fetchCap)
+
+    // assemble: per original group, all specs' values (inner semantics)
+    val byGroup = sol.toSeq.groupBy { case ((g, _), _) =>
+      g.substring(g.indexOf('|') + 1) }
+    val out = byGroup.toSeq.sortBy(_._1).flatMap { case (g0, cells) =>
+      val m = cells.map { case ((g, p), v) =>
+        (g.substring(0, g.indexOf('|')).toInt, p) -> v }.toMap
+      val vals = specs.zipWithIndex.flatMap { case ((_, ps, _), i) =>
+        ps.map(p => m.get((i, p))) }
+      if (vals.forall(_.isDefined)) Some(Row.fromSeq(g0 +: vals.map(_.get)))
+      else None
     }
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField(groupCol, org.apache.spark.sql.types.StringType) +:
-        names.map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType)))
+        specs.flatMap(_._3).map(n =>
+          org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType)))
     spark.createDataFrame(spark.sparkContext.parallelize(out.toList, 1), schema)
   }
 }

@@ -54,14 +54,13 @@ object Coverage2 {
   spark("q_percentile",
     (s, d) => {
       val li = Tables.t(s, d, "lineitem")
-      val q = graft.operators.ExactPercentile.compute(
-        li, "l_returnflag", "l_quantity", Seq(0.5, 0.9), Seq("p50r", "p90r"),
-        materialize = false)
-      val p = graft.operators.ExactPercentile.compute(
-        li, "l_returnflag", "l_extendedprice", Seq(0.25), Seq("p25r"),
-        materialize = false)
-      q.join(p, "l_returnflag")
-        .selectExpr("l_returnflag",
+      // both value columns ride the same extent + histogram scans
+      val q = graft.operators.ExactPercentile.computeMulti(
+        li, "l_returnflag",
+        Seq(("l_quantity", Seq(0.5, 0.9), Seq("p50r", "p90r")),
+            ("l_extendedprice", Seq(0.25), Seq("p25r"))),
+        materialize = true)
+      q.selectExpr("l_returnflag",
           "CAST(CAST(p50r AS DECIMAL(18,4)) AS DOUBLE) AS p50",
           "CAST(CAST(p90r AS DECIMAL(18,4)) AS DOUBLE) AS p90",
           "CAST(CAST(p25r AS DECIMAL(18,4)) AS DOUBLE) AS p25_price")

@@ -399,11 +399,16 @@ object DedupOps {
   spark("d_minhash_lsh",
     // lazy localCheckpoint (the sort's range-sampling would re-execute
     // the bucket pipeline) + pack the pair into ONE long sort key
-    // (doc ids < 2^31): narrower sort rows, one comparison per pair
+    // (doc ids < 2^31): narrower sort rows, one comparison per pair.
+    // The ordered dump sorts into 8 range partitions (~1M keys each)
+    // rather than the session's 32: the 6.7M-row result is shuffle-
+    // machinery-bound, not sort-bound, so fewer/fatter sorted splits
+    // cut a third of the wall time while keeping the sort parallel.
     (s, d) => minhashCandidates(s, tokens(s, d))
       .select((col("id_a") * lit(1L << 32) + col("id_b")).as("k"))
       .localCheckpoint(eager = false)
-      .orderBy("k")
+      .repartitionByRange(8, col("k"))
+      .sortWithinPartitions("k")
       .select(shiftright(col("k"), 32).as("id_a"),
               (col("k") - shiftright(col("k"), 32) * lit(1L << 32)).as("id_b")),
     s"""WITH tok AS ($tokSql),

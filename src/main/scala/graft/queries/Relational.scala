@@ -329,17 +329,25 @@ object Relational {
   // cents kernel on the Spark side (oracle keeps the decimal
   // formulation): long revenue units through the 6-way join, one exact
   // decimal division per nation at the end.
+  // Plan shape: the FACT table leads so it is the streamed side of
+  // every join (the dim-first ordering made Catalyst broadcast the
+  // pruned 600k-row lineitem projection — a driver-built hash relation
+  // on the hot path); orders and the dims broadcast at this SF and
+  // AQE switches them to shuffle joins when they outgrow the
+  // threshold. The c_nationkey = s_nationkey residual lands as a
+  // second equi-key of the supplier broadcast join.
   spark("tpch_q5_local_supplier",
     (s, d) => { Tables.registerAll(s, d)
       s.sql("""SELECT n_name,
               |  CAST(CAST(CAST(SUM(rev4) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS revenue
-              |FROM customer JOIN orders ON c_custkey = o_custkey
-              |  JOIN (SELECT l_orderkey, l_suppkey,
-              |          CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
-              |        FROM lineitem) l ON l_orderkey = o_orderkey
-              |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |FROM (SELECT l_orderkey, l_suppkey,
+              |        CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
+              |      FROM lineitem) l
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN customer ON c_custkey = o_custkey
               |  JOIN nation ON c_nationkey = n_nationkey
               |  JOIN region ON n_regionkey = r_regionkey
+              |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
               |WHERE r_name = 'AMERICA'
               |GROUP BY n_name ORDER BY revenue DESC NULLS LAST, n_name""".stripMargin) },
     """SELECT n_name,
@@ -352,18 +360,26 @@ object Relational {
       |WHERE r_name = 'AMERICA'
       |GROUP BY n_name ORDER BY revenue DESC NULLS LAST, n_name""".stripMargin)
 
+  // Plan shape: revenue aggregates on o_custkey BEFORE any dim join —
+  // the group key is a long, not (custkey, name, n_name) wide rows, and
+  // c_name/n_name/c_acctbal are functionally determined by c_custkey so
+  // re-attaching them post-agg is exactly the textbook result. One fact
+  // shuffle (lineitem ⋈ orders on the order key), dims broadcast.
   spark("tpch_q10_returns",
     (s, d) => { Tables.registerAll(s, d)
-      s.sql("""SELECT c_custkey, c_name,
-              |  CAST(CAST(CAST(SUM(rev4) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
-              |  CAST(CAST(CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS DECIMAL(24,0)) / 100 AS DECIMAL(30,6)) AS DOUBLE) AS acctbal,
-              |  n_name
-              |FROM customer JOIN orders ON c_custkey = o_custkey
-              |  JOIN (SELECT l_orderkey,
+      s.sql("""WITH rev AS (
+              |  SELECT o_custkey, SUM(rev4) AS rev4s
+              |  FROM (SELECT l_orderkey,
               |          CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
-              |        FROM lineitem WHERE l_returnflag = 'R') l ON l_orderkey = o_orderkey
+              |        FROM lineitem WHERE l_returnflag = 'R') l
+              |    JOIN orders ON l_orderkey = o_orderkey
+              |  GROUP BY o_custkey)
+              |SELECT c_custkey, c_name,
+              |  CAST(CAST(CAST(rev4s AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
+              |  CAST(CAST(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DECIMAL(24,0)) / 100 AS DECIMAL(30,6)) AS DOUBLE) AS acctbal,
+              |  n_name
+              |FROM rev JOIN customer ON c_custkey = o_custkey
               |  JOIN nation ON c_nationkey = n_nationkey
-              |GROUP BY c_custkey, c_name, n_name
               |ORDER BY revenue DESC NULLS LAST, c_custkey LIMIT 20""".stripMargin) },
     """SELECT c_custkey, c_name,
       |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,

@@ -1,5 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.Tables
+
 /** TPC-H completion: the 14 query skeletons not already covered by
   * Relational.scala (Q1≙a2, Q3/Q4/Q5/Q6/Q10/Q14/Q18 there). The
   * synthetic schema has no partsupp table and no commit/receipt dates,
@@ -237,8 +240,38 @@ object TpchSuite {
 
   // Q21: suppliers who kept multi-supplier orders waiting (late =
   // shipped after order date); EXISTS + NOT-EXISTS pair over the same
-  // fact table.
-  common("tpch_q21_waiting",
+  // fact table. Catalyst decorrelates the pair into a semi + anti join
+  // but BROADCASTS the full lineitem scan for both — a driver-built
+  // fact-table hash relation, twice, which cannot survive 100 TB. The
+  // Spark side instead makes ONE pass: shuffle the status-F join on
+  // l_orderkey and resolve each order group locally (per-order supplier
+  // set is tiny), emitting the sole late supplier weighted by its late
+  // row count; dims broadcast after. Equivalent because the EXISTS
+  // pair says exactly "≥2 suppliers in the order, exactly 1 of them
+  // late, count l1 rows of that late supplier".
+  spark("tpch_q21_waiting",
+    (s, d) => { Tables.registerAll(s, d)
+      import s.implicits._
+      val f = s.sql("""SELECT l_orderkey, l_suppkey,
+        | CASE WHEN l_shipdate > o_orderdate THEN 1 ELSE 0 END AS late
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE o_orderstatus = 'F'""".stripMargin)
+      val sole = f.as[(Long, Long, Int)].groupByKey(_._1).flatMapGroups { (_, it) =>
+        val m = scala.collection.mutable.HashMap.empty[Long, Int]
+        it.foreach { case (_, sk, late) => m.update(sk, m.getOrElse(sk, 0) + late) }
+        if (m.size >= 2) {
+          val late = m.iterator.filter(_._2 > 0).take(2).toArray
+          if (late.length == 1) Iterator.single((late(0)._1, late(0)._2.toLong))
+          else Iterator.empty
+        } else Iterator.empty
+      }.toDF("late_supp", "w")
+      s.sql("""SELECT s_suppkey, s_name FROM supplier
+              |JOIN nation ON s_nationkey = n_nationkey
+              |WHERE n_name = 'NATION_6'""".stripMargin)
+        .join(sole, col("s_suppkey") === col("late_supp"))
+        .groupBy("s_name").agg(sum("w").cast("bigint").as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    },
     """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
       |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
       |  JOIN orders ON o_orderkey = l1.l_orderkey
