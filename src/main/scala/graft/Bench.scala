@@ -39,20 +39,39 @@ object Bench {
     // optional focus list for perf iteration (comma-separated names)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries
+    // a failing query must surface as an ERROR, never as a wall-time:
+    // time-to-crash numbers silently poison the round's benchmark
+    // test hook: prove the error path end-to-end (set to any string to
+    // add a query that always throws; see tools/bench_fail_test.sh)
+    val injected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_INJECT_FAIL"))
+        Map("___injected_failure" -> ((_, _) => sys.error("injected bench failure")))
+      else Map.empty
+    val results = (SparkEntry.queries ++ injected)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      var err: Option[String] = None
       val best = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+        try { force(fn(spark, sfDir)) } catch {
+          case e: Throwable =>
+            err = Some(e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").replaceAll("[\\\\\"\\n\\r\\t]", " ").take(160))
+        }
         (System.nanoTime() - t0) / 1e9
       }.min
-      name -> best
+      name -> (best, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.collect { case (k, (v, None)) => k -> v }
+    val bad = results.collect { case (k, (_, Some(e))) => k -> e }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = bad.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    bad.foreach { case (k, e) => System.err.println(s"[bench] $k FAILED: $e") }
     spark.stop()
+    if (bad.nonEmpty) sys.exit(1)
   }
 }

@@ -98,13 +98,23 @@ final case class Engine(spark: SparkSession) {
     val docs = df.select(col(idCol).cast("long").as("doc_id"))
     val pairs = minhashNearDup(df, idCol, textCol, tau).select("id_a", "id_b")
     var labels = queries.DedupOps.labelPropagate(docs, pairs, rounds = 4)
+      .localCheckpoint(eager = false)
     // pointer-jumping: lbl ← lbl(lbl) three times squares the resolved
     // depth (≈32 hops) so every cluster label is its own root — the
-    // invariant dedupNear's keep-the-root rule relies on
-    for (_ <- 1 to 3) {
-      labels = labels
-        .join(labels.select(col("doc_id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
-        .select(col("doc_id"), col("lbl2").as("lbl"))
+    // invariant dedupNear's keep-the-root rule relies on. Gated on a
+    // cheap convergence probe: when every label is already a root
+    // (lbl(lbl) == lbl — the common case after 4 propagation rounds on
+    // small-diameter duplicate cliques) the 3 self-join shuffles are
+    // skipped entirely.
+    val rootOf = labels.select(col("doc_id").as("lbl"), col("lbl").as("lbl2"))
+    val unresolved = labels.join(rootOf, Seq("lbl"))
+      .filter(col("lbl") =!= col("lbl2")).limit(1).count()
+    if (unresolved > 0) {
+      for (_ <- 1 to 3) {
+        labels = labels
+          .join(labels.select(col("doc_id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
+          .select(col("doc_id"), col("lbl2").as("lbl"))
+      }
     }
     labels.select(col("doc_id"), col("lbl").as("cluster"))
   }

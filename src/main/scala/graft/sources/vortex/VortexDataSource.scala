@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
@@ -60,6 +60,11 @@ class VortexDataSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 }
+
+/** A file in a multi-file vortex dataset declares a footer schema that
+  * differs from the table schema (inferred from the first file, or
+  * user-supplied) — failing planning by name beats decoding garbage. */
+class VortexSchemaDriftException(msg: String) extends IllegalStateException(msg)
 
 object VortexDataSource {
   /** Expand user paths (glob patterns, dirs incl. partitioned
@@ -411,10 +416,23 @@ class VortexScan(fileSchema: StructType, required: StructType,
     if (needFooter.length > 1)
       java.util.Arrays.stream(needFooter.map(_._1.getPath).toArray).parallel()
         .forEach(p => { VortexFileReader.readFooter(p, conf); () })
+    // schema-drift guard: inferSchema trusts the first footer; a
+    // directory mixing files with drifted schemas would otherwise
+    // decode garbage (readers map columns by index) or throw deep in
+    // the chunk decoder. Readers only ever see files that passed
+    // planning, so validating each surviving footer here is complete.
+    val expectedData: Seq[(String, DataType)] =
+      fileSchema.fields.toSeq.filterNot(f => partSchema.fieldNames.contains(f.name))
+        .map(f => (f.name, f.dataType))
     needFooter.foreach { case (st, kvs0) =>
       {
         val f = st.getPath
         val footer = VortexFileReader.readFooter(f, conf)
+        val got = footer.schema.fields.toSeq.map(fl => (fl.name, fl.dataType))
+        if (got != expectedData)
+          throw new VortexSchemaDriftException(
+            s"vortex: schema drift in $f: file columns ${got.mkString("[", ", ", "]")} " +
+            s"do not match the table's data columns ${expectedData.mkString("[", ", ", "]")}")
         // __bucket is a layout segment, not a partition column
         val kvs = kvs0.filter { case (k, _) => partSchema.fieldNames.contains(k) }
         val pc = kvs.map(_._1).toArray

@@ -58,4 +58,28 @@ class VortexPlanningSpec extends AnyFunSuite {
     assert(back.count() == 100)
     assert(back.filter(col("id") < 5000).count() == 100)
   }
+
+  test("schema drift across files fails planning with a named error") {
+    import spark.implicits._
+    val a = Files.createTempDirectory("vortex_drift_a_").toString
+    val b = Files.createTempDirectory("vortex_drift_b_").toString
+    val mixed = Files.createTempDirectory("vortex_drift_").toString
+    Seq((1L, "x"), (2L, "y")).toDF("id", "s").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(a)
+    Seq((3L, 1.5), (4L, 2.5)).toDF("id", "d").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(b)
+    def dataFile(dir: String) =
+      new java.io.File(dir).listFiles.filter(_.getName.endsWith(".vortex")).head
+    java.nio.file.Files.copy(dataFile(a).toPath,
+      java.nio.file.Paths.get(mixed, "part-0-aaa.vortex"))
+    java.nio.file.Files.copy(dataFile(b).toPath,
+      java.nio.file.Paths.get(mixed, "part-1-bbb.vortex"))
+    val e = intercept[Exception] {
+      spark.read.format("vortex").load(mixed).collect()
+    }
+    def root(t: Throwable): Throwable = if (t.getCause == null) t else root(t.getCause)
+    assert(root(e).isInstanceOf[graft.sources.vortex.VortexSchemaDriftException],
+      s"expected VortexSchemaDriftException, got $e")
+    assert(root(e).getMessage.contains("schema drift"))
+  }
 }
