@@ -435,6 +435,37 @@ object Relational {
   // the naive join-then-group shape would shuffle the full join output.
   // Keys are functionally determined by o_orderkey, so results are
   // identical to the oracle's textbook formulation.
+  // Q18 over the hash-bucketed vortex layout: lineitem bucketed by
+  // l_orderkey reports KeyGroupedPartitioning, so the big CTE's
+  // GROUP BY l_orderkey aggregates storage-partitioned — ZERO exchange
+  // on the 600k-row fact scan (vs. tpch_q18_large's full shuffle).
+  // The bucketed copy materializes once per JVM temp dir (the ingest-
+  // time cost a real deployment amortizes); reps after the first
+  // measure the exchange-free read path. Oracle: the same q18 SQL over
+  // the original parquet — the layout must not change a single row.
+  spark("tpch_q18_bucketed",
+    (s, d) => { Tables.registerAll(s, d)
+      val cat = graft.sources.vortex.BucketedTables.catalog(s)
+      val li = graft.sources.vortex.BucketedTables.dir(s, d, "lineitem", "l_orderkey")
+      s.sql(s"""WITH big AS (
+              |  SELECT l_orderkey,
+              |    CAST(CAST(CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DECIMAL(24,0)) / 100 AS DECIMAL(30,6)) AS DOUBLE) AS sum_qty
+              |  FROM $cat.`$li` GROUP BY l_orderkey
+              |  HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 20000)
+              |SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+              |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price, sum_qty
+              |FROM big JOIN orders ON o_orderkey = big.l_orderkey
+              |  JOIN customer ON c_custkey = o_custkey
+              |ORDER BY price DESC NULLS LAST, o_orderkey LIMIT 20""".stripMargin) },
+    """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
+      |ORDER BY price DESC NULLS LAST, o_orderkey LIMIT 20""".stripMargin)
+
   spark("tpch_q18_large",
     (s, d) => { Tables.registerAll(s, d)
       s.sql("""WITH big AS (

@@ -69,6 +69,21 @@ class VortexBucketJoinSpec extends AnyFunSuite {
     assert(df.count() == 1000)
   }
 
+  test("tpch_q18_bucketed's fact aggregation runs exchange-free") {
+    val sf = "/root/testdata/sf0.001"
+    val li = graft.sources.vortex.BucketedTables.dir(spark, sf, "lineitem", "l_orderkey")
+    val agg = spark.sql(
+      s"""SELECT l_orderkey, SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS q
+         |FROM vtx.`$li` GROUP BY l_orderkey
+         |HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 20000""".stripMargin)
+    assert(agg.count() > 0)
+    val plan = finalPlan(agg)
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // layout must not change the data: totals match the parquet source
+    val bucketTotal = spark.sql(s"SELECT count(*) FROM vtx.`$li`").head.getLong(0)
+    assert(bucketTotal == graft.Tables.t(spark, sf, "lineitem").count())
+  }
+
   test("catalog CREATE TABLE with bucket transform lays out inserts bucketed") {
     val dir = Files.createTempDirectory("vortex_spjb_ct_").toString + "/t1"
     spark.sql(
