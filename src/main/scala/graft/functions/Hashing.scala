@@ -15,6 +15,33 @@ object Hashing {
     md.digest(s.getBytes("UTF-8"))
   }
 
+  /** md5 of prefix ++ body without building the concatenated string —
+    * the MinHash kernels hash every token under k seed prefixes, so
+    * skipping k string allocations + UTF-8 encodings per token is a
+    * measurable constant factor on 10⁷-token corpora. */
+  def md5bytes(prefix: Array[Byte], body: Array[Byte]): Array[Byte] = {
+    val md = md5Local.get(); md.reset()
+    md.update(prefix); md.update(body)
+    md.digest()
+  }
+
+  /** cached UTF-8 bytes of the MinHash seed prefixes "0:", "1:", … */
+  private val seedPrefixes = Array.tabulate(64)(i => s"$i:".getBytes("UTF-8"))
+  def seedPrefix(i: Int): Array[Byte] =
+    if (i < seedPrefixes.length) seedPrefixes(i) else s"$i:".getBytes("UTF-8")
+
+  /** Update a k×16-byte MinHash minima buffer with one token:
+    * mh(i) = min(mh(i), md5("i:" ++ token)) for each seed i. */
+  def minhashUpdate(mh: Array[Byte], k: Int, token: String): Unit = {
+    val tb = token.getBytes("UTF-8")
+    var i = 0
+    while (i < k) {
+      val h = md5bytes(seedPrefix(i), tb)
+      if (less(h, 0, mh, i * 16)) System.arraycopy(h, 0, mh, i * 16, 16)
+      i += 1
+    }
+  }
+
   /** unsigned lexicographic byte order (== hex-string order) */
   def byteLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0

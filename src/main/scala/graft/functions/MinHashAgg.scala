@@ -27,12 +27,7 @@ class MinHashAgg(k: Int = 16) extends Aggregator[String, Array[Byte], String] {
 
   override def reduce(buf0: Array[Byte], token: String): Array[Byte] = {
     val buf = if (buf0.isEmpty) fresh else buf0
-    var i = 0
-    while (i < k) {
-      val h = Hashing.md5bytes(s"$i:$token")
-      if (Hashing.less(h, 0, buf, i * 16)) System.arraycopy(h, 0, buf, i * 16, 16)
-      i += 1
-    }
+    Hashing.minhashUpdate(buf, k, token)
     buf
   }
 

@@ -260,6 +260,7 @@ object DedupOps {
     }
   }
 
+  import graft.functions.Hashing
   import graft.functions.Hashing.{md5bytes, byteLess, toHex}
 
   // Exact dedup: group by content hash, keep the smallest doc_id.
@@ -367,14 +368,7 @@ object DedupOps {
         val k = 16
         val mh = new Array[Byte](k * 16)
         java.util.Arrays.fill(mh, 0xFF.toByte)
-        toks.foreach { w =>
-          var i = 0
-          while (i < k) {
-            val h = Hashing.md5bytes(s"$i:$w")
-            if (Hashing.less(h, 0, mh, i * 16)) System.arraycopy(h, 0, mh, i * 16, 16)
-            i += 1
-          }
-        }
+        toks.foreach(w => Hashing.minhashUpdate(mh, k, w))
         val hex = Array.tabulate(k)(i => Hashing.toHexAt(mh, i * 16))
         val m = members.toArray
         Iterator.tabulate(4)(b => (b, hex.slice(4 * b, 4 * b + 4).mkString("|"), (m, hex)))
@@ -494,18 +488,27 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
-  // MinHash signatures via the typed Aggregator (partial+final merge —
-  // the shape that scales to any token distribution). Same signature
-  // scheme as the LSH query, oracle-matched per document.
+  // MinHash signatures, map-side: a document's tokens all live in its
+  // own row, so the signature is one pass over the text — no
+  // (doc, token) shuffle at all. The typed-Aggregator formulation
+  // (partial+final merge) remains the API for genuinely token-streamed
+  // inputs (Engine.minHashSignatures / MinHashAgg); tokenization here
+  // matches the SQL split exactly so the oracle agrees per document.
   spark("d_minhash_sigs",
     (s, d) => {
       import s.implicits._
-      val agg = new graft.functions.MinHashAgg(16).toColumn
-      tokens(s, d).as[(Long, String)]
-        .groupByKey(_._1)
-        .mapValues(_._2)
-        .agg(agg.name("sig"))
-        .map { case (id, sig) => (id, sig) }
+      Tables.t(s, d, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val k = 16
+          val mh = new Array[Byte](k * 16)
+          java.util.Arrays.fill(mh, 0xFF.toByte)
+          // same token set as array_distinct(split(text, ' ')); the
+          // dedup matters — hashing a repeated token is 16 wasted md5s
+          val seen = new java.util.HashSet[String]()
+          text.split(" ", -1).foreach(w =>
+            if (seen.add(w)) Hashing.minhashUpdate(mh, k, w))
+          (id, Array.tabulate(k)(i => Hashing.toHexAt(mh, i * 16)).mkString("|"))
+        }
         .toDF("doc_id", "sig")
         .orderBy("doc_id")
     },
