@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The host enforces a sustained-CPU ceiling of ~12 busy threads
+  // (measured: a 16-thread spin collapses ~70x after a ~25 s burst
+  // window; <=12 threads run steady indefinitely). Uncapped, G1's 23
+  // GC workers + 12 JIT compiler threads push any Spark run over the
+  // cliff. Bound the auxiliary pools so executor threads own the
+  // budget.
+  "-XX:ParallelGCThreads=2",
+  "-XX:ConcGCThreads=1",
+  "-XX:CICompilerCount=2",
 )

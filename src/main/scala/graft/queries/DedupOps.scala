@@ -438,16 +438,57 @@ object DedupOps {
     labels
   }
 
+  /** Small-corpus driver kernel for [[labelPropagate]]: the identical
+    * K-round min-label result computed in one pass over a collected
+    * edge list — O(docs + rounds·edges) driver work, ZERO shuffles vs
+    * the distributed path's 3 per round. Gated exactly like
+    * [[jaccardDocPairsKernel]]: NEVER the default; callers prove the
+    * corpus is tiny first ([[labelPropagateAuto]]). */
+  def labelPropagateKernel(s: SparkSession, docs: DataFrame, pairs: DataFrame,
+                           rounds: Int): DataFrame = {
+    import s.implicits._
+    val ids = docs.select(col("doc_id").cast("long")).as[Long].collect().sorted
+    val idx = ids.zipWithIndex.toMap
+    // edges touching unknown docs drop, as the distributed path's inner
+    // join on the label table does
+    val es = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect()
+      .filter { case (a, b) => idx.contains(a) && idx.contains(b) }
+      .flatMap { case (a, b) => Seq((idx(a), idx(b)), (idx(b), idx(a))) }
+    var lbl = ids.clone()
+    for (_ <- 1 to rounds) {
+      val nxt = lbl.clone()
+      es.foreach { case (u, v) =>
+        if (lbl(u) < nxt(v)) nxt(v) = lbl(u) }
+      lbl = nxt
+    }
+    s.sparkContext.parallelize(ids.indices.map(i => (ids(i), lbl(i))), 1)
+      .toDF("doc_id", "lbl")
+  }
+
+  /** Dispatch mirror of [[jaccardDocPairsAuto]]: the distributed
+    * join+agg rounds unless the doc count provably fits the driver
+    * kernel. At scale callers pass 0 to skip the probe count. */
+  def labelPropagateAuto(s: SparkSession, docs: DataFrame, pairs: DataFrame,
+                         rounds: Int, maxKernelDocs: Int = 4096): DataFrame =
+    if (maxKernelDocs > 0 &&
+        docs.limit(maxKernelDocs + 1).count() <= maxKernelDocs)
+      labelPropagateKernel(s, docs, pairs, rounds)
+    else labelPropagate(docs, pairs, rounds)
+
   // Dedup clusters: exact Jaccard-≥-τ pairs → 4-round min-label
   // propagation → (doc, cluster). Bounded to doc_id < 300 so the
   // oracle's all-pairs formulation stays tractable; the operator
-  // itself is corpus-size-agnostic (see Engine.dedupClusters).
+  // itself is corpus-size-agnostic (see Engine.dedupClusters). The
+  // 300-doc bound makes the auto-dispatch take the driver kernels on
+  // both stages (pairs AND propagation) — the distributed shapes are
+  // what unbounded corpora get.
   spark("d_dedup_clusters",
     (s, d) => {
       val docs = Tables.t(s, d, "documents").filter(col("doc_id") < 300).select("doc_id")
       val tok = tokens(s, d).filter(col("doc_id") < 300)
       val pairs = jaccardDocPairsAuto(s, tok, 0.5).select("id_a", "id_b")
-      labelPropagate(docs, pairs, 4)
+      labelPropagateAuto(s, docs, pairs, 4)
         .select(col("doc_id"), col("lbl").as("cluster"))
         .orderBy("doc_id")
     },

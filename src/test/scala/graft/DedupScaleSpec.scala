@@ -81,14 +81,43 @@ class DedupScaleSpec extends AnyFunSuite {
   test("dedup query paths contain no O(corpus) driver collect") {
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/main/scala/graft/queries/DedupOps.scala")))
-    // collect() may appear only once in the file: inside distinctSetsOf,
-    // the explicitly-gated small-corpus kernel representation. None of
-    // the shuffle paths (distinctSetsDF, jaccardDocPairs, blockJoin,
-    // minhashCandidates, minhashNearDup) may collect.
+    // collect() may appear ONLY inside the two explicitly size-gated
+    // driver kernels: distinctSetsOf (the jaccard kernel representation)
+    // and labelPropagateKernel. None of the shuffle paths
+    // (distinctSetsDF, jaccardDocPairs, blockJoin, minhashCandidates,
+    // minhashNearDup, labelPropagate) may collect.
+    val stripped = src.replaceAll("(?s)/\\*.*?\\*/", "")
     val hits = java.util.regex.Pattern.quote(".collect()").r
-      .findAllIn(src.replaceAll("(?s)/\\*.*?\\*/", "")).size
-    assert(hits == 1, s"expected exactly 1 gated collect() in DedupOps, found $hits")
-    val body = src.substring(src.indexOf("def distinctSetsOf"))
-    assert(body.take(body.indexOf("\n  }")).contains(".collect()"))
+      .findAllIn(stripped).size
+    assert(hits == 3, s"expected exactly 3 gated collect() in DedupOps, found $hits")
+    def bodyOf(defName: String): String = {
+      val b = src.substring(src.indexOf(s"def $defName"))
+      b.take(b.indexOf("\n  }"))
+    }
+    assert(bodyOf("distinctSetsOf").contains(".collect()"))
+    // both kernel collects live inside labelPropagateKernel
+    assert(".collect()".r.findAllIn(bodyOf("labelPropagateKernel")).size == 2)
+    // and the distributed labelPropagate stays shuffle-only
+    assert(!bodyOf("labelPropagate(").contains(".collect()"))
+  }
+
+  test("labelPropagateAuto ≡ distributed labelPropagate") {
+    import spark.implicits._
+    val docs = (0L until 20L).toDF("doc_id")
+    // a path 0-1-2-3-4 (diameter > 4 resolves only partially — the
+    // kernel must replicate the bounded-round semantics, not full CC),
+    // a triangle, an isolated clique pair, and singletons
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (15L, 16L)).toDF("id_a", "id_b")
+    for (rounds <- Seq(1, 2, 4)) {
+      val dist = DedupOps.labelPropagate(docs, es, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val kern = DedupOps.labelPropagateKernel(spark, docs, es, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val auto = DedupOps.labelPropagateAuto(spark, docs, es, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(kern == dist, s"kernel mismatch at rounds=$rounds")
+      assert(auto == dist, s"auto mismatch at rounds=$rounds")
+    }
   }
 }
