@@ -35,9 +35,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "6")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     // Pause between timed runs so the host's burst bucket refills and a
-    // heavy query doesn't throttle the NEXT measurement; pacing time is
-    // not counted anywhere. 0 disables.
-    val paceMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PACE_MS", "2000").toInt
+    // heavy query doesn't throttle the NEXT measurement (sleep ≈ the
+    // previous run's wall time, capped); pacing time is not counted
+    // anywhere. 0 disables.
+    val paceMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PACE_MS", "10000").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -73,7 +74,7 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // refill pause: proportional to the burn, bounded (see above)
         if (paceMs > 0)
-          Thread.sleep(math.min(paceMs.toLong, math.max(200L, (dt * 500).toLong)))
+          Thread.sleep(math.min(paceMs.toLong, math.max(200L, (dt * 1000).toLong)))
         dt
       }.min
       name -> (best, err)

@@ -15,7 +15,7 @@ object DevProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "6")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -23,19 +23,33 @@ object DevProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import graft.queries.DedupOps
 
-    t("warm: lineitem count")(Tables.t(spark, sfDir, "lineitem").count())
+    def tok = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    t("warm: documents count")(Tables.t(spark, sfDir, "documents").count())
 
-    val li = Tables.t(spark, sfDir, "lineitem")
-    t("extent-style agg")(li.groupBy("l_returnflag")
-      .agg(count("l_quantity"), min("l_quantity"), max("l_quantity"),
-           count("l_extendedprice"), min("l_extendedprice"), max("l_extendedprice"))
-      .collect())
+    def packed = DedupOps.jaccardDocPairs(spark, tok, 0.5)
+      .select((col("id_a") * lit(1L << 32) + col("id_b")).as("k"), col("jac"))
 
-    val q1 = SparkEntry.queries("q_percentile")(spark, sfDir)
-    t("q_percentile force#1")(println("  rows=" + Bench.force(q1)))
-    val q2 = SparkEntry.queries("q_percentile")(spark, sfDir)
-    t("q_percentile force#2")(println("  rows=" + Bench.force(q2)))
+    // A: packed, no checkpoint, range 8 + sortWithin
+    t("A pack/nockpt/range8")(println("  rows=" + Bench.force(
+      packed.repartitionByRange(8, col("k")).sortWithinPartitions("k")
+        .select(shiftright(col("k"), 32).as("id_a"),
+          (col("k") - shiftright(col("k"), 32) * lit(1L << 32)).as("id_b"), col("jac")))))
+    Thread.sleep(8000)
+
+    // B: packed, lazy checkpoint, range 8 + sortWithin
+    t("B pack/ckpt/range8")(println("  rows=" + Bench.force(
+      packed.localCheckpoint(false).repartitionByRange(8, col("k")).sortWithinPartitions("k")
+        .select(shiftright(col("k"), 32).as("id_a"),
+          (col("k") - shiftright(col("k"), 32) * lit(1L << 32)).as("id_b"), col("jac")))))
+    Thread.sleep(8000)
+
+    // C: current shape (wide rows, checkpoint, global orderBy)
+    t("C wide/ckpt/orderBy")(println("  rows=" + Bench.force(
+      DedupOps.jaccardDocPairs(spark, tok, 0.5).localCheckpoint(false)
+        .orderBy("id_a", "id_b"))))
     spark.stop()
   }
 }

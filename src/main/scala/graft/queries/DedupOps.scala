@@ -131,35 +131,53 @@ object DedupOps {
   private def blockJoinSetPairs(s: SparkSession, sets: DataFrame, tau: Double): DataFrame = {
     import s.implicits._
     val B = 32
-    val rows = sets
-      .select(pmod(col("sid"), lit(B)).cast("int").as("blk"), col("sid"), col("toks"))
-      .as[(Int, Long, Seq[String])]
-    val repl = rows.flatMap { case (blk, sid, toks) =>
-      Iterator.tabulate(B)(c => (math.min(blk, c), math.max(blk, c), blk, sid, toks))
+    // The Θ(pairs) inner loop must not hash strings: map tokens to dense
+    // ranks first (distributed — sort + zipWithIndex, no driver vocab),
+    // so each set is a sorted long array and intersection is a branchy
+    // merge; when the whole vocabulary fits in 64 ids (the template
+    // corpora this branch exists for) a pair costs ONE and+popcount on
+    // packed masks. ~30x less CPU per pair than HashSet[String] probes.
+    val vocab = sets.select(explode(col("toks")).as("w")).distinct()
+      .orderBy("w").rdd.map(_.getString(0)).zipWithIndex()
+      .toDF("w", "wid")
+    val rows = sets.select(col("sid"), explode(col("toks")).as("w"))
+      .join(vocab, "w")
+      .groupBy("sid").agg(sort_array(collect_list(col("wid"))).as("wids"))
+      .select(pmod(col("sid"), lit(B)).cast("int").as("blk"), col("sid"), col("wids"))
+      .as[(Int, Long, Seq[Long])]
+    val repl = rows.flatMap { case (blk, sid, wids) =>
+      Iterator.tabulate(B)(c => (math.min(blk, c), math.max(blk, c), blk, sid, wids))
     }
     repl.groupByKey(t => (t._1, t._2))
-      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Long, Seq[String])]) =>
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Long, Seq[Long])]) =>
         val (bi, bj) = key
-        // per-member token hash set built ONCE; the O(m²) pair loop does
-        // allocation-free membership counting on the smaller side
+        // (blk, sid, sorted ids, mask — 0 when ids don't fit in 64 bits)
         val items = it.map { t =>
           val arr = t._5.toArray
-          val hs = new java.util.HashSet[String](arr.length * 2)
-          arr.foreach(hs.add)
-          (t._3, t._4, arr, hs)
+          val mask = if (arr.nonEmpty && arr(arr.length - 1) < 64)
+            arr.foldLeft(0L)((m, i) => m | (1L << i)) else 0L
+          (t._3, t._4, arr, mask)
         }.toArray
-        def inter(a: (Int, Long, Array[String], java.util.HashSet[String]),
-                  b: (Int, Long, Array[String], java.util.HashSet[String])): Int = {
-          val (probe, build) = if (a._3.length <= b._3.length) (a._3, b._4) else (b._3, a._4)
-          var c = 0; var i = 0
-          while (i < probe.length) { if (build.contains(probe(i))) c += 1; i += 1 }
-          c
-        }
-        def pair(a: (Int, Long, Array[String], java.util.HashSet[String]),
-                 b: (Int, Long, Array[String], java.util.HashSet[String]))
+        def inter(a: (Int, Long, Array[Long], Long),
+                  b: (Int, Long, Array[Long], Long)): Int =
+          if (a._4 != 0L && b._4 != 0L) java.lang.Long.bitCount(a._4 & b._4)
+          else {
+            val (x, y) = (a._3, b._3)
+            var i = 0; var j = 0; var c = 0
+            while (i < x.length && j < y.length) {
+              val d = x(i) - y(j)
+              if (d == 0) { c += 1; i += 1; j += 1 } else if (d < 0) i += 1 else j += 1
+            }
+            c
+          }
+        def pair(a: (Int, Long, Array[Long], Long),
+                 b: (Int, Long, Array[Long], Long))
             : Option[(Long, Long, Double)] = {
+          val (na, nb) = (a._3.length, b._3.length)
+          // length filter: jac >= tau needs min(n) >= tau * max(n)
+          if (math.min(na, nb) < tau * math.max(na, nb)) return None
           val in = inter(a, b)
-          val jac = in.toDouble / (a._3.length + b._3.length - in)
+          val jac = in.toDouble / (na + nb - in)
           if (jac >= tau) Some((math.min(a._2, b._2), math.max(a._2, b._2), jac)) else None
         }
         if (bi == bj)
@@ -283,10 +301,18 @@ object DedupOps {
   // Token-set Jaccard near-dup, ≥ 0.5 — the distributed prefix-filter
   // join (see jaccardDocPairs). The oracle is the naive token self-join.
   spark("d_jaccard",
-    // lazy localCheckpoint: the global sort's range-sampling pass would
-    // otherwise re-execute the whole multi-million-row join pipeline
+    // The 8.9M-pair ordered dump: pack (id_a, id_b) into ONE long key
+    // and range-sort 8 fat partitions. NO checkpoint — the sort's
+    // range-sampling re-executes the join, but the int-kernel join is
+    // cheaper to recompute than millions of rows are to pin in the
+    // block store (measured 13 s vs 97 s at sf0.1).
     (s, d) => jaccardDocPairs(s, tokens(s, d), 0.5)
-      .localCheckpoint(eager = false).orderBy("id_a", "id_b"),
+      .select((col("id_a") * lit(1L << 32) + col("id_b")).as("k"), col("jac"))
+      .repartitionByRange(8, col("k"))
+      .sortWithinPartitions("k")
+      .select(shiftright(col("k"), 32).as("id_a"),
+              (col("k") - shiftright(col("k"), 32) * lit(1L << 32)).as("id_b"),
+              col("jac")),
     s"""WITH tok AS ($tokSql),
        |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -362,7 +388,11 @@ object DedupOps {
     // SETS, so the O(m²) loops shrink quadratically with redundancy.
     // Identical-set doc pairs share every band by construction and are
     // emitted directly from the membership lists.
+    // AQE coalesces the small distinct-set aggregate to very few
+    // partitions; re-spread before the signature flatMap so the md5
+    // hashing (the expensive map of this pipeline) uses every core
     val sets = distinctSetsDF(tok)
+      .repartition(s.sparkContext.defaultParallelism)
     val bandRows = sets.select(col("toks"), col("members")).as[(Seq[String], Seq[Long])]
       .flatMap { case (toks, members) =>
         val k = 16
@@ -391,16 +421,16 @@ object DedupOps {
   }
 
   spark("d_minhash_lsh",
-    // lazy localCheckpoint (the sort's range-sampling would re-execute
-    // the bucket pipeline) + pack the pair into ONE long sort key
-    // (doc ids < 2^31): narrower sort rows, one comparison per pair.
-    // The ordered dump sorts into 8 range partitions (~1M keys each)
-    // rather than the session's 32: the 6.7M-row result is shuffle-
-    // machinery-bound, not sort-bound, so fewer/fatter sorted splits
-    // cut a third of the wall time while keeping the sort parallel.
+    // Pack the pair into ONE long sort key (doc ids < 2^31): narrower
+    // sort rows, one comparison per pair. The ordered dump sorts into
+    // 8 range partitions (~1M keys each) rather than the session's 32:
+    // the 6.7M-row result is shuffle-machinery-bound, not sort-bound,
+    // so fewer/fatter sorted splits cut a third of the wall time while
+    // keeping the sort parallel. NO checkpoint of the pair set — the
+    // range sampler's re-execution of the bucket pipeline costs far
+    // less than pinning millions of rows in the block store.
     (s, d) => minhashCandidates(s, tokens(s, d))
       .select((col("id_a") * lit(1L << 32) + col("id_b")).as("k"))
-      .localCheckpoint(eager = false)
       .repartitionByRange(8, col("k"))
       .sortWithinPartitions("k")
       .select(shiftright(col("k"), 32).as("id_a"),
