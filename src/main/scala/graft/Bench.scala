@@ -64,7 +64,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       var err: Option[String] = None
-      val best = (0 until reps).map { _ =>
+      def rep(): Double = {
         val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)) } catch {
           case e: Throwable =>
@@ -76,7 +76,17 @@ object Bench {
         if (paceMs > 0)
           Thread.sleep(math.min(paceMs.toLong, math.max(200L, (dt * 1000).toLong)))
         dt
-      }.min
+      }
+      var times = (0 until reps).map(_ => rep())
+      // a query whose BEST rep is still slow may have had every rep land
+      // in a host-throttled window (sub-second queries measure 10 s+
+      // there); grant one retry after a full refill pause before
+      // believing it
+      if (err.isEmpty && paceMs > 0 && times.min > 1.0) {
+        Thread.sleep(paceMs.toLong)
+        times = times :+ rep()
+      }
+      val best = times.min
       name -> (best, err)
     }
     val ok = results.collect { case (k, (v, None)) => k -> v }

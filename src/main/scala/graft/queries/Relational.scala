@@ -115,15 +115,20 @@ object Relational {
     """SELECT r_regionkey, n_nationkey FROM region JOIN nation ON n_regionkey <> r_regionkey
       |ORDER BY r_regionkey, n_nationkey""".stripMargin)
 
-  // J7 as-of join: composed as left-join + max() (scales: shuffle on the
-  // equi key, aggregation is partial+final). Oracle uses DuckDB ASOF.
+  // J7 as-of join via the union-tag sort-merge operator: ONE shuffle +
+  // ONE sort on (key, time), no left×earlier-right candidate fan-out —
+  // the composed left-join + max() shape materializes O(|L|·matches)
+  // intermediate rows, which explodes on long right histories at scale.
+  // Oracle uses DuckDB ASOF.
   spark("j7_asof",
     (s, d) => {
       val e = Tables.t(s, d, "events").select("event_id", "user_id", "ts")
       val o = Tables.t(s, d, "orders").select("o_custkey", "o_orderdate")
-      e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"), "left")
-        .groupBy(e("event_id").as("event_id"))
-        .agg(max("o_orderdate").as("asof_date"))
+      graft.operators.AsOfJoin.backward(e, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          tieBreak = "o_orderdate", payload = Seq("o_orderdate"))
+        .select(col("event_id"), col("o_orderdate").as("asof_date"))
         .orderBy("event_id")
     },
     """SELECT e.event_id AS event_id, o.o_orderdate AS asof_date
