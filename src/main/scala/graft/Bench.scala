@@ -82,7 +82,7 @@ object Bench {
       // in a host-throttled window (sub-second queries measure 10 s+
       // there); grant one retry after a full refill pause before
       // believing it
-      if (err.isEmpty && paceMs > 0 && times.min > 1.0) {
+      if (err.isEmpty && paceMs > 0 && times.min > 0.9) {
         Thread.sleep(paceMs.toLong)
         times = times :+ rep()
       }

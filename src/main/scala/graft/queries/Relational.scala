@@ -105,8 +105,13 @@ object Relational {
   common("j5_cross",
     """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""")
 
+  // The /*+ SHUFFLE_MERGE */ hint is a plain comment to DuckDB but
+  // steers Spark off a 600k-row fact-side broadcast: the self-join
+  // becomes one exchange on l_orderkey reused by BOTH sides, the SMJ
+  // runs per-partition, and the aggregation inherits the partitioning
+  // (no further exchange) — the shape that survives a 100× fact.
   common("j6_theta",
-    """SELECT l1.l_orderkey AS okey, count(*) AS n
+    """SELECT /*+ SHUFFLE_MERGE(l1) */ l1.l_orderkey AS okey, count(*) AS n
       |FROM lineitem l1 JOIN lineitem l2
       |  ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber
       |GROUP BY l1.l_orderkey ORDER BY okey""".stripMargin)
