@@ -29,27 +29,15 @@ object DevProbe {
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
     t("warm: documents count")(Tables.t(spark, sfDir, "documents").count())
 
-    def packed = DedupOps.jaccardDocPairs(spark, tok, 0.5)
-      .select((col("id_a") * lit(1L << 32) + col("id_b")).as("k"), col("jac"))
-
-    // A: packed, no checkpoint, range 8 + sortWithin
-    t("A pack/nockpt/range8")(println("  rows=" + Bench.force(
-      packed.repartitionByRange(8, col("k")).sortWithinPartitions("k")
-        .select(shiftright(col("k"), 32).as("id_a"),
-          (col("k") - shiftright(col("k"), 32) * lit(1L << 32)).as("id_b"), col("jac")))))
-    Thread.sleep(8000)
-
-    // B: packed, lazy checkpoint, range 8 + sortWithin
-    t("B pack/ckpt/range8")(println("  rows=" + Bench.force(
-      packed.localCheckpoint(false).repartitionByRange(8, col("k")).sortWithinPartitions("k")
-        .select(shiftright(col("k"), 32).as("id_a"),
-          (col("k") - shiftright(col("k"), 32) * lit(1L << 32)).as("id_b"), col("jac")))))
-    Thread.sleep(8000)
-
-    // C: current shape (wide rows, checkpoint, global orderBy)
-    t("C wide/ckpt/orderBy")(println("  rows=" + Bench.force(
-      DedupOps.jaccardDocPairs(spark, tok, 0.5).localCheckpoint(false)
-        .orderBy("id_a", "id_b"))))
+    t("candidates count")(println("  n=" + DedupOps.minhashCandidates(spark, tok).count()))
+    Thread.sleep(3000)
+    t("candidates count again")(println("  n=" + DedupOps.minhashCandidates(spark, tok).count()))
+    Thread.sleep(3000)
+    val q1 = SparkEntry.queries("d_minhash_lsh")(spark, sfDir)
+    t("d_minhash_lsh force")(println("  rows=" + Bench.force(q1)))
+    Thread.sleep(3000)
+    val q2 = SparkEntry.queries("d_minhash_lsh")(spark, sfDir)
+    t("d_minhash_lsh force#2")(println("  rows=" + Bench.force(q2)))
     spark.stop()
   }
 }

@@ -76,6 +76,18 @@ object Hashing {
     new String(out)
   }
 
+  /** hex of `len` bytes at offset `off` */
+  def toHexRange(d: Array[Byte], off: Int, len: Int): String = {
+    val out = new Array[Char](2 * len)
+    var i = 0
+    while (i < len) {
+      out(2 * i) = hexDigits((d(off + i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(off + i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   def toHex(d: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0

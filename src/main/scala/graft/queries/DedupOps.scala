@@ -349,13 +349,15 @@ object DedupOps {
 
   // ---- MinHash + LSH banding (shuffle) ----------------------------------
 
-  /** first band (0-based) on which two pre-split k=16 signatures agree
-    * over all 4 of its rows; -1 if none. */
-  private[queries] def firstSharedBand(a: Array[String], b: Array[String]): Int = {
+  /** first band (0-based) on which two k=16 signatures agree over all
+    * 4 of its rows; -1 if none. Signatures as 32 longs (16 digests × 2
+    * big-endian words — equality of the longs ⟺ equality of the hex
+    * band signature the oracle groups on); a band is longs 8b..8b+7. */
+  private[queries] def firstSharedBand(a: Array[Long], b: Array[Long]): Int = {
     var bd = 0
     while (bd < 4) {
-      var r = 0; var same = true
-      while (r < 4 && same) { same = a(4 * bd + r) == b(4 * bd + r); r += 1 }
+      var r = 8 * bd; val end = r + 8; var same = true
+      while (r < end && same) { same = a(r) == b(r); r += 1 }
       if (same) return bd
       bd += 1
     }
@@ -377,8 +379,12 @@ object DedupOps {
     * buckets over `bucketCap` sets split into block-pair tasks — the
     * identical pair set, but ≤ 2·⌈m/blocks⌉ sets per task instead of
     * the whole bucket on one task. */
-  def minhashCandidates(s: SparkSession, tok: DataFrame,
-                        bucketCap: Int = 4096, blocks: Int = 16): DataFrame = {
+  /** Packed-long variant: each candidate pair as (id_a << 32) + id_b in
+    * one column "k". The pair-heavy inner machinery (emit, union,
+    * shuffle) moves 8-byte primitives instead of two-field rows; the
+    * public [[minhashCandidates]] unpacks in codegen. */
+  def minhashCandidatesPacked(s: SparkSession, tok: DataFrame,
+                              bucketCap: Int = 4096, blocks: Int = 16): DataFrame = {
     import s.implicits._
     import graft.functions.Hashing
     import graft.operators.BoundedBucketPairs
@@ -399,26 +405,65 @@ object DedupOps {
         val mh = new Array[Byte](k * 16)
         java.util.Arrays.fill(mh, 0xFF.toByte)
         toks.foreach(w => Hashing.minhashUpdate(mh, k, w))
-        val hex = Array.tabulate(k)(i => Hashing.toHexAt(mh, i * 16))
+        // signature as 32 big-endian longs: long equality ⟺ hex
+        // equality, so band compares cost 8 long compares, and the
+        // bucket rows carry 256 bytes instead of 16 hex strings
+        val sig = new Array[Long](2 * k)
+        val bb = java.nio.ByteBuffer.wrap(mh).order(java.nio.ByteOrder.BIG_ENDIAN)
+        var i = 0
+        while (i < 2 * k) { sig(i) = bb.getLong(); i += 1 }
         val m = members.toArray
-        Iterator.tabulate(4)(b => (b, hex.slice(4 * b, 4 * b + 4).mkString("|"), (m, hex)))
+        Iterator.tabulate(4)(b => (b, Hashing.toHexRange(mh, 64 * b, 64), (m, sig)))
       }
-    val cross = BoundedBucketPairs.pairs[(Array[Long], Array[String]), (Long, Long)](
+    val cross = BoundedBucketPairs.pairs[(Array[Long], Array[Long]), Long](
       bandRows, bucketCap, blocks,
       blockOf = item => item._1.head.toInt,
       emit = (band, a, b) =>
-        if (firstSharedBand(a._2, b._2) == band)
-          for { x <- a._1.iterator; y <- b._1.iterator }
-            yield (math.min(x, y), math.max(x, y))
-        else Iterator.empty)
-      .toDF("id_a", "id_b")
+        if (firstSharedBand(a._2, b._2) == band) {
+          // packed pairs straight into a primitive-friendly buffer:
+          // no per-pair tuple, no nested iterator churn
+          val out = new Array[Long](a._1.length * b._1.length)
+          var n = 0; var i = 0
+          while (i < a._1.length) {
+            var j = 0
+            while (j < b._1.length) {
+              val x = a._1(i); val y = b._1(j)
+              out(n) = (math.min(x, y) << 32) + math.max(x, y); n += 1
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        } else Iterator.empty)
+      .toDF("k")
     // intra-set pairs: members are sorted, so x < y holds positionally
     val intra = sets.select(explode(expr(
         "flatten(transform(members, (x, i) -> " +
-        "transform(slice(members, i + 2, size(members)), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        "transform(slice(members, i + 2, size(members)), " +
+        "y -> x * CAST(4294967296 AS BIGINT) + y)))")).as("k"))
     cross.union(intra)
   }
+
+  /** MinHash+LSH candidate doc pairs from a (doc_id, w) token frame —
+    * fully distributed: map-side per-set signatures, then one shuffle
+    * grouping on (band, band-signature). Each bucket emits a pair only
+    * when this is the FIRST band the two signatures share (both full
+    * signatures ride along in the bucket rows), so the global pair set
+    * is exactly deduplicated without a second `distinct()` shuffle and
+    * without any driver-side signature table. 16 hash functions,
+    * 4 bands × 4 rows; both engines use min(md5(i || ':' || token)) so
+    * signatures match.
+    *
+    * Hot buckets (template corpora: near-identical, non-equal sets
+    * sharing a band signature) are bounded by [[BoundedBucketPairs]]:
+    * buckets over `bucketCap` sets split into block-pair tasks — the
+    * identical pair set, but ≤ 2·⌈m/blocks⌉ sets per task instead of
+    * the whole bucket on one task. */
+  def minhashCandidates(s: SparkSession, tok: DataFrame,
+                        bucketCap: Int = 4096, blocks: Int = 16): DataFrame =
+    minhashCandidatesPacked(s, tok, bucketCap, blocks)
+      .select(shiftright(col("k"), 32).as("id_a"),
+              (col("k") - shiftright(col("k"), 32) * lit(1L << 32)).as("id_b"))
 
   spark("d_minhash_lsh",
     // Pack the pair into ONE long sort key (doc ids < 2^31): narrower
@@ -429,8 +474,7 @@ object DedupOps {
     // keeping the sort parallel. NO checkpoint of the pair set — the
     // range sampler's re-execution of the bucket pipeline costs far
     // less than pinning millions of rows in the block store.
-    (s, d) => minhashCandidates(s, tokens(s, d))
-      .select((col("id_a") * lit(1L << 32) + col("id_b")).as("k"))
+    (s, d) => minhashCandidatesPacked(s, tokens(s, d))
       .repartitionByRange(8, col("k"))
       .sortWithinPartitions("k")
       .select(shiftright(col("k"), 32).as("id_a"),
