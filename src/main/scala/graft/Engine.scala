@@ -203,6 +203,12 @@ final case class Engine(spark: SparkSession) {
   def windowedEventCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     streaming.EventPipelines.windowedAgg(events, watermark)
 
+  /** streaming content dedup: one surviving row per canonicalized text
+    * within the watermark horizon (state = one digest per distinct doc) */
+  def dedupContentStream(docs: DataFrame, textCol: String, tsCol: String,
+                         watermark: String = "1 hour"): DataFrame =
+    streaming.EventPipelines.dedupContent(docs, textCol, tsCol, watermark)
+
   def sessionize(events: Dataset[streaming.EventPipelines.Event], gapMinutes: Int = 30)
       : Dataset[streaming.EventPipelines.Session] =
     streaming.EventPipelines.sessionize(events, gapMinutes)

@@ -38,6 +38,21 @@ object EventPipelines {
   def dedupWithinWatermark(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CONTENT dedup for a document stream: whitespace-
+    * canonicalized lowercase md5 fingerprint (the same canon as
+    * `Engine.fingerprint`), deduplicated within the watermark horizon.
+    * The streaming twin of the batch exact-dedup family — state is one
+    * 16-byte digest per distinct document inside the horizon, evicted
+    * by the watermark, so an unbounded stream holds bounded state. */
+  def dedupContent(docs: DataFrame, textCol: String, tsCol: String,
+                   watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp",
+        md5(lower(regexp_replace(col(textCol), "\\s+", " "))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class Session(user_id: Long, start: java.sql.Timestamp,

@@ -170,4 +170,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(perDoc.filter(col("count") =!= ceil(col("n") / 50.0)).count() == 0)
     assert(frames.filter(octet_length(col("frame")) > 16).count() == 0)
   }
+
+  test("streaming content dedup keeps one doc per canonical text within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val sdf = ms.toDF.toDF("doc_id", "ts", "text")
+    val q = EventPipelines.dedupContent(sdf, "text", "ts").writeStream
+      .format("memory").queryName("cdedup_out").outputMode("append").start()
+    ms.addData(
+      (1L, ts("2024-01-01 00:00:01"), "the quick   brown fox"),
+      (2L, ts("2024-01-01 00:00:02"), "The Quick Brown\tFox"), // same canon
+      (3L, ts("2024-01-01 00:00:03"), "a different document"))
+    q.processAllAvailable()
+    ms.addData((4L, ts("2024-01-01 00:10:00"), "the quick brown fox")) // replay inside horizon
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("cdedup_out").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept.length == 2)                 // one fox, one other doc
+    assert(kept.contains(3L))
+    assert((kept.toSet - 3L).subsetOf(Set(1L, 2L)))
+    // the fingerprint helper column must not leak into the output
+    assert(!spark.table("cdedup_out").columns.contains("__fp"))
+  }
 }
