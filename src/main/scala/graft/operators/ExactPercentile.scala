@@ -9,18 +9,21 @@ import org.apache.spark.sql.functions._
   * in one task (built-in `percentile`) or sorting each group on one
   * task (window `row_number` with few groups).
   *
-  * Plan: (A) per-group n/min/max — one combiner-friendly aggregate;
-  * (B) per-(group, bucket) count/min/max over a fixed bucket grid —
-  * driver state is O(groups·buckets), NOT O(rows); (C) fetch only the
-  * buckets that contain a target rank (expected n/buckets values
-  * each); single-valued buckets (min==max) resolve with no fetch, so
+  * Plan — TWO full passes in the common case: (A) per-(group, bucket)
+  * count/min/max over the ORDER-PRESERVING bit grid
+  * ([[graft.functions.DoubleSortableBits]] >> 44 — data-independent,
+  * so no extent scan precedes it; group totals and rank→bucket routing
+  * both fall out of this single aggregate); (B) fetch only the buckets
+  * that contain a target rank (expected n/cells values each).
+  * Single-valued buckets (min==max) resolve with no fetch, so
   * heavy-hitter skew costs nothing; an oversized mixed bucket
-  * re-buckets recursively within its range. All distributed passes are
-  * broadcast-join + codegen expressions (no Scala UDF on the hot
-  * path). At 100 TB: a handful of narrow scans, no group-sized task
-  * state anywhere. Driver state is O(groups·buckets) histogram cells —
-  * fine up to ~10⁵ groups; beyond that, shard the group domain across
-  * calls.
+  * re-buckets recursively within its range on an equi-width grid. All
+  * distributed passes are broadcast-join + codegen expressions (no
+  * Scala UDF on the hot path). At 100 TB: two narrow scans, no
+  * group-sized task state anywhere. Driver state is
+  * O(groups·non-empty cells) — ~256 cells per power of two the data
+  * actually spans; fine up to ~10⁵ groups, beyond that shard the
+  * group domain across calls.
   *
   * Multiple value columns share every pass: [[computeMulti]] stacks
   * (group, column, value) into one frame, so N columns still cost one
@@ -43,19 +46,44 @@ object ExactPercentile {
                     buckets: Int, fetchCap: Int): Map[(String, Double), Double] = {
     val spark = base.sparkSession
     import spark.implicits._
+    graft.functions.DoubleSortableBits.register(spark)
 
-    // (A) per-group extent
-    val extent: Map[String, (Long, Double, Double)] =
-      base.groupBy("g").agg(count("v").as("n"), min("v").as("mn"), max("v").as("mx"))
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // (A) ONE pass: per-(group, bit bucket) count/min/max on the
+    // ORDER-PRESERVING bit grid (double_sortable_bits >> 44 ≈ 256
+    // cells per power of two — data-independent, so no extent scan is
+    // needed first; an equi-width grid would cost one more full scan
+    // to learn [min, max]). Bucket-id order == value order, so group
+    // totals AND rank→bucket routing both come out of this pass.
+    // Driver state is O(groups · non-empty cells); real data spans a
+    // few dozen powers of two → thousands of cells, not millions.
+    val cells: Map[String, Array[Row]] = base
+      .groupBy(col("g"), expr("double_sortable_bits(v) >> 44").as("bk"))
+      .agg(count("v").as("c"), min("v").as("mn"), max("v").as("mx"))
+      .collect()
+      .groupBy(_.getString(0))
 
     def targetRanks(g: String, n: Long): Seq[Long] =
       psOf(g).flatMap { p => val h = (n - 1) * p
         Seq(math.floor(h).toLong, math.ceil(h).toLong) }.distinct.sorted
 
+    val nOf: Map[String, Long] =
+      cells.map { case (g, rows) => g -> rows.map(_.getLong(2)).sum }
+
     val resolved = scala.collection.mutable.Map[(String, Long), Double]()
-    var work: List[Need] = extent.toList.map { case (g, (n, mn, mx)) =>
-      Need(g, targetRanks(g, n), mn, mx, 0L, n) }
+    var work: List[Need] = cells.toList.flatMap { case (g, rows) =>
+      val ordered = rows.sortBy(_.getLong(1))
+      var cum = 0L
+      val pending = scala.collection.mutable.Queue(targetRanks(g, nOf(g)): _*)
+      val needs = scala.collection.mutable.ListBuffer[Need]()
+      ordered.foreach { cell =>
+        val c = cell.getLong(2); val bmn = cell.getDouble(3); val bmx = cell.getDouble(4)
+        val mine = scala.collection.mutable.ListBuffer[Long]()
+        while (pending.nonEmpty && pending.head < cum + c) mine += pending.dequeue()
+        if (mine.nonEmpty) needs += Need(g, mine.toSeq, bmn, bmx, cum, c)
+        cum += c
+      }
+      needs.toList
+    }
 
     while (work.nonEmpty) {
       // degenerate ranges (all values equal) resolve with no I/O
@@ -109,7 +137,7 @@ object ExactPercentile {
         }
     }
 
-    extent.flatMap { case (g, (n, _, _)) =>
+    nOf.flatMap { case (g, n) =>
       psOf(g).map { p =>
         val h = (n - 1) * p
         val lo = resolved((g, math.floor(h).toLong))

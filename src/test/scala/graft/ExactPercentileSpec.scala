@@ -63,4 +63,24 @@ class ExactPercentileSpec extends AnyFunSuite {
       .toDF("g", "v")
     check(df, Seq(0.5))
   }
+
+  test("double_sortable_bits is order-preserving, specials included") {
+    import spark.implicits._
+    graft.functions.DoubleSortableBits.register(spark)
+    val rnd = new scala.util.Random(11)
+    val vals = Seq(Double.NegativeInfinity, -1e300, -1.5, -Double.MinPositiveValue,
+        -0.0, 0.0, Double.MinPositiveValue, 1.5, 1e300,
+        Double.PositiveInfinity, Double.NaN) ++
+      (1 to 2000).map(_ => rnd.nextGaussian() * math.pow(10, rnd.nextInt(20) - 10))
+    val rows = vals.toDF("v")
+      .selectExpr("v", "double_sortable_bits(v) AS s")
+      .orderBy("v").collect()
+    // Spark's double order (NaN last) must equal signed order of s
+    val s = rows.map(_.getLong(1))
+    assert(s.zip(s.tail).forall { case (a, b) => a <= b },
+      "sortable bits not monotone w.r.t. Spark double ordering")
+    // and equal doubles (incl. -0.0 vs 0.0 caveat: distinct bits but
+    // adjacent) never invert
+    assert(s.distinct.length >= s.length - vals.size / 2)
+  }
 }
