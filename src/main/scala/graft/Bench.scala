@@ -81,10 +81,13 @@ object Bench {
       // a query whose BEST rep is still slow may have had every rep land
       // in a host-throttled window (sub-second queries measure 10 s+
       // there); grant one retry after a full refill pause before
-      // believing it
-      if (err.isEmpty && paceMs > 0 && times.min > 0.9) {
+      // believing it. Threshold 1.0 s matches tools/baseline.py exactly
+      // (asymmetric thresholds would bias the comparison), and a FAILED
+      // retry never clobbers the valid measurements already taken.
+      if (err.isEmpty && paceMs > 0 && times.min > 1.0) {
         Thread.sleep(paceMs.toLong)
-        times = times :+ rep()
+        val t = rep()
+        if (err.isEmpty) times = times :+ t else err = None
       }
       val best = times.min
       name -> (best, err)

@@ -70,11 +70,13 @@ object BoundedBucketPairs {
       oEnc: Encoder[O]): Dataset[O] = {
     val ss = buckets.sparkSession
     import ss.implicits._
-    // computed once: the size probe and both routed branches replay
-    // these partitions instead of re-running the upstream pipeline
-    // (signature hashing is the expensive part of every caller)
-    val br = buckets.localCheckpoint(eager = false)
-    val brDF = br.toDF("band", "bk", "item")
+    // The size probe recomputes the upstream pipeline instead of
+    // pinning it: a localCheckpoint here would hold corpus×bands rows
+    // in executor storage AND break lineage without reliability — an
+    // executor loss at 100 TB would kill the job instead of recomputing
+    // (signature hashing is cheap to replay; measured same-order wall
+    // time, see DedupOps dump-path note).
+    val brDF = buckets.toDF("band", "bk", "item")
     val over = brDF.groupBy(col("band").as("ob"), col("bk").as("ok"))
       .agg(count(lit(1)).as("sz")).filter(col("sz") > cap).select("ob", "ok")
     val flagged = brDF.join(broadcast(over),

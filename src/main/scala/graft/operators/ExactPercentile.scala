@@ -43,7 +43,7 @@ object ExactPercentile {
     * for every group g present, the interpolated percentile for each
     * p in psOf(g). */
   private def solve(base: DataFrame, psOf: String => Seq[Double],
-                    buckets: Int, fetchCap: Int): Map[(String, Double), Double] = {
+                    buckets: Int, fetchCap: Int, maxDriverCells: Int): Map[(String, Double), Double] = {
     val spark = base.sparkSession
     import spark.implicits._
     graft.functions.DoubleSortableBits.register(spark)
@@ -56,11 +56,19 @@ object ExactPercentile {
     // totals AND rank→bucket routing both come out of this pass.
     // Driver state is O(groups · non-empty cells); real data spans a
     // few dozen powers of two → thousands of cells, not millions.
-    val cells: Map[String, Array[Row]] = base
+    // Guard: the contract "fine to ~1e5 groups, then shard the group
+    // domain" is enforced, not assumed — limit(cap+1) bounds what can
+    // ever land on the driver, and cap+1 rows fails fast instead of
+    // OOMing on a 1e7-group call.
+    val cellRows = base
       .groupBy(col("g"), expr("double_sortable_bits(v) >> 44").as("bk"))
       .agg(count("v").as("c"), min("v").as("mn"), max("v").as("mx"))
+      .limit(maxDriverCells + 1)
       .collect()
-      .groupBy(_.getString(0))
+    require(cellRows.length <= maxDriverCells,
+      s"ExactPercentile: more than $maxDriverCells (group, bucket) histogram cells — " +
+      "shard the group domain across calls or raise maxDriverCells")
+    val cells: Map[String, Array[Row]] = cellRows.groupBy(_.getString(0))
 
     def targetRanks(g: String, n: Long): Seq[Long] =
       psOf(g).flatMap { p => val h = (n - 1) * p
@@ -156,6 +164,31 @@ object ExactPercentile {
               materialize: Boolean = true): DataFrame =
     computeMulti(df, groupCol, Seq((valueCol, ps, names)), buckets, fetchCap, materialize)
 
+  /** Size-gated dispatch (the dedup-kernel pattern): inputs that
+    * provably fit a single-pass plan use the built-in exact
+    * `percentile` aggregate — same interpolation as quantile_cont, one
+    * shuffle, no driver histogram rounds — while anything larger (or
+    * maxSmallRows = 0, the at-scale setting) takes the distributed
+    * histogram path whose per-task state never grows with group size. */
+  def computeMultiAuto(df: DataFrame, groupCol: String,
+                       specs: Seq[(String, Seq[Double], Seq[String])],
+                       maxSmallRows: Int = 2000000,
+                       buckets: Int = 4096, fetchCap: Int = 1 << 17,
+                       materialize: Boolean = true,
+                       maxDriverCells: Int = 1 << 21): DataFrame =
+    if (maxSmallRows > 0 && df.limit(maxSmallRows + 1).count() <= maxSmallRows) {
+      val aggs = specs.flatMap { case (vc, ps, names) =>
+        ps.zip(names).map { case (p, n) =>
+          // same -0.0 normalization and double domain as the histogram
+          // path, so both branches are value-identical
+          expr(s"percentile(CAST(`$vc` AS DOUBLE) + 0.0, ${p}d)").as(n) }
+      }
+      val out = df.groupBy(col(groupCol).cast("string").as(groupCol))
+        .agg(aggs.head, aggs.tail: _*)
+      // inner semantics: a group appears only if every spec resolved
+      out.na.drop(specs.flatMap(_._3))
+    } else computeMulti(df, groupCol, specs, buckets, fetchCap, materialize, maxDriverCells)
+
   /** Percentiles of SEVERAL value columns in the same passes: the
     * stacked (group, column, value) frame makes the extent and
     * histogram aggregates one scan each for ALL columns. `specs` is
@@ -167,7 +200,8 @@ object ExactPercentile {
   def computeMulti(df: DataFrame, groupCol: String,
                    specs: Seq[(String, Seq[Double], Seq[String])],
                    buckets: Int = 4096, fetchCap: Int = 1 << 17,
-                   materialize: Boolean = true): DataFrame = {
+                   materialize: Boolean = true,
+                   maxDriverCells: Int = 1 << 21): DataFrame = {
     require(specs.nonEmpty)
     specs.foreach { case (_, ps, names) =>
       require(ps.nonEmpty && ps.length == names.length)
@@ -179,9 +213,14 @@ object ExactPercentile {
     val stackExpr = s"stack(${specs.length}, " +
       specs.zipWithIndex.map { case (sp, i) => s"'$i', double_${i}" }.mkString(", ") +
       ") AS (cidx, v)"
+    // `+ 0.0` normalizes -0.0 to +0.0: the sortable-bits grid puts the
+    // two zeros in different buckets but the targeted fetch filters
+    // numerically (-0.0 == 0.0), so un-normalized -0.0 rows would leak
+    // into the +0 bucket's fetch and shift the rank index
     val projected = df.select(
         col(groupCol).cast("string").as("g0") +:
-        specs.zipWithIndex.map { case (sp, i) => col(sp._1).cast("double").as(s"double_$i") }: _*)
+        specs.zipWithIndex.map { case (sp, i) =>
+          (col(sp._1).cast("double") + lit(0.0)).as(s"double_$i") }: _*)
       .selectExpr("g0", stackExpr)
       .where(col("v").isNotNull)
       .select(concat(col("cidx"), lit("|"), col("g0")).as("g"), col("v"))
@@ -192,7 +231,7 @@ object ExactPercentile {
 
     val psArr = specs.map(_._2).toArray
     val psOf: String => Seq[Double] = g => psArr(g.substring(0, g.indexOf('|')).toInt)
-    val sol = solve(base, psOf, buckets, fetchCap)
+    val sol = solve(base, psOf, buckets, fetchCap, maxDriverCells)
 
     // assemble: per original group, all specs' values (inner semantics)
     val byGroup = sol.toSeq.groupBy { case ((g, _), _) =>

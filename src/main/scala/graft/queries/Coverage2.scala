@@ -44,12 +44,14 @@ object Coverage2 {
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 
   // Exact interpolated percentiles (≡ DuckDB quantile_cont), via
-  // graft.operators.ExactPercentile: distributed histogram + targeted
-  // bucket fetch. The built-in `percentile` buffers a whole group's
-  // values in one task (OOM at 100 TB group sizes) and a window
-  // row_number formulation sorts each group on one task; the histogram
-  // plan keeps every pass narrow and parallel. Same interpolation
-  // expression as quantile_cont; DECIMAL(18,4) rounding absorbs
+  // graft.operators.ExactPercentile: size-gated like the dedup
+  // kernels. Inputs that provably fit one task's memory use the
+  // built-in exact `percentile` (one shuffle, no histogram rounds);
+  // larger inputs take the distributed histogram + targeted-bucket
+  // plan, whose per-task state never grows with group size (the
+  // built-in buffers a whole group's values in one task — OOM at
+  // 100 TB group sizes). Same interpolation expression as
+  // quantile_cont on both paths; DECIMAL(18,4) rounding absorbs
   // last-ulp differences, as everywhere in the suite.
   spark("q_percentile",
     (s, d) => {
@@ -57,7 +59,7 @@ object Coverage2 {
       // both value columns ride the same extent + histogram scans; the
       // input is a bare pruned table scan, so re-reading per pass beats
       // paying a checkpoint materialization up front
-      val q = graft.operators.ExactPercentile.computeMulti(
+      val q = graft.operators.ExactPercentile.computeMultiAuto(
         li, "l_returnflag",
         Seq(("l_quantity", Seq(0.5, 0.9), Seq("p50r", "p90r")),
             ("l_extendedprice", Seq(0.25), Seq("p25r"))),

@@ -382,7 +382,11 @@ object DedupOps {
   /** Packed-long variant: each candidate pair as (id_a << 32) + id_b in
     * one column "k". The pair-heavy inner machinery (emit, union,
     * shuffle) moves 8-byte primitives instead of two-field rows; the
-    * public [[minhashCandidates]] unpacks in codegen. */
+    * public [[minhashCandidates]] unpacks in codegen.
+    *
+    * Id contract: packing is lossless only for doc ids in [0, 2^31);
+    * out-of-range ids fail fast (checked per member below) rather than
+    * silently producing colliding pair keys. */
   def minhashCandidatesPacked(s: SparkSession, tok: DataFrame,
                               bucketCap: Int = 4096, blocks: Int = 16): DataFrame = {
     import s.implicits._
@@ -413,6 +417,14 @@ object DedupOps {
         var i = 0
         while (i < 2 * k) { sig(i) = bb.getLong(); i += 1 }
         val m = members.toArray
+        // packed-pair id contract (checked, not assumed): (a<<32)+b is
+        // lossless only for 0 <= id < 2^31. Violations fail loudly here
+        // instead of silently colliding pair keys downstream.
+        m.foreach { id =>
+          if (id < 0L || id >= (1L << 31))
+            throw new IllegalArgumentException(
+              s"minhashCandidatesPacked: doc_id $id outside packed range [0, 2^31)")
+        }
         Iterator.tabulate(4)(b => (b, Hashing.toHexRange(mh, 64 * b, 64), (m, sig)))
       }
     val cross = BoundedBucketPairs.pairs[(Array[Long], Array[Long]), Long](
@@ -521,6 +533,10 @@ object DedupOps {
   def labelPropagateKernel(s: SparkSession, docs: DataFrame, pairs: DataFrame,
                            rounds: Int): DataFrame = {
     import s.implicits._
+    // kernel math runs in long; output casts back to the caller's
+    // doc_id type so auto-dispatch is schema-identical to the
+    // distributed path (whose lbl inherits doc_id's type too)
+    val idType = docs.schema("doc_id").dataType
     val ids = docs.select(col("doc_id").cast("long")).as[Long].collect().sorted
     val idx = ids.zipWithIndex.toMap
     // edges touching unknown docs drop, as the distributed path's inner
@@ -538,15 +554,20 @@ object DedupOps {
     }
     s.sparkContext.parallelize(ids.indices.map(i => (ids(i), lbl(i))), 1)
       .toDF("doc_id", "lbl")
+      .select(col("doc_id").cast(idType), col("lbl").cast(idType))
   }
 
   /** Dispatch mirror of [[jaccardDocPairsAuto]]: the distributed
-    * join+agg rounds unless the doc count provably fits the driver
-    * kernel. At scale callers pass 0 to skip the probe count. */
+    * join+agg rounds unless BOTH the doc count and the pair count
+    * provably fit the driver kernel (a near-all-duplicate corpus under
+    * the doc cap can still carry ~m²/2 pairs — the pair probe keeps
+    * that off the driver). At scale callers pass 0 to skip the probes. */
   def labelPropagateAuto(s: SparkSession, docs: DataFrame, pairs: DataFrame,
-                         rounds: Int, maxKernelDocs: Int = 4096): DataFrame =
+                         rounds: Int, maxKernelDocs: Int = 4096,
+                         maxKernelPairs: Int = 1 << 20): DataFrame =
     if (maxKernelDocs > 0 &&
-        docs.limit(maxKernelDocs + 1).count() <= maxKernelDocs)
+        docs.limit(maxKernelDocs + 1).count() <= maxKernelDocs &&
+        pairs.limit(maxKernelPairs + 1).count() <= maxKernelPairs)
       labelPropagateKernel(s, docs, pairs, rounds)
     else labelPropagate(docs, pairs, rounds)
 

@@ -64,6 +64,43 @@ class ExactPercentileSpec extends AnyFunSuite {
     check(df, Seq(0.5))
   }
 
+  test("-0.0 with positive subnormals: signed zero does not shift ranks") {
+    import spark.implicits._
+    // pre-fix, -0.0 landed in a different bit bucket than +0.0 but the
+    // numeric fetch (v >= lo) pulled it back in, shifting the rank index
+    val df = (Seq.fill(5)(-0.0) ++ Seq(Double.MinPositiveValue,
+        Double.MinPositiveValue * 2, 1e-310, 0.5, 1.0, 2.0))
+      .map(("a", _)).toDF("g", "v")
+    check(df, Seq(0.25, 0.5, 0.75), buckets = 4, fetchCap = 3)
+  }
+
+  test("computeMultiAuto: small-path equals histogram path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 5000).map(i => (s"g${i % 4}", rnd.nextGaussian() * 10,
+      rnd.nextDouble() * 100)).toDF("g", "a", "b")
+    val specs = Seq(("a", Seq(0.5, 0.9), Seq("a50", "a90")), ("b", Seq(0.25), Seq("b25")))
+    def m(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => x.getString(0) -> (1 to 3).map(x.getDouble)).toMap
+    val small = m(ExactPercentile.computeMultiAuto(df, "g", specs))
+    val hist = m(ExactPercentile.computeMultiAuto(df, "g", specs, maxSmallRows = 0))
+    assert(small.keySet == hist.keySet)
+    small.foreach { case (g, vs) =>
+      vs.zip(hist(g)).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= math.abs(y) * 1e-12 + 1e-12, s"group $g: $x vs $y") }
+    }
+  }
+
+  test("driver-cells guard fails fast instead of collecting unbounded state") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (s"g$i", i.toDouble)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      ExactPercentile.computeMulti(df, "g", Seq(("v", Seq(0.5), Seq("p"))),
+        materialize = false, maxDriverCells = 50)
+    }
+    assert(e.getMessage.contains("shard the group domain"))
+  }
+
   test("double_sortable_bits is order-preserving, specials included") {
     import spark.implicits._
     graft.functions.DoubleSortableBits.register(spark)

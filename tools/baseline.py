@@ -53,10 +53,15 @@ for name in sorted(oracle):
             break
         best = dt if best is None else min(best, dt)
     # same retry rule as graft.Bench: a best still >1s may mean every
-    # rep landed in a throttled window — one more after a full pause
+    # rep landed in a throttled window — one more after a full pause.
+    # A failed retry rep must never clobber the valid best already taken.
     if not err and PACE > 0 and best is not None and best > 1.0:
         time.sleep(PACE)
-        best = min(best, rep())
+        dt = rep()
+        if dt > 0:
+            best = min(best, dt)
+        else:
+            err = False  # keep the valid earlier measurement
     out[name] = round(best if best is not None else -1.0, 4)
     print(f"# {name}: {out[name]}", file=sys.stderr)
 print(json.dumps(out))
