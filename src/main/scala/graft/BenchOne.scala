@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.BenchOne <sfDir> <query>... */
 object BenchOne extends App {
   val sfDir = args(0)
-  val spark = SparkSession.builder().master("local[32]")
-    .config("spark.sql.shuffle.partitions", "32")
+  // same host-throttle-aware sizing as graft.Bench (local[6] default)
+  val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "6")
+  val spark = SparkSession.builder().master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false").getOrCreate()
   spark.sparkContext.setLogLevel("WARN")

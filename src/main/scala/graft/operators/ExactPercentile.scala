@@ -165,29 +165,43 @@ object ExactPercentile {
     computeMulti(df, groupCol, Seq((valueCol, ps, names)), buckets, fetchCap, materialize)
 
   /** Size-gated dispatch (the dedup-kernel pattern): inputs that
-    * provably fit a single-pass plan use the built-in exact
-    * `percentile` aggregate — same interpolation as quantile_cont, one
-    * shuffle, no driver histogram rounds — while anything larger (or
-    * maxSmallRows = 0, the at-scale setting) takes the distributed
-    * histogram path whose per-task state never grows with group size. */
+    * provably fit one task's memory per group use
+    * [[graft.functions.PercentileBuf]] — one hash-aggregate pass over
+    * primitive buffers, no histogram rounds — while anything larger
+    * (or maxSmallRows = 0, the at-scale setting) takes the distributed
+    * histogram path whose per-task state never grows with group size.
+    *
+    * The gate reads Catalyst's plan statistics (zero extra jobs): the
+    * small path needs `rowCount ≤ maxSmallRows` when the optimizer
+    * knows the row count, else `sizeInBytes ≤ maxSmallBytes` —
+    * sizeInBytes counts EVERY column's raw bytes while the buffers
+    * hold only the projected value doubles, so the byte bound
+    * over-estimates and errs toward the scale-safe path. */
   def computeMultiAuto(df: DataFrame, groupCol: String,
                        specs: Seq[(String, Seq[Double], Seq[String])],
                        maxSmallRows: Int = 2000000,
                        buckets: Int = 4096, fetchCap: Int = 1 << 17,
                        materialize: Boolean = true,
-                       maxDriverCells: Int = 1 << 21): DataFrame =
-    if (maxSmallRows > 0 && df.limit(maxSmallRows + 1).count() <= maxSmallRows) {
-      val aggs = specs.flatMap { case (vc, ps, names) =>
-        ps.zip(names).map { case (p, n) =>
-          // same -0.0 normalization and double domain as the histogram
-          // path, so both branches are value-identical
-          expr(s"percentile(CAST(`$vc` AS DOUBLE) + 0.0, ${p}d)").as(n) }
+                       maxDriverCells: Int = 1 << 21,
+                       maxSmallBytes: Long = 256L << 20): DataFrame = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    val small = maxSmallRows > 0 &&
+      stats.rowCount.map(_ <= BigInt(maxSmallRows))
+        .getOrElse(stats.sizeInBytes <= BigInt(maxSmallBytes))
+    if (small) {
+      graft.functions.PercentileBuf.register(df.sparkSession)
+      val aggs = specs.zipWithIndex.map { case ((vc, ps, _), i) =>
+        expr(s"percentile_buf(CAST(`$vc` AS DOUBLE), array(${ps.mkString("d,")}d))")
+          .as(s"arr_$i")
       }
       val out = df.groupBy(col(groupCol).cast("string").as(groupCol))
         .agg(aggs.head, aggs.tail: _*)
+      val cols = col(groupCol) +: specs.zipWithIndex.flatMap { case ((_, _, names), i) =>
+        names.zipWithIndex.map { case (n, j) => element_at(col(s"arr_$i"), j + 1).as(n) } }
       // inner semantics: a group appears only if every spec resolved
-      out.na.drop(specs.flatMap(_._3))
+      out.select(cols: _*).na.drop(specs.flatMap(_._3))
     } else computeMulti(df, groupCol, specs, buckets, fetchCap, materialize, maxDriverCells)
+  }
 
   /** Percentiles of SEVERAL value columns in the same passes: the
     * stacked (group, column, value) frame makes the extent and

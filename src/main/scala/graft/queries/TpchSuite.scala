@@ -243,34 +243,38 @@ object TpchSuite {
   // fact table. Catalyst decorrelates the pair into a semi + anti join
   // but BROADCASTS the full lineitem scan for both — a driver-built
   // fact-table hash relation, twice, which cannot survive 100 TB. The
-  // Spark side instead makes ONE pass: shuffle the status-F join on
-  // l_orderkey and resolve each order group locally (per-order supplier
-  // set is tiny), emitting the sole late supplier weighted by its late
-  // row count; dims broadcast after. Equivalent because the EXISTS
-  // pair says exactly "≥2 suppliers in the order, exactly 1 of them
-  // late, count l1 rows of that late supplier".
+  // Spark side instead resolves each order with relational operators
+  // only: aggregate late counts per (order, supplier) — map-side
+  // combine shrinks the fact rows before the shuffle — then two
+  // whole-partition window aggregates over l_orderkey (supplier count,
+  // late-supplier count) pick the sole late supplier of multi-supplier
+  // orders. Equivalent because the EXISTS pair says exactly "≥2
+  // suppliers in the order, exactly 1 of them late, count l1 rows of
+  // that late supplier". All codegen'd operators — no typed
+  // flatMapGroups object serialization on the fact table; the window's
+  // input is already one row per (order, supplier).
   spark("tpch_q21_waiting",
     (s, d) => { Tables.registerAll(s, d)
-      import s.implicits._
-      val f = s.sql("""SELECT l_orderkey, l_suppkey,
-        | CASE WHEN l_shipdate > o_orderdate THEN 1 ELSE 0 END AS late
-        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-        |WHERE o_orderstatus = 'F'""".stripMargin)
-      val sole = f.as[(Long, Long, Int)].groupByKey(_._1).flatMapGroups { (_, it) =>
-        val m = scala.collection.mutable.HashMap.empty[Long, Int]
-        it.foreach { case (_, sk, late) => m.update(sk, m.getOrElse(sk, 0) + late) }
-        if (m.size >= 2) {
-          val late = m.iterator.filter(_._2 > 0).take(2).toArray
-          if (late.length == 1) Iterator.single((late(0)._1, late(0)._2.toLong))
-          else Iterator.empty
-        } else Iterator.empty
-      }.toDF("late_supp", "w")
-      s.sql("""SELECT s_suppkey, s_name FROM supplier
-              |JOIN nation ON s_nationkey = n_nationkey
-              |WHERE n_name = 'NATION_6'""".stripMargin)
-        .join(sole, col("s_suppkey") === col("late_supp"))
-        .groupBy("s_name").agg(sum("w").cast("bigint").as("numwait"))
-        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+      s.sql("""WITH per_supp AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    SUM(CASE WHEN l_shipdate > o_orderdate THEN 1 ELSE 0 END) AS late_cnt
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey, l_suppkey
+        |), flagged AS (
+        |  SELECT l_suppkey, late_cnt,
+        |    COUNT(*) OVER (PARTITION BY l_orderkey) AS nsupp,
+        |    SUM(CASE WHEN late_cnt > 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY l_orderkey) AS nlate
+        |  FROM per_supp
+        |)
+        |SELECT s_name, CAST(SUM(late_cnt) AS BIGINT) AS numwait
+        |FROM flagged
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE nsupp >= 2 AND nlate = 1 AND late_cnt > 0 AND n_name = 'NATION_6'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC NULLS LAST, s_name LIMIT 20""".stripMargin)
     },
     """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
       |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
