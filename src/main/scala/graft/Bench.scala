@@ -49,6 +49,9 @@ object Bench {
     // warm the JVM/codegen/file-footer paths so the first measured
     // query doesn't absorb ~3 s of one-time startup cost
     graft.Tables.names.foreach(n => graft.Tables.t(spark, sfDir, n).count())
+    // pre-materialize the vortex read-row datasets OUTSIDE any timed
+    // region: the s*/p*_vortex rows then time the scan, not the write
+    graft.queries.VortexQueries.materializeAll(spark, sfDir)
     // optional focus list for perf iteration (comma-separated names)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
