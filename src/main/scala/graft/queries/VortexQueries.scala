@@ -291,11 +291,15 @@ object VortexQueries {
       |  o_orderkey % 2 = 0 AS c_bool
       |FROM orders) TO '${oracleCopyPath("s3")}' (FORMAT PARQUET)""".stripMargin)
 
-  // S4 write: forced small chunks vs COPY with the same row-group size
+  // S4 write: forced small chunks vs COPY with the same row-group size.
+  // No repartition(1): DuckDB's COPY parallelizes row-group production
+  // the same way Spark parallelizes across task files — chunking is
+  // per-file in both engines (the READ row dsChunked keeps the forced
+  // single file to cover multi-chunk decode).
   spark("s4_vortex_write_chunks",
     (s, d) => {
       val dir = vdir("write_s4", d)
-      Tables.t(s, d, "lineitem").repartition(1)
+      Tables.t(s, d, "lineitem")
         .write.format("vortex").option("chunkRows", "8192").mode("overwrite").save(dir)
       s.read.format("vortex").load(dir)
         .agg(count(lit(1)).as("Count"))

@@ -224,9 +224,13 @@ object BucketSpecFile {
 }
 
 class VortexScanBuilder(schema: StructType, paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = schema
   private var filters: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(StructType, org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+    String)] = None
+  private var pushedLimit: Option[Int] = None
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
@@ -238,7 +242,46 @@ class VortexScanBuilder(schema: StructType, paths: Seq[String])
     val names = req.fieldNames.toSet
     required = StructType(schema.fields.filter(f => names.contains(f.name)))
   }
-  override def build(): Scan = new VortexScan(schema, required, filters, paths)
+
+  /** COUNT(*)/COUNT(col)/MIN/MAX with no grouping, no filters: answer
+    * from chunk footer stats alone — see [[VortexStatsPushdown]]. The
+    * fold is memoized so supportCompletePushDown + pushAggregation
+    * (Spark calls both with the same Aggregation) costs one pass. */
+  private var aggProbe: Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+    Option[(StructType, org.apache.spark.sql.catalyst.expressions.UnsafeRow)])] = None
+  private def probeAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) = {
+    if (!aggProbe.exists(_._1 eq agg)) {
+      val res =
+        if (filters.nonEmpty || pushedLimit.isDefined) None
+        else VortexStatsPushdown.compute(agg, schema, paths,
+          SparkSession.active.sessionState.newHadoopConf())
+      aggProbe = Some((agg, res))
+    }
+    aggProbe.get._2
+  }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    probeAgg(agg).isDefined
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    probeAgg(agg) match {
+      case Some((s, row)) =>
+        pushedAgg = Some((s, row, agg.aggregateExpressions.mkString(", ")))
+        true
+      case None => false
+    }
+
+  /** LIMIT n with no filters: planInputPartitions keeps only a chunk
+    * prefix covering ≥ n rows (isPartiallyPushed — Spark still applies
+    * the exact limit above). With filters the surviving row count per
+    * chunk is unknown, so trimming could under-produce: decline. */
+  override def pushLimit(n: Int): Boolean =
+    if (filters.isEmpty) { pushedLimit = Some(n); true } else false
+
+  override def build(): Scan = pushedAgg match {
+    case Some((s, row, desc)) => new VortexStatsScan(s, row, desc)
+    case None => new VortexScan(schema, required, filters, paths, pushedLimit)
+  }
 }
 
 /** One split = consecutive surviving chunks of one file, ~128 MB.
@@ -256,7 +299,8 @@ case class VortexInputPartition(file: String, chunkIdxs: Array[Int],
 }
 
 class VortexScan(fileSchema: StructType, required: StructType,
-                 initialFilters: Array[Filter], paths: Seq[String])
+                 initialFilters: Array[Filter], paths: Seq[String],
+                 pushedLimit: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -267,7 +311,8 @@ class VortexScan(fileSchema: StructType, required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new VortexMicroBatchStream(required, paths, checkpointLocation)
   override def description(): String =
-    s"VortexScan(files=${paths.mkString(",")}, pushed=[${filters.mkString(", ")}])"
+    s"VortexScan(files=${paths.mkString(",")}, pushed=[${filters.mkString(", ")}]" +
+      pushedLimit.map(n => s", pushedLimit=$n").getOrElse("") + ")"
 
   /** footer-derived stats (post static pruning): row count + encoded
     * bytes — lets Catalyst/AQE size joins over vortex tables correctly
@@ -424,8 +469,14 @@ class VortexScan(fileSchema: StructType, required: StructType,
     val expectedData: Seq[(String, DataType)] =
       fileSchema.fields.toSeq.filterNot(f => partSchema.fieldNames.contains(f.name))
         .map(f => (f.name, f.dataType))
+    // pushed LIMIT (filter-free by construction): keep only a chunk
+    // prefix covering >= limit rows — a LIMIT 10 over a 100 TB dataset
+    // plans one split of one file instead of ~800k
+    var limitRemaining: Long =
+      if (filters.isEmpty) pushedLimit.map(_.toLong).getOrElse(Long.MaxValue)
+      else Long.MaxValue
     needFooter.foreach { case (st, kvs0) =>
-      {
+      if (limitRemaining > 0L) {
         val f = st.getPath
         val footer = VortexFileReader.readFooter(f, conf)
         val got = footer.schema.fields.toSeq.map(fl => (fl.name, fl.dataType))
@@ -454,8 +505,11 @@ class VortexScan(fileSchema: StructType, required: StructType,
         var bytes = 0L
         footer.chunks.zipWithIndex.foreach { case (chunk, ci) =>
           // tier 2: per-chunk stats pruning
-          val keep = !filters.exists(fl => FilterPruning.canSkip(fl, chunk, footer.schema))
+          val keep = limitRemaining > 0L &&
+            !filters.exists(fl => FilterPruning.canSkip(fl, chunk, footer.schema))
           if (keep) {
+            if (limitRemaining != Long.MaxValue)
+              limitRemaining = math.max(0L, limitRemaining - chunk.rowCount)
             cur += ci
             bytes += chunk.columns.map(_.length.toLong).sum
             if (bytes >= VortexFormat.TargetSplitBytes) {

@@ -185,6 +185,10 @@ object VortexFileReader {
   /** test hook: force cold-footer conditions */
   def clearFooterCache(): Unit = footerCache.clear()
 
+  /** page decodes in this JVM — tests pin footer-stats-answered
+    * aggregates (and trimmed limit scans) to zero / bounded decodes */
+  val pageDecodes = new java.util.concurrent.atomic.AtomicLong()
+
   def readFooter(path: Path, conf: Configuration): Footer = {
     val fs = path.getFileSystem(conf)
     val st = fs.getFileStatus(path)
@@ -213,6 +217,7 @@ object VortexFileReader {
     * to µs (format §ts-unit) — the single decode entry for every scan
     * path, so unit handling can't diverge between readers. */
   def decodeColumn(buf: Array[Byte], m: ColumnChunkMeta, rows: Int, field: StructField): ColVec = {
+    pageDecodes.incrementAndGet()
     val vec = PageCodec.decode(buf, m.encoding, m.compressed, rows, m.nullCount, field.dataType)
     val u = tsUnit(field)
     if (u != "us" && vec.longs != null) {

@@ -1,0 +1,214 @@
+package graft.sources.vortex
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate._
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Footer-stats aggregate pushdown (≙ the engine capability the
+  * reference inherits from DuckDB: `count(*)` over a scan answers from
+  * table-function cardinality without materializing rows — pin
+  * `/root/reference/.github/workflows/MainDistributionPipeline.yml:17-23`).
+  *
+  * Every chunk footer already carries rowCount and per-column
+  * nullCount/min/max (FORMAT.md), so COUNT(*) / COUNT(col) /
+  * MIN(col) / MAX(col) with no GROUP BY and no filters resolve
+  * entirely from footers — zero page decodes, a driver-side fold over
+  * metadata the planner reads anyway. At 100 TB that turns a
+  * full-table count from a cluster job into a metadata pass.
+  *
+  * Conservative bails (→ normal scan): grouped aggregates, DISTINCT,
+  * any unsupported function, min/max over a column whose chunk stats
+  * are absent for a non-all-null chunk (NaN-poisoned float chunks,
+  * boolean/binary/deep-decimal columns — PageCodec writes no stats
+  * there), min/max over partition-path columns, or schema drift.
+  */
+object VortexStatsPushdown {
+  import VortexFormat.{ChunkMeta, Footer}
+
+  private sealed trait Spec
+  private case object CountStarSpec extends Spec
+  private case class CountColSpec(col: String) extends Spec
+  private case class MinMaxSpec(col: String, isMin: Boolean) extends Spec
+
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  /** long-domain stat types (PageCodec writes an 8-byte little-endian
+    * long whose ordering PageCodec.lessThan knows) */
+  private def longDomain(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType => true
+    case d: DecimalType => d.precision <= 18
+    case _ => false
+  }
+
+  def compute(agg: Aggregation, fileSchema: StructType, paths: Seq[String],
+              conf: Configuration): Option[(StructType, UnsafeRow)] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val specs: Seq[Spec] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => CountStarSpec
+      case c: Count if !c.isDistinct =>
+        colName(c.column) match { case Some(n) => CountColSpec(n); case None => return None }
+      case m: Min =>
+        colName(m.column) match { case Some(n) => MinMaxSpec(n, isMin = true); case None => return None }
+      case m: Max =>
+        colName(m.column) match { case Some(n) => MinMaxSpec(n, isMin = false); case None => return None }
+      case _ => return None
+    }
+
+    val listed = VortexDataSource.listAll(paths, conf)
+    val partCols: Set[String] =
+      listed.flatMap(_._2.map(_._1)).toSet - BucketSpecFile.BucketCol
+    val dataFields = fileSchema.fields.filterNot(f => partCols.contains(f.name))
+    val fieldIdx: Map[String, Int] = dataFields.map(_.name).zipWithIndex.toMap
+
+    // every referenced column must be resolvable; min/max need a data
+    // column with a stats-capable type
+    specs.foreach {
+      case CountColSpec(n) =>
+        if (!partCols.contains(n) && !fieldIdx.contains(n)) return None
+      case MinMaxSpec(n, _) =>
+        val i = fieldIdx.getOrElse(n, return None)
+        if (!longDomain(dataFields(i).dataType) && dataFields(i).dataType != StringType)
+          return None
+      case CountStarSpec =>
+    }
+
+    // footer pass (cached per JVM; the planner reads the same footers)
+    val expected = dataFields.toSeq.map(f => (f.name, f.dataType))
+    val footers: Seq[Footer] =
+      try listed.map { case (st, _) =>
+        val f = VortexFileReader.readFooter(st.getPath, conf)
+        if (f.schema.fields.toSeq.map(x => (x.name, x.dataType)) != expected) return None
+        f
+      } catch { case _: Exception => return None }
+
+    var totalRows = 0L
+    val nonNull = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    // fold state per (col, isMin): Left(long) or Right(utf8 bytes)
+    val fold = collection.mutable.Map[(String, Boolean), Either[Long, Array[Byte]]]()
+
+    def binLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i) & 0xff; val y = b(i) & 0xff
+        if (x != y) return x < y
+        i += 1
+      }
+      a.length < b.length
+    }
+
+    val minMaxCols = specs.collect { case MinMaxSpec(n, m) => (n, m) }.distinct
+    val countCols = specs.collect { case CountColSpec(n) if fieldIdx.contains(n) => n }.distinct
+
+    footers.foreach { footer =>
+      footer.chunks.foreach { chunk =>
+        totalRows += chunk.rowCount
+        countCols.foreach { n =>
+          nonNull(n) += chunk.rowCount - chunk.columns(fieldIdx(n)).nullCount
+        }
+        minMaxCols.foreach { case (n, isMin) =>
+          val i = fieldIdx(n)
+          val m = chunk.columns(i)
+          if (m.nullCount != chunk.rowCount) { // all-null chunks carry no stats, legitimately
+            val statB = (if (isMin) m.min else m.max).getOrElse(return None)
+            val dt = dataFields(i).dataType
+            val cur = fold.get((n, isMin))
+            if (dt == StringType) {
+              val better = cur match {
+                case Some(Right(prev)) =>
+                  if (isMin) (if (binLess(statB, prev)) statB else prev)
+                  else (if (binLess(prev, statB)) statB else prev)
+                case _ => statB
+              }
+              fold((n, isMin)) = Right(better)
+            } else {
+              val v = PageCodec.bytesToLong(statB)
+              val better = cur match {
+                case Some(Left(prev)) =>
+                  if (isMin) (if (PageCodec.lessThan(v, prev, dt)) v else prev)
+                  else (if (PageCodec.lessThan(prev, v, dt)) v else prev)
+                case _ => v
+              }
+              fold((n, isMin)) = Left(better)
+            }
+          }
+        }
+      }
+    }
+
+    def toCatalyst(n: String, isMin: Boolean): Any = {
+      val i = fieldIdx(n)
+      val field = dataFields(i)
+      fold.get((n, isMin)) match {
+        case None => null // no non-null values anywhere
+        case Some(Right(bytes)) => UTF8String.fromBytes(bytes)
+        case Some(Left(v)) => field.dataType match {
+          case ByteType => v.toByte
+          case ShortType => v.toShort
+          case IntegerType | DateType => v.toInt
+          case LongType => v
+          case TimestampType | TimestampNTZType =>
+            VortexFormat.microsFromStored(v, VortexFormat.tsUnit(field))
+          case FloatType => java.lang.Float.intBitsToFloat(v.toInt)
+          case DoubleType => java.lang.Double.longBitsToDouble(v)
+          case d: DecimalType => org.apache.spark.sql.types.Decimal(
+            BigDecimal(java.math.BigDecimal.valueOf(v, d.scale)), d.precision, d.scale)
+          case _ => return null // unreachable: gated by longDomain above
+        }
+      }
+    }
+
+    val fields = specs.zipWithIndex.map {
+      case (CountStarSpec, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (CountColSpec(_), i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (MinMaxSpec(n, _), i) =>
+        StructField(s"agg_$i", dataFields(fieldIdx(n)).dataType, nullable = true)
+    }
+    val values: Array[Any] = specs.map {
+      case CountStarSpec => totalRows
+      case CountColSpec(n) => if (partCols.contains(n)) totalRows else nonNull(n)
+      case MinMaxSpec(n, isMin) => toCatalyst(n, isMin)
+    }.toArray
+
+    val schema = StructType(fields)
+    val proj = UnsafeProjection.create(schema)
+    Some((schema, proj(new GenericInternalRow(values)).copy()))
+  }
+}
+
+/** Scan whose single partition yields the pre-computed aggregate row —
+  * what a footer-stats-answered aggregate plans into. */
+class VortexStatsScan(outSchema: StructType, row: UnsafeRow, pushed: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"VortexStatsScan(pushedAggregates=[$pushed])"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(VortexStatsPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory = new VortexStatsReaderFactory
+}
+
+case class VortexStatsPartition(row: UnsafeRow) extends InputPartition
+
+class VortexStatsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[VortexStatsPartition].row
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = r
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -45,6 +45,31 @@ class VortexObjectStoreSpec extends AnyFunSuite {
     val part = spark.read.format("vortex").load(pdir)
     assert(part.filter(col("k") === 2).count() == 25)
   }
+
+  test("object-store contract points: in-progress invisibility, manifest commit, bucket layout") {
+    import org.apache.spark.sql.functions._
+    val local = Files.createTempDirectory("vortex_mockfs2_").toString
+    val dir = s"mockfs://host$local/t"
+    spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("id"))
+      .write.format("vortex").mode("overwrite").save(dir)
+    // a crashed task's .inprogress remnant must never be observable
+    val orphan = new java.io.File(s"$local/t/.part-99999-dead-0.vortex.inprogress")
+    java.nio.file.Files.writeString(orphan.toPath, "garbage")
+    val back = spark.read.format("vortex").load(dir)
+    assert(back.count() == 10000)
+    // manifest-tier file pruning works through the scheme (ranged write
+    // above → disjoint id ranges per file)
+    assert(back.filter(col("id") < 2000).count() == 2000)
+    assert(new java.io.File(s"$local/t/_manifests").listFiles.nonEmpty)
+    // bucketed layout + bucket-pruned point read over the scheme
+    val bdir = s"mockfs://host$local/b"
+    spark.range(0, 1000).selectExpr("id", "id % 50 AS key")
+      .write.format("vortex").option("bucketBy", "key").option("buckets", "8")
+      .mode("overwrite").save(bdir)
+    val b = spark.read.format("vortex").load(bdir)
+    assert(b.filter(col("key") === 7).count() == 20)
+  }
 }
 
 /** `mockfs://` — RawLocalFileSystem under a different authority-bearing

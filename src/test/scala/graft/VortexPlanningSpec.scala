@@ -59,6 +59,50 @@ class VortexPlanningSpec extends AnyFunSuite {
     assert(back.filter(col("id") < 5000).count() == 100)
   }
 
+  test("count/min/max answer from footer stats with ZERO page decodes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vortex_statsagg_").toString
+    val src = (1 to 10000).map(i =>
+      (i.toLong, i * 1.5, s"s$i", if (i % 10 == 0) None else Some(i * 3L)))
+      .toDF("id", "d", "s", "n")
+    src.repartition(3).write.format("vortex").mode("overwrite").save(dir)
+    val v = spark.read.format("vortex").load(dir)
+    val before = VortexFileReader.pageDecodes.get()
+    val r = v.agg(count(lit(1)).as("c"), count(col("n")).as("cn"),
+      min(col("id")).as("mi"), max(col("id")).as("ma"),
+      min(col("d")).as("md"), max(col("s")).as("ms")).collect()(0)
+    assert(VortexFileReader.pageDecodes.get() == before,
+      "stats-answered aggregate must not decode any page")
+    assert(r.getLong(0) == 10000 && r.getLong(1) == 9000)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 10000L)
+    assert(r.getDouble(4) == 1.5 && r.getString(5) == "s9999")
+    // the plan itself names the stats scan
+    val plan = v.agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(plan.contains("VortexStatsScan"), plan)
+    // filters force the normal scan path and stay correct
+    assert(v.filter(col("id") > 5000).agg(count(lit(1))).collect()(0).getLong(0) == 5000)
+    // group-by declines pushdown and stays correct
+    assert(v.groupBy(col("id") % 2).count().collect().map(_.getLong(1)).sum == 10000)
+  }
+
+  test("pushed limit plans a bounded chunk prefix, not the whole file") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("vortex_limit_").toString
+    spark.range(0, 100000).repartition(1)
+      .write.format("vortex").option("chunkRows", "1024").mode("overwrite").save(dir)
+    val v = spark.read.format("vortex").load(dir)
+    val before = VortexFileReader.pageDecodes.get()
+    assert(v.limit(10).collect().length == 10)
+    val delta = VortexFileReader.pageDecodes.get() - before
+    // 10 rows fit one 1024-row chunk: one column decode (+0 slack)
+    assert(delta <= 2, s"limit-10 scan decoded $delta pages of a ~98-chunk file")
+    // limit larger than the dataset still returns everything
+    assert(v.limit(200000).count() == 100000)
+    // filter + limit declines the trim and stays exact
+    assert(v.filter(col("id") >= 99000).limit(5).collect().length == 5)
+  }
+
   test("schema drift across files fails planning with a named error") {
     import spark.implicits._
     val a = Files.createTempDirectory("vortex_drift_a_").toString
