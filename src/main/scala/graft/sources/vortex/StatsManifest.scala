@@ -31,7 +31,23 @@ object StatsManifest {
 
   final case class ColStats(name: String, nulls: Long,
                             min: Option[Array[Byte]], max: Option[Array[Byte]])
-  final case class FileStats(relPath: String, len: Long, rows: Long, cols: Seq[ColStats]) {
+
+  /** Per-chunk mirror of the footer's ChunkMeta, stats only (columns
+    * in file-schema order; `bytes` = encoded size of all pages, the
+    * split-sizing input). Carried in the manifest since round 4 so
+    * planning — chunk pruning, split assembly, LIMIT trims, stats
+    * aggregates — needs NO per-file footer I/O at all: at ~800k files
+    * on an object store that is the difference between one manifest
+    * GET per commit job and 800k footer round trips. */
+  final case class ChunkColStats(nulls: Int, min: Option[Array[Byte]], max: Option[Array[Byte]])
+  final case class ChunkStats(rows: Int, bytes: Long, cols: IndexedSeq[ChunkColStats]) {
+    def toChunkMeta: ChunkMeta =
+      ChunkMeta(rows, cols.map(c =>
+        ColumnChunkMeta(0L, 0, EncPlain, compressed = false, c.nulls, c.min, c.max)).toArray)
+  }
+
+  final case class FileStats(relPath: String, len: Long, rows: Long, cols: Seq[ColStats],
+                             chunks: Option[IndexedSeq[ChunkStats]] = None) {
     /** synthetic whole-file ChunkMeta aligned with `schema` for
       * FilterPruning.canSkip; unknown columns get nulls = -1 (skips
       * nothing) and no range. */
@@ -86,15 +102,22 @@ object StatsManifest {
         if (rangeKnown && mn != null) Some(mn) else None,
         if (rangeKnown && mx != null) Some(mx) else None)
     }
-    FileStats(relPath, len, footer.rowCount, cols)
+    val chunks = footer.chunks.toIndexedSeq.map { ch =>
+      ChunkStats(ch.rowCount, ch.columns.map(_.length.toLong).sum,
+        ch.columns.toIndexedSeq.map(m => ChunkColStats(m.nullCount, m.min, m.max)))
+    }
+    FileStats(relPath, len, footer.rowCount, cols, Some(chunks))
   }
 
   private def b64(a: Array[Byte]): String = java.util.Base64.getEncoder.encodeToString(a)
 
-  def write(root: Path, conf: Configuration, jobId: String, entries: Seq[FileStats]): Unit = {
+  def write(root: Path, conf: Configuration, jobId: String, entries: Seq[FileStats],
+            schema: Option[StructType] = None): Unit = {
     if (entries.isEmpty) return
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val arr = mapper.createArrayNode()
+    val top = mapper.createObjectNode()
+    schema.foreach(s => top.put("schema", s.json))
+    val arr = top.putArray("files")
     entries.foreach { e =>
       val o = arr.addObject()
       o.put("path", e.relPath); o.put("len", e.len); o.put("rows", e.rows)
@@ -105,45 +128,88 @@ object StatsManifest {
         c.min.foreach(m => co.put("min", b64(m)))
         c.max.foreach(m => co.put("max", b64(m)))
       }
+      e.chunks.foreach { chunks =>
+        val ca = o.putArray("chunks")
+        chunks.foreach { ch =>
+          val cn = ca.addObject()
+          cn.put("rows", ch.rows); cn.put("bytes", ch.bytes)
+          val cc = cn.putArray("cols")
+          ch.cols.foreach { c =>
+            val co = cc.addObject()
+            co.put("nulls", c.nulls)
+            c.min.foreach(m => co.put("min", b64(m)))
+            c.max.foreach(m => co.put("max", b64(m)))
+          }
+        }
+      }
     }
     val fs = root.getFileSystem(conf)
     val p = new Path(new Path(root, DirName), s"manifest-$jobId.json")
     val out = fs.create(p, true)
-    try out.write(mapper.writeValueAsBytes(arr)) finally out.close()
+    try out.write(mapper.writeValueAsBytes(top)) finally out.close()
   }
 
-  /** all manifest entries under `root`, keyed by relative path */
-  def read(root: Path, conf: Configuration): Map[String, FileStats] = {
+  /** all manifest entries under `root` keyed by relative path, plus
+    * the recorded file schema (any manifest's — one commit job writes
+    * one schema; drift across appends fails at plan time anyway).
+    * Accepts both the round-4 object envelope and the round-3 bare
+    * array (whose entries then lack chunk stats → footer fallback). */
+  def readAll(root: Path, conf: Configuration): (Option[StructType], Map[String, FileStats]) = {
     val fs = root.getFileSystem(conf)
     val dir = new Path(root, DirName)
-    if (!fs.exists(dir)) return Map.empty
+    if (!fs.exists(dir)) return (None, Map.empty)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val out = scala.collection.mutable.Map[String, FileStats]()
+    var schema: Option[StructType] = None
     fs.listStatus(dir).filter(_.getPath.getName.endsWith(".json")).foreach { st =>
       val in = fs.open(st.getPath)
       try {
         val node = mapper.readTree(in)
-        val it = node.elements()
+        val files = if (node.isArray) node else node.get("files")
+        if (!node.isArray && schema.isEmpty)
+          schema = Option(node.get("schema")).flatMap(s =>
+            try Some(DataType.fromJson(s.asText()).asInstanceOf[StructType])
+            catch { case _: Exception => None })
+        val it = files.elements()
         while (it.hasNext) {
           val e = it.next()
+          def bin(n: com.fasterxml.jackson.databind.JsonNode, f: String): Option[Array[Byte]] =
+            Option(n.get(f)).map(x => java.util.Base64.getDecoder.decode(x.asText()))
           val cit = e.get("cols").elements()
           val cols = scala.collection.mutable.ArrayBuffer[ColStats]()
           while (cit.hasNext) {
             val c = cit.next()
-            def bin(f: String): Option[Array[Byte]] =
-              Option(c.get(f)).map(n => java.util.Base64.getDecoder.decode(n.asText()))
-            cols += ColStats(c.get("name").asText(), c.get("nulls").asLong(), bin("min"), bin("max"))
+            cols += ColStats(c.get("name").asText(), c.get("nulls").asLong(),
+              bin(c, "min"), bin(c, "max"))
+          }
+          val chunks = Option(e.get("chunks")).map { ca =>
+            val buf = scala.collection.mutable.ArrayBuffer[ChunkStats]()
+            val chit = ca.elements()
+            while (chit.hasNext) {
+              val ch = chit.next()
+              val ccols = scala.collection.mutable.ArrayBuffer[ChunkColStats]()
+              val ccit = ch.get("cols").elements()
+              while (ccit.hasNext) {
+                val c = ccit.next()
+                ccols += ChunkColStats(c.get("nulls").asInt(), bin(c, "min"), bin(c, "max"))
+              }
+              buf += ChunkStats(ch.get("rows").asInt(), ch.get("bytes").asLong(),
+                ccols.toIndexedSeq)
+            }
+            buf.toIndexedSeq
           }
           val f = FileStats(e.get("path").asText(), e.get("len").asLong(),
-            e.get("rows").asLong(), cols.toSeq)
+            e.get("rows").asLong(), cols.toSeq, chunks)
           out(f.relPath) = f
         }
       } catch {
         case _: Exception => // a torn/foreign manifest only loses the optimization
       } finally in.close()
     }
-    out.toMap
+    (schema, out.toMap)
   }
+
+  def read(root: Path, conf: Configuration): Map[String, FileStats] = readAll(root, conf)._2
 
   def delete(root: Path, conf: Configuration): Unit = {
     val fs = root.getFileSystem(conf)

@@ -47,7 +47,19 @@ class VortexDataSource extends TableProvider with DataSourceRegister {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val listed = VortexDataSource.listAll(paths(options), conf)
     require(listed.nonEmpty, s"vortex: no files found for ${paths(options).mkString(",")}")
-    val fileSchema = VortexFileReader.readFooter(listed.head._1.getPath, conf).schema
+    // manifest-held schema first (round-4 format): a covered dataset
+    // infers with zero footer I/O; planning's drift guard still
+    // validates any file the manifest doesn't cover
+    val manifestSchema = paths(options).iterator.flatMap { raw =>
+      try {
+        val p = new Path(raw)
+        if (p.getFileSystem(conf).getFileStatus(p).isDirectory)
+          StatsManifest.readAll(p, conf)._1
+        else None
+      } catch { case _: Exception => None }
+    }.nextOption()
+    val fileSchema = manifestSchema.getOrElse(
+      VortexFileReader.readFooter(listed.head._1.getPath, conf).schema)
     val partSchema = PartitionedLayout.inferPartitionSchema(listed)
     // __bucket is layout, not data: never surfaces as a column
     StructType(fileSchema.fields ++ partSchema.fields.filterNot(f =>
@@ -314,22 +326,13 @@ class VortexScan(fileSchema: StructType, required: StructType,
     s"VortexScan(files=${paths.mkString(",")}, pushed=[${filters.mkString(", ")}]" +
       pushedLimit.map(n => s", pushedLimit=$n").getOrElse("") + ")"
 
-  /** footer-derived stats (post static pruning): row count + encoded
-    * bytes — lets Catalyst/AQE size joins over vortex tables correctly
-    * (broadcast the small side without hints). */
+  /** stats of the post-pruning plan: row count + encoded bytes — lets
+    * Catalyst/AQE size joins over vortex tables correctly (broadcast
+    * the small side without hints). Reuses the accumulators the
+    * planning pass already computed — NO footer I/O of its own. */
   override def estimateStatistics(): Statistics = {
-    val parts = planInputPartitions()
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    var rows = 0L
-    var bytes = 0L
-    parts.foreach { ip =>
-      val p = ip.asInstanceOf[VortexInputPartition]
-      val footer = VortexFileReader.readFooter(new Path(p.file), conf)
-      p.chunkIdxs.foreach { ci =>
-        rows += footer.chunks(ci).rowCount
-        bytes += footer.chunks(ci).columns.map(_.length.toLong).sum
-      }
-    }
+    planInputPartitions()
+    val (rows, bytes) = lastPlanTotals
     val r = rows; val b = math.max(bytes, 1L)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(b)
@@ -396,6 +399,8 @@ class VortexScan(fileSchema: StructType, required: StructType,
     * planInputPartitions from estimateStatistics, batch planning, and
     * every runtime-filter round — only a filter change re-plans. */
   private var lastPlan: (Seq[Filter], Array[InputPartition]) = _
+  /** (rows, encoded bytes) of the memoized plan's kept chunks */
+  private var lastPlanTotals: (Long, Long) = (0L, 0L)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val planKey = filters.toSeq
@@ -406,11 +411,7 @@ class VortexScan(fileSchema: StructType, required: StructType,
     val partSchema = StructType(fileSchema.fields.filter(f =>
       listed.exists(_._2.exists(_._1 == f.name))))
     val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
-    // tier 1 first (no I/O), then prefetch surviving footers in
-    // parallel: at large file counts against an object store the
-    // serial footer round-trips would dominate planning latency; the
-    // fetches land in the per-JVM cache and the sequential pass below
-    // only hits memory.
+    // tier 1 first (no I/O): partition-directory pruning
     val surviving0 = listed.filter { case (_, kvs) =>
       filters.forall(fl => PartitionedLayout.survives(fl, kvs.toMap, partSchema))
     }
@@ -436,54 +437,94 @@ class VortexScan(fileSchema: StructType, required: StructType,
         }
       case _ => surviving0
     }
-    // pruning tier 1.5: file-level stats from commit manifests — a file
-    // whose whole range a filter excludes drops here, before any footer
-    // I/O (entries validated by length; absent/invalid → footer path)
-    val manifests: Map[String, StatsManifest.FileStats] =
-      if (filters.isEmpty) Map.empty
-      else paths.flatMap { raw =>
-        try {
-          val p = new Path(raw)
-          val fs = p.getFileSystem(conf)
-          if (fs.getFileStatus(p).isDirectory) {
-            val rootQ = fs.makeQualified(p).toString
-            StatsManifest.read(p, conf).values.map(e => s"$rootQ/${e.relPath}" -> e)
-          } else Nil
-        } catch { case _: Exception => Nil }
-      }.toMap
-    val needFooter = surviving.filter { case (st, _) =>
-      manifests.get(st.getPath.toString) match {
-        case Some(m) if m.len == st.getLen =>
-          !filters.exists(fl => FilterPruning.canSkip(fl, m.toChunkMeta(fileSchema), fileSchema))
+    // chunk metas hold DATA columns only (partition values live in the
+    // path): every canSkip call below must index with the data schema,
+    // not fileSchema (which appends partition fields)
+    val dataSchema = StructType(
+      fileSchema.fields.filterNot(f => partSchema.fieldNames.contains(f.name)))
+    val expectedData: Seq[(String, DataType)] =
+      dataSchema.fields.toSeq.map(f => (f.name, f.dataType))
+    // commit manifests: tier-1.5 file pruning AND — since the round-4
+    // format carries per-chunk stats + the file schema — the primary
+    // chunk-meta source, so planning a manifest-covered dataset does
+    // ZERO per-file footer I/O. A manifest whose recorded schema
+    // drifts from the table's is ignored (its chunk columns would
+    // misalign); those files fall to the footer path, which throws the
+    // drift error. Entries are validated by (path, length).
+    val (chunkSources, needFooterFiles) = {
+      val manifestEntries: Map[String, StatsManifest.FileStats] =
+        paths.flatMap { raw =>
+          try {
+            val p = new Path(raw)
+            val fs = p.getFileSystem(conf)
+            if (fs.getFileStatus(p).isDirectory) {
+              val rootQ = fs.makeQualified(p).toString
+              val (mSchema, entries) = StatsManifest.readAll(p, conf)
+              val schemaOk = mSchema.exists(s =>
+                s.fields.toSeq.map(f => (f.name, f.dataType)) == expectedData)
+              entries.values.map { e =>
+                s"$rootQ/${e.relPath}" -> (if (schemaOk) e else e.copy(chunks = None))
+              }
+            } else Nil
+          } catch { case _: Exception => Nil }
+        }.toMap
+      val covered = scala.collection.mutable.Map[String, IndexedSeq[StatsManifest.ChunkStats]]()
+      val fallback = scala.collection.mutable.ArrayBuffer[Path]()
+      surviving.foreach { case (st, _) =>
+        manifestEntries.get(st.getPath.toString) match {
+          case Some(m) if m.len == st.getLen && m.chunks.isDefined =>
+            covered(st.getPath.toString) = m.chunks.get
+          case _ => fallback += st.getPath
+        }
+      }
+      (covered, fallback.toSet)
+    }
+    // tier 1.5: whole-file pruning from manifest-held file stats —
+    // drops a file whose entire range a filter excludes before any
+    // chunk walk (and, for fallback files, before the footer fetch)
+    val survivingPruned = surviving.filter { case (st, _) =>
+      chunkSources.get(st.getPath.toString) match {
+        case Some(chunks) if filters.nonEmpty =>
+          !chunks.forall(ch =>
+            filters.exists(fl => FilterPruning.canSkip(fl, ch.toChunkMeta, dataSchema)))
         case _ => true
       }
     }
-    if (needFooter.length > 1)
-      java.util.Arrays.stream(needFooter.map(_._1.getPath).toArray).parallel()
+    // prefetch ONLY the fallback footers, in parallel: at large file
+    // counts against an object store serial footer round-trips would
+    // dominate planning latency; fetches land in the per-JVM cache
+    val prefetch = survivingPruned.map(_._1.getPath).filter(needFooterFiles.contains)
+    if (prefetch.length > 1)
+      java.util.Arrays.stream(prefetch.toArray).parallel()
         .forEach(p => { VortexFileReader.readFooter(p, conf); () })
-    // schema-drift guard: inferSchema trusts the first footer; a
-    // directory mixing files with drifted schemas would otherwise
-    // decode garbage (readers map columns by index) or throw deep in
-    // the chunk decoder. Readers only ever see files that passed
-    // planning, so validating each surviving footer here is complete.
-    val expectedData: Seq[(String, DataType)] =
-      fileSchema.fields.toSeq.filterNot(f => partSchema.fieldNames.contains(f.name))
-        .map(f => (f.name, f.dataType))
     // pushed LIMIT (filter-free by construction): keep only a chunk
     // prefix covering >= limit rows — a LIMIT 10 over a 100 TB dataset
     // plans one split of one file instead of ~800k
     var limitRemaining: Long =
       if (filters.isEmpty) pushedLimit.map(_.toLong).getOrElse(Long.MaxValue)
       else Long.MaxValue
-    needFooter.foreach { case (st, kvs0) =>
+    var totRows = 0L
+    var totBytes = 0L
+    survivingPruned.foreach { case (st, kvs0) =>
       if (limitRemaining > 0L) {
         val f = st.getPath
-        val footer = VortexFileReader.readFooter(f, conf)
-        val got = footer.schema.fields.toSeq.map(fl => (fl.name, fl.dataType))
-        if (got != expectedData)
-          throw new VortexSchemaDriftException(
-            s"vortex: schema drift in $f: file columns ${got.mkString("[", ", ", "]")} " +
-            s"do not match the table's data columns ${expectedData.mkString("[", ", ", "]")}")
+        // chunk metas: manifest-held stats, else the file footer (with
+        // the schema-drift guard — inferSchema trusts the first footer;
+        // a directory mixing drifted files would otherwise decode
+        // garbage, since readers map columns by index)
+        val chunkMetas: IndexedSeq[(VortexFormat.ChunkMeta, Long)] =
+          chunkSources.get(f.toString) match {
+            case Some(chunks) => chunks.map(ch => (ch.toChunkMeta, ch.bytes))
+            case None =>
+              val footer = VortexFileReader.readFooter(f, conf)
+              val got = footer.schema.fields.toSeq.map(fl => (fl.name, fl.dataType))
+              if (got != expectedData)
+                throw new VortexSchemaDriftException(
+                  s"vortex: schema drift in $f: file columns ${got.mkString("[", ", ", "]")} " +
+                  s"do not match the table's data columns ${expectedData.mkString("[", ", ", "]")}")
+              footer.chunks.toIndexedSeq.map(ch =>
+                (ch, ch.columns.map(_.length.toLong).sum))
+          }
         // __bucket is a layout segment, not a partition column
         val kvs = kvs0.filter { case (k, _) => partSchema.fieldNames.contains(k) }
         val pc = kvs.map(_._1).toArray
@@ -503,15 +544,18 @@ class VortexScan(fileSchema: StructType, required: StructType,
             }.toArray[Any])
         var cur = scala.collection.mutable.ArrayBuffer[Int]()
         var bytes = 0L
-        footer.chunks.zipWithIndex.foreach { case (chunk, ci) =>
-          // tier 2: per-chunk stats pruning
+        chunkMetas.zipWithIndex.foreach { case ((chunk, chunkBytes), ci) =>
+          // tier 2: per-chunk stats pruning (manifest metas carry the
+          // same nullCount/min/max the footer would)
           val keep = limitRemaining > 0L &&
-            !filters.exists(fl => FilterPruning.canSkip(fl, chunk, footer.schema))
+            !filters.exists(fl => FilterPruning.canSkip(fl, chunk, dataSchema))
           if (keep) {
             if (limitRemaining != Long.MaxValue)
               limitRemaining = math.max(0L, limitRemaining - chunk.rowCount)
+            totRows += chunk.rowCount
+            totBytes += chunkBytes
             cur += ci
-            bytes += chunk.columns.map(_.length.toLong).sum
+            bytes += chunkBytes
             if (bytes >= VortexFormat.TargetSplitBytes) {
               parts += VortexInputPartition(f.toString, cur.toArray, pc, pv, pk, bucketId)
               cur = scala.collection.mutable.ArrayBuffer[Int](); bytes = 0L
@@ -523,6 +567,7 @@ class VortexScan(fileSchema: StructType, required: StructType,
     }
     val out = parts.toArray
     lastPlan = (planKey, out)
+    lastPlanTotals = (totRows, totBytes)
     out
   }
 
@@ -851,7 +896,8 @@ class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunk
         Some(StatsManifest.fromFooter(rel, st.getLen, VortexFileReader.readFooter(p, hconf)))
       } catch { case _: Exception => None }
     }
-    StatsManifest.write(root, hconf, jobId, entries)
+    StatsManifest.write(root, hconf, jobId, entries,
+      Some(StructType(schema.fields.filterNot(f => partitionCols.contains(f.name)))))
     bucketSpec match {
       case Some((k, n)) => BucketSpecFile.write(root, hconf, k, n)
       case None if truncate => BucketSpecFile.delete(root, hconf)

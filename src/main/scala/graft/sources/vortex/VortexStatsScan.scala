@@ -83,13 +83,34 @@ object VortexStatsPushdown {
       case CountStarSpec =>
     }
 
-    // footer pass (cached per JVM; the planner reads the same footers)
+    // chunk stats: manifest-first (round-4 manifests carry per-chunk
+    // stats, so a covered dataset aggregates with zero footer I/O);
+    // uncovered files fall back to their footer
     val expected = dataFields.toSeq.map(f => (f.name, f.dataType))
-    val footers: Seq[Footer] =
+    val manifestChunks: Map[String, (Long, IndexedSeq[StatsManifest.ChunkStats])] =
+      paths.flatMap { raw =>
+        try {
+          val p = new Path(raw)
+          val fs = p.getFileSystem(conf)
+          if (fs.getFileStatus(p).isDirectory) {
+            val rootQ = fs.makeQualified(p).toString
+            val (mSchema, entries) = StatsManifest.readAll(p, conf)
+            if (mSchema.exists(s => s.fields.toSeq.map(f => (f.name, f.dataType)) == expected))
+              entries.values.flatMap(e =>
+                e.chunks.map(c => s"$rootQ/${e.relPath}" -> (e.len, c)))
+            else Nil
+          } else Nil
+        } catch { case _: Exception => Nil }
+      }.toMap
+    val chunkLists: Seq[Seq[ChunkMeta]] =
       try listed.map { case (st, _) =>
-        val f = VortexFileReader.readFooter(st.getPath, conf)
-        if (f.schema.fields.toSeq.map(x => (x.name, x.dataType)) != expected) return None
-        f
+        manifestChunks.get(st.getPath.toString) match {
+          case Some((len, chunks)) if len == st.getLen => chunks.map(_.toChunkMeta)
+          case _ =>
+            val f = VortexFileReader.readFooter(st.getPath, conf)
+            if (f.schema.fields.toSeq.map(x => (x.name, x.dataType)) != expected) return None
+            f.chunks.toSeq
+        }
       } catch { case _: Exception => return None }
 
     var totalRows = 0L
@@ -111,8 +132,8 @@ object VortexStatsPushdown {
     val minMaxCols = specs.collect { case MinMaxSpec(n, m) => (n, m) }.distinct
     val countCols = specs.collect { case CountColSpec(n) if fieldIdx.contains(n) => n }.distinct
 
-    footers.foreach { footer =>
-      footer.chunks.foreach { chunk =>
+    chunkLists.foreach { chunks =>
+      chunks.foreach { chunk =>
         totalRows += chunk.rowCount
         countCols.foreach { n =>
           nonNull(n) += chunk.rowCount - chunk.columns(fieldIdx(n)).nullCount

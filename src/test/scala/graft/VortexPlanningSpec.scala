@@ -59,6 +59,32 @@ class VortexPlanningSpec extends AnyFunSuite {
     assert(back.filter(col("id") < 5000).count() == 100)
   }
 
+  test("manifest-covered dataset: inference + planning + stats do ZERO footer I/O") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("vortex_manifest_only_").toString
+    spark.range(0, 40000).select(col("id"), (col("id") * 2).as("v"))
+      .repartitionByRange(4, col("id"))
+      .write.format("vortex").mode("overwrite").save(dir)
+    VortexFileReader.clearFooterCache() // cold-planning conditions
+    val before = VortexFileReader.footerFetches.get()
+    val df = spark.read.format("vortex").load(dir) // schema from manifest
+    // physical planning (split assembly + chunk pruning + estimate)
+    // without executing: partitions are computed, no task reads pages
+    val parts = df.filter(col("id") < 5000).rdd.getNumPartitions
+    assert(parts >= 1)
+    assert(VortexFileReader.footerFetches.get() == before,
+      "planning a manifest-covered dataset must read no footers")
+    // the aggregate pushdown path is manifest-fed too
+    val cnt = df.agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1))).collect()(0).getLong(0)
+    assert(cnt == 40000)
+    assert(VortexFileReader.footerFetches.get() == before,
+      "stats aggregate over a manifest-covered dataset must read no footers")
+    // execution (which legitimately reads footers executor-side) is
+    // still correct through the manifest-planned splits
+    assert(df.filter(col("id") < 5000).count() == 5000)
+  }
+
   test("count/min/max answer from footer stats with ZERO page decodes") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
