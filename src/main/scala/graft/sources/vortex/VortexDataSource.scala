@@ -588,9 +588,11 @@ class VortexReaderFactory(conf: Broadcast[SerializableConfiguration], required: 
 
   // Columnar scan path: decoded pages land directly in ColumnVectors,
   // Spark's ColumnarToRow + WholeStageCodegen consume them batch-wise
-  // (the vectorized-execution role of SURVEY.md §4).
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    !required.fields.exists(f => NestedCodec.isNested(f.dataType))
+  // (the vectorized-execution role of SURVEY.md §4). Nested types ride
+  // the same path since round 4 (recursive child-vector fill), so a
+  // wide scan mixing flat and nested columns keeps its flat columns
+  // primitive instead of falling back to the row reader wholesale.
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -696,8 +698,90 @@ class VortexColumnarReader(part: VortexInputPartition,
           else cv.putByteArray(i, vec.bins(i))
           i += 1
         }
+      case dt if NestedCodec.isNested(dt) =>
+        // nested column: decode each row's self-contained bytes and
+        // fill child vectors recursively via the append API (append
+        // tracks its own element counts; this vector never mixes the
+        // positional put API above)
+        while (i < n) {
+          if (vec.nulls(i)) appendValue(cv, dt, null)
+          else appendValue(cv, dt, NestedCodec.deserialize(vec.bins(i), dt))
+          i += 1
+        }
       case other => throw new UnsupportedOperationException(s"vortex columnar: $other")
     }
+  }
+
+  /** Recursive append of one Catalyst value into a writable vector —
+    * the nested-type leg of the columnar path. Array/map offsets are
+    * recorded by appendArray BEFORE the children append (per the
+    * WritableColumnVector contract); struct children stay row-aligned
+    * because every parent row appends exactly one value (or an
+    * appendStruct(true)-padded null) to every child. */
+  private def appendValue(cv: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+                          dt: DataType, v: Any): Unit = dt match {
+    case ArrayType(et, _) =>
+      if (v == null) cv.appendNull()
+      else {
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val m = arr.numElements()
+        cv.appendArray(m)
+        val child = cv.arrayData()
+        var j = 0
+        while (j < m) {
+          appendValue(child, et, if (arr.isNullAt(j)) null else arr.get(j, et)); j += 1
+        }
+      }
+    case st: StructType =>
+      if (v == null) cv.appendStruct(true)
+      else {
+        cv.appendStruct(false)
+        val row = v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        var j = 0
+        while (j < st.length) {
+          val ft = st.fields(j).dataType
+          appendValue(cv.getChild(j), ft, if (row.isNullAt(j)) null else row.get(j, ft))
+          j += 1
+        }
+      }
+    case MapType(kt, vt, _) =>
+      if (v == null) cv.appendNull()
+      else {
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val cnt = m.numElements()
+        cv.appendArray(cnt) // maps share the array offset layout (keys child drives)
+        val keys = m.keyArray(); val vals = m.valueArray()
+        var j = 0
+        while (j < cnt) {
+          appendValue(cv.getChild(0), kt, if (keys.isNullAt(j)) null else keys.get(j, kt))
+          appendValue(cv.getChild(1), vt, if (vals.isNullAt(j)) null else vals.get(j, vt))
+          j += 1
+        }
+      }
+    case _ if v == null => cv.appendNull()
+    case BooleanType => cv.appendBoolean(v.asInstanceOf[Boolean])
+    case ByteType => cv.appendByte(v.asInstanceOf[Byte])
+    case ShortType => cv.appendShort(v.asInstanceOf[Short])
+    case IntegerType | DateType => cv.appendInt(v.asInstanceOf[Int])
+    case LongType | TimestampType | TimestampNTZType => cv.appendLong(v.asInstanceOf[Long])
+    case FloatType => cv.appendFloat(v.asInstanceOf[Float])
+    case DoubleType => cv.appendDouble(v.asInstanceOf[Double])
+    case d: DecimalType =>
+      // mirror putDecimal's storage choice per precision
+      val dec = v.asInstanceOf[Decimal]
+      if (d.precision <= Decimal.MAX_INT_DIGITS) cv.appendInt(dec.toUnscaledLong.toInt)
+      else if (d.precision <= Decimal.MAX_LONG_DIGITS) cv.appendLong(dec.toUnscaledLong)
+      else {
+        val b = dec.toJavaBigDecimal.unscaledValue().toByteArray
+        cv.appendByteArray(b, 0, b.length)
+      }
+    case StringType =>
+      val b = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      cv.appendByteArray(b, 0, b.length)
+    case BinaryType =>
+      val b = v.asInstanceOf[Array[Byte]]
+      cv.appendByteArray(b, 0, b.length)
+    case other => throw new UnsupportedOperationException(s"vortex columnar nested: $other")
   }
 
   override def get(): ColumnarBatch = batch

@@ -186,6 +186,31 @@ class VortexDataSourceSpec extends AnyFunSuite {
     assert(eback.orderBy("vec_id").collect().toSeq == emb.orderBy("vec_id").collect().toSeq)
   }
 
+  test("nested columns ride the columnar batch path (no row-reader fallback)") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp()
+    spark.range(0, 2000).selectExpr(
+      "id", "CAST(id AS DOUBLE) AS flat",
+      "array(CAST(id AS DOUBLE), CAST(id+1 AS DOUBLE)) AS vec",
+      "named_struct('a', id % 7, 'b', concat('v', id)) AS st",
+      "map(concat('k', id % 3), array(id, id * 2)) AS mp")
+      .write.format("vortex").mode("overwrite").save(dir)
+    val back = spark.read.format("vortex").load(dir)
+    // plan proof: the scan is consumed through ColumnarToRow, meaning
+    // supportColumnarReads held with nested columns required
+    val plan = back.select("id", "vec", "st", "mp")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    // value proof through every nested shape incl. nulls + map-of-array
+    val r = back.selectExpr(
+        "id", "flat", "element_at(vec, 2) AS v2", "st.a AS sa", "st.b AS sb",
+        "element_at(mp, concat('k', id % 3))[1] AS m1")
+      .orderBy("id").collect()
+    assert(r.length == 2000)
+    assert(r(5).getDouble(2) == 6.0 && r(5).getLong(3) == 5 % 7)
+    assert(r(7).getString(4) == "v7" && r(7).getLong(5) == 14L)
+  }
+
   test("partitioned layout: write partitionBy, read back, prune directories") {
     val dir = tmp()
     val df = spark.range(0, 10000).selectExpr(
