@@ -29,7 +29,26 @@ object TpchSuite {
 
   // Q2: min-cost supplier → max-acctbal supplier per part (lineitem
   // bridge); correlated scalar subquery repeated over the same join.
-  common("tpch_q2_supplier",
+  // Spark side: the subquery re-states the OUTER join per partkey, so
+  // a whole-partition MAX window over one pass of that join replaces
+  // Catalyst's decorrelation (which builds the bridge join twice and
+  // re-aggregates). One fact scan + broadcast dims + one window
+  // shuffle on p_partkey — survives any fact size. Oracle keeps the
+  // correlated formulation (independent shapes, same rows).
+  spark("tpch_q2_supplier",
+    (s, d) => { Tables.registerAll(s, d)
+      s.sql("""SELECT DISTINCT p_partkey, p_brand, s_name,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        |FROM (
+        |  SELECT p_partkey, p_brand, s_name, s_acctbal,
+        |    MAX(s_acctbal) OVER (PARTITION BY p_partkey) AS max_bal
+        |  FROM part JOIN lineitem ON l_partkey = p_partkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_size = 15 AND r_name = 'AMERICA') x
+        |WHERE s_acctbal = max_bal
+        |ORDER BY acctbal DESC NULLS LAST, p_partkey, s_name""".stripMargin) },
     s"""SELECT DISTINCT p_partkey, p_brand, s_name,
        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
        |FROM part JOIN lineitem ON l_partkey = p_partkey
@@ -206,7 +225,25 @@ object TpchSuite {
   // Q17: revenue loss from small-quantity lines — per-part correlated
   // average (decorrelates to an aggregate + rejoin, not 200k subquery
   // executions).
-  common("tpch_q17_small_qty",
+  // Q17: small-quantity orders below 20% of the part's average. The
+  // correlated per-partkey average re-aggregates lineitem; the Spark
+  // side instead broadcast-joins the Brand#3 partkeys (pruning the
+  // fact scan ~1/brands) and takes the average as whole-partition
+  // window aggregates over ONE pass — one pruned scan, one window
+  // shuffle on l_partkey. Equivalent: the subquery's per-partkey
+  // average over ALL lineitem equals the average over the brand-
+  // filtered join for exactly the partkeys that survive the brand
+  // filter. Oracle keeps the correlated formulation.
+  spark("tpch_q17_small_qty",
+    (s, d) => { Tables.registerAll(s, d)
+      s.sql("""SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        |FROM (
+        |  SELECT l_extendedprice, l_quantity,
+        |    0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+        |           / COUNT(*) OVER (PARTITION BY l_partkey)) AS threshold
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#3') x
+        |WHERE l_quantity < threshold""".stripMargin) },
     """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |WHERE p_brand = 'Brand#3'
@@ -245,36 +282,41 @@ object TpchSuite {
   // fact-table hash relation, twice, which cannot survive 100 TB. The
   // Spark side instead resolves each order with relational operators
   // only: aggregate late counts per (order, supplier) — map-side
-  // combine shrinks the fact rows before the shuffle — then two
-  // whole-partition window aggregates over l_orderkey (supplier count,
-  // late-supplier count) pick the sole late supplier of multi-supplier
-  // orders. Equivalent because the EXISTS pair says exactly "≥2
+  // combine shrinks the fact rows before the shuffle — then a second
+  // hash aggregate per order counts suppliers / late suppliers and
+  // carries the sole late supplier + its weight out via conditional
+  // MAX/SUM. Equivalent because the EXISTS pair says exactly "≥2
   // suppliers in the order, exactly 1 of them late, count l1 rows of
-  // that late supplier". All codegen'd operators — no typed
-  // flatMapGroups object serialization on the fact table; the window's
-  // input is already one row per (order, supplier).
+  // that late supplier"; when nlate = 1 the conditional MAX IS that
+  // supplier. ONE explicit shuffle on l_orderkey: both hash aggregates
+  // then satisfy their clustering from that partitioning (hash(ok) ⊆
+  // {ok,sk} and = {ok}) and run exchange-free — the typed path's
+  // single-shuffle cost with relational codegen operators, zero sorts,
+  // no flatMapGroups object serialization on the fact table. (A window
+  // formulation measured 2x slower — whole-partition windows sort; a
+  // naive two-groupBy SQL pays a second exchange.)
   spark("tpch_q21_waiting",
     (s, d) => { Tables.registerAll(s, d)
-      s.sql("""WITH per_supp AS (
-        |  SELECT l_orderkey, l_suppkey,
-        |    SUM(CASE WHEN l_shipdate > o_orderdate THEN 1 ELSE 0 END) AS late_cnt
-        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-        |  WHERE o_orderstatus = 'F'
-        |  GROUP BY l_orderkey, l_suppkey
-        |), flagged AS (
-        |  SELECT l_suppkey, late_cnt,
-        |    COUNT(*) OVER (PARTITION BY l_orderkey) AS nsupp,
-        |    SUM(CASE WHEN late_cnt > 0 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY l_orderkey) AS nlate
-        |  FROM per_supp
-        |)
-        |SELECT s_name, CAST(SUM(late_cnt) AS BIGINT) AS numwait
-        |FROM flagged
-        |JOIN supplier ON s_suppkey = l_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE nsupp >= 2 AND nlate = 1 AND late_cnt > 0 AND n_name = 'NATION_6'
-        |GROUP BY s_name
-        |ORDER BY numwait DESC NULLS LAST, s_name LIMIT 20""".stripMargin)
+      val f = s.sql("""SELECT l_orderkey, l_suppkey,
+        |  CASE WHEN l_shipdate > o_orderdate THEN 1 ELSE 0 END AS late
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE o_orderstatus = 'F'""".stripMargin)
+      val perOrder = f.repartition(col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(sum("late").as("late_cnt"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("nsupp"),
+          sum(when(col("late_cnt") > 0, 1).otherwise(0)).as("nlate"),
+          max(when(col("late_cnt") > 0, col("l_suppkey"))).as("late_supp"),
+          sum(when(col("late_cnt") > 0, col("late_cnt"))).as("w"))
+        .filter(col("nsupp") >= 2 && col("nlate") === 1)
+      perOrder
+        .join(broadcast(s.sql("""SELECT s_suppkey, s_name FROM supplier
+                      |JOIN nation ON s_nationkey = n_nationkey
+                      |WHERE n_name = 'NATION_6'""".stripMargin)),
+          col("s_suppkey") === col("late_supp"))
+        .groupBy("s_name").agg(sum("w").cast("bigint").as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
     },
     """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
       |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
