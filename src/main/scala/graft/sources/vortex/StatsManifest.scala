@@ -29,8 +29,24 @@ object StatsManifest {
 
   val DirName = "_manifests"
 
+  /** Dataset root for a user-supplied path: the directory itself, or —
+    * for glob patterns and plain files — the parent directory (whose
+    * `_manifests/` covers the matched files). None if unresolvable. */
+  def rootOf(raw: String, conf: Configuration): Option[Path] =
+    try {
+      val p = new Path(raw)
+      val fs = p.getFileSystem(conf)
+      val isDir = try fs.getFileStatus(p).isDirectory catch { case _: Exception => false }
+      if (isDir) Some(p) else Option(p.getParent)
+    } catch { case _: Exception => None }
+
+  /** `sum`: exact per-file column sum (unscaled long for decimals),
+    * writer-accumulated — integral/decimal≤18 only, absent on overflow
+    * or for any other type. Powers SUM pushdown (VortexStatsPushdown);
+    * float sums are deliberately excluded (order-dependent). */
   final case class ColStats(name: String, nulls: Long,
-                            min: Option[Array[Byte]], max: Option[Array[Byte]])
+                            min: Option[Array[Byte]], max: Option[Array[Byte]],
+                            sum: Option[Long] = None)
 
   /** Per-chunk mirror of the footer's ChunkMeta, stats only (columns
     * in file-schema order; `bytes` = encoded size of all pages, the
@@ -127,6 +143,7 @@ object StatsManifest {
         co.put("name", c.name); co.put("nulls", c.nulls)
         c.min.foreach(m => co.put("min", b64(m)))
         c.max.foreach(m => co.put("max", b64(m)))
+        c.sum.foreach(s => co.put("sum", s))
       }
       e.chunks.foreach { chunks =>
         val ca = o.putArray("chunks")
@@ -180,7 +197,8 @@ object StatsManifest {
           while (cit.hasNext) {
             val c = cit.next()
             cols += ColStats(c.get("name").asText(), c.get("nulls").asLong(),
-              bin(c, "min"), bin(c, "max"))
+              bin(c, "min"), bin(c, "max"),
+              Option(c.get("sum")).map(_.asLong()))
           }
           val chunks = Option(e.get("chunks")).map { ca =>
             val buf = scala.collection.mutable.ArrayBuffer[ChunkStats]()

@@ -51,12 +51,8 @@ class VortexDataSource extends TableProvider with DataSourceRegister {
     // infers with zero footer I/O; planning's drift guard still
     // validates any file the manifest doesn't cover
     val manifestSchema = paths(options).iterator.flatMap { raw =>
-      try {
-        val p = new Path(raw)
-        if (p.getFileSystem(conf).getFileStatus(p).isDirectory)
-          StatsManifest.readAll(p, conf)._1
-        else None
-      } catch { case _: Exception => None }
+      try StatsManifest.rootOf(raw, conf).flatMap(p => StatsManifest.readAll(p, conf)._1)
+      catch { case _: Exception => None }
     }.nextOption()
     val fileSchema = manifestSchema.getOrElse(
       VortexFileReader.readFooter(listed.head._1.getPath, conf).schema)
@@ -455,9 +451,8 @@ class VortexScan(fileSchema: StructType, required: StructType,
       val manifestEntries: Map[String, StatsManifest.FileStats] =
         paths.flatMap { raw =>
           try {
-            val p = new Path(raw)
-            val fs = p.getFileSystem(conf)
-            if (fs.getFileStatus(p).isDirectory) {
+            StatsManifest.rootOf(raw, conf).toSeq.flatMap { p =>
+              val fs = p.getFileSystem(conf)
               val rootQ = fs.makeQualified(p).toString
               val (mSchema, entries) = StatsManifest.readAll(p, conf)
               val schemaOk = mSchema.exists(s =>
@@ -465,7 +460,7 @@ class VortexScan(fileSchema: StructType, required: StructType,
               entries.values.map { e =>
                 s"$rootQ/${e.relPath}" -> (if (schemaOk) e else e.copy(chunks = None))
               }
-            } else Nil
+            }
           } catch { case _: Exception => Nil }
         }.toMap
       val covered = scala.collection.mutable.Map[String, IndexedSeq[StatsManifest.ChunkStats]]()
@@ -912,7 +907,7 @@ class VortexStreamingWrite(schema: StructType, dir: String, chunkRows: Int)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(hconf)
-    messages.collect { case VortexCommit(fls) => fls }.flatten
+    messages.collect { case VortexCommit(fls, _) => fls }.flatten
       .foreach(f => fs.delete(new Path(f), false))
   }
 }
@@ -965,19 +960,28 @@ class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunk
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(hconf)
-    val written = messages.collect { case VortexCommit(fls) => fls }.flatten
+    val written = messages.collect { case VortexCommit(fls, _) => fls }.flatten
       .map(f => fs.makeQualified(new Path(f)).toString).toSet
     preExisting.filterNot(written.contains).foreach(f => fs.delete(new Path(f), false))
     if (truncate) StatsManifest.delete(root, hconf) // stale stats go with the data
     // pruning tier 1.5: aggregate each committed footer to file-level
-    // stats in one manifest per commit job (see StatsManifest)
+    // stats in one manifest per commit job (see StatsManifest); the
+    // writers' exact column sums ride along for SUM pushdown
     val rootQ = fs.makeQualified(root).toString
+    val sumsByFile: Map[String, IndexedSeq[Option[Long]]] =
+      messages.collect { case VortexCommit(_, sums) => sums }.flatten
+        .map { case (f, s) => fs.makeQualified(new Path(f)).toString -> s }.toMap
     val entries = written.toSeq.sorted.flatMap { f =>
       try {
         val p = new Path(f)
         val st = fs.getFileStatus(p)
         val rel = f.stripPrefix(rootQ).stripPrefix("/")
-        Some(StatsManifest.fromFooter(rel, st.getLen, VortexFileReader.readFooter(p, hconf)))
+        val base = StatsManifest.fromFooter(rel, st.getLen, VortexFileReader.readFooter(p, hconf))
+        Some(sumsByFile.get(f) match {
+          case Some(s) if s.length == base.cols.length =>
+            base.copy(cols = base.cols.zip(s).map { case (c, cs) => c.copy(sum = cs) })
+          case _ => base
+        })
       } catch { case _: Exception => None }
     }
     StatsManifest.write(root, hconf, jobId, entries,
@@ -991,12 +995,17 @@ class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunk
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(hconf)
-    messages.collect { case VortexCommit(fls) => fls }.flatten
+    messages.collect { case VortexCommit(fls, _) => fls }.flatten
       .foreach(f => fs.delete(new Path(f), false))
   }
 }
 
-case class VortexCommit(files: Seq[String]) extends WriterCommitMessage
+/** `sums`: per created file, the writer's exact per-stored-column sums
+  * (see VortexFileWriter.columnSums) — commit folds them into the
+  * manifest for SUM pushdown. */
+case class VortexCommit(files: Seq[String],
+                        sums: Map[String, IndexedSeq[Option[Long]]] = Map.empty)
+    extends WriterCommitMessage
 
 class VortexWriterFactory(schema: StructType, dir: String, jobId: String,
                           conf: SerializableConfiguration,
@@ -1061,7 +1070,8 @@ class VortexPartitionedDataWriter(schema: StructType, dir: String, jobId: String
       val tmp = new Path(p.getParent, s".${p.getName}.inprogress")
       if (!fs.rename(tmp, p)) throw new java.io.IOException(s"vortex: rename failed for $p")
     }
-    VortexCommit(writers.values.map(_._1.toString).toSeq)
+    VortexCommit(writers.values.map(_._1.toString).toSeq,
+      writers.values.map { case (p, w) => p.toString -> w.columnSums }.toMap)
   }
   override def abort(): Unit = {
     writers.values.foreach { case (p, w) =>
@@ -1093,7 +1103,7 @@ class VortexDataWriter(schema: StructType, dir: String, jobId: String,
     writer.close(); closed = true
     val fs = file.getFileSystem(conf)
     if (!fs.rename(tmp, file)) throw new java.io.IOException(s"vortex: rename failed for $file")
-    VortexCommit(Seq(file.toString))
+    VortexCommit(Seq(file.toString), Map(file.toString -> writer.columnSums))
   }
   override def abort(): Unit = {
     if (!closed) try writer.close() catch { case _: Exception => }

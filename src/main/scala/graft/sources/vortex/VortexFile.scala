@@ -30,6 +30,23 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
 
   out.write(Magic); pos += Magic.length
 
+  // exact per-file column sums (integral + decimal≤18 only — float
+  // sums are order-dependent so a metadata-answered SUM could differ
+  // in the last ulp from a scan): accumulated row-wise, carried to the
+  // commit manifest for SUM pushdown. Overflow → permanently None.
+  private val sumable = fields.map(_.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case d: DecimalType if d.precision <= 18 => true
+    case _ => false
+  })
+  private val sums = new Array[Long](nCols)
+  private val sumOk: Array[Boolean] = sumable.clone()
+
+  /** per-stored-column exact sums over every row written (unscaled
+    * for decimals); None = unsupported type or long overflow */
+  def columnSums: IndexedSeq[Option[Long]] =
+    fields.indices.map(i => if (sumOk(i)) Some(sums(i)) else None)
+
   private var count = 0
   private var longs: Array[Array[Long]] = _
   private var bins: Array[Array[Array[Byte]]] = _
@@ -47,7 +64,8 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
     var c = 0
     while (c < nCols) {
       if (row.isNullAt(c)) nulls(c)(count) = true
-      else fields(c).dataType match {
+      else {
+        fields(c).dataType match {
         case BooleanType => longs(c)(count) = if (row.getBoolean(c)) 1L else 0L
         case ByteType => longs(c)(count) = row.getByte(c).toLong
         case ShortType => longs(c)(count) = row.getShort(c).toLong
@@ -69,6 +87,12 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
         case dt if NestedCodec.isNested(dt) && NestedCodec.supported(dt) =>
           bins(c)(count) = NestedCodec.serialize(row.get(c, dt), dt)
         case other => throw new UnsupportedOperationException(s"vortex: unsupported type $other")
+        }
+        if (sumOk(c)) {
+          // integral / unscaled-decimal longs land in longs(c)(count)
+          try sums(c) = Math.addExact(sums(c), longs(c)(count))
+          catch { case _: ArithmeticException => sumOk(c) = false }
+        }
       }
       c += 1
     }

@@ -35,6 +35,15 @@ object VortexStatsPushdown {
   private case object CountStarSpec extends Spec
   private case class CountColSpec(col: String) extends Spec
   private case class MinMaxSpec(col: String, isMin: Boolean) extends Spec
+  private case class SumSpec(col: String) extends Spec
+
+  /** SUM is exact-only: integral + decimal≤18 (what the writer
+    * accumulates); float sums are order-dependent and excluded */
+  private def sumDomain(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case d: DecimalType => d.precision <= 18
+    case _ => false
+  }
 
   private def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
     e match {
@@ -62,6 +71,8 @@ object VortexStatsPushdown {
         colName(m.column) match { case Some(n) => MinMaxSpec(n, isMin = true); case None => return None }
       case m: Max =>
         colName(m.column) match { case Some(n) => MinMaxSpec(n, isMin = false); case None => return None }
+      case s: Sum if !s.isDistinct =>
+        colName(s.column) match { case Some(n) => SumSpec(n); case None => return None }
       case _ => return None
     }
 
@@ -80,38 +91,70 @@ object VortexStatsPushdown {
         val i = fieldIdx.getOrElse(n, return None)
         if (!longDomain(dataFields(i).dataType) && dataFields(i).dataType != StringType)
           return None
+      case SumSpec(n) =>
+        val i = fieldIdx.getOrElse(n, return None)
+        if (!sumDomain(dataFields(i).dataType)) return None
       case CountStarSpec =>
     }
 
-    // chunk stats: manifest-first (round-4 manifests carry per-chunk
-    // stats, so a covered dataset aggregates with zero footer I/O);
-    // uncovered files fall back to their footer
+    // manifest entries first (round-4 manifests carry per-chunk stats
+    // AND writer-exact column sums, so a covered dataset aggregates
+    // with zero footer I/O); count/min/max fall back to footers for
+    // uncovered files — SUM cannot (footers carry no sums) and bails.
+    // rootOf resolves glob/file paths to their dataset directory.
     val expected = dataFields.toSeq.map(f => (f.name, f.dataType))
-    val manifestChunks: Map[String, (Long, IndexedSeq[StatsManifest.ChunkStats])] =
+    val manifestEntries: Map[String, StatsManifest.FileStats] =
       paths.flatMap { raw =>
         try {
-          val p = new Path(raw)
-          val fs = p.getFileSystem(conf)
-          if (fs.getFileStatus(p).isDirectory) {
+          StatsManifest.rootOf(raw, conf).toSeq.flatMap { p =>
+            val fs = p.getFileSystem(conf)
             val rootQ = fs.makeQualified(p).toString
             val (mSchema, entries) = StatsManifest.readAll(p, conf)
             if (mSchema.exists(s => s.fields.toSeq.map(f => (f.name, f.dataType)) == expected))
-              entries.values.flatMap(e =>
-                e.chunks.map(c => s"$rootQ/${e.relPath}" -> (e.len, c)))
+              entries.values.map(e => s"$rootQ/${e.relPath}" -> e)
             else Nil
-          } else Nil
+          }
         } catch { case _: Exception => Nil }
       }.toMap
+    def entryFor(st: org.apache.hadoop.fs.FileStatus): Option[StatsManifest.FileStats] =
+      manifestEntries.get(st.getPath.toString).filter(_.len == st.getLen)
     val chunkLists: Seq[Seq[ChunkMeta]] =
       try listed.map { case (st, _) =>
-        manifestChunks.get(st.getPath.toString) match {
-          case Some((len, chunks)) if len == st.getLen => chunks.map(_.toChunkMeta)
-          case _ =>
+        entryFor(st).flatMap(_.chunks) match {
+          case Some(chunks) => chunks.map(_.toChunkMeta)
+          case None =>
             val f = VortexFileReader.readFooter(st.getPath, conf)
             if (f.schema.fields.toSeq.map(x => (x.name, x.dataType)) != expected) return None
             f.chunks.toSeq
         }
       } catch { case _: Exception => return None }
+
+    // SUM inputs: every listed file must carry a writer-exact sum for
+    // the column (and its non-null count, for NULL-when-empty); any
+    // gap or overflow bails the whole pushdown
+    val sumCols = specs.collect { case SumSpec(n) => n }.distinct
+    val sumTotals: Map[String, Option[(Long, Long)]] = // col -> (sum, nonNull)
+      sumCols.map { n =>
+        var total = 0L
+        var nn = 0L
+        var ok = true
+        listed.foreach { case (st, _) =>
+          entryFor(st) match {
+            case Some(e) if ok =>
+              e.cols.find(_.name == n) match {
+                case Some(c) if c.sum.isDefined =>
+                  try {
+                    total = Math.addExact(total, c.sum.get)
+                    nn += e.rows - c.nulls
+                  } catch { case _: ArithmeticException => ok = false }
+                case _ => ok = false
+              }
+            case _ => ok = false
+          }
+        }
+        n -> (if (ok) Some((total, nn)) else None)
+      }.toMap
+    if (sumCols.exists(n => sumTotals(n).isEmpty)) return None
 
     var totalRows = 0L
     val nonNull = collection.mutable.Map[String, Long]().withDefaultValue(0L)
@@ -190,16 +233,35 @@ object VortexStatsPushdown {
       }
     }
 
+    // Sum's result type mirrors Catalyst's Sum.dataType: long for
+    // integral inputs, DecimalType(min(38, p+10), s) for decimals
+    def sumType(n: String): DataType = dataFields(fieldIdx(n)).dataType match {
+      case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+      case _ => LongType
+    }
+    def sumValue(n: String): Any = sumTotals(n).get match {
+      case (_, 0L) => null // SQL SUM over zero non-null values is NULL
+      case (total, _) => dataFields(fieldIdx(n)).dataType match {
+        case d: DecimalType =>
+          val t = sumType(n).asInstanceOf[DecimalType]
+          org.apache.spark.sql.types.Decimal(
+            BigDecimal(java.math.BigDecimal.valueOf(total, d.scale)), t.precision, t.scale)
+        case _ => total
+      }
+    }
+
     val fields = specs.zipWithIndex.map {
       case (CountStarSpec, i) => StructField(s"agg_$i", LongType, nullable = false)
       case (CountColSpec(_), i) => StructField(s"agg_$i", LongType, nullable = false)
       case (MinMaxSpec(n, _), i) =>
         StructField(s"agg_$i", dataFields(fieldIdx(n)).dataType, nullable = true)
+      case (SumSpec(n), i) => StructField(s"agg_$i", sumType(n), nullable = true)
     }
     val values: Array[Any] = specs.map {
       case CountStarSpec => totalRows
       case CountColSpec(n) => if (partCols.contains(n)) totalRows else nonNull(n)
       case MinMaxSpec(n, isMin) => toCatalyst(n, isMin)
+      case SumSpec(n) => sumValue(n)
     }.toArray
 
     val schema = StructType(fields)

@@ -112,6 +112,45 @@ class VortexPlanningSpec extends AnyFunSuite {
     assert(v.groupBy(col("id") % 2).count().collect().map(_.getLong(1)).sum == 10000)
   }
 
+  test("SUM answers from writer-exact manifest sums with zero decodes (incl. glob paths)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vortex_sumagg_").toString
+    val src = (1 to 20000).map(i => (i.toLong, i,
+      if (i % 7 == 0) None else Some(i * 3L),
+      BigDecimal(i).setScale(2) * 0.25))
+      .toDF("l", "i", "n", "d")
+      .select(col("l"), col("i"), col("n"), col("d").cast("decimal(12,2)"))
+    src.repartition(3).write.format("vortex").mode("overwrite").save(dir)
+    val v = spark.read.format("vortex").load(dir)
+    val before = VortexFileReader.pageDecodes.get()
+    val r = v.agg(sum(col("l")).as("sl"), sum(col("i")).as("si"),
+      sum(col("n")).as("sn"), sum(col("d")).as("sd")).collect()(0)
+    assert(VortexFileReader.pageDecodes.get() == before,
+      "manifest-answered SUM must not decode any page")
+    val n = 20000L
+    assert(r.getLong(0) == n * (n + 1) / 2)
+    assert(r.getLong(1) == n * (n + 1) / 2)
+    val expectedN = (1L to n).filter(_ % 7 != 0).map(_ * 3L).sum
+    assert(r.getLong(2) == expectedN)
+    val expectedD = (1L to n).map(i => BigDecimal(i).setScale(2) * 0.25).sum.setScale(2)
+    assert(r.getDecimal(3) == expectedD.bigDecimal)
+    // glob path resolves the same manifest through the parent dir
+    val g = spark.read.format("vortex").load(s"$dir/*.vortex")
+      .agg(sum(col("l"))).collect()(0).getLong(0)
+    assert(g == n * (n + 1) / 2)
+    // double sums are NOT metadata-answered (order-dependent): plan is
+    // a normal scan and the value comes from real pages
+    val d2 = v.agg(sum(col("l").cast("double"))).queryExecution.executedPlan.toString
+    assert(!d2.contains("VortexStatsScan"))
+    // all-null column sums to NULL
+    val dir2 = Files.createTempDirectory("vortex_sumnull_").toString
+    Seq((1L, None: Option[Long]), (2L, None)).toDF("k", "x")
+      .write.format("vortex").mode("overwrite").save(dir2)
+    val rn = spark.read.format("vortex").load(dir2).agg(sum(col("x"))).collect()(0)
+    assert(rn.isNullAt(0))
+  }
+
   test("pushed limit plans a bounded chunk prefix, not the whole file") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("vortex_limit_").toString
