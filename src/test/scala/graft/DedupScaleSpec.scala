@@ -89,14 +89,18 @@ class DedupScaleSpec extends AnyFunSuite {
     val stripped = src.replaceAll("(?s)/\\*.*?\\*/", "")
     val hits = java.util.regex.Pattern.quote(".collect()").r
       .findAllIn(stripped).size
-    assert(hits == 3, s"expected exactly 3 gated collect() in DedupOps, found $hits")
+    assert(hits == 4, s"expected exactly 4 gated collect() in DedupOps, found $hits")
     def bodyOf(defName: String): String = {
       val b = src.substring(src.indexOf(s"def $defName"))
       b.take(b.indexOf("\n  }"))
     }
     assert(bodyOf("distinctSetsOf").contains(".collect()"))
-    // both kernel collects live inside labelPropagateKernel
-    assert(".collect()".r.findAllIn(bodyOf("labelPropagateKernel")).size == 2)
+    // kernel collects: the unbounded wrapper (spec-only), the ids
+    // collect in the kernel core, and labelPropagateAuto's
+    // limit(cap+1)-BOUNDED collect (explicitly capped driver rows)
+    assert(bodyOf("labelPropagateKernel(").contains(".collect()"))
+    assert(bodyOf("labelPropagateKernelEdges").contains(".collect()"))
+    assert(bodyOf("labelPropagateAuto").contains("limit(maxKernelPairs + 1)"))
     // and the distributed labelPropagate stays shuffle-only
     assert(!bodyOf("labelPropagate(").contains(".collect()"))
   }
