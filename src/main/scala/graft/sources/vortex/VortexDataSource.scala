@@ -236,7 +236,7 @@ class VortexScanBuilder(schema: StructType, paths: Seq[String])
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = schema
   private var filters: Array[Filter] = Array.empty
-  private var pushedAgg: Option[(StructType, org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+  private var pushedAgg: Option[(StructType, Seq[org.apache.spark.sql.catalyst.expressions.UnsafeRow],
     String)] = None
   private var pushedLimit: Option[Int] = None
 
@@ -256,7 +256,7 @@ class VortexScanBuilder(schema: StructType, paths: Seq[String])
     * fold is memoized so supportCompletePushDown + pushAggregation
     * (Spark calls both with the same Aggregation) costs one pass. */
   private var aggProbe: Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
-    Option[(StructType, org.apache.spark.sql.catalyst.expressions.UnsafeRow)])] = None
+    Option[(StructType, Seq[org.apache.spark.sql.catalyst.expressions.UnsafeRow])])] = None
   private def probeAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) = {
     if (!aggProbe.exists(_._1 eq agg)) {
       val res =
@@ -273,8 +273,10 @@ class VortexScanBuilder(schema: StructType, paths: Seq[String])
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     probeAgg(agg) match {
-      case Some((s, row)) =>
-        pushedAgg = Some((s, row, agg.aggregateExpressions.mkString(", ")))
+      case Some((s, rows)) =>
+        pushedAgg = Some((s, rows,
+          (agg.groupByExpressions.map(g => s"group:$g") ++
+           agg.aggregateExpressions.map(_.toString)).mkString(", ")))
         true
       case None => false
     }
@@ -287,7 +289,7 @@ class VortexScanBuilder(schema: StructType, paths: Seq[String])
     if (filters.isEmpty) { pushedLimit = Some(n); true } else false
 
   override def build(): Scan = pushedAgg match {
-    case Some((s, row, desc)) => new VortexStatsScan(s, row, desc)
+    case Some((s, rows, desc)) => new VortexStatsScan(s, rows, desc)
     case None => new VortexScan(schema, required, filters, paths, pushedLimit)
   }
 }

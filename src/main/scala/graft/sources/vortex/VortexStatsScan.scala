@@ -61,8 +61,7 @@ object VortexStatsPushdown {
   }
 
   def compute(agg: Aggregation, fileSchema: StructType, paths: Seq[String],
-              conf: Configuration): Option[(StructType, UnsafeRow)] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+              conf: Configuration): Option[(StructType, Seq[UnsafeRow])] = {
     val specs: Seq[Spec] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => CountStarSpec
       case c: Count if !c.isDistinct =>
@@ -75,10 +74,21 @@ object VortexStatsPushdown {
         colName(s.column) match { case Some(n) => SumSpec(n); case None => return None }
       case _ => return None
     }
+    // GROUP BY is supported exactly when every grouping column is a
+    // partition-path column: groups are directory subtrees, so each
+    // group aggregates its own file subset from metadata alone —
+    // partition-keyed aggregation over 100 TB without touching a page
+    val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map(e =>
+      colName(e).getOrElse(return None))
 
     val listed = VortexDataSource.listAll(paths, conf)
     val partCols: Set[String] =
       listed.flatMap(_._2.map(_._1)).toSet - BucketSpecFile.BucketCol
+    if (!groupCols.forall(partCols.contains)) return None
+    // every file must carry a value for every grouping column
+    if (groupCols.nonEmpty &&
+        !listed.forall { case (_, kvs) => groupCols.forall(g => kvs.exists(_._1 == g)) })
+      return None
     val dataFields = fileSchema.fields.filterNot(f => partCols.contains(f.name))
     val fieldIdx: Map[String, Int] = dataFields.map(_.name).zipWithIndex.toMap
 
@@ -118,48 +128,6 @@ object VortexStatsPushdown {
       }.toMap
     def entryFor(st: org.apache.hadoop.fs.FileStatus): Option[StatsManifest.FileStats] =
       manifestEntries.get(st.getPath.toString).filter(_.len == st.getLen)
-    val chunkLists: Seq[Seq[ChunkMeta]] =
-      try listed.map { case (st, _) =>
-        entryFor(st).flatMap(_.chunks) match {
-          case Some(chunks) => chunks.map(_.toChunkMeta)
-          case None =>
-            val f = VortexFileReader.readFooter(st.getPath, conf)
-            if (f.schema.fields.toSeq.map(x => (x.name, x.dataType)) != expected) return None
-            f.chunks.toSeq
-        }
-      } catch { case _: Exception => return None }
-
-    // SUM inputs: every listed file must carry a writer-exact sum for
-    // the column (and its non-null count, for NULL-when-empty); any
-    // gap or overflow bails the whole pushdown
-    val sumCols = specs.collect { case SumSpec(n) => n }.distinct
-    val sumTotals: Map[String, Option[(Long, Long)]] = // col -> (sum, nonNull)
-      sumCols.map { n =>
-        var total = 0L
-        var nn = 0L
-        var ok = true
-        listed.foreach { case (st, _) =>
-          entryFor(st) match {
-            case Some(e) if ok =>
-              e.cols.find(_.name == n) match {
-                case Some(c) if c.sum.isDefined =>
-                  try {
-                    total = Math.addExact(total, c.sum.get)
-                    nn += e.rows - c.nulls
-                  } catch { case _: ArithmeticException => ok = false }
-                case _ => ok = false
-              }
-            case _ => ok = false
-          }
-        }
-        n -> (if (ok) Some((total, nn)) else None)
-      }.toMap
-    if (sumCols.exists(n => sumTotals(n).isEmpty)) return None
-
-    var totalRows = 0L
-    val nonNull = collection.mutable.Map[String, Long]().withDefaultValue(0L)
-    // fold state per (col, isMin): Left(long) or Right(utf8 bytes)
-    val fold = collection.mutable.Map[(String, Boolean), Either[Long, Array[Byte]]]()
 
     def binLess(a: Array[Byte], b: Array[Byte]): Boolean = {
       var i = 0
@@ -174,64 +142,7 @@ object VortexStatsPushdown {
 
     val minMaxCols = specs.collect { case MinMaxSpec(n, m) => (n, m) }.distinct
     val countCols = specs.collect { case CountColSpec(n) if fieldIdx.contains(n) => n }.distinct
-
-    chunkLists.foreach { chunks =>
-      chunks.foreach { chunk =>
-        totalRows += chunk.rowCount
-        countCols.foreach { n =>
-          nonNull(n) += chunk.rowCount - chunk.columns(fieldIdx(n)).nullCount
-        }
-        minMaxCols.foreach { case (n, isMin) =>
-          val i = fieldIdx(n)
-          val m = chunk.columns(i)
-          if (m.nullCount != chunk.rowCount) { // all-null chunks carry no stats, legitimately
-            val statB = (if (isMin) m.min else m.max).getOrElse(return None)
-            val dt = dataFields(i).dataType
-            val cur = fold.get((n, isMin))
-            if (dt == StringType) {
-              val better = cur match {
-                case Some(Right(prev)) =>
-                  if (isMin) (if (binLess(statB, prev)) statB else prev)
-                  else (if (binLess(prev, statB)) statB else prev)
-                case _ => statB
-              }
-              fold((n, isMin)) = Right(better)
-            } else {
-              val v = PageCodec.bytesToLong(statB)
-              val better = cur match {
-                case Some(Left(prev)) =>
-                  if (isMin) (if (PageCodec.lessThan(v, prev, dt)) v else prev)
-                  else (if (PageCodec.lessThan(prev, v, dt)) v else prev)
-                case _ => v
-              }
-              fold((n, isMin)) = Left(better)
-            }
-          }
-        }
-      }
-    }
-
-    def toCatalyst(n: String, isMin: Boolean): Any = {
-      val i = fieldIdx(n)
-      val field = dataFields(i)
-      fold.get((n, isMin)) match {
-        case None => null // no non-null values anywhere
-        case Some(Right(bytes)) => UTF8String.fromBytes(bytes)
-        case Some(Left(v)) => field.dataType match {
-          case ByteType => v.toByte
-          case ShortType => v.toShort
-          case IntegerType | DateType => v.toInt
-          case LongType => v
-          case TimestampType | TimestampNTZType =>
-            VortexFormat.microsFromStored(v, VortexFormat.tsUnit(field))
-          case FloatType => java.lang.Float.intBitsToFloat(v.toInt)
-          case DoubleType => java.lang.Double.longBitsToDouble(v)
-          case d: DecimalType => org.apache.spark.sql.types.Decimal(
-            BigDecimal(java.math.BigDecimal.valueOf(v, d.scale)), d.precision, d.scale)
-          case _ => return null // unreachable: gated by longDomain above
-        }
-      }
-    }
+    val sumCols = specs.collect { case SumSpec(n) => n }.distinct
 
     // Sum's result type mirrors Catalyst's Sum.dataType: long for
     // integral inputs, DecimalType(min(38, p+10), s) for decimals
@@ -239,58 +150,182 @@ object VortexStatsPushdown {
       case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
       case _ => LongType
     }
-    def sumValue(n: String): Any = sumTotals(n).get match {
-      case (_, 0L) => null // SQL SUM over zero non-null values is NULL
-      case (total, _) => dataFields(fieldIdx(n)).dataType match {
-        case d: DecimalType =>
-          val t = sumType(n).asInstanceOf[DecimalType]
-          org.apache.spark.sql.types.Decimal(
-            BigDecimal(java.math.BigDecimal.valueOf(total, d.scale)), t.precision, t.scale)
-        case _ => total
+
+    /** aggregate one file subset (= one group) from metadata alone */
+    def aggregateFiles(files: Seq[(org.apache.hadoop.fs.FileStatus, Seq[(String, String)])])
+        : Option[Array[Any]] = {
+      val chunkLists: Seq[Seq[ChunkMeta]] =
+        try files.map { case (st, _) =>
+          entryFor(st).flatMap(_.chunks) match {
+            case Some(chunks) => chunks.map(_.toChunkMeta)
+            case None =>
+              val f = VortexFileReader.readFooter(st.getPath, conf)
+              if (f.schema.fields.toSeq.map(x => (x.name, x.dataType)) != expected) return None
+              f.chunks.toSeq
+          }
+        } catch { case _: Exception => return None }
+
+      // SUM inputs: every file must carry a writer-exact sum for the
+      // column (and its non-null count, for NULL-when-empty); any gap
+      // or overflow bails the whole pushdown
+      val sumTotals: Map[String, Option[(Long, Long)]] = // col -> (sum, nonNull)
+        sumCols.map { n =>
+          var total = 0L
+          var nn = 0L
+          var ok = true
+          files.foreach { case (st, _) =>
+            entryFor(st) match {
+              case Some(e) if ok =>
+                e.cols.find(_.name == n) match {
+                  case Some(c) if c.sum.isDefined =>
+                    try {
+                      total = Math.addExact(total, c.sum.get)
+                      nn += e.rows - c.nulls
+                    } catch { case _: ArithmeticException => ok = false }
+                  case _ => ok = false
+                }
+              case _ => ok = false
+            }
+          }
+          n -> (if (ok) Some((total, nn)) else None)
+        }.toMap
+      if (sumCols.exists(n => sumTotals(n).isEmpty)) return None
+
+      var totalRows = 0L
+      val nonNull = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      // fold state per (col, isMin): Left(long) or Right(utf8 bytes)
+      val fold = collection.mutable.Map[(String, Boolean), Either[Long, Array[Byte]]]()
+
+      chunkLists.foreach { chunks =>
+        chunks.foreach { chunk =>
+          totalRows += chunk.rowCount
+          countCols.foreach { n =>
+            nonNull(n) += chunk.rowCount - chunk.columns(fieldIdx(n)).nullCount
+          }
+          minMaxCols.foreach { case (n, isMin) =>
+            val i = fieldIdx(n)
+            val m = chunk.columns(i)
+            if (m.nullCount != chunk.rowCount) { // all-null chunks carry no stats, legitimately
+              val statB = (if (isMin) m.min else m.max).getOrElse(return None)
+              val dt = dataFields(i).dataType
+              val cur = fold.get((n, isMin))
+              if (dt == StringType) {
+                val better = cur match {
+                  case Some(Right(prev)) =>
+                    if (isMin) (if (binLess(statB, prev)) statB else prev)
+                    else (if (binLess(prev, statB)) statB else prev)
+                  case _ => statB
+                }
+                fold((n, isMin)) = Right(better)
+              } else {
+                val v = PageCodec.bytesToLong(statB)
+                val better = cur match {
+                  case Some(Left(prev)) =>
+                    if (isMin) (if (PageCodec.lessThan(v, prev, dt)) v else prev)
+                    else (if (PageCodec.lessThan(prev, v, dt)) v else prev)
+                  case _ => v
+                }
+                fold((n, isMin)) = Left(better)
+              }
+            }
+          }
+        }
       }
+
+      def toCatalyst(n: String, isMin: Boolean): Any = {
+        val i = fieldIdx(n)
+        val field = dataFields(i)
+        fold.get((n, isMin)) match {
+          case None => null // no non-null values anywhere
+          case Some(Right(bytes)) => UTF8String.fromBytes(bytes)
+          case Some(Left(v)) => field.dataType match {
+            case ByteType => v.toByte
+            case ShortType => v.toShort
+            case IntegerType | DateType => v.toInt
+            case LongType => v
+            case TimestampType | TimestampNTZType =>
+              VortexFormat.microsFromStored(v, VortexFormat.tsUnit(field))
+            case FloatType => java.lang.Float.intBitsToFloat(v.toInt)
+            case DoubleType => java.lang.Double.longBitsToDouble(v)
+            case d: DecimalType => org.apache.spark.sql.types.Decimal(
+              BigDecimal(java.math.BigDecimal.valueOf(v, d.scale)), d.precision, d.scale)
+            case _ => null // unreachable: gated by longDomain above
+          }
+        }
+      }
+      def sumValue(n: String): Any = sumTotals(n).get match {
+        case (_, 0L) => null // SQL SUM over zero non-null values is NULL
+        case (total, _) => dataFields(fieldIdx(n)).dataType match {
+          case d: DecimalType =>
+            val t = sumType(n).asInstanceOf[DecimalType]
+            org.apache.spark.sql.types.Decimal(
+              BigDecimal(java.math.BigDecimal.valueOf(total, d.scale)), t.precision, t.scale)
+          case _ => total
+        }
+      }
+
+      Some(specs.map {
+        case CountStarSpec => totalRows
+        case CountColSpec(n) => if (partCols.contains(n)) totalRows else nonNull(n)
+        case MinMaxSpec(n, isMin) => toCatalyst(n, isMin)
+        case SumSpec(n) => sumValue(n)
+      }.toArray[Any])
     }
 
-    val fields = specs.zipWithIndex.map {
+    // output layout per the complete-pushdown contract: grouping
+    // columns first (table types), then one field per aggregate
+    val groupFields = groupCols.map(g => StructField(g, fileSchema(g).dataType, nullable = true))
+    val aggFields = specs.zipWithIndex.map {
       case (CountStarSpec, i) => StructField(s"agg_$i", LongType, nullable = false)
       case (CountColSpec(_), i) => StructField(s"agg_$i", LongType, nullable = false)
       case (MinMaxSpec(n, _), i) =>
         StructField(s"agg_$i", dataFields(fieldIdx(n)).dataType, nullable = true)
       case (SumSpec(n), i) => StructField(s"agg_$i", sumType(n), nullable = true)
     }
-    val values: Array[Any] = specs.map {
-      case CountStarSpec => totalRows
-      case CountColSpec(n) => if (partCols.contains(n)) totalRows else nonNull(n)
-      case MinMaxSpec(n, isMin) => toCatalyst(n, isMin)
-      case SumSpec(n) => sumValue(n)
-    }.toArray
-
-    val schema = StructType(fields)
+    val schema = StructType(groupFields ++ aggFields)
     val proj = UnsafeProjection.create(schema)
-    Some((schema, proj(new GenericInternalRow(values)).copy()))
+
+    val rows: Seq[UnsafeRow] =
+      if (groupCols.isEmpty) {
+        val vals = aggregateFiles(listed).getOrElse(return None)
+        Seq(proj(new GenericInternalRow(vals)).copy())
+      } else {
+        listed.groupBy { case (_, kvs) =>
+          groupCols.map(g => kvs.collectFirst { case (`g`, v) => v }.get)
+        }.toSeq.map { case (gvals, files) =>
+          val aggVals = aggregateFiles(files).getOrElse(return None)
+          val gTyped = groupCols.zip(gvals).map { case (g, v) =>
+            PartitionedLayout.toInternal(v, fileSchema(g).dataType)
+          }
+          proj(new GenericInternalRow((gTyped ++ aggVals).toArray[Any])).copy()
+        }
+      }
+    Some((schema, rows))
   }
 }
 
-/** Scan whose single partition yields the pre-computed aggregate row —
-  * what a footer-stats-answered aggregate plans into. */
-class VortexStatsScan(outSchema: StructType, row: UnsafeRow, pushed: String)
+/** Scan whose single partition yields the pre-computed aggregate rows
+  * (one per group; one total row when ungrouped) — what a
+  * footer-stats-answered aggregate plans into. */
+class VortexStatsScan(outSchema: StructType, rows: Seq[UnsafeRow], pushed: String)
     extends Scan with Batch {
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
   override def description(): String = s"VortexStatsScan(pushedAggregates=[$pushed])"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(VortexStatsPartition(row))
+    Array(VortexStatsPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory = new VortexStatsReaderFactory
 }
 
-case class VortexStatsPartition(row: UnsafeRow) extends InputPartition
+case class VortexStatsPartition(rows: Seq[UnsafeRow]) extends InputPartition
 
 class VortexStatsReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val r = partition.asInstanceOf[VortexStatsPartition].row
+    val it = partition.asInstanceOf[VortexStatsPartition].rows.iterator
     new PartitionReader[InternalRow] {
-      private var done = false
-      override def next(): Boolean = if (done) false else { done = true; true }
-      override def get(): InternalRow = r
+      private var cur: InternalRow = _
+      override def next(): Boolean = if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
   }

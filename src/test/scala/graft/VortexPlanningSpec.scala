@@ -151,6 +151,32 @@ class VortexPlanningSpec extends AnyFunSuite {
     assert(rn.isNullAt(0))
   }
 
+  test("GROUP BY partition column aggregates from metadata (zero decodes)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("vortex_groupagg_").toString
+    spark.range(0, 12000)
+      .selectExpr("id", "CAST(id % 3 AS LONG) AS g", "id * 2 AS v")
+      .write.format("vortex").option("partitionBy", "g").mode("overwrite").save(dir)
+    val v = spark.read.format("vortex").load(dir)
+    val before = VortexFileReader.pageDecodes.get()
+    val r = v.groupBy("g").agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"), sum(col("v")).as("sv"))
+      .orderBy("g").collect()
+    assert(VortexFileReader.pageDecodes.get() == before,
+      "partition-grouped stats aggregate must not decode any page")
+    assert(r.length == 3)
+    (0 until 3).foreach { g =>
+      val ids = (0L until 12000L).filter(_ % 3 == g)
+      assert(r(g).getLong(0) == g)
+      assert(r(g).getLong(1) == ids.length)
+      assert(r(g).getLong(2) == ids.min && r(g).getLong(3) == ids.max)
+      assert(r(g).getLong(4) == ids.map(_ * 2).sum)
+    }
+    // grouping by a DATA column declines pushdown and stays correct
+    val r2 = v.groupBy(col("id") % 2).count().collect().map(_.getLong(1)).sum
+    assert(r2 == 12000)
+  }
+
   test("pushed limit plans a bounded chunk prefix, not the whole file") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("vortex_limit_").toString
