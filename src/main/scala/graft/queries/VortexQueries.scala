@@ -78,12 +78,12 @@ object VortexQueries {
   // ---- materialized datasets (one write each per sf) -----------------
 
   /** lineitem, default layout — shared by s1 count and p1 projection */
-  private val dsLineitem = dataset("lineitem", Seq("lineitem"), "v1") { (s, d, dir) =>
+  private val dsLineitem = dataset("lineitem", Seq("lineitem"), "v2") { (s, d, dir) =>
     Tables.t(s, d, "lineitem").write.format("vortex").mode("overwrite").save(dir)
   }
 
   /** orders in 2 files — glob reads */
-  private val dsOrders2 = dataset("orders2", Seq("orders"), "v1") { (s, d, dir) =>
+  private val dsOrders2 = dataset("orders2", Seq("orders"), "v2") { (s, d, dir) =>
     Tables.t(s, d, "orders").repartition(2)
       .write.format("vortex").mode("overwrite").save(dir)
   }
@@ -104,36 +104,36 @@ object VortexQueries {
       "o_orderdate AS c_ts",
       "CAST(o_orderkey % 2 = 0 AS BOOLEAN) AS c_bool")
 
-  private val dsTyped = dataset("typed", Seq("orders"), "v1") { (s, d, dir) =>
+  private val dsTyped = dataset("typed", Seq("orders"), "v2") { (s, d, dir) =>
     typedOrders(s, d).write.format("vortex").mode("overwrite").save(dir)
   }
 
   /** lineitem forced into many small chunks (multi-chunk decode) */
-  private val dsChunked = dataset("chunked", Seq("lineitem"), "v1") { (s, d, dir) =>
+  private val dsChunked = dataset("chunked", Seq("lineitem"), "v2") { (s, d, dir) =>
     Tables.t(s, d, "lineitem").repartition(1)
       .write.format("vortex").option("chunkRows", "8192").mode("overwrite").save(dir)
   }
 
   /** embeddings (list<float> nested) */
-  private val dsNested = dataset("nested", Seq("embeddings"), "v1") { (s, d, dir) =>
+  private val dsNested = dataset("nested", Seq("embeddings"), "v2") { (s, d, dir) =>
     Tables.t(s, d, "embeddings").write.format("vortex").mode("overwrite").save(dir)
   }
 
   /** lineitem partitioned by l_returnflag (Hive layout) */
-  private val dsPartitioned = dataset("partitioned", Seq("lineitem"), "v1") { (s, d, dir) =>
+  private val dsPartitioned = dataset("partitioned", Seq("lineitem"), "v2") { (s, d, dir) =>
     Tables.t(s, d, "lineitem")
       .write.format("vortex").option("partitionBy", "l_returnflag")
       .mode("overwrite").save(dir)
   }
 
   /** events time-sorted with small chunks — disjoint ts chunk stats */
-  private val dsEvents = dataset("events_sorted", Seq("events"), "v1") { (s, d, dir) =>
+  private val dsEvents = dataset("events_sorted", Seq("events"), "v2") { (s, d, dir) =>
     Tables.t(s, d, "events").repartition(1).sortWithinPartitions("ts")
       .write.format("vortex").option("chunkRows", "2048").mode("overwrite").save(dir)
   }
 
   /** orders hash-bucketed by o_custkey into 16 buckets */
-  private val dsBucketed = dataset("bucketed", Seq("orders"), "v1") { (s, d, dir) =>
+  private val dsBucketed = dataset("bucketed", Seq("orders"), "v2") { (s, d, dir) =>
     Tables.t(s, d, "orders")
       .write.format("vortex")
       .option("bucketBy", "o_custkey").option("buckets", "16")
@@ -261,6 +261,22 @@ object VortexQueries {
     """SELECT count(*) AS n, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders WHERE o_custkey IN (1,2,3,4,5,6,7)""".stripMargin)
+
+  // S9: partition-grouped metadata aggregate — GROUP BY the partition
+  // column answers count/min/max/sum per directory subtree entirely
+  // from manifest/footer stats (VortexStatsScan, zero page decodes);
+  // the oracle computes the same groups by scanning parquet.
+  spark("s9_vortex_group_stats",
+    (s, d) => {
+      s.read.format("vortex").load(dsPartitioned.ensure(s, d))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"), sum(col("l_orderkey")).as("sum_key"))
+        .orderBy("l_returnflag")
+    },
+    """SELECT l_returnflag, count(*) AS n, min(l_orderkey) AS min_key,
+      |  max(l_orderkey) AS max_key, CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
   // ---- S3/S4 write rows (the write IS the timed operation) -----------
 
