@@ -102,7 +102,14 @@ object Bench {
     val errs = bad.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // durability: the driver's stdout capture has truncated this line in
+    // past rounds (BENCH_r03/r04 "parsed": null) — persist to a file too
+    // so the per-query map survives any tail-capture
+    val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchFile), line + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] could not write $benchFile: ${e.getMessage}") }
+    println(line)
     bad.foreach { case (k, e) => System.err.println(s"[bench] $k FAILED: $e") }
     spark.stop()
     if (bad.nonEmpty) sys.exit(1)

@@ -93,12 +93,24 @@ final case class Engine(spark: SparkSession) {
   /** End-to-end near-duplicate clustering: MinHash-LSH candidates,
     * verified by exact Jaccard ≥ τ, connected via 4-round min-label
     * propagation. Returns (doc_id, cluster); cluster = the lowest doc
-    * id reachable within 4 hops — identical docs collapse in one. */
-  def dedupClusters(df: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
+    * id reachable within 4 hops — identical docs collapse in one.
+    *
+    * Fault tolerance: the labels frame is corpus-sized, so it is never
+    * `localCheckpoint`ed (an unreliable lineage break — one executor
+    * loss would make the job unrecoverable instead of recomputable).
+    * Default is pure recomputation: the convergence probe and the
+    * final action each evaluate the propagate plan, and the rare
+    * pointer-jumping path re-derives it through the self-joins — all
+    * recoverable from lineage. For very expensive pair pipelines,
+    * opt in to a RELIABLE checkpoint (durable-storage, recomputable by
+    * re-read) with `reliableCheckpoint = true` after calling
+    * `spark.sparkContext.setCheckpointDir(...)`. */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String, tau: Double,
+                    reliableCheckpoint: Boolean = false): DataFrame = {
     val docs = df.select(col(idCol).cast("long").as("doc_id"))
     val pairs = minhashNearDup(df, idCol, textCol, tau).select("id_a", "id_b")
     var labels = queries.DedupOps.labelPropagate(docs, pairs, rounds = 4)
-      .localCheckpoint(eager = false)
+    if (reliableCheckpoint) labels = labels.checkpoint(eager = false)
     // pointer-jumping: lbl ← lbl(lbl) three times squares the resolved
     // depth (≈32 hops) so every cluster label is its own root — the
     // invariant dedupNear's keep-the-root rule relies on. Gated on a

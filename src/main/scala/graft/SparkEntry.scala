@@ -30,4 +30,9 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     sets.flatMap(_.oracle).toMap
+
+  /** DuckDB twins usable only for benchmarking (e.g. COPY statements
+    * that return no relation) — excluded from the correctness oracle. */
+  def benchOracleSql: Map[String, String] =
+    sets.flatMap(_.benchOracle).toMap
 }

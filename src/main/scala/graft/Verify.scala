@@ -41,6 +41,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // bench-only DuckDB twins (COPY etc.) for tools/baseline.py — the
+    // driver's correctness compare never sees these
+    val benchJson = (SparkEntry.oracleSql ++ SparkEntry.benchOracleSql)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/bench_oracle_sql.json"), benchJson)
     spark.stop()
   }
 }

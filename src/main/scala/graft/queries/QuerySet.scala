@@ -20,6 +20,7 @@ final class QuerySet {
 
   private val qs = mutable.LinkedHashMap[String, Fn]()
   private val os = mutable.LinkedHashMap[String, String]()
+  private val bos = mutable.LinkedHashMap[String, String]()
 
   /** Same ANSI SQL text runs on Spark and on the DuckDB oracle. */
   def common(name: String, sqlText: String): Unit = {
@@ -35,7 +36,17 @@ final class QuerySet {
   /** Not SQL-expressible in DuckDB → driver does a rows-only check. */
   def sparkOnly(name: String, fn: Fn): Unit = qs(name) = fn
 
+  /** Rows-only for the driver's correctness check (the DuckDB twin is
+    * a statement like COPY that returns no relation through the Python
+    * API), but with a symmetric DuckDB statement for the BENCH baseline
+    * harness (tools/baseline.py) to time. */
+  def sparkBench(name: String, fn: Fn, benchSql: String): Unit = {
+    qs(name) = fn; bos(name) = benchSql
+  }
+
   def queries: Map[String, Fn] = qs.toMap
   def oracle: Map[String, String] = os.toMap
+  /** bench-only DuckDB twins (never in the correctness oracle set) */
+  def benchOracle: Map[String, String] = bos.toMap
   def orderedNames: Seq[String] = qs.keys.toSeq
 }

@@ -286,7 +286,10 @@ object VortexQueries {
   // S3 write: the 17-type projection, vortex write vs DuckDB COPY to
   // parquet. Both sides return the written row count; Spark counts the
   // committed footers back (verifying the write), COPY reports Count.
-  spark("s3_vortex_write",
+  // Registered via sparkBench: DuckDB's Python API returns no relation
+  // for COPY, so the driver's correctness harness does a rows-only
+  // check; the COPY twin is timed only by tools/baseline.py.
+  sparkBench("s3_vortex_write",
     (s, d) => {
       val dir = vdir("write_s3", d)
       typedOrders(s, d).write.format("vortex").mode("overwrite").save(dir)
@@ -312,7 +315,7 @@ object VortexQueries {
   // the same way Spark parallelizes across task files — chunking is
   // per-file in both engines (the READ row dsChunked keeps the forced
   // single file to cover multi-chunk decode).
-  spark("s4_vortex_write_chunks",
+  sparkBench("s4_vortex_write_chunks",
     (s, d) => {
       val dir = vdir("write_s4", d)
       Tables.t(s, d, "lineitem")

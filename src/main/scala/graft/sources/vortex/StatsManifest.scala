@@ -62,8 +62,24 @@ object StatsManifest {
         ColumnChunkMeta(0L, 0, EncPlain, compressed = false, c.nulls, c.min, c.max)).toArray)
   }
 
+  /** `manifestSchema`: the schema recorded by the manifest file this
+    * entry came from (round-4 envelope; None for round-3 bare arrays).
+    * Consumers must validate THIS schema — not some other manifest's —
+    * before trusting chunk stats, since a root can legitimately hold
+    * manifests written against different schemas (manually merged
+    * datasets, racing first writers). */
   final case class FileStats(relPath: String, len: Long, rows: Long, cols: Seq[ColStats],
-                             chunks: Option[IndexedSeq[ChunkStats]] = None) {
+                             chunks: Option[IndexedSeq[ChunkStats]] = None,
+                             manifestSchema: Option[StructType] = None) {
+    /** entry's own recorded schema matches the expected data columns;
+      * an unrecorded schema (round-3 manifest) passes — its entries
+      * carry no chunk stats and file-level stats match by NAME. */
+    def schemaMatches(expected: Seq[(String, DataType)]): Boolean =
+      manifestSchema.forall(s => s.fields.toSeq.map(f => (f.name, f.dataType)) == expected)
+    /** strict variant: a recorded AND matching schema (required for
+      * positional chunk stats, which misalign under any drift) */
+    def schemaRecordedAndMatches(expected: Seq[(String, DataType)]): Boolean =
+      manifestSchema.exists(s => s.fields.toSeq.map(f => (f.name, f.dataType)) == expected)
     /** synthetic whole-file ChunkMeta aligned with `schema` for
       * FilterPruning.canSkip; unknown columns get nulls = -1 (skips
       * nothing) and no range. */
@@ -166,9 +182,11 @@ object StatsManifest {
     try out.write(mapper.writeValueAsBytes(top)) finally out.close()
   }
 
-  /** all manifest entries under `root` keyed by relative path, plus
-    * the recorded file schema (any manifest's — one commit job writes
-    * one schema; drift across appends fails at plan time anyway).
+  /** all manifest entries under `root` keyed by relative path — each
+    * TAGGED with its own manifest's recorded schema (`manifestSchema`)
+    * so consumers validate per entry, not per root — plus the first
+    * recorded schema (schema-inference seed; entries whose own schema
+    * drifts from the table's fall to the footer path, which throws).
     * Accepts both the round-4 object envelope and the round-3 bare
     * array (whose entries then lack chunk stats → footer fallback). */
   def readAll(root: Path, conf: Configuration): (Option[StructType], Map[String, FileStats]) = {
@@ -183,10 +201,12 @@ object StatsManifest {
       try {
         val node = mapper.readTree(in)
         val files = if (node.isArray) node else node.get("files")
-        if (!node.isArray && schema.isEmpty)
-          schema = Option(node.get("schema")).flatMap(s =>
+        val thisSchema: Option[StructType] =
+          if (node.isArray) None
+          else Option(node.get("schema")).flatMap(s =>
             try Some(DataType.fromJson(s.asText()).asInstanceOf[StructType])
             catch { case _: Exception => None })
+        if (schema.isEmpty) schema = thisSchema
         val it = files.elements()
         while (it.hasNext) {
           val e = it.next()
@@ -217,7 +237,7 @@ object StatsManifest {
             buf.toIndexedSeq
           }
           val f = FileStats(e.get("path").asText(), e.get("len").asLong(),
-            e.get("rows").asLong(), cols.toSeq, chunks)
+            e.get("rows").asLong(), cols.toSeq, chunks, thisSchema)
           out(f.relPath) = f
         }
       } catch {

@@ -445,26 +445,28 @@ class VortexScan(fileSchema: StructType, required: StructType,
     // commit manifests: tier-1.5 file pruning AND — since the round-4
     // format carries per-chunk stats + the file schema — the primary
     // chunk-meta source, so planning a manifest-covered dataset does
-    // ZERO per-file footer I/O. A manifest whose recorded schema
-    // drifts from the table's is ignored (its chunk columns would
-    // misalign); those files fall to the footer path, which throws the
-    // drift error. Entries are validated by (path, length).
-    val (chunkSources, needFooterFiles) = {
-      val manifestEntries: Map[String, StatsManifest.FileStats] =
-        paths.flatMap { raw =>
-          try {
-            StatsManifest.rootOf(raw, conf).toSeq.flatMap { p =>
-              val fs = p.getFileSystem(conf)
-              val rootQ = fs.makeQualified(p).toString
-              val (mSchema, entries) = StatsManifest.readAll(p, conf)
-              val schemaOk = mSchema.exists(s =>
-                s.fields.toSeq.map(f => (f.name, f.dataType)) == expectedData)
-              entries.values.map { e =>
-                s"$rootQ/${e.relPath}" -> (if (schemaOk) e else e.copy(chunks = None))
-              }
+    // ZERO per-file footer I/O. Chunk stats are trusted only when the
+    // entry's OWN manifest recorded a schema matching the table's (a
+    // root can hold manifests with different schemas — merged datasets,
+    // racing first writers — so one shared verdict would let drifted
+    // files skip the footer drift guard and decode garbage); stripped
+    // entries fall to the footer path, which throws the drift error.
+    // Entries are validated by (path, length).
+    val manifestEntries: Map[String, StatsManifest.FileStats] =
+      paths.flatMap { raw =>
+        try {
+          StatsManifest.rootOf(raw, conf).toSeq.flatMap { p =>
+            val fs = p.getFileSystem(conf)
+            val rootQ = fs.makeQualified(p).toString
+            val (_, entries) = StatsManifest.readAll(p, conf)
+            entries.values.map { e =>
+              s"$rootQ/${e.relPath}" ->
+                (if (e.schemaRecordedAndMatches(expectedData)) e else e.copy(chunks = None))
             }
-          } catch { case _: Exception => Nil }
-        }.toMap
+          }
+        } catch { case _: Exception => Nil }
+      }.toMap
+    val (chunkSources, needFooterFiles) = {
       val covered = scala.collection.mutable.Map[String, IndexedSeq[StatsManifest.ChunkStats]]()
       val fallback = scala.collection.mutable.ArrayBuffer[Path]()
       surviving.foreach { case (st, _) =>
@@ -476,15 +478,26 @@ class VortexScan(fileSchema: StructType, required: StructType,
       }
       (covered, fallback.toSet)
     }
-    // tier 1.5: whole-file pruning from manifest-held file stats —
-    // drops a file whose entire range a filter excludes before any
-    // chunk walk (and, for fallback files, before the footer fetch)
+    // tier 1.5: whole-file pruning from manifest-held stats — drops a
+    // file whose entire range a filter excludes before any chunk walk.
+    // Fallback files (no chunk stats: round-3 bare-array manifests)
+    // still prune at FILE level from the name-matched column stats
+    // before their footer fetch, as long as the entry's own recorded
+    // schema (when present) matches — at ~800k files that pruning is
+    // the difference between footer round-trips and none.
     val survivingPruned = surviving.filter { case (st, _) =>
-      chunkSources.get(st.getPath.toString) match {
-        case Some(chunks) if filters.nonEmpty =>
+      if (filters.isEmpty) true
+      else chunkSources.get(st.getPath.toString) match {
+        case Some(chunks) =>
           !chunks.forall(ch =>
             filters.exists(fl => FilterPruning.canSkip(fl, ch.toChunkMeta, dataSchema)))
-        case _ => true
+        case None =>
+          manifestEntries.get(st.getPath.toString) match {
+            case Some(m) if m.len == st.getLen && m.schemaMatches(expectedData) =>
+              !filters.exists(fl =>
+                FilterPruning.canSkip(fl, m.toChunkMeta(dataSchema), dataSchema))
+            case _ => true
+          }
       }
     }
     // prefetch ONLY the fallback footers, in parallel: at large file

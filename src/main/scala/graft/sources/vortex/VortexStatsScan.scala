@@ -113,16 +113,19 @@ object VortexStatsPushdown {
     // uncovered files — SUM cannot (footers carry no sums) and bails.
     // rootOf resolves glob/file paths to their dataset directory.
     val expected = dataFields.toSeq.map(f => (f.name, f.dataType))
+    // per-ENTRY schema acceptance (not per-root: a root can hold
+    // manifests recorded against different schemas; only entries whose
+    // own manifest matches may serve positional chunk stats / sums)
     val manifestEntries: Map[String, StatsManifest.FileStats] =
       paths.flatMap { raw =>
         try {
           StatsManifest.rootOf(raw, conf).toSeq.flatMap { p =>
             val fs = p.getFileSystem(conf)
             val rootQ = fs.makeQualified(p).toString
-            val (mSchema, entries) = StatsManifest.readAll(p, conf)
-            if (mSchema.exists(s => s.fields.toSeq.map(f => (f.name, f.dataType)) == expected))
-              entries.values.map(e => s"$rootQ/${e.relPath}" -> e)
-            else Nil
+            val (_, entries) = StatsManifest.readAll(p, conf)
+            entries.values.collect {
+              case e if e.schemaRecordedAndMatches(expected) => s"$rootQ/${e.relPath}" -> e
+            }
           }
         } catch { case _: Exception => Nil }
       }.toMap
@@ -285,21 +288,33 @@ object VortexStatsPushdown {
     val schema = StructType(groupFields ++ aggFields)
     val proj = UnsafeProjection.create(schema)
 
+    // any fold/assembly failure (e.g. a decimal SUM whose exact total
+    // exceeds the result precision would make Decimal.apply throw at
+    // optimizer time, crashing planning) bails to the normal scan,
+    // where Spark itself yields NULL (non-ANSI) or the proper runtime
+    // overflow error (ANSI)
     val rows: Seq[UnsafeRow] =
-      if (groupCols.isEmpty) {
-        val vals = aggregateFiles(listed).getOrElse(return None)
-        Seq(proj(new GenericInternalRow(vals)).copy())
-      } else {
-        listed.groupBy { case (_, kvs) =>
-          groupCols.map(g => kvs.collectFirst { case (`g`, v) => v }.get)
-        }.toSeq.map { case (gvals, files) =>
-          val aggVals = aggregateFiles(files).getOrElse(return None)
-          val gTyped = groupCols.zip(gvals).map { case (g, v) =>
-            PartitionedLayout.toInternal(v, fileSchema(g).dataType)
+      try {
+        if (groupCols.isEmpty) {
+          val vals = aggregateFiles(listed).getOrElse(return None)
+          Seq(proj(new GenericInternalRow(vals)).copy())
+        } else {
+          // group by the TYPED partition value, not the raw path
+          // string: externally-written layouts can spell the same
+          // typed value as distinct strings ('g=1' vs 'g=01' under
+          // LongType), and complete pushdown means no re-aggregation
+          // would merge the duplicate groups afterwards.
+          // (UTF8String/boxed numerics/Decimal all have value
+          // equality, so Seq[Any] keys group correctly.)
+          listed.groupBy { case (_, kvs) =>
+            groupCols.map(g => PartitionedLayout.toInternal(
+              kvs.collectFirst { case (`g`, v) => v }.get, fileSchema(g).dataType))
+          }.toSeq.map { case (gTyped, files) =>
+            val aggVals = aggregateFiles(files).getOrElse(return None)
+            proj(new GenericInternalRow((gTyped ++ aggVals).toArray[Any])).copy()
           }
-          proj(new GenericInternalRow((gTyped ++ aggVals).toArray[Any])).copy()
         }
-      }
+      } catch { case _: Exception => return None }
     Some((schema, rows))
   }
 }

@@ -8,7 +8,12 @@ import sys, json, time
 import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
-ORACLE = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out/oracle_sql.json'
+# prefer the bench oracle dump (superset: adds COPY-style twins that
+# return no relation and so can't be correctness-compared)
+_default_oracle = '/tmp/verify_out/bench_oracle_sql.json'
+if len(sys.argv) <= 2 and not __import__('os').path.exists(_default_oracle):
+    _default_oracle = '/tmp/verify_out/oracle_sql.json'
+ORACLE = sys.argv[2] if len(sys.argv) > 2 else _default_oracle
 REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
