@@ -30,13 +30,23 @@ object Hashing {
   def seedPrefix(i: Int): Array[Byte] =
     if (i < seedPrefixes.length) seedPrefixes(i) else s"$i:".getBytes("UTF-8")
 
+  private val md5Scratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+
   /** Update a k×16-byte MinHash minima buffer with one token:
-    * mh(i) = min(mh(i), md5("i:" ++ token)) for each seed i. */
+    * mh(i) = min(mh(i), md5("i:" ++ token)) for each seed i.
+    * Digests land in a thread-local scratch buffer — k digests per
+    * token over 10⁷-token corpora make the per-digest allocation a
+    * measurable constant factor. */
   def minhashUpdate(mh: Array[Byte], k: Int, token: String): Unit = {
     val tb = token.getBytes("UTF-8")
+    val md = md5Local.get()
+    val h = md5Scratch.get()
     var i = 0
     while (i < k) {
-      val h = md5bytes(seedPrefix(i), tb)
+      md.reset(); md.update(seedPrefix(i)); md.update(tb)
+      md.digest(h, 0, 16)
       if (less(h, 0, mh, i * 16)) System.arraycopy(h, 0, mh, i * 16, 16)
       i += 1
     }

@@ -23,6 +23,15 @@ object FastJsonRule extends Rule[LogicalPlan] {
         case _ => g
       }
   }
+
+  /** Install into an ALREADY-RUNNING session (extensions are fixed at
+    * session construction; `getOrCreate` may have reused one built
+    * without them). Idempotent — the rule matches nothing once
+    * rewritten. */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
 }
 
 /** Session extensions entry point: enable with

@@ -203,9 +203,14 @@ object DedupOps {
     * broadcast distinct sets): lower latency than the shuffle join when
     * the distinct-set count is tiny, but O(sets²) work and O(sets)
     * driver memory — NEVER the default. */
-  def jaccardDocPairsKernel(s: SparkSession, tok: DataFrame, tau: Double): DataFrame = {
+  def jaccardDocPairsKernel(s: SparkSession, tok: DataFrame, tau: Double): DataFrame =
+    jaccardDocPairsKernelSets(s, distinctSetsOf(s, tok), tau)
+
+  /** kernel core over pre-collected distinct sets — lets the auto
+    * dispatch reuse its bounded probe collect as the kernel input
+    * instead of running the set-building aggregation twice */
+  def jaccardDocPairsKernelSets(s: SparkSession, compact: Array[TokSet], tau: Double): DataFrame = {
     import s.implicits._
-    val compact = distinctSetsOf(s, tok)
     val useMask = compact.nonEmpty && compact.forall(_.mask != 0L) &&
       compact.flatMap(_.ids).distinct.length <= 64
     val bc = s.sparkContext.broadcast(compact)
@@ -247,14 +252,24 @@ object DedupOps {
   }
 
   /** Dispatch: the shuffle join unless the corpus provably fits the
-    * driver kernel (`maxKernelSets` distinct sets). The count is one
-    * cheap aggregate job; at scale callers should pass 0 to skip it. */
+    * driver kernel (`maxKernelSets` distinct sets). ONE bounded
+    * collect doubles as the size probe AND the kernel input (the
+    * labelPropagateAuto pattern): `limit(cap+1)` caps what can ever
+    * land on the driver, and a small corpus pays the set-building
+    * aggregation once instead of twice. Over-cap corpora fall back to
+    * the shuffle join, re-deriving from `tok` — the big-corpus path,
+    * where one extra aggregate is noise. At scale callers pass 0 to
+    * skip the probe entirely. */
   def jaccardDocPairsAuto(s: SparkSession, tok: DataFrame, tau: Double,
                           maxKernelSets: Int = 4096): DataFrame = {
-    if (maxKernelSets > 0 &&
-        distinctSetsDF(tok).select(col("sid")).limit(maxKernelSets + 1).count() <= maxKernelSets)
-      jaccardDocPairsKernel(s, tok, tau)
-    else jaccardDocPairs(s, tok, tau)
+    import s.implicits._
+    if (maxKernelSets > 0) {
+      val bounded = distinctSetsDF(tok).select(col("toks"), col("members"))
+        .limit(maxKernelSets + 1).as[(Seq[String], Seq[Long])].collect()
+      if (bounded.length <= maxKernelSets)
+        jaccardDocPairsKernelSets(s, compactSets(bounded), tau)
+      else jaccardDocPairs(s, tok, tau)
+    } else jaccardDocPairs(s, tok, tau)
   }
 
   /** Distinct token sets, collected: the driver-kernel representation.
@@ -263,12 +278,8 @@ object DedupOps {
   final case class TokSet(toks: Array[String], ids: Array[Int], mask: Long,
                           members: Array[Long])
 
-  def distinctSetsOf(s: SparkSession, tok: DataFrame): Array[TokSet] = {
-    import s.implicits._
-    val sets = tok
-      .groupBy("doc_id").agg(sort_array(collect_set(col("w"))).as("toks"))
-      .groupBy("toks").agg(collect_list(col("doc_id")).as("members"))
-      .as[(Seq[String], Seq[Long])].collect()
+  /** compact collected (toks, members) rows into the kernel form */
+  def compactSets(sets: Array[(Seq[String], Seq[Long])]): Array[TokSet] = {
     val vocab = sets.flatMap(_._1).distinct.sorted.zipWithIndex.toMap
     val useMask = vocab.size <= 64
     sets.map { case (ts, ms) =>
@@ -276,6 +287,12 @@ object DedupOps {
       val mask = if (useMask) ids.foldLeft(0L)((m, i) => m | (1L << i)) else 0L
       TokSet(ts.toArray, ids, mask, ms.toArray.sorted)
     }
+  }
+
+  def distinctSetsOf(s: SparkSession, tok: DataFrame): Array[TokSet] = {
+    import s.implicits._
+    compactSets(distinctSetsDF(tok).select(col("toks"), col("members"))
+      .as[(Seq[String], Seq[Long])].collect())
   }
 
   import graft.functions.Hashing
@@ -652,7 +669,15 @@ object DedupOps {
   spark("d_minhash_sigs",
     (s, d) => {
       import s.implicits._
-      Tables.t(s, d, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+      val base = Tables.t(s, d, "documents").select(col("doc_id"), col("text"))
+      // the hashing pass is compute-bound (16 md5s per distinct token):
+      // when the scan yields fewer splits than cores (small files),
+      // rebalance up to the session parallelism so every core hashes —
+      // at scale splits >> cores and this is a no-op, no pinned plan
+      val par = s.sparkContext.defaultParallelism
+      val balanced =
+        if (base.rdd.getNumPartitions < par) base.repartition(par) else base
+      balanced.as[(Long, String)]
         .map { case (id, text) =>
           val k = 16
           val mh = new Array[Byte](k * 16)

@@ -60,34 +60,59 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
     count = 0
   }
 
+  /** Per-column append kernel, resolved ONCE at writer construction:
+    * the former per-VALUE dataType match chain (plus per-value
+    * timestamp-unit string compare) was the hot path of the whole
+    * write — a 17-column × N-row write ran ~8 instanceof branches per
+    * cell. One monomorphic virtual call per cell instead. */
+  private abstract class Appender { def append(row: InternalRow, i: Int): Unit }
+
+  private def appenderFor(c: Int): Appender = fields(c).dataType match {
+    case BooleanType => new Appender {
+      def append(r: InternalRow, i: Int): Unit = longs(c)(i) = if (r.getBoolean(c)) 1L else 0L }
+    case ByteType => new Appender {
+      def append(r: InternalRow, i: Int): Unit = longs(c)(i) = r.getByte(c).toLong }
+    case ShortType => new Appender {
+      def append(r: InternalRow, i: Int): Unit = longs(c)(i) = r.getShort(c).toLong }
+    case IntegerType | DateType => new Appender {
+      def append(r: InternalRow, i: Int): Unit = longs(c)(i) = r.getInt(c).toLong }
+    case TimestampType | TimestampNTZType =>
+      if (tsUnits(c) == "us") new Appender {
+        def append(r: InternalRow, i: Int): Unit = longs(c)(i) = r.getLong(c) }
+      else { val unit = tsUnits(c); new Appender {
+        def append(r: InternalRow, i: Int): Unit = longs(c)(i) = storedFromMicros(r.getLong(c), unit) } }
+    case LongType => new Appender {
+      def append(r: InternalRow, i: Int): Unit = longs(c)(i) = r.getLong(c) }
+    case FloatType => new Appender {
+      def append(r: InternalRow, i: Int): Unit =
+        longs(c)(i) = java.lang.Float.floatToIntBits(r.getFloat(c)).toLong }
+    case DoubleType => new Appender {
+      def append(r: InternalRow, i: Int): Unit =
+        longs(c)(i) = java.lang.Double.doubleToLongBits(r.getDouble(c)) }
+    case d: DecimalType if d.precision <= 18 => new Appender {
+      def append(r: InternalRow, i: Int): Unit =
+        longs(c)(i) = r.getDecimal(c, d.precision, d.scale).toUnscaledLong }
+    case d: DecimalType => new Appender {
+      def append(r: InternalRow, i: Int): Unit =
+        bins(c)(i) = r.getDecimal(c, d.precision, d.scale)
+          .toJavaBigDecimal.unscaledValue.toByteArray }
+    case StringType => new Appender {
+      def append(r: InternalRow, i: Int): Unit = bins(c)(i) = r.getUTF8String(c).getBytes }
+    case BinaryType => new Appender {
+      def append(r: InternalRow, i: Int): Unit = bins(c)(i) = r.getBinary(c) }
+    case dt if NestedCodec.isNested(dt) && NestedCodec.supported(dt) => new Appender {
+      def append(r: InternalRow, i: Int): Unit = bins(c)(i) = NestedCodec.serialize(r.get(c, dt), dt) }
+    case other => throw new UnsupportedOperationException(s"vortex: unsupported type $other")
+  }
+
+  private val appenders: Array[Appender] = Array.tabulate(nCols)(appenderFor)
+
   def write(row: InternalRow): Unit = {
     var c = 0
     while (c < nCols) {
       if (row.isNullAt(c)) nulls(c)(count) = true
       else {
-        fields(c).dataType match {
-        case BooleanType => longs(c)(count) = if (row.getBoolean(c)) 1L else 0L
-        case ByteType => longs(c)(count) = row.getByte(c).toLong
-        case ShortType => longs(c)(count) = row.getShort(c).toLong
-        case IntegerType | DateType => longs(c)(count) = row.getInt(c).toLong
-        case TimestampType | TimestampNTZType =>
-          longs(c)(count) =
-            if (tsUnits(c) == "us") row.getLong(c)
-            else storedFromMicros(row.getLong(c), tsUnits(c))
-        case LongType => longs(c)(count) = row.getLong(c)
-        case FloatType => longs(c)(count) = java.lang.Float.floatToIntBits(row.getFloat(c)).toLong
-        case DoubleType => longs(c)(count) = java.lang.Double.doubleToLongBits(row.getDouble(c))
-        case d: DecimalType if d.precision <= 18 =>
-          longs(c)(count) = row.getDecimal(c, d.precision, d.scale).toUnscaledLong
-        case d: DecimalType =>
-          bins(c)(count) = row.getDecimal(c, d.precision, d.scale)
-            .toJavaBigDecimal.unscaledValue.toByteArray
-        case StringType => bins(c)(count) = row.getUTF8String(c).getBytes
-        case BinaryType => bins(c)(count) = row.getBinary(c)
-        case dt if NestedCodec.isNested(dt) && NestedCodec.supported(dt) =>
-          bins(c)(count) = NestedCodec.serialize(row.get(c, dt), dt)
-        case other => throw new UnsupportedOperationException(s"vortex: unsupported type $other")
-        }
+        appenders(c).append(row, count)
         if (sumOk(c)) {
           // integral / unscaled-decimal longs land in longs(c)(count)
           try sums(c) = Math.addExact(sums(c), longs(c)(count))

@@ -89,7 +89,13 @@ class DedupScaleSpec extends AnyFunSuite {
     val stripped = src.replaceAll("(?s)/\\*.*?\\*/", "")
     val hits = java.util.regex.Pattern.quote(".collect()").r
       .findAllIn(stripped).size
-    assert(hits == 4, s"expected exactly 4 gated collect() in DedupOps, found $hits")
+    // 5 gated sites: distinctSetsOf (kernel-only wrapper),
+    // labelPropagateKernel wrapper + kernel-core ids collect,
+    // labelPropagateAuto's limit(cap+1)-bounded probe, and
+    // jaccardDocPairsAuto's limit(cap+1)-bounded probe-and-input
+    // collect (round 5: the probe IS the kernel input, one aggregation
+    // instead of two)
+    assert(hits == 5, s"expected exactly 5 gated collect() in DedupOps, found $hits")
     def bodyOf(defName: String): String = {
       val b = src.substring(src.indexOf(s"def $defName"))
       b.take(b.indexOf("\n  }"))
@@ -101,6 +107,7 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(bodyOf("labelPropagateKernel(").contains(".collect()"))
     assert(bodyOf("labelPropagateKernelEdges").contains(".collect()"))
     assert(bodyOf("labelPropagateAuto").contains("limit(maxKernelPairs + 1)"))
+    assert(bodyOf("jaccardDocPairsAuto").contains("limit(maxKernelSets + 1)"))
     // and the distributed labelPropagate stays shuffle-only
     assert(!bodyOf("labelPropagate(").contains(".collect()"))
   }

@@ -11,13 +11,20 @@ import graft.functions.JsonFast
   * on the cases it fast-paths, and by BAILing to the built-in on every
   * case it cannot prove. */
 class JsonFastSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    // getOrCreate may reuse another suite's session, where builder
+    // extensions never applied — use the runtime install path (also
+    // the path a library user takes on an existing session)
+    graft.plans.FastJsonRule.install(s)
+    s
+  }
 
   private val cases: Seq[String] = Seq(
     """{"k": 69}""",
