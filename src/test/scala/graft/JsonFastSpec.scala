@@ -74,6 +74,50 @@ class JsonFastSpec extends AnyFunSuite {
     }
   }
 
+  test("property: fast scan + fallback == built-in on random JSON documents") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, Literal}
+    import org.apache.spark.sql.types.StringType
+
+    val keyGen = Gen.oneOf("k", "key_2", "K", "nested", "kk")
+    val scalarGen: Gen[String] = Gen.oneOf(
+      Gen.choose(-1000000L, 1000000L).map(_.toString),
+      Gen.choose(-1e6, 1e6).map(d => f"$d%.3f"),
+      Gen.oneOf("true", "false", "null"),
+      Gen.alphaNumStr.map(s => "\"" + s.take(12) + "\""),
+      Gen.const("\"esc\\\"aped\\\\x\""),
+      Gen.const("\"unicode\\u00e9\""),
+      Gen.const("1e5"), Gen.const("0.5"), Gen.const("007"))
+    def valueGen(depth: Int): Gen[String] =
+      if (depth <= 0) scalarGen
+      else Gen.frequency(
+        6 -> scalarGen,
+        1 -> Gen.listOfN(2, valueGen(depth - 1)).map(_.mkString("[", ",", "]")),
+        1 -> objGen(depth - 1))
+    def objGen(depth: Int): Gen[String] =
+      Gen.choose(0, 4).flatMap(n =>
+        Gen.listOfN(n, for { k <- keyGen; v <- valueGen(depth) } yield s""""$k": $v""")
+          .map(_.mkString("{", ", ", "}")))
+    val docGen: Gen[String] = Gen.frequency(
+      8 -> objGen(2),
+      1 -> Gen.const("not json"),
+      1 -> Gen.const("[1,2]"))
+
+    val k = UTF8String.fromString("k")
+    val fb = new graft.functions.JsonFallback("k")
+    val docs = Gen.listOfN(500, docGen).sample.getOrElse(Seq.empty)
+    assert(docs.nonEmpty)
+    docs.foreach { js =>
+      val expected = Option(
+        GetJsonObject(Literal.create(js, StringType), Literal.create("$.k", StringType))
+          .eval(null)).map(_.toString).orNull
+      val fast = JsonFast.extract(UTF8String.fromString(js), k)
+      val got = if (fast eq JsonFast.BAIL) fb(UTF8String.fromString(js)) else fast
+      val gotStr = if (got == null) null else got.toString
+      assert(gotStr == expected, s"mismatch on <$js>: fast=$gotStr builtin=$expected")
+    }
+  }
+
   test("optimizer rule rewrites simple literal paths and leaves complex ones") {
     // non-foldable input (a literal would constant-fold into a
     // LocalRelation before the plan can be inspected)
