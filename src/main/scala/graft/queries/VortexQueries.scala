@@ -203,11 +203,16 @@ object VortexQueries {
       s.read.format("vortex").load(dsNested.ensure(s, d))
         .selectExpr("vec_id", "label",
           "CAST(size(embedding) AS BIGINT) AS dim",
-          "CAST(CAST(element_at(embedding, 1) AS DECIMAL(18,6)) AS DOUBLE) AS e1")
+          // float → DOUBLE first: DuckDB casts FLOAT→DECIMAL via the
+          // float's shortest decimal form (half-even), Spark via the
+          // exact double — divergent at half-boundary floats. Widening
+          // to DOUBLE is exact in both engines, making the DECIMAL
+          // rounding identical.
+          "CAST(CAST(CAST(element_at(embedding, 1) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS e1")
         .orderBy("vec_id")
     },
     """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
-      |  CAST(CAST(embedding[1] AS DECIMAL(18,6)) AS DOUBLE) AS e1
+      |  CAST(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS e1
       |FROM embeddings ORDER BY vec_id""".stripMargin)
 
   // S7: partitioned read with a partition filter (pruned to one
