@@ -34,6 +34,15 @@ final case class Engine(spark: SparkSession) {
     w.save(path)
   }
 
+  /** Bulk ingest (≙ DuckDB `COPY table TO 'f.vortex'`): when the plan
+    * is a bare columnar scan, feeds its ColumnarBatches straight into
+    * the chunk encoder — no row conversion, no per-row writer calls;
+    * otherwise identical to [[writeVortex]]. Same commit protocol,
+    * layout, and stats manifest either way. */
+  def copyToVortex(df: DataFrame, path: String, overwrite: Boolean = true,
+                   chunkRows: Int = sources.vortex.VortexFormat.DefaultChunkRows): Unit =
+    sources.vortex.VortexBulkCopy.copy(df, path, chunkRows, overwrite)
+
   def readVortexStream(path: String): DataFrame =
     spark.readStream.format("vortex").load(path)
 

@@ -297,7 +297,9 @@ object VortexQueries {
   sparkBench("s3_vortex_write",
     (s, d) => {
       val dir = vdir("write_s3", d)
-      typedOrders(s, d).write.format("vortex").mode("overwrite").save(dir)
+      // COPY-equivalent bulk path; the cast projection above the scan
+      // keeps this one on the row fallback (spec-asserted both ways)
+      graft.sources.vortex.VortexBulkCopy.copy(typedOrders(s, d), dir)
       s.read.format("vortex").load(dir)
         .agg(count(lit(1)).as("Count"))
     },
@@ -323,8 +325,10 @@ object VortexQueries {
   sparkBench("s4_vortex_write_chunks",
     (s, d) => {
       val dir = vdir("write_s4", d)
-      Tables.t(s, d, "lineitem")
-        .write.format("vortex").option("chunkRows", "8192").mode("overwrite").save(dir)
+      // bare scan → the vectorized bulk-copy path (no ColumnarToRow):
+      // ≙ DuckDB COPY feeding the sink whole DataChunks
+      graft.sources.vortex.VortexBulkCopy.copy(Tables.t(s, d, "lineitem"), dir,
+        chunkRows = 8192)
       s.read.format("vortex").load(dir)
         .agg(count(lit(1)).as("Count"))
     },

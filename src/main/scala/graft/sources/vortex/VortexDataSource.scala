@@ -972,41 +972,10 @@ class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunk
       chunkRows, partitionCols, bucketSpec)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val root = new Path(dir)
-    val fs = root.getFileSystem(hconf)
-    val written = messages.collect { case VortexCommit(fls, _) => fls }.flatten
-      .map(f => fs.makeQualified(new Path(f)).toString).toSet
-    preExisting.filterNot(written.contains).foreach(f => fs.delete(new Path(f), false))
-    if (truncate) StatsManifest.delete(root, hconf) // stale stats go with the data
-    // pruning tier 1.5: aggregate each committed footer to file-level
-    // stats in one manifest per commit job (see StatsManifest); the
-    // writers' exact column sums ride along for SUM pushdown
-    val rootQ = fs.makeQualified(root).toString
-    val sumsByFile: Map[String, IndexedSeq[Option[Long]]] =
-      messages.collect { case VortexCommit(_, sums) => sums }.flatten
-        .map { case (f, s) => fs.makeQualified(new Path(f)).toString -> s }.toMap
-    val entries = written.toSeq.sorted.flatMap { f =>
-      try {
-        val p = new Path(f)
-        val st = fs.getFileStatus(p)
-        val rel = f.stripPrefix(rootQ).stripPrefix("/")
-        val base = StatsManifest.fromFooter(rel, st.getLen, VortexFileReader.readFooter(p, hconf))
-        Some(sumsByFile.get(f) match {
-          case Some(s) if s.length == base.cols.length =>
-            base.copy(cols = base.cols.zip(s).map { case (c, cs) => c.copy(sum = cs) })
-          case _ => base
-        })
-      } catch { case _: Exception => None }
-    }
-    StatsManifest.write(root, hconf, jobId, entries,
-      Some(StructType(schema.fields.filterNot(f => partitionCols.contains(f.name)))))
-    bucketSpec match {
-      case Some((k, n)) => BucketSpecFile.write(root, hconf, k, n)
-      case None if truncate => BucketSpecFile.delete(root, hconf)
-      case None =>
-    }
-  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    VortexCommitOps.commitJob(dir, hconf, jobId,
+      messages.collect { case m: VortexCommit => m }.toSeq, schema,
+      truncate, preExisting, partitionCols, bucketSpec)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(hconf)

@@ -125,6 +125,127 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
     if (count == chunkRows) flushChunk()
   }
 
+  /** Columnar bulk-copy fill kernel, resolved once per column like
+    * [[appenderFor]]: copies rows [src, src+len) of a ColumnVector into
+    * this writer's chunk buffers at [dst, dst+len). Column-outer
+    * segment loops — one monomorphic primitive loop per column segment
+    * instead of a row-iterator step + virtual appender call per cell.
+    * Primitive fills read null slots too (vector getters are safe
+    * there and the codec ignores slots flagged in `nulls`); object
+    * fills must skip them. */
+  private abstract class BatchFill {
+    def fill(vec: org.apache.spark.sql.vectorized.ColumnVector,
+             src: Int, dst: Int, len: Int): Unit
+  }
+  private type CV = org.apache.spark.sql.vectorized.ColumnVector
+
+  private def batchFillFor(c: Int): BatchFill = fields(c).dataType match {
+    case BooleanType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
+      val l = longs(c); var k = 0
+      while (k < n) { l(d + k) = if (!v.isNullAt(s + k) && v.getBoolean(s + k)) 1L else 0L; k += 1 } } }
+    case ByteType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
+      val l = longs(c); var k = 0
+      while (k < n) { l(d + k) = v.getByte(s + k).toLong; k += 1 } } }
+    case ShortType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
+      val l = longs(c); var k = 0
+      while (k < n) { l(d + k) = v.getShort(s + k).toLong; k += 1 } } }
+    case IntegerType | DateType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
+      val l = longs(c); var k = 0
+      while (k < n) { l(d + k) = v.getInt(s + k).toLong; k += 1 } } }
+    case TimestampType | TimestampNTZType =>
+      if (tsUnits(c) == "us") new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
+        val l = longs(c); var k = 0
+        while (k < n) { l(d + k) = v.getLong(s + k); k += 1 } } }
+      else { val unit = tsUnits(c); new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
+        val l = longs(c); var k = 0
+        while (k < n) {
+          if (!v.isNullAt(s + k)) l(d + k) = storedFromMicros(v.getLong(s + k), unit)
+          k += 1 } } } }
+    case LongType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
+      val l = longs(c); var k = 0
+      while (k < n) { l(d + k) = v.getLong(s + k); k += 1 } } }
+    case FloatType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
+      val l = longs(c); var k = 0
+      while (k < n) { l(d + k) = java.lang.Float.floatToIntBits(v.getFloat(s + k)).toLong; k += 1 } } }
+    case DoubleType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
+      val l = longs(c); var k = 0
+      while (k < n) { l(d + k) = java.lang.Double.doubleToLongBits(v.getDouble(s + k)); k += 1 } } }
+    case dt: DecimalType if dt.precision <= 18 => new BatchFill {
+      def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
+        val l = longs(c); var k = 0
+        while (k < n) {
+          if (!v.isNullAt(s + k)) l(d + k) = v.getDecimal(s + k, dt.precision, dt.scale).toUnscaledLong
+          k += 1 } } }
+    case dt: DecimalType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
+      val b = bins(c); var k = 0
+      while (k < n) {
+        if (!v.isNullAt(s + k)) b(d + k) = v.getDecimal(s + k, dt.precision, dt.scale)
+          .toJavaBigDecimal.unscaledValue.toByteArray
+        k += 1 } } }
+    case StringType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
+      val b = bins(c); var k = 0
+      while (k < n) {
+        // getBytes copies out of the (reused) batch buffer
+        if (!v.isNullAt(s + k)) b(d + k) = v.getUTF8String(s + k).getBytes
+        k += 1 } } }
+    case BinaryType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
+      val b = bins(c); var k = 0
+      while (k < n) { if (!v.isNullAt(s + k)) b(d + k) = v.getBinary(s + k); k += 1 } } }
+    case dt if NestedCodec.isNested(dt) && NestedCodec.supported(dt) => new BatchFill {
+      def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
+        val b = bins(c); var k = 0
+        while (k < n) {
+          if (!v.isNullAt(s + k)) {
+            val value: Any = dt match {
+              case at: ArrayType => v.getArray(s + k)
+              case mt: MapType => v.getMap(s + k)
+              case st: StructType => v.getStruct(s + k)
+              case _ => null // unreachable: isNested gates
+            }
+            b(d + k) = NestedCodec.serialize(value, dt)
+          }
+          k += 1 } } }
+    case other => throw new UnsupportedOperationException(s"vortex: unsupported type $other")
+  }
+
+  private lazy val batchFills: Array[BatchFill] = Array.tabulate(nCols)(batchFillFor)
+
+  /** Bulk-copy entry: append a whole ColumnarBatch (e.g. straight from
+    * the vectorized parquet reader — see VortexBulkCopy) without ever
+    * materializing rows. Produces byte-identical files to the row path:
+    * same chunking, encodings, footer, and exact column sums. */
+  def writeBatch(batch: org.apache.spark.sql.vectorized.ColumnarBatch): Unit = {
+    val total = batch.numRows()
+    var src = 0
+    while (src < total) {
+      val len = math.min(chunkRows - count, total - src)
+      var c = 0
+      while (c < nCols) {
+        val vec = batch.column(c)
+        if (vec.hasNull) {
+          val nl = nulls(c); var k = 0
+          while (k < len) { if (vec.isNullAt(src + k)) nl(count + k) = true; k += 1 }
+        }
+        batchFills(c).fill(vec, src, count, len)
+        // exact sums ride the long buffers, same as write()
+        if (sumOk(c)) {
+          val l = longs(c); val nl = nulls(c); var k = 0
+          while (k < len && sumOk(c)) {
+            if (!nl(count + k)) {
+              try sums(c) = Math.addExact(sums(c), l(count + k))
+              catch { case _: ArithmeticException => sumOk(c) = false }
+            }
+            k += 1
+          }
+        }
+        c += 1
+      }
+      count += len
+      src += len
+      if (count == chunkRows) flushChunk()
+    }
+  }
+
   private def flushChunk(): Unit = {
     if (count == 0) return
     val metas = new Array[ColumnChunkMeta](nCols)
