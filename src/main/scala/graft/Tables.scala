@@ -24,18 +24,24 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects outright. Read nanos as long and normalize to
-      // Spark's native µs timestamps (values are µs-aligned; the same
-      // normalization DuckDB applies when it surfaces the column as
-      // TIMESTAMP). SURVEY.md §1.3 timestamp rule.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some
+      // testdata generations (which Spark's vectorized reader rejects
+      // outright — read nanos as long, normalize to µs) and as plain
+      // µs in others: branch on the type actually read, so either
+      // generation surfaces as the same NTZ µs column (matching how
+      // DuckDB surfaces TIMESTAMP; SURVEY.md §1.3 timestamp rule).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val tsExpr = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
           // NTZ to match how Spark infers the other tables' timestamps
           // (and how DuckDB surfaces TIMESTAMP) — keeps oracle outputs
           // byte-identical under the UTC session.
-          org.apache.spark.sql.functions.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+          org.apache.spark.sql.functions.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+        case _ =>
+          org.apache.spark.sql.functions.expr("CAST(ts AS TIMESTAMP_NTZ)")
+      }
+      raw.withColumn("ts", tsExpr)
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register all tables as temp views named exactly like the DuckDB

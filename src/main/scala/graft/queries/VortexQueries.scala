@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.sources.vortex.VortexZOrder
 
 /** SURVEY.md §2.1 S1–S4 + P1/P2 over the custom `vortex` DataSource.
   *
@@ -137,6 +138,19 @@ object VortexQueries {
     Tables.t(s, d, "orders")
       .write.format("vortex")
       .option("bucketBy", "o_custkey").option("buckets", "16")
+      .mode("overwrite").save(dir)
+  }
+
+  /** events z-order clustered by (user_id, ts) — multi-dim zone maps */
+  private val dsZOrdered = dataset("zordered", Seq("events"), "v1") { (s, d, dir) =>
+    VortexZOrder.writeZOrdered(Tables.t(s, d, "events"), Seq("user_id", "ts"), dir,
+      numFiles = 2, options = Map("chunkRows" -> "4096"))
+  }
+
+  /** lineitem with a manifest bloom on l_orderkey (point-lookup path) */
+  private val dsBloomed = dataset("bloomed", Seq("lineitem"), "v1") { (s, d, dir) =>
+    Tables.t(s, d, "lineitem").repartition(4)
+      .write.format("vortex").option("bloomFilters", "l_orderkey")
       .mode("overwrite").save(dir)
   }
 
@@ -282,6 +296,42 @@ object VortexQueries {
     """SELECT l_returnflag, count(*) AS n, min(l_orderkey) AS min_key,
       |  max(l_orderkey) AS max_key, CAST(sum(l_orderkey) AS BIGINT) AS sum_key
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  // S10: z-order clustered layout — the Morton key of (user_id, ts)
+  // makes BOTH dimensions' chunk min/max ranges narrow, so a 2-dim
+  // box predicate prunes chunks a single-column sort cannot
+  // (VortexZOrder + graft.functions.ZValue; read side unchanged).
+  spark("s10_vortex_zorder",
+    (s, d) => {
+      s.read.format("vortex").load(dsZOrdered.ensure(s, d))
+        .filter(col("user_id").between(0, 9) &&
+          col("ts") >= lit("2024-01-10").cast("timestamp") &&
+          col("ts") < lit("2024-01-15").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+        .orderBy("event_type")
+    },
+    """SELECT event_type, count(*) AS n, sum(value) AS sum_v
+      |FROM events
+      |WHERE user_id BETWEEN 0 AND 9
+      |  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin)
+
+  // S11: manifest-bloom point lookup — `IN` over a high-cardinality
+  // unsorted id prunes whole files at plan time where min/max never
+  // can (the 100 TB "find these rows" path; BloomFilter.scala).
+  spark("s11_vortex_bloom",
+    (s, d) => {
+      s.read.format("vortex").load(dsBloomed.ensure(s, d))
+        .filter(col("l_orderkey").isin(1L, 3L, 999999999L))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        // synthetic lineitem can repeat (orderkey, linenumber): the
+        // dump order must be TOTAL or the hash compare ties differently
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    },
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_orderkey IN (1, 3, 999999999)
+      |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)
 
   // ---- S3/S4 write rows (the write IS the timed operation) -----------
 

@@ -121,4 +121,50 @@ object FilterPruning {
       case _ => false
     }
   }
+
+  /** true → the file's bloom filter (see BloomFilter.scala) proves no
+    * row can satisfy an equality filter. Probe-side hashing reproduces
+    * the writer's storage domain via the same toDomain/toStoredUnit
+    * used for range pruning (plus -0.0 normalization); any value the
+    * domain can't represent exactly conservatively never skips. A null
+    * IN-list element matches no row under SQL `=`, so it never blocks
+    * the skip. */
+  def bloomSkip(filter: Filter, bloomOf: String => Option[Sbbf],
+                schema: StructType): Boolean = {
+    def hashOf(name: String, v: Any): Option[Long] = {
+      val i = schema.fieldNames.indexOf(name)
+      if (i < 0 || v == null) return None
+      val dt = schema.fields(i).dataType
+      dt match {
+        case BinaryType => v match {
+          case b: Array[Byte] => Some(Sbbf.hashBytes(b))
+          case _ => None
+        }
+        case _ =>
+          toDomain(v, dt)
+            .flatMap(toStoredUnit(_, VortexFormat.tsUnit(schema.fields(i))))
+            .map {
+              case Left(l) =>
+                val norm = dt match {
+                  case FloatType => Sbbf.normFloatBits(l)
+                  case DoubleType => Sbbf.normDoubleBits(l)
+                  case _ => l
+                }
+                Sbbf.hashLong(norm)
+              case Right(b) => Sbbf.hashBytes(b)
+            }
+      }
+    }
+    def absent(name: String, v: Any): Boolean =
+      bloomOf(name).exists(f => hashOf(name, v).exists(h => !f.mightContain(h)))
+    filter match {
+      case EqualTo(a, v) => absent(a, v)
+      case EqualNullSafe(a, v) if v != null => absent(a, v)
+      case In(a, vs) if vs != null && vs.nonEmpty =>
+        vs.forall(v => v == null || absent(a, v))
+      case And(l, r) => bloomSkip(l, bloomOf, schema) || bloomSkip(r, bloomOf, schema)
+      case Or(l, r) => bloomSkip(l, bloomOf, schema) && bloomSkip(r, bloomOf, schema)
+      case _ => false
+    }
+  }
 }

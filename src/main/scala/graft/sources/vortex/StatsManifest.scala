@@ -44,9 +44,15 @@ object StatsManifest {
     * writer-accumulated — integral/decimal≤18 only, absent on overflow
     * or for any other type. Powers SUM pushdown (VortexStatsPushdown);
     * float sums are deliberately excluded (order-dependent). */
+  /** `bloom`: optional per-file SBBF over the column's non-null values
+    * in their storage domain (see BloomFilter.scala), writer-built for
+    * columns opted in via the "bloomFilters" writer option. Probed at
+    * plan time for `=` / `IN` filters where min/max can't prune
+    * (high-cardinality unsorted ids); absent → never skips. */
   final case class ColStats(name: String, nulls: Long,
                             min: Option[Array[Byte]], max: Option[Array[Byte]],
-                            sum: Option[Long] = None)
+                            sum: Option[Long] = None,
+                            bloom: Option[Array[Byte]] = None)
 
   /** Per-chunk mirror of the footer's ChunkMeta, stats only (columns
     * in file-schema order; `bytes` = encoded size of all pages, the
@@ -160,6 +166,7 @@ object StatsManifest {
         c.min.foreach(m => co.put("min", b64(m)))
         c.max.foreach(m => co.put("max", b64(m)))
         c.sum.foreach(s => co.put("sum", s))
+        c.bloom.foreach(b => co.put("bloom", b64(b)))
       }
       e.chunks.foreach { chunks =>
         val ca = o.putArray("chunks")
@@ -218,7 +225,8 @@ object StatsManifest {
             val c = cit.next()
             cols += ColStats(c.get("name").asText(), c.get("nulls").asLong(),
               bin(c, "min"), bin(c, "max"),
-              Option(c.get("sum")).map(_.asLong()))
+              Option(c.get("sum")).map(_.asLong()),
+              bin(c, "bloom"))
           }
           val chunks = Option(e.get("chunks")).map { ca =>
             val buf = scala.collection.mutable.ArrayBuffer[ChunkStats]()

@@ -34,16 +34,24 @@ object VortexCommitOps {
     val sumsByFile: Map[String, IndexedSeq[Option[Long]]] =
       messages.flatMap(_.sums)
         .map { case (f, s) => fs.makeQualified(new Path(f)).toString -> s }.toMap
+    val bloomsByFile: Map[String, IndexedSeq[Option[Array[Byte]]]] =
+      messages.flatMap(_.blooms)
+        .map { case (f, b) => fs.makeQualified(new Path(f)).toString -> b }.toMap
     val entries = written.toSeq.sorted.flatMap { f =>
       try {
         val p = new Path(f)
         val st = fs.getFileStatus(p)
         val rel = f.stripPrefix(rootQ).stripPrefix("/")
         val base = StatsManifest.fromFooter(rel, st.getLen, VortexFileReader.readFooter(p, hconf))
-        Some(sumsByFile.get(f) match {
+        val withSums = sumsByFile.get(f) match {
           case Some(s) if s.length == base.cols.length =>
             base.copy(cols = base.cols.zip(s).map { case (c, cs) => c.copy(sum = cs) })
           case _ => base
+        }
+        Some(bloomsByFile.get(f) match {
+          case Some(b) if b.length == withSums.cols.length =>
+            withSums.copy(cols = withSums.cols.zip(b).map { case (c, cb) => c.copy(bloom = cb) })
+          case _ => withSums
         })
       } catch { case _: Exception => None }
     }
@@ -97,17 +105,20 @@ object VortexBulkCopy {
     columnarSource(df.queryExecution.executedPlan).isDefined
 
   def copy(df: DataFrame, dir: String, chunkRows: Int = VortexFormat.DefaultChunkRows,
-           overwrite: Boolean = true): Unit = {
+           overwrite: Boolean = true, bloomCols: Set[String] = Set.empty): Unit = {
     columnarSource(df.queryExecution.executedPlan) match {
-      case Some(colPlan) => runColumnar(df, colPlan, dir, chunkRows, overwrite)
+      case Some(colPlan) => runColumnar(df, colPlan, dir, chunkRows, overwrite, bloomCols)
       case None =>
-        df.write.format("vortex").option("chunkRows", chunkRows.toString)
-          .mode(if (overwrite) "overwrite" else "append").save(dir)
+        val w = df.write.format("vortex").option("chunkRows", chunkRows.toString)
+        val wb = if (bloomCols.isEmpty) w
+                 else w.option("bloomFilters", bloomCols.mkString(","))
+        wb.mode(if (overwrite) "overwrite" else "append").save(dir)
     }
   }
 
   private def runColumnar(df: DataFrame, colPlan: SparkPlan, dir: String,
-                          chunkRows: Int, overwrite: Boolean): Unit = {
+                          chunkRows: Int, overwrite: Boolean,
+                          bloomCols: Set[String] = Set.empty): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val schema = df.schema
@@ -139,7 +150,7 @@ object VortexBulkCopy {
         val name = f"part-$pid%05d-$jobId-$tid.vortex"
         val file = new Path(dir, name)
         val tmp = new Path(dir, s".$name.inprogress")
-        val w = new VortexFileWriter(tmp, sconf.value, schema, chunkRows)
+        val w = new VortexFileWriter(tmp, sconf.value, schema, chunkRows, bloomCols)
         try {
           while (it.hasNext) w.writeBatch(it.next())
           w.close()
@@ -147,7 +158,8 @@ object VortexBulkCopy {
           if (!tfs.rename(tmp, file))
             throw new IOException(s"vortex: rename failed for $file")
           Iterator.single(VortexCommit(Seq(file.toString),
-            Map(file.toString -> w.columnSums)))
+            Map(file.toString -> w.columnSums),
+            Map(file.toString -> w.columnBlooms)))
         } catch {
           case e: Throwable =>
             try { w.close() } catch { case _: Exception => }

@@ -150,7 +150,24 @@ class VortexTable(schema: StructType, paths: Seq[String],
       require(!partitionCols.contains(k), s"vortex: bucketBy column $k is a partition column")
       (k, n)
     }.orElse(bucketLayout.filter { case (k, _) => schema.fieldNames.contains(k) })
-    new VortexWriteBuilder(schema, paths.head, chunkRows, partitionCols, bucketSpec)
+    // "bloomFilters" = "col1,col2": per-file SBBF blooms in the commit
+    // manifest — plan-time `=`/`IN` file pruning where min/max ranges
+    // are useless (high-cardinality unsorted ids). Unsupported-type
+    // columns fail fast rather than silently skipping the bloom.
+    val bloomCols = Option(info.options.get("bloomfilters")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+    bloomCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"vortex: bloomFilters column $c not in schema"))
+      require(!partitionCols.contains(c),
+        s"vortex: bloomFilters column $c is a partition column (already pruned by path)")
+      require(Sbbf.supports(f.dataType),
+        s"vortex: bloomFilters unsupported for ${f.dataType.simpleString} column $c")
+    }
+    val bloomMaxBytes = Option(info.options.get("bloommaxbytes")).map(_.toInt)
+      .getOrElse(VortexFormat.DefaultBloomMaxBytes)
+    new VortexWriteBuilder(schema, paths.head, chunkRows, partitionCols, bucketSpec,
+      bloomCols, bloomMaxBytes)
   }
 }
 
@@ -487,17 +504,32 @@ class VortexScan(fileSchema: StructType, required: StructType,
     // the difference between footer round-trips and none.
     val survivingPruned = surviving.filter { case (st, _) =>
       if (filters.isEmpty) true
-      else chunkSources.get(st.getPath.toString) match {
-        case Some(chunks) =>
-          !chunks.forall(ch =>
-            filters.exists(fl => FilterPruning.canSkip(fl, ch.toChunkMeta, dataSchema)))
-        case None =>
-          manifestEntries.get(st.getPath.toString) match {
-            case Some(m) if m.len == st.getLen && m.schemaMatches(expectedData) =>
-              !filters.exists(fl =>
-                FilterPruning.canSkip(fl, m.toChunkMeta(dataSchema), dataSchema))
-            case _ => true
-          }
+      else {
+        // manifest-held file blooms: an `=`/`IN` probe that misses the
+        // bloom drops the file outright — the lookup path where ranges
+        // never prune (high-cardinality unsorted ids)
+        val bloomDrop = manifestEntries.get(st.getPath.toString).exists(m =>
+          m.len == st.getLen && m.schemaMatches(expectedData) &&
+          m.cols.exists(_.bloom.isDefined) && {
+            val blooms = m.cols.collect {
+              case c if c.bloom.isDefined => c.name -> c.bloom.get
+            }.toMap
+            filters.exists(fl => FilterPruning.bloomSkip(fl,
+              n => blooms.get(n).flatMap(Sbbf.fromBytes), dataSchema))
+          })
+        if (bloomDrop) false
+        else chunkSources.get(st.getPath.toString) match {
+          case Some(chunks) =>
+            !chunks.forall(ch =>
+              filters.exists(fl => FilterPruning.canSkip(fl, ch.toChunkMeta, dataSchema)))
+          case None =>
+            manifestEntries.get(st.getPath.toString) match {
+              case Some(m) if m.len == st.getLen && m.schemaMatches(expectedData) =>
+                !filters.exists(fl =>
+                  FilterPruning.canSkip(fl, m.toChunkMeta(dataSchema), dataSchema))
+              case _ => true
+            }
+        }
       }
     }
     // prefetch ONLY the fallback footers, in parallel: at large file
@@ -862,17 +894,22 @@ class VortexPartitionReader(part: VortexInputPartition,
 
 class VortexWriteBuilder(schema: StructType, path: String, chunkRows: Int,
                          partitionCols: Seq[String],
-                         bucketSpec: Option[(String, Int)] = None)
+                         bucketSpec: Option[(String, Int)] = None,
+                         bloomCols: Set[String] = Set.empty,
+                         bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write =
-    new VortexWrite(schema, path, doTruncate, chunkRows, partitionCols, bucketSpec)
+    new VortexWrite(schema, path, doTruncate, chunkRows, partitionCols, bucketSpec,
+      bloomCols, bloomMaxBytes)
 }
 
 class VortexWrite(schema: StructType, path: String, truncate: Boolean, chunkRows: Int,
                   partitionCols: Seq[String] = Seq.empty,
-                  bucketSpec: Option[(String, Int)] = None) extends Write
+                  bucketSpec: Option[(String, Int)] = None,
+                  bloomCols: Set[String] = Set.empty,
+                  bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes) extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 
@@ -899,7 +936,8 @@ class VortexWrite(schema: StructType, path: String, truncate: Boolean, chunkRows
     if (partitionCols.isEmpty) bucketSpec.map(_._2).getOrElse(0) else 0
 
   override def toBatch: BatchWrite =
-    new VortexBatchWrite(schema, path, truncate, chunkRows, partitionCols, bucketSpec)
+    new VortexBatchWrite(schema, path, truncate, chunkRows, partitionCols, bucketSpec,
+      bloomCols, bloomMaxBytes)
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new VortexStreamingWrite(schema, path, chunkRows)
 }
@@ -922,7 +960,7 @@ class VortexStreamingWrite(schema: StructType, dir: String, chunkRows: Int)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(hconf)
-    messages.collect { case VortexCommit(fls, _) => fls }.flatten
+    messages.collect { case VortexCommit(fls, _, _) => fls }.flatten
       .foreach(f => fs.delete(new Path(f), false))
   }
 }
@@ -936,7 +974,9 @@ class VortexStreamingWriterFactory(schema: StructType, dir: String,
 
 class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunkRows: Int,
                        partitionCols: Seq[String],
-                       bucketSpec: Option[(String, Int)] = None) extends BatchWrite {
+                       bucketSpec: Option[(String, Int)] = None,
+                       bloomCols: Set[String] = Set.empty,
+                       bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes) extends BatchWrite {
   private val spark = SparkSession.active
   private val hconf = spark.sessionState.newHadoopConf()
   // appending into an existing bucketed layout with a different spec
@@ -969,7 +1009,7 @@ class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunk
     val fs = p.getFileSystem(hconf)
     if (!fs.exists(p)) fs.mkdirs(p)
     new VortexWriterFactory(schema, dir, jobId, new SerializableConfiguration(hconf),
-      chunkRows, partitionCols, bucketSpec)
+      chunkRows, partitionCols, bucketSpec, bloomCols, bloomMaxBytes)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -979,28 +1019,34 @@ class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunk
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(hconf)
-    messages.collect { case VortexCommit(fls, _) => fls }.flatten
+    messages.collect { case VortexCommit(fls, _, _) => fls }.flatten
       .foreach(f => fs.delete(new Path(f), false))
   }
 }
 
 /** `sums`: per created file, the writer's exact per-stored-column sums
   * (see VortexFileWriter.columnSums) — commit folds them into the
-  * manifest for SUM pushdown. */
+  * manifest for SUM pushdown. `blooms`: per created file, the writer's
+  * per-stored-column SBBF bytes (columns opted in via "bloomFilters"),
+  * folded into the manifest for plan-time point-lookup pruning. */
 case class VortexCommit(files: Seq[String],
-                        sums: Map[String, IndexedSeq[Option[Long]]] = Map.empty)
+                        sums: Map[String, IndexedSeq[Option[Long]]] = Map.empty,
+                        blooms: Map[String, IndexedSeq[Option[Array[Byte]]]] = Map.empty)
     extends WriterCommitMessage
 
 class VortexWriterFactory(schema: StructType, dir: String, jobId: String,
                           conf: SerializableConfiguration,
                           chunkRows: Int, partitionCols: Seq[String],
-                          bucketSpec: Option[(String, Int)] = None) extends DataWriterFactory {
+                          bucketSpec: Option[(String, Int)] = None,
+                          bloomCols: Set[String] = Set.empty,
+                          bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     if (partitionCols.isEmpty && bucketSpec.isEmpty)
-      new VortexDataWriter(schema, dir, jobId, conf.value, partitionId, taskId, chunkRows)
+      new VortexDataWriter(schema, dir, jobId, conf.value, partitionId, taskId, chunkRows,
+        bloomCols, bloomMaxBytes)
     else
       new VortexPartitionedDataWriter(schema, dir, jobId, conf.value, partitionId, taskId,
-        chunkRows, partitionCols, bucketSpec)
+        chunkRows, partitionCols, bucketSpec, bloomCols, bloomMaxBytes)
 }
 
 /** Hive-style partitioned writer: one open file per partition value
@@ -1012,7 +1058,9 @@ class VortexPartitionedDataWriter(schema: StructType, dir: String, jobId: String
                                   conf: org.apache.hadoop.conf.Configuration,
                                   partitionId: Int, taskId: Long, chunkRows: Int,
                                   partitionCols: Seq[String],
-                                  bucketSpec: Option[(String, Int)] = None) extends DataWriter[InternalRow] {
+                                  bucketSpec: Option[(String, Int)] = None,
+                                  bloomCols: Set[String] = Set.empty,
+                                  bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes) extends DataWriter[InternalRow] {
   private val partIdx = partitionCols.map(schema.fieldIndex).toArray
   private val partDts = partIdx.map(schema.fields(_).dataType)
   private val storedIdx = schema.fields.indices.filterNot(partIdx.contains).toArray
@@ -1037,7 +1085,7 @@ class VortexPartitionedDataWriter(schema: StructType, dir: String, jobId: String
       val name = f"part-$partitionId%05d-$jobId-$taskId.vortex"
       val p = new Path(new Path(dir, key), name)
       (p, new VortexFileWriter(new Path(new Path(dir, key), s".$name.inprogress"),
-        conf, storedSchema, chunkRows))
+        conf, storedSchema, chunkRows, bloomCols, bloomMaxBytes))
     })
     var c = 0
     while (c < storedIdx.length) {
@@ -1055,7 +1103,8 @@ class VortexPartitionedDataWriter(schema: StructType, dir: String, jobId: String
       if (!fs.rename(tmp, p)) throw new java.io.IOException(s"vortex: rename failed for $p")
     }
     VortexCommit(writers.values.map(_._1.toString).toSeq,
-      writers.values.map { case (p, w) => p.toString -> w.columnSums }.toMap)
+      writers.values.map { case (p, w) => p.toString -> w.columnSums }.toMap,
+      writers.values.map { case (p, w) => p.toString -> w.columnBlooms }.toMap)
   }
   override def abort(): Unit = {
     writers.values.foreach { case (p, w) =>
@@ -1075,11 +1124,13 @@ class VortexPartitionedDataWriter(schema: StructType, dir: String, jobId: String
   * per-epoch files safe to tail. */
 class VortexDataWriter(schema: StructType, dir: String, jobId: String,
                        conf: org.apache.hadoop.conf.Configuration,
-                       partitionId: Int, taskId: Long, chunkRows: Int) extends DataWriter[InternalRow] {
+                       partitionId: Int, taskId: Long, chunkRows: Int,
+                       bloomCols: Set[String] = Set.empty,
+                       bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes) extends DataWriter[InternalRow] {
   private val name = f"part-$partitionId%05d-$jobId-$taskId.vortex"
   private val file = new Path(dir, name)
   private val tmp = new Path(dir, s".$name.inprogress")
-  private val writer = new VortexFileWriter(tmp, conf, schema, chunkRows)
+  private val writer = new VortexFileWriter(tmp, conf, schema, chunkRows, bloomCols, bloomMaxBytes)
   private var closed = false
 
   override def write(record: InternalRow): Unit = writer.write(record)
@@ -1087,7 +1138,8 @@ class VortexDataWriter(schema: StructType, dir: String, jobId: String,
     writer.close(); closed = true
     val fs = file.getFileSystem(conf)
     if (!fs.rename(tmp, file)) throw new java.io.IOException(s"vortex: rename failed for $file")
-    VortexCommit(Seq(file.toString), Map(file.toString -> writer.columnSums))
+    VortexCommit(Seq(file.toString), Map(file.toString -> writer.columnSums),
+      Map(file.toString -> writer.columnBlooms))
   }
   override def abort(): Unit = {
     if (!closed) try writer.close() catch { case _: Exception => }

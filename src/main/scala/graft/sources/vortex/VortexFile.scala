@@ -14,7 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * metadata, writes footer on close.
   */
 final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType,
-                             chunkRows: Int = VortexFormat.DefaultChunkRows) {
+                             chunkRows: Int = VortexFormat.DefaultChunkRows,
+                             bloomCols: Set[String] = Set.empty,
+                             bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes) {
   import VortexFormat._
 
   private val fs = path.getFileSystem(conf)
@@ -46,6 +48,46 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
     * for decimals); None = unsupported type or long overflow */
   def columnSums: IndexedSeq[Option[Long]] =
     fields.indices.map(i => if (sumOk(i)) Some(sums(i)) else None)
+
+  // opt-in per-file bloom filters (writer option "bloomFilters"):
+  // hashes accumulate chunk-wise over the SAME buffered storage-domain
+  // values the codec encodes (stored-unit ts longs, sign-extended
+  // float bits, unscaled decimals, raw UTF-8), so probe-side hashing
+  // via FilterPruning.toDomain reproduces them exactly
+  private val bloomOn: Array[Boolean] =
+    fields.map(f => bloomCols.contains(f.name) && Sbbf.supports(f.dataType))
+  private val bloomBuilders: Array[BloomBuilder] =
+    Array.tabulate(nCols)(c => if (bloomOn(c)) new BloomBuilder(bloomMaxBytes) else null)
+  private var bloomResults: IndexedSeq[Option[Array[Byte]]] = _
+
+  /** per-stored-column SBBF bytes, available after close(); None =
+    * column not opted in (or unsupported type) */
+  def columnBlooms: IndexedSeq[Option[Array[Byte]]] =
+    if (bloomResults != null) bloomResults else fields.indices.map(_ => None)
+
+  private def bloomPass(): Unit = {
+    var c = 0
+    while (c < nCols) {
+      if (bloomOn(c)) {
+        val b = bloomBuilders(c); val nl = nulls(c)
+        if (fixed(c)) {
+          val l = longs(c); var i = 0
+          fields(c).dataType match {
+            case FloatType =>
+              while (i < count) { if (!nl(i)) b.add(Sbbf.hashLong(Sbbf.normFloatBits(l(i)))); i += 1 }
+            case DoubleType =>
+              while (i < count) { if (!nl(i)) b.add(Sbbf.hashLong(Sbbf.normDoubleBits(l(i)))); i += 1 }
+            case _ =>
+              while (i < count) { if (!nl(i)) b.add(Sbbf.hashLong(l(i))); i += 1 }
+          }
+        } else {
+          val bn = bins(c); var i = 0
+          while (i < count) { if (!nl(i)) b.add(Sbbf.hashBytes(bn(i))); i += 1 }
+        }
+      }
+      c += 1
+    }
+  }
 
   private var count = 0
   private var longs: Array[Array[Long]] = _
@@ -248,6 +290,7 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
 
   private def flushChunk(): Unit = {
     if (count == 0) return
+    bloomPass()
     val metas = new Array[ColumnChunkMeta](nCols)
     var c = 0
     while (c < nCols) {
@@ -267,6 +310,9 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
 
   def close(): Unit = {
     flushChunk()
+    if (bloomOn.exists(identity))
+      bloomResults = fields.indices.map(c =>
+        if (bloomOn(c)) Some(bloomBuilders(c).result()) else None)
     val bos = new java.io.ByteArrayOutputStream()
     val dos = new DataOutputStream(bos)
     writeFooter(dos, Footer(schema, chunks.toArray))

@@ -33,6 +33,10 @@ import org.apache.spark.sql.types._
 object VortexFormat {
   val Magic: Array[Byte] = "VGR1".getBytes("UTF-8")
   val DefaultChunkRows = 65536
+
+  /** per-column cap on a file's manifest bloom (~1% fp up to ~100k
+    * distinct keys at 10 bits/key; degrades gracefully past it) */
+  val DefaultBloomMaxBytes = 128 * 1024
   /** target bytes per InputPartition (split granularity for executors) */
   val TargetSplitBytes: Long = 128L * 1024 * 1024
 
