@@ -21,8 +21,11 @@ import VortexFormat._
   * or re-compresses — cost is pure sequential I/O. Partition and
   * `__bucket=k` layout are preserved by construction (batches never
   * cross a directory). The per-job stats manifest is extended with the
-  * new files; entries for absorbed files go stale harmlessly (the
-  * scan consults the manifest only for files that still exist).
+  * new files — inheriting writer-exact SUMs (exact sum of source sums)
+  * and bloom filters (OR-union, when all sources share one SBBF
+  * geometry) from the sources' entries, since a footer cannot
+  * reproduce either; entries for absorbed files go stale harmlessly
+  * (the scan consults the manifest only for files that still exist).
   *
   * Caveat (documented, inherent to a manifest-less directory format):
   * a reader listing the directory in the instant between a batch's
@@ -65,11 +68,60 @@ object VortexMaintenance {
     }
     if (batches.isEmpty) return CompactResult(byDir.size, 0, 0, 0L)
 
+    // manifest state BEFORE the rewrite: sources are deleted during
+    // compaction, but their (path,len)-validated entries let the new
+    // files inherit what a footer can't reproduce — writer-exact SUMs
+    // (merged sum = exact sum of source sums) and bloom filters (a
+    // byte-copied merge's file bloom is EXACTLY the OR of its
+    // sources', valid only when every source shares the same SBBF
+    // geometry: the block pick depends on block count). Any source
+    // missing the stat → the stat is dropped, conservatively.
+    val preManifest = StatsManifest.read(root, hconf)
+    val lenByPath: Map[String, Long] = listed.map { case (st, _) =>
+      fs.makeQualified(st.getPath).toString -> st.getLen }.toMap
+
     val sconf = new SerializableConfiguration(hconf)
     val results = spark.sparkContext
       .parallelize(batches, batches.length)
       .map(batch => compactBatch(batch, sconf.value))
       .collect()
+
+    def inherited(batch: Seq[String]): (Map[String, Long], Map[String, Array[Byte]]) = {
+      val srcEntries = batch.map { f =>
+        val q = fs.makeQualified(new Path(f)).toString
+        preManifest.get(q.stripPrefix(rootQ).stripPrefix("/"))
+          .filter(e => lenByPath.get(q).contains(e.len))
+      }
+      if (srcEntries.exists(_.isEmpty)) return (Map.empty, Map.empty)
+      val es = srcEntries.map(_.get)
+      val colNames = es.head.cols.map(_.name)
+      val sums = colNames.flatMap { cn =>
+        val ss = es.map(_.cols.find(_.name == cn).flatMap(_.sum))
+        if (ss.exists(_.isEmpty)) None
+        else try Some(cn -> ss.map(_.get).reduce(Math.addExact(_, _)))
+        catch { case _: ArithmeticException => None }
+      }.toMap
+      val blooms = colNames.flatMap { cn =>
+        val bs = es.map(_.cols.find(_.name == cn).flatMap(_.bloom))
+        if (bs.exists(_.isEmpty)) None
+        else {
+          val arrs = bs.map(_.get)
+          if (arrs.map(_.length).distinct.size != 1) None
+          else {
+            val acc = arrs.head.clone()
+            arrs.tail.foreach { a =>
+              var i = 0
+              while (i < acc.length) { acc(i) = (acc(i) | a(i)).toByte; i += 1 }
+            }
+            Some(cn -> acc)
+          }
+        }
+      }.toMap
+      (sums, blooms)
+    }
+    val inheritedByCreated: Map[String, (Map[String, Long], Map[String, Array[Byte]])] =
+      batches.zip(results).map { case (batch, (created, _)) =>
+        created -> inherited(batch) }.toMap
 
     // extend the stats manifest with the new files (tier-1.5 pruning)
     val jobId = java.util.UUID.randomUUID().toString.take(8)
@@ -78,7 +130,10 @@ object VortexMaintenance {
         val p = new Path(created)
         val st = fs.getFileStatus(p)
         val rel = fs.makeQualified(p).toString.stripPrefix(rootQ).stripPrefix("/")
-        Some(StatsManifest.fromFooter(rel, st.getLen, VortexFileReader.readFooter(p, hconf)))
+        val base = StatsManifest.fromFooter(rel, st.getLen, VortexFileReader.readFooter(p, hconf))
+        val (sums, blooms) = inheritedByCreated.getOrElse(created, (Map.empty[String, Long], Map.empty[String, Array[Byte]]))
+        Some(base.copy(cols = base.cols.map(c =>
+          c.copy(sum = sums.get(c.name), bloom = blooms.get(c.name)))))
       } catch { case _: Exception => None }
     }
     // record the file schema so compacted outputs stay plannable with

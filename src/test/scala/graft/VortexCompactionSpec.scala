@@ -102,4 +102,42 @@ class VortexCompactionSpec extends AnyFunSuite {
       spark.sessionState.newHadoopConf())
     assert(VortexFormat.tsUnit(footer.schema("ts")) == "ns")
   }
+
+  test("blooms and writer-exact sums survive compaction via manifest inheritance") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.vortex.{StatsManifest, VortexFileReader}
+    val dir = Files.createTempDirectory("vortex_compact_bloom_").toString
+    // 3 equal-sized commits → equal bloom geometry → union applies
+    (0 until 3).foreach { i =>
+      spark.range(i * 2000, (i + 1) * 2000)
+        .select(expr("xxhash64(id)").as("key"), col("id").as("v"))
+        .coalesce(1)
+        .write.format("vortex").option("bloomFilters", "key")
+        .mode(if (i == 0) "overwrite" else "append").save(dir)
+    }
+    val res = VortexMaintenance.compact(spark, dir)
+    assert(res.filesAbsorbed == 3 && res.batches == 1)
+    // the compacted entry carries an inherited bloom + the exact sum
+    val entries = StatsManifest.read(new org.apache.hadoop.fs.Path(dir),
+      spark.sessionState.newHadoopConf())
+    val live = vortexFiles(dir).map(_.getName).toSet
+    val compacted = entries.values.filter(e => live.contains(
+      e.relPath.split('/').last)).toSeq
+    assert(compacted.nonEmpty)
+    assert(compacted.forall(_.cols.find(_.name == "key").exists(_.bloom.isDefined)),
+      "compacted entry must inherit the OR-union bloom")
+    assert(compacted.forall(_.cols.find(_.name == "v").exists(
+      _.sum.contains((0L until 6000L).sum))),
+      "compacted entry must inherit the exact sum of source sums")
+    // absent-key lookup still prunes at plan time, zero pages decoded
+    val reads = spark.read.format("vortex").load(dir)
+    val before = VortexFileReader.pageDecodes.get()
+    assert(reads.filter(col("key") === 42L).count() == 0)
+    assert(VortexFileReader.pageDecodes.get() == before,
+      "bloom must keep pruning after compaction")
+    // present keys from every source commit still resolve (hash the
+    // same LONG domain the writer hashed — xxhash64 is type-sensitive)
+    assert(reads.filter(col("key") === expr("xxhash64(cast(0 as bigint))")).count() == 1)
+    assert(reads.filter(col("key") === expr("xxhash64(cast(5999 as bigint))")).count() == 1)
+  }
 }
