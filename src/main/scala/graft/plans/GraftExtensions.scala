@@ -41,5 +41,15 @@ object FastJsonRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FastJsonRule)
+    // graft's custom expressions, for sessions that only speak SQL
+    // (the register() helpers cover programmatic sessions)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    def fn(name: String, clazz: String)(b: Seq[Expression] => Expression) =
+      e.injectFunction((FunctionIdentifier(name), new ExpressionInfo(clazz, name), b))
+    fn("vec_dot", "graft.functions.VecDot")(es => graft.functions.VecDot(es(0), es(1)))
+    fn("double_sortable_bits", "graft.functions.DoubleSortableBits")(
+      es => graft.functions.DoubleSortableBits(es.head))
+    fn("z_value", "graft.functions.ZValue")(es => graft.functions.ZValue(es))
   }
 }

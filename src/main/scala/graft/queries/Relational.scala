@@ -171,9 +171,16 @@ object Relational {
       val c = Tables.t(s, d, "customer"); val n = Tables.t(s, d, "nation")
       // cents kernel: the join carries two longs instead of decimals;
       // the only decimal op is one exact division per nation
+      // pre-aggregate the fact on the join key BEFORE the star walk:
+      // the groupBy shuffles on l_orderkey — the exact partitioning
+      // the orders join needs anyway — so the same shuffle count now
+      // probes with one row per order instead of ~4 line items. At
+      // 100 TB that is a 4× cut of every downstream join input.
       val fact = li.select(col("l_orderkey"),
         (round(col("l_extendedprice") * 100).cast("long") *
           (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+        .groupBy("l_orderkey")
+        .agg(sum(col("rev4")).as("rev4"), count(lit(1)).as("cnt"))
       fact.join(o, fact("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -181,7 +188,7 @@ object Relational {
         .agg(
           (sum(col("rev4")).cast(DecimalType(24, 0)) / 10000)
             .cast(DecimalType(30, 6)).cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
+          sum(col("cnt")).as("n_items"))
         .orderBy("n_name")
     },
     """SELECT n_name,

@@ -135,4 +135,18 @@ class JsonFastSpec extends AnyFunSuite {
       .selectExpr("CAST(get_json_object(j, '$.k') AS BIGINT) AS k")
     assert(many.agg(sum("k")).collect()(0).getLong(0) == (0L until 1000L).sum)
   }
+
+  test("extensions inject the custom function surface for SQL sessions") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    // getOrCreate may have reused a session built without extensions
+    // (suite ordering); only a session the builder actually
+    // constructed proves injection — otherwise the register() path is
+    // the contract (covered by VecDotSpec / VortexZOrderSpec).
+    if (spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("z_value"))) {
+      assert(spark.sql("SELECT z_value(1L, 2L) AS z").head().getAs[Array[Byte]]("z").length == 16)
+      assert(spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0) == 11.0)
+      assert(spark.sql("SELECT double_sortable_bits(0.0d) AS b").head().getLong(0) == 0L)
+    }
+  }
 }
