@@ -120,6 +120,32 @@ class VortexObjectStoreSpec extends AnyFunSuite {
       s"range-pruned files must never be opened, but saw: ${prunedOpened.toSeq}; ops $exec")
     assert(exec("GET") <= 6, s"execution GETs should stay O(commits + surviving): $exec")
   }
+
+  test("s3-semantics store: absent-key bloom lookup costs one manifest GET, zero data opens") {
+    import org.apache.spark.sql.functions._
+    spark.sparkContext.hadoopConfiguration.set("fs.s3mock.impl", classOf[S3SemanticsFs].getName)
+    val local = Files.createTempDirectory("vortex_s3bloom_").toString
+    val dir = s"s3mock://bucket$local/t"
+    // random ids: every file spans the whole domain, ranges can't prune
+    spark.range(0, 40000).selectExpr("xxhash64(id) AS key", "id AS v")
+      .repartition(4)
+      .write.format("vortex").option("bloomFilters", "key")
+      .mode("overwrite").save(dir)
+
+    graft.sources.vortex.VortexFileReader.clearFooterCache()
+    S3SemanticsFs.reset()
+    val n = spark.read.format("vortex").load(dir)
+      .filter(col("key") === 123456789L).count()
+    assert(n == 0)
+    val ops = S3SemanticsFs.snapshot
+    // the 100 TB point-lookup contract: ONE manifest read decides the
+    // whole query; no footer, no page, no data-file GET at all
+    assert(ops("GET") <= 2, s"bloom lookup must cost ~1 manifest GET: $ops")
+    val dataOpened = S3SemanticsFs.opened.toArray.map(_.toString)
+      .filter(_.endsWith(".vortex"))
+    assert(dataOpened.isEmpty,
+      s"bloom-pruned files must never be opened, but saw: ${dataOpened.toSeq}")
+  }
 }
 
 /** `s3mock://` — object-store SEMANTICS, not just a renamed scheme:
