@@ -91,6 +91,44 @@ class VortexBloomSpec extends AnyFunSuite {
     assert(df.filter(col("d") === lit(-0.0)).count() == 1)
   }
 
+  test("no false negatives end-to-end for every supported bloom type") {
+    // the correctness hazard of a bloom is a write/probe DOMAIN
+    // mismatch (a present key hashing differently on the two sides →
+    // its file wrongly pruned). Probe a present key per type; each
+    // must come back through its bloom-covered file.
+    val dir = Files.createTempDirectory("vortex_bloom_types_").toString
+    spark.range(0, 3000).select(
+      expr("cast(id % 120 as tinyint)").as("c_byte"),
+      expr("cast(id % 30000 as smallint)").as("c_short"),
+      expr("cast(id as int)").as("c_int"),
+      expr("cast(id as bigint)").as("c_long"),
+      expr("cast(id as float)").as("c_float"),
+      expr("cast(id as double)").as("c_double"),
+      expr("date_add(date'2024-01-01', cast(id % 365 as int))").as("c_date"),
+      expr("timestamp_micros(id * 1000000)").as("c_ts"),
+      expr("cast(cast(id as string) as decimal(10,2))").as("c_dec"),
+      expr("concat('s', id)").as("c_str"),
+      expr("cast(concat('b', id) as binary)").as("c_bin"))
+      .repartition(3)
+      .write.format("vortex")
+      .option("bloomFilters",
+        "c_byte,c_short,c_int,c_long,c_float,c_double,c_date,c_ts,c_dec,c_str,c_bin")
+      .mode("overwrite").save(dir)
+    val df = spark.read.format("vortex").load(dir)
+    assert(df.filter(col("c_byte") === expr("cast(77 as tinyint)")).count() == 25)
+    assert(df.filter(col("c_short") === expr("cast(1234 as smallint)")).count() == 1)
+    assert(df.filter(col("c_int") === 1234).count() == 1)
+    assert(df.filter(col("c_long") === 1234L).count() == 1)
+    assert(df.filter(col("c_float") === expr("cast(1234 as float)")).count() == 1)
+    assert(df.filter(col("c_double") === 1234.0).count() == 1)
+    assert(df.filter(col("c_date") === expr("date'2024-01-11'")).count() ==
+      3000 / 365 + (if (10 < 3000 % 365) 1 else 0))
+    assert(df.filter(col("c_ts") === expr("timestamp_micros(1234000000)")).count() == 1)
+    assert(df.filter(col("c_dec") === expr("cast(1234.00 as decimal(10,2))")).count() == 1)
+    assert(df.filter(col("c_str") === "s1234").count() == 1)
+    assert(df.filter(col("c_bin") === expr("cast('b1234' as binary)")).count() == 1)
+  }
+
   test("unsupported bloom column fails fast; partition column rejected") {
     val dir = Files.createTempDirectory("vortex_bloom_bad_").toString
     val df = spark.range(0, 10).select(col("id"), array(col("id")).as("arr"),
