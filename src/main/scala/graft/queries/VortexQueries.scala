@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.sources.vortex.VortexZOrder
+import graft.sources.vortex.{VortexIpc, VortexZOrder}
 
 /** SURVEY.md §2.1 S1–S4 + P1/P2 over the custom `vortex` DataSource.
   *
@@ -332,6 +332,31 @@ object VortexQueries {
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
       |WHERE l_orderkey IN (1, 3, 999999999)
       |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)
+
+  // S8: vortex IPC stream — each partition serialized to the
+  // footer-less chunked byte stream (VortexIpc, ≙ the reference's
+  // vortex-ipc crate) and deserialized back, all executor-side
+  // (mapPartitions, no shuffle, no driver materialization). The
+  // oracle aggregates the parquet directly: equal iff the wire round
+  // trip is lossless.
+  spark("s12_vortex_ipc",
+    (s, d) => {
+      val src = Tables.t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_shipdate"))
+      val back = VortexIpc.deserialize(s, VortexIpc.serialize(src), src.schema)
+      back.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_key"),
+          max(col("l_shipdate")).as("max_ship"),
+          sum(col("l_linenumber").cast("long")).as("sum_line"))
+        .orderBy("l_returnflag")
+    },
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+      |  max(l_shipdate) AS max_ship,
+      |  CAST(sum(l_linenumber) AS BIGINT) AS sum_line
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
   // ---- S3/S4 write rows (the write IS the timed operation) -----------
 
