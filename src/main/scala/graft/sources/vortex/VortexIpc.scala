@@ -260,14 +260,37 @@ object VortexIpc {
 
   // ---- Spark-level surface -------------------------------------------
 
-  /** DataFrame → one IPC payload per partition. Runs as a
-    * `mapPartitions` over the PLANNED rows (`queryExecution.toRdd`):
-    * fully distributed, no shuffle, no driver materialization — each
-    * executor emits its partition's compressed columnar bytes. */
-  def serialize(df: DataFrame, chunkRows: Int = DefaultChunkRows): Dataset[Array[Byte]] = {
+  /** DataFrame → IPC payloads. Runs as a `mapPartitions` over the
+    * PLANNED rows (`queryExecution.toRdd`): fully distributed, no
+    * shuffle, no driver materialization — each executor emits its
+    * partition's compressed columnar bytes.
+    *
+    * `payloadRows` bounds task memory at scale: each payload holds at
+    * most that many rows, emitted lazily as the input iterator drains,
+    * so a 100 TB scan with huge partitions never buffers a whole
+    * partition's bytes — only one bounded payload at a time. The
+    * default (one payload per partition) suits small exports; since
+    * payloads of the same schema concatenate byte-level, downstream
+    * consumers need not care which was used. */
+  def serialize(df: DataFrame, chunkRows: Int = DefaultChunkRows,
+                payloadRows: Int = Int.MaxValue): Dataset[Array[Byte]] = {
     val schema = df.schema
-    val rdd = df.queryExecution.toRdd.mapPartitions(rows =>
-      Iterator.single(writeRows(schema, rows, chunkRows)))
+    require(payloadRows > 0, "vortex ipc: payloadRows must be positive")
+    val cap = payloadRows
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.single(writeRows(schema, Iterator.empty, chunkRows))
+      else new Iterator[Array[Byte]] {
+        override def hasNext: Boolean = rows.hasNext
+        override def next(): Array[Byte] = {
+          val bos = new ByteArrayOutputStream(64 * 1024)
+          val w = new Writer(bos, schema, chunkRows)
+          var n = 0
+          while (n < cap && rows.hasNext) { w.write(rows.next()); n += 1 }
+          w.finish()
+          bos.toByteArray
+        }
+      }
+    }
     df.sparkSession.createDataset(rdd)(Encoders.BINARY)
   }
 

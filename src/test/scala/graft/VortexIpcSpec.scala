@@ -125,6 +125,19 @@ class VortexIpcSpec extends AnyFunSuite {
     assert(VortexIpc.deserialize(spark, payloads, df.schema).count() == 3)
   }
 
+  test("payloadRows bounds payload size; values survive the split") {
+    val df = typed(997).repartition(5)
+    val payloads = VortexIpc.serialize(df, payloadRows = 100)
+    val sizes = payloads.collect().map(b => VortexIpc.readRows(b).length)
+    assert(sizes.forall(_ <= 100), "no payload may exceed the row cap")
+    assert(sizes.sum == 997)
+    assert(sizes.length >= 10, "5 partitions of ~200 rows must split at cap 100")
+    val back = VortexIpc.deserialize(spark, payloads, df.schema)
+    val agg = back.agg(sum(col("c_long")), sum(length(col("c_str")))).collect()(0)
+    val exp = df.agg(sum(col("c_long")), sum(length(col("c_str")))).collect()(0)
+    assert(agg == exp)
+  }
+
   test("deserialize rejects payloads whose schema does not match") {
     val p = VortexIpc.serialize(spark.range(5).selectExpr("id AS a"))
     val wrong = StructType(Seq(StructField("a", StringType)))
