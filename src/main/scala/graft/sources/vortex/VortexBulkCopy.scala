@@ -20,12 +20,27 @@ object VortexCommitOps {
                 messages: Seq[VortexCommit], schema: StructType,
                 truncate: Boolean, preExisting: Seq[String],
                 partitionCols: Seq[String],
-                bucketSpec: Option[(String, Int)]): Unit = {
+                bucketSpec: Option[(String, Int)],
+                sweepTaskRenames: Boolean = false): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(hconf)
     val written = messages.flatMap(_.files)
       .map(f => fs.makeQualified(new Path(f)).toString).toSet
     preExisting.filterNot(written.contains).foreach(f => fs.delete(new Path(f), false))
+    // Paths that rename task-side WITHOUT the commit coordinator (bulk
+    // copy) can leave orphans: a speculative/retried attempt that
+    // renamed after the winning attempt returned its message. One
+    // job-scoped sweep — delete any data file carrying THIS jobId that
+    // no commit message claims — restores exactly-once on disk. (The
+    // DSv2 path renames inside coordinated DataWriter.commit, so its
+    // losers abort their tmp file and never need this; it skips the
+    // extra LIST.)
+    if (sweepTaskRenames)
+      PartitionedLayout.listWithPartitions(root, hconf)
+        .map(_._1.getPath)
+        .filter(p => p.getName.contains(s"-$jobId-") &&
+          !written.contains(fs.makeQualified(p).toString))
+        .foreach(p => fs.delete(p, false))
     if (truncate) StatsManifest.delete(root, hconf) // stale stats go with the data
     // pruning tier 1.5: aggregate each committed footer to file-level
     // stats in one manifest per commit job (see StatsManifest); the
@@ -171,6 +186,6 @@ object VortexBulkCopy {
     }.collect().toSeq
     VortexCommitOps.commitJob(dir, hconf, jobId, messages, schema,
       truncate = overwrite, preExisting = preExisting,
-      partitionCols = Seq.empty, bucketSpec = None)
+      partitionCols = Seq.empty, bucketSpec = None, sweepTaskRenames = true)
   }
 }

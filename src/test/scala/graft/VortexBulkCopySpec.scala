@@ -116,6 +116,36 @@ class VortexBulkCopySpec extends AnyFunSuite {
     assert(sums == (0L until 10000L).sum)
   }
 
+  test("commit sweeps orphan files from losing task attempts") {
+    // bulk copy renames task-side without the commit coordinator, so a
+    // speculative/retried attempt can land a file AFTER the winning
+    // attempt returned its message; the job-scoped sweep must delete
+    // any same-jobId file no commit message claims
+    val dir = tmp()
+    val df = sourceDf
+    VortexBulkCopy.copy(df, dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val real = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith(".vortex")).sortBy(_.getName)
+    assert(real.nonEmpty)
+    // part-<pid>-<jobId>-<tid>.vortex → recover the jobId
+    val jobId = real.head.getName.split("-")(2)
+    val orphan = new org.apache.hadoop.fs.Path(root, s"part-99999-$jobId-777.vortex")
+    org.apache.hadoop.fs.FileUtil.copy(fs, real.head, fs, orphan, false, hconf)
+    // orphaned duplicate is visible to scans until a commit sweeps it
+    assert(spark.read.format("vortex").load(dir).count() > 10000)
+    val messages = real.toSeq.map(p =>
+      graft.sources.vortex.VortexCommit(Seq(p.toString)))
+    graft.sources.vortex.VortexCommitOps.commitJob(
+      dir, hconf, jobId, messages, df.schema,
+      truncate = false, preExisting = Seq.empty,
+      partitionCols = Seq.empty, bucketSpec = None, sweepTaskRenames = true)
+    assert(!fs.exists(orphan), "sweep must delete the unclaimed same-jobId file")
+    assert(spark.read.format("vortex").load(dir).count() == 10000)
+  }
+
   test("multi-chunk boundaries: batch larger than chunkRows splits exactly") {
     val dir = tmp()
     VortexBulkCopy.copy(sourceDf, dir, chunkRows = 100) // 10k rows → ≥100 chunks
