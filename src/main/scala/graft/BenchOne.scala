@@ -12,6 +12,7 @@ object BenchOne extends App {
     .config("spark.ui.enabled", "false").getOrCreate()
   spark.sparkContext.setLogLevel("WARN")
   graft.Tables.names.foreach(n => graft.Tables.t(spark, sfDir, n).count())
+  SparkEntry.queries  // init suites so their datasets register first
   graft.queries.VortexQueries.materializeAll(spark, sfDir)
   args.drop(1).foreach { name =>
     val fn = SparkEntry.queries(name)

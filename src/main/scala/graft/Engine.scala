@@ -89,6 +89,17 @@ final case class Engine(spark: SparkSession) {
       df.select(col(idCol).cast("long").as("doc_id"),
         explode(array_distinct(split(col(textCol), " "))).as("w")), tau)
 
+  /** Incremental near-dup: which docs of `batch` duplicate (exact
+    * Jaccard ≥ τ, MinHash-LSH recall) any doc of the standing
+    * `corpus` — the daily-ingest shape: no corpus×corpus self-join,
+    * work O(corpus + batch + matches). Returns (bid, cid, jac). */
+  def dedupAgainstCorpus(corpus: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String, tau: Double): DataFrame = {
+    def tok(df: DataFrame) = df.select(col(idCol).cast("long").as("doc_id"),
+      explode(array_distinct(split(col(textCol), " "))).as("w"))
+    queries.DedupOps.minhashNearDupAgainst(spark, tok(corpus), tok(batch), tau)
+  }
+
   /** 64-bit SimHash signature per document (typed Aggregator — one
     * pass, map-side partial merge) */
   def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -107,17 +118,21 @@ final case class Engine(spark: SparkSession) {
     * Fault tolerance: the labels frame is corpus-sized, so it is never
     * `localCheckpoint`ed (an unreliable lineage break — one executor
     * loss would make the job unrecoverable instead of recomputable).
-    * Default is pure recomputation: the convergence probe and the
-    * final action each evaluate the propagate plan, and the rare
-    * pointer-jumping path re-derives it through the self-joins — all
-    * recoverable from lineage. For very expensive pair pipelines,
-    * opt in to a RELIABLE checkpoint (durable-storage, recomputable by
-    * re-read) with `reliableCheckpoint = true` after calling
+    * The expensive part — the MinHash/LSH/verify PAIR pipeline — is
+    * `persist(MEMORY_AND_DISK)`ed instead: every propagation round,
+    * the convergence probe, and the final action reuse one evaluation,
+    * while a lost block recomputes from lineage (persist is a cache,
+    * not a lineage break). The pairs frame is the near-dup pair set —
+    * far smaller than the corpus — and LRU eviction bounds its
+    * residency. For very expensive pair pipelines, opt in to a
+    * RELIABLE checkpoint (durable-storage, recomputable by re-read)
+    * with `reliableCheckpoint = true` after calling
     * `spark.sparkContext.setCheckpointDir(...)`. */
   def dedupClusters(df: DataFrame, idCol: String, textCol: String, tau: Double,
                     reliableCheckpoint: Boolean = false): DataFrame = {
     val docs = df.select(col(idCol).cast("long").as("doc_id"))
     val pairs = minhashNearDup(df, idCol, textCol, tau).select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = queries.DedupOps.labelPropagate(docs, pairs, rounds = 4)
     if (reliableCheckpoint) labels = labels.checkpoint(eager = false)
     // pointer-jumping: lbl ← lbl(lbl) three times squares the resolved

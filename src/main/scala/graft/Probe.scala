@@ -22,6 +22,7 @@ object Probe {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.names.foreach(n => graft.Tables.t(spark, sfDir, n).count())
+    SparkEntry.queries  // init suites so their datasets register first
     graft.queries.VortexQueries.materializeAll(spark, sfDir)
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger

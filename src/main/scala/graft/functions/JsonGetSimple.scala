@@ -23,9 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * one token stream, so a leading-zero number, bad escape, or raw
   * control character in some OTHER key's value makes the built-in
   * return NULL for the whole row. Skipped values therefore go through
-  * the same strict JSON grammar (RFC 8259; Jackson's laxness flags
-  * are all default-off in Spark's shared factory), and any violation
-  * bails to the exact path. The only assumption kept from the column
+  * the same strict JSON grammar (RFC 8259), and any violation bails
+  * to the exact path. CAUTION: Spark's shared Jackson factory is NOT
+  * all-default-strict — it enables ALLOW_UNESCAPED_CONTROL_CHARS and
+  * ALLOW_SINGLE_QUOTES, so the built-in ACCEPTS documents this strict
+  * grammar rejects. That is safe only because rejection here means
+  * BAIL (re-evaluate exactly), never "return NULL"; do not tighten a
+  * BAIL into a NULL without first matching those two laxness flags.
+  * The only assumption kept from the column
   * contract is valid UTF-8 (guaranteed by Spark `UTF8String` sources).
   *
   * The scan is ~100 ns for typical telemetry-sized objects vs ~4 µs

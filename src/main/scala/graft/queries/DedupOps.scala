@@ -660,6 +660,92 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** Per-doc LSH band keys: (doc_id, band, band-hex) — 4 bands × 4
+    * rows over the 16-hash MinHash signature, hashed map-side over the
+    * doc's distinct token set (same parameters as the self-join path,
+    * so both produce the same buckets). */
+  private def docBands(s: SparkSession, tok: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.functions.Hashing
+    tok.groupBy("doc_id").agg(sort_array(collect_set(col("w"))).as("toks"))
+      .select(col("doc_id"), col("toks")).as[(Long, Seq[String])]
+      .flatMap { case (id, toks) =>
+        val k = 16
+        val mh = new Array[Byte](k * 16)
+        java.util.Arrays.fill(mh, 0xFF.toByte)
+        toks.foreach(w => Hashing.minhashUpdate(mh, k, w))
+        Iterator.tabulate(4)(b => (id, b, Hashing.toHexRange(mh, 64 * b, 64)))
+      }.toDF("doc_id", "band", "bkey")
+  }
+
+  /** Incremental (against-corpus) near-dup — the daily-ingest shape: a
+    * new batch checked for duplicates of an EXISTING corpus, without
+    * the corpus×corpus self-join. Bipartite MinHash-LSH: both sides'
+    * band keys (map-side hashing), one equi-join on (band, band-key),
+    * candidates deduplicated, then exact-Jaccard verification against
+    * the token sets. Returns one row per verified duplicate pair
+    * (batch doc `bid`, corpus doc `cid`, exact `jac` ≥ τ).
+    *
+    * At 100 TB: the corpus bands are a cheap derivative of stored
+    * signatures (hash once per corpus doc EVER, not per ingest), the
+    * batch side is small — AQE broadcasts it into the band join — and
+    * nothing here is O(corpus²): work is O(corpus + batch + matches).
+    */
+  def minhashNearDupAgainst(s: SparkSession, corpusTok: DataFrame,
+                            batchTok: DataFrame, tau: Double): DataFrame = {
+    val cand = docBands(s, batchTok).select(col("doc_id").as("bid"), col("band"), col("bkey"))
+      .join(docBands(s, corpusTok).select(col("doc_id").as("cid"), col("band"), col("bkey")),
+            Seq("band", "bkey"))
+      .select("bid", "cid").distinct()
+    def sets(tok: DataFrame, idName: String, tokName: String, nName: String) =
+      tok.groupBy("doc_id").agg(sort_array(collect_set(col("w"))).as(tokName))
+        .select(col("doc_id").as(idName), col(tokName), size(col(tokName)).as(nName))
+    cand
+      .join(sets(batchTok, "bid", "tb", "nb"), "bid")
+      .join(sets(corpusTok, "cid", "tc", "nc"), "cid")
+      .withColumn("inter", size(array_intersect(col("tb"), col("tc"))))
+      .withColumn("jac", col("inter").cast("double") / (col("nb") + col("nc") - col("inter")))
+      .filter(col("jac") >= tau)
+      .select(col("bid"), col("cid"), col("jac"))
+  }
+
+  // Incremental dedup query: docs with doc_id % 7 = 0 are "today's
+  // batch", the rest the standing corpus; per batch doc, how many
+  // verified corpus duplicates and the best Jaccard. The oracle
+  // replicates the bipartite banding exactly (same 16 hashes, 4 bands).
+  spark("d_incremental",
+    (s, d) => {
+      val tok = tokens(s, d)
+      minhashNearDupAgainst(s,
+          corpusTok = tok.filter(col("doc_id") % 7 =!= 0),
+          batchTok = tok.filter(col("doc_id") % 7 === 0), tau = 0.5)
+        .groupBy("bid").agg(count(lit(1)).as("n_dups"), max(col("jac")).as("best_jac"))
+        .orderBy("bid")
+    },
+    s"""WITH tok AS ($tokSql),
+       |ih AS (SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || w) AS h
+       |       FROM tok CROSS JOIN range(0, 16) r(i)),
+       |sig AS (SELECT doc_id, i, min(h) AS mh FROM ih GROUP BY doc_id, i),
+       |band AS (SELECT doc_id, i // 4 AS band, string_agg(mh, '|' ORDER BY i) AS bsig
+       |         FROM sig GROUP BY doc_id, i // 4),
+       |cand AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+       |         FROM band b JOIN band c ON b.band = c.band AND b.bsig = c.bsig
+       |         WHERE b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0),
+       |n AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+       |inter AS (SELECT ca.bid, ca.cid, count(*) AS it
+       |          FROM cand ca
+       |          JOIN tok tb ON tb.doc_id = ca.bid
+       |          JOIN tok tc ON tc.doc_id = ca.cid AND tc.w = tb.w
+       |          GROUP BY ca.bid, ca.cid),
+       |ver AS (SELECT i.bid, i.cid,
+       |          CAST(i.it AS DOUBLE) / (nb.nt + nc.nt - i.it) AS jac
+       |        FROM inter i
+       |        JOIN n nb ON nb.doc_id = i.bid
+       |        JOIN n nc ON nc.doc_id = i.cid
+       |        WHERE CAST(i.it AS DOUBLE) / (nb.nt + nc.nt - i.it) >= 0.5)
+       |SELECT bid, count(*) AS n_dups, max(jac) AS best_jac
+       |FROM ver GROUP BY bid ORDER BY bid""".stripMargin)
+
   // MinHash signatures, map-side: a document's tokens all live in its
   // own row, so the signature is one pass over the text — no
   // (doc, token) shuffle at all. The typed-Aggregator formulation

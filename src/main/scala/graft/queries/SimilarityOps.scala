@@ -257,21 +257,11 @@ object SimilarityOps {
     ds.map(v => (v.id, assignOf(v.q, bc.value), v.q, v.saa))
   }
 
-  spark("v_cos_ivf_kmeans",
-    (s, d) => {
-      import s.implicits._
-      // 3 assignment rounds over 2 centroid refinements: the final
-      // assignment uses c2, exactly the oracle's a3(c2) chain
-      val assigned = kmeansAssign(s, qvecs(s, d), K = 8, refinements = 2)
-      val queries = assigned.filter(_._1 < 20).collect()
-      val bq = s.sparkContext.broadcast(queries)
-      val cand = assigned.flatMap { case (id, k, q, saa) =>
-        bq.value.iterator.filter(t => t._1 != id && t._2 == k).map { t =>
-          (t._1, id, VecFixedPoint.cos(VecFixedPoint.dot(t._3, q), t._4, saa))
-        }
-      }.toDF("id_q", "id_n", "cosd")
-      topk(cand, 3, withCos = false)
-    },
+  /** end-to-end k-means IVF oracle (train → assign → probe own
+    * cluster → top-3) — shared by the in-query pipeline
+    * (v_cos_ivf_kmeans) and the stored-index probe (v_cos_ivf_stored),
+    * which must produce the identical result. */
+  private val ivfKmeansOracle =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |el AS (SELECT vec_id, i, CAST(e[CAST(i AS INTEGER) + 1] AS DECIMAL(18,8)) AS x,
       |       CAST(CAST(e[CAST(i AS INTEGER) + 1] AS DECIMAL(18,8)) * 100000000 AS BIGINT) AS q
@@ -310,7 +300,63 @@ object SimilarityOps {
       |rk AS (SELECT id_q, id_n,
       |         row_number() OVER (PARTITION BY id_q ORDER BY cosd DESC, id_n) AS rnk FROM sc)
       |SELECT id_q, CAST(rnk AS BIGINT) AS rnk, id_n FROM rk WHERE rnk <= 3
-      |ORDER BY id_q, rnk""".stripMargin)
+      |ORDER BY id_q, rnk""".stripMargin
+
+  spark("v_cos_ivf_kmeans",
+    (s, d) => {
+      import s.implicits._
+      // 3 assignment rounds over 2 centroid refinements: the final
+      // assignment uses c2, exactly the oracle's a3(c2) chain
+      val assigned = kmeansAssign(s, qvecs(s, d), K = 8, refinements = 2)
+      val queries = assigned.filter(_._1 < 20).collect()
+      val bq = s.sparkContext.broadcast(queries)
+      val cand = assigned.flatMap { case (id, k, q, saa) =>
+        bq.value.iterator.filter(t => t._1 != id && t._2 == k).map { t =>
+          (t._1, id, VecFixedPoint.cos(VecFixedPoint.dot(t._3, q), t._4, saa))
+        }
+      }.toDF("id_q", "id_n", "cosd")
+      topk(cand, 3, withCos = false)
+    },
+    ivfKmeansOracle)
+
+  // IVF index AS A DATASET — the 100 TB shape: the k-means assignment
+  // is built ONCE and persisted as a vortex dataset PARTITIONED BY
+  // cluster, so a probe reads only the probed clusters' directories
+  // (plan-time pruning, zero decode outside them) instead of
+  // re-clustering or scanning the corpus per query batch. Identical
+  // clustering to v_cos_ivf_kmeans ⇒ the same end-to-end oracle
+  // checks build + store + round-trip + probe.
+  val dsIvfIndex: VortexQueries.Ds =
+    VortexQueries.dataset("ivf_index", Seq("embeddings"), "v1") { (s, d, dir) =>
+      import s.implicits._
+      kmeansAssign(s, qvecs(s, d), K = 8, refinements = 2)
+        .toDF("id", "k", "q", "saa")
+        .write.format("vortex").option("partitionBy", "k").mode("overwrite").save(dir)
+    }
+
+  spark("v_cos_ivf_stored",
+    (s, d) => {
+      import s.implicits._
+      val idx = s.read.format("vortex").load(dsIvfIndex.ensure(s, d))
+        .select(col("id"), col("k"), col("q"), col("saa"))
+      // probe set: the query vectors' own index rows (bounded, id < 20)
+      val queries = idx.filter(col("id") < 20)
+        .as[(Long, Long, Seq[Long], Long)].collect()
+        .map(t => (t._1, t._2, t._3.toArray, t._4))
+      val bq = s.sparkContext.broadcast(queries)
+      val ks = queries.map(_._2).distinct.toSeq
+      // only the probed clusters' directories are planned at all
+      val cand = idx.filter(col("k").isin(ks: _*))
+        .as[(Long, Long, Seq[Long], Long)]
+        .flatMap { case (id, k, qv, saa) =>
+          val qa = qv.toArray
+          bq.value.iterator.filter(t => t._1 != id && t._2 == k).map { t =>
+            (t._1, id, VecFixedPoint.cos(VecFixedPoint.dot(t._3, qa), t._4, saa))
+          }
+        }.toDF("id_q", "id_n", "cosd")
+      topk(cand, 3, withCos = false)
+    },
+    ivfKmeansOracle)
 
   // Random-hyperplane LSH bucketing (8 md5-derived planes → 8-bit
   // bucket), exact scoring within bucket. The planes are deterministic

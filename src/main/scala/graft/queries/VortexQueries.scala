@@ -47,7 +47,7 @@ object VortexQueries {
     (srcs :+ s"recipe=$recipe").mkString(";")
   }
 
-  private case class Ds(name: String, tables: Seq[String], recipe: String,
+  case class Ds(name: String, tables: Seq[String], recipe: String,
                         write: (SparkSession, String, String) => Unit) {
     def ensure(s: SparkSession, sfDir: String): String = {
       val dir = vdir(name, sfDir)
@@ -64,8 +64,8 @@ object VortexQueries {
     }
   }
 
-  private val datasets = scala.collection.mutable.LinkedHashMap[String, Ds]()
-  private def dataset(name: String, tables: Seq[String], recipe: String)(
+  private[queries] val datasets = scala.collection.mutable.LinkedHashMap[String, Ds]()
+  private[queries] def dataset(name: String, tables: Seq[String], recipe: String)(
       write: (SparkSession, String, String) => Unit): Ds = {
     val ds = Ds(name, tables, recipe, write)
     datasets(name) = ds

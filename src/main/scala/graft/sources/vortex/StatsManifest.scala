@@ -77,13 +77,12 @@ object StatsManifest {
   final case class FileStats(relPath: String, len: Long, rows: Long, cols: Seq[ColStats],
                              chunks: Option[IndexedSeq[ChunkStats]] = None,
                              manifestSchema: Option[StructType] = None) {
-    /** entry's own recorded schema matches the expected data columns;
-      * an unrecorded schema (round-3 manifest) passes — its entries
-      * carry no chunk stats and file-level stats match by NAME. */
-    def schemaMatches(expected: Seq[(String, DataType)]): Boolean =
-      manifestSchema.forall(s => s.fields.toSeq.map(f => (f.name, f.dataType)) == expected)
-    /** strict variant: a recorded AND matching schema (required for
-      * positional chunk stats, which misalign under any drift) */
+    /** recorded AND matching schema — required before trusting ANY of
+      * the entry's stats (chunk stats misalign positionally under
+      * drift; even name-matched file-level min/max are raw storage
+      * bytes whose interpretation depends on the column type, so a
+      * schema-less round-3 entry over a drifted file would compare
+      * garbage). Schema-less entries are never used for pruning. */
     def schemaRecordedAndMatches(expected: Seq[(String, DataType)]): Boolean =
       manifestSchema.exists(s => s.fields.toSeq.map(f => (f.name, f.dataType)) == expected)
     /** synthetic whole-file ChunkMeta aligned with `schema` for

@@ -20,27 +20,12 @@ object VortexCommitOps {
                 messages: Seq[VortexCommit], schema: StructType,
                 truncate: Boolean, preExisting: Seq[String],
                 partitionCols: Seq[String],
-                bucketSpec: Option[(String, Int)],
-                sweepTaskRenames: Boolean = false): Unit = {
+                bucketSpec: Option[(String, Int)]): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(hconf)
     val written = messages.flatMap(_.files)
       .map(f => fs.makeQualified(new Path(f)).toString).toSet
     preExisting.filterNot(written.contains).foreach(f => fs.delete(new Path(f), false))
-    // Paths that rename task-side WITHOUT the commit coordinator (bulk
-    // copy) can leave orphans: a speculative/retried attempt that
-    // renamed after the winning attempt returned its message. One
-    // job-scoped sweep — delete any data file carrying THIS jobId that
-    // no commit message claims — restores exactly-once on disk. (The
-    // DSv2 path renames inside coordinated DataWriter.commit, so its
-    // losers abort their tmp file and never need this; it skips the
-    // extra LIST.)
-    if (sweepTaskRenames)
-      PartitionedLayout.listWithPartitions(root, hconf)
-        .map(_._1.getPath)
-        .filter(p => p.getName.contains(s"-$jobId-") &&
-          !written.contains(fs.makeQualified(p).toString))
-        .foreach(p => fs.delete(p, false))
     if (truncate) StatsManifest.delete(root, hconf) // stale stats go with the data
     // pruning tier 1.5: aggregate each committed footer to file-level
     // stats in one manifest per commit job (see StatsManifest); the
@@ -121,6 +106,15 @@ object VortexBulkCopy {
 
   def copy(df: DataFrame, dir: String, chunkRows: Int = VortexFormat.DefaultChunkRows,
            overwrite: Boolean = true, bloomCols: Set[String] = Set.empty): Unit = {
+    // validate here so the outcome does not depend on which path the
+    // plan shape selects (the DSv2 fallback throws the same errors in
+    // newWriteBuilder; the columnar writer would silently skip them)
+    bloomCols.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"vortex: bloomFilters column $c not in schema"))
+      require(Sbbf.supports(f.dataType),
+        s"vortex: bloomFilters unsupported for ${f.dataType.simpleString} column $c")
+    }
     columnarSource(df.queryExecution.executedPlan) match {
       case Some(colPlan) => runColumnar(df, colPlan, dir, chunkRows, overwrite, bloomCols)
       case None =>
@@ -155,12 +149,20 @@ object VortexBulkCopy {
     if (!fs.exists(root)) fs.mkdirs(root)
     val jobId = java.util.UUID.randomUUID().toString.take(8)
     val sconf = new SerializableConfiguration(hconf)
-    val messages = colPlan.executeColumnar().mapPartitionsWithIndex { (pid, it) =>
+    // Tasks only ever write their dot-hidden `.…inprogress` file and
+    // return its FINAL name in the commit message — they never rename.
+    // The driver promotes exactly the files claimed by returned
+    // (winning) messages, so a speculative/retried attempt that
+    // finishes after its sibling leaves at most an invisible tmp file,
+    // never a readable duplicate — exactly-once on disk without the
+    // commit coordinator (whose API is private to Spark). Driver-side
+    // rename is O(files this job wrote) — the same order as the
+    // footer reads the manifest commit already does.
+    val taskMessages = colPlan.executeColumnar().mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
         // taskAttemptId in the name: a retried/speculated attempt can
-        // never collide with its sibling; only the attempt that
-        // renames + returns a commit message contributes files
+        // never collide with its sibling's tmp file
         val tid = org.apache.spark.TaskContext.get.taskAttemptId()
         val name = f"part-$pid%05d-$jobId-$tid.vortex"
         val file = new Path(dir, name)
@@ -169,9 +171,6 @@ object VortexBulkCopy {
         try {
           while (it.hasNext) w.writeBatch(it.next())
           w.close()
-          val tfs = file.getFileSystem(sconf.value)
-          if (!tfs.rename(tmp, file))
-            throw new IOException(s"vortex: rename failed for $file")
           Iterator.single(VortexCommit(Seq(file.toString),
             Map(file.toString -> w.columnSums),
             Map(file.toString -> w.columnBlooms)))
@@ -184,8 +183,38 @@ object VortexBulkCopy {
         }
       }
     }.collect().toSeq
+    taskMessages.flatMap(_.files).foreach { f =>
+      val p = new Path(f)
+      val tmp = new Path(p.getParent, s".${p.getName}.inprogress")
+      if (!fs.rename(tmp, p))
+        throw new IOException(s"vortex: rename failed for $p")
+    }
+    // losing attempts that completed their tmp write but weren't the
+    // returned message leave dot-hidden files; sweep this job's.
+    // (A zombie still mid-write re-creates its tmp after the sweep —
+    // harmless: dot-prefixed names are excluded from every listing.)
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter { s =>
+          val n = s.getPath.getName
+          n.startsWith(".part-") && n.contains(s"-$jobId-") && n.endsWith(".inprogress")
+        }
+        .foreach(s => fs.delete(s.getPath, false))
+    // empty input must still produce a readable dataset: the DSv2 row
+    // path opens a DataWriter per partition and commits footer-only
+    // files, so reads of its empty dataset return 0 rows — mirror that
+    // with one driver-written footer-only file.
+    val messages =
+      if (taskMessages.flatMap(_.files).nonEmpty) taskMessages
+      else {
+        val p = new Path(dir, f"part-00000-$jobId-driver.vortex")
+        val w = new VortexFileWriter(p, hconf, schema, chunkRows, bloomCols)
+        w.close()
+        Seq(VortexCommit(Seq(p.toString),
+          Map(p.toString -> w.columnSums), Map(p.toString -> w.columnBlooms)))
+      }
     VortexCommitOps.commitJob(dir, hconf, jobId, messages, schema,
       truncate = overwrite, preExisting = preExisting,
-      partitionCols = Seq.empty, bucketSpec = None, sweepTaskRenames = true)
+      partitionCols = Seq.empty, bucketSpec = None)
   }
 }

@@ -166,6 +166,11 @@ class VortexTable(schema: StructType, paths: Seq[String],
     }
     val bloomMaxBytes = Option(info.options.get("bloommaxbytes")).map(_.toInt)
       .getOrElse(VortexFormat.DefaultBloomMaxBytes)
+    // fail at option parse, not at writer close deep inside a task,
+    // after all data was already encoded (64 = the sizing floor
+    // Sbbf.forNdv itself applies)
+    require(bloomMaxBytes >= 64,
+      s"vortex: bloomMaxBytes must be >= 64, got $bloomMaxBytes")
     new VortexWriteBuilder(schema, paths.head, chunkRows, partitionCols, bucketSpec,
       bloomCols, bloomMaxBytes)
   }
@@ -497,11 +502,10 @@ class VortexScan(fileSchema: StructType, required: StructType,
     }
     // tier 1.5: whole-file pruning from manifest-held stats — drops a
     // file whose entire range a filter excludes before any chunk walk.
-    // Fallback files (no chunk stats: round-3 bare-array manifests)
-    // still prune at FILE level from the name-matched column stats
-    // before their footer fetch, as long as the entry's own recorded
-    // schema (when present) matches — at ~800k files that pruning is
-    // the difference between footer round-trips and none.
+    // Fallback files with a recorded, matching schema (round-4+
+    // manifests whose chunk stats were dropped) still prune at FILE
+    // level before their footer fetch; schema-LESS (round-3) entries
+    // never prune — see the strict-schema note below.
     val survivingPruned = surviving.filter { case (st, _) =>
       if (filters.isEmpty) true
       else {
@@ -509,7 +513,7 @@ class VortexScan(fileSchema: StructType, required: StructType,
         // bloom drops the file outright — the lookup path where ranges
         // never prune (high-cardinality unsorted ids)
         val bloomDrop = manifestEntries.get(st.getPath.toString).exists(m =>
-          m.len == st.getLen && m.schemaMatches(expectedData) &&
+          m.len == st.getLen && m.schemaRecordedAndMatches(expectedData) &&
           m.cols.exists(_.bloom.isDefined) && {
             val blooms = m.cols.collect {
               case c if c.bloom.isDefined => c.name -> c.bloom.get
@@ -523,8 +527,15 @@ class VortexScan(fileSchema: StructType, required: StructType,
             !chunks.forall(ch =>
               filters.exists(fl => FilterPruning.canSkip(fl, ch.toChunkMeta, dataSchema)))
           case None =>
+            // strict schema check even for file-level stats: min/max
+            // are raw storage bytes decoded under the EXPECTED type,
+            // so a schema-less (round-3) entry over a drifted file
+            // would compare garbage (or crash planning) where the
+            // footer path throws the loud drift error. Schema-less
+            // entries therefore get no pruning — their files pay one
+            // footer fetch and keep the drift guard.
             manifestEntries.get(st.getPath.toString) match {
-              case Some(m) if m.len == st.getLen && m.schemaMatches(expectedData) =>
+              case Some(m) if m.len == st.getLen && m.schemaRecordedAndMatches(expectedData) =>
                 !filters.exists(fl =>
                   FilterPruning.canSkip(fl, m.toChunkMeta(dataSchema), dataSchema))
               case _ => true

@@ -69,9 +69,9 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
     var c = 0
     while (c < nCols) {
       if (bloomOn(c)) {
-        val b = bloomBuilders(c); val nl = nulls(c)
+        val b = bloomBuilders(c); val nl = buf.nulls(c); val count = buf.count
         if (fixed(c)) {
-          val l = longs(c); var i = 0
+          val l = buf.longs(c); var i = 0
           fields(c).dataType match {
             case FloatType =>
               while (i < count) { if (!nl(i)) b.add(Sbbf.hashLong(Sbbf.normFloatBits(l(i)))); i += 1 }
@@ -81,7 +81,7 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
               while (i < count) { if (!nl(i)) b.add(Sbbf.hashLong(l(i))); i += 1 }
           }
         } else {
-          val bn = bins(c); var i = 0
+          val bn = buf.bins(c); var i = 0
           while (i < count) { if (!nl(i)) b.add(Sbbf.hashBytes(bn(i))); i += 1 }
         }
       }
@@ -89,168 +89,35 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
     }
   }
 
-  private var count = 0
-  private var longs: Array[Array[Long]] = _
-  private var bins: Array[Array[Array[Byte]]] = _
-  private var nulls: Array[Array[Boolean]] = _
-  alloc()
+  // chunk buffers + per-column append/fill kernels live in the shared
+  // ChunkBuffer (also used by the IPC stream writer — one storage
+  // domain, one kernel)
+  private val buf = new ChunkBuffer(fields, chunkRows, tsUnits)
 
-  private def alloc(): Unit = {
-    longs = Array.tabulate(nCols)(i => if (fixed(i)) new Array[Long](chunkRows) else null)
-    bins = Array.tabulate(nCols)(i => if (!fixed(i)) new Array[Array[Byte]](chunkRows) else null)
-    nulls = Array.fill(nCols)(new Array[Boolean](chunkRows))
-    count = 0
-  }
-
-  /** Per-column append kernel, resolved ONCE at writer construction:
-    * the former per-VALUE dataType match chain (plus per-value
-    * timestamp-unit string compare) was the hot path of the whole
-    * write — a 17-column × N-row write ran ~8 instanceof branches per
-    * cell. One monomorphic virtual call per cell instead. */
-  private abstract class Appender { def append(row: InternalRow, i: Int): Unit }
-
-  private def appenderFor(c: Int): Appender = fields(c).dataType match {
-    case BooleanType => new Appender {
-      def append(r: InternalRow, i: Int): Unit = longs(c)(i) = if (r.getBoolean(c)) 1L else 0L }
-    case ByteType => new Appender {
-      def append(r: InternalRow, i: Int): Unit = longs(c)(i) = r.getByte(c).toLong }
-    case ShortType => new Appender {
-      def append(r: InternalRow, i: Int): Unit = longs(c)(i) = r.getShort(c).toLong }
-    case IntegerType | DateType => new Appender {
-      def append(r: InternalRow, i: Int): Unit = longs(c)(i) = r.getInt(c).toLong }
-    case TimestampType | TimestampNTZType =>
-      if (tsUnits(c) == "us") new Appender {
-        def append(r: InternalRow, i: Int): Unit = longs(c)(i) = r.getLong(c) }
-      else { val unit = tsUnits(c); new Appender {
-        def append(r: InternalRow, i: Int): Unit = longs(c)(i) = storedFromMicros(r.getLong(c), unit) } }
-    case LongType => new Appender {
-      def append(r: InternalRow, i: Int): Unit = longs(c)(i) = r.getLong(c) }
-    case FloatType => new Appender {
-      def append(r: InternalRow, i: Int): Unit =
-        longs(c)(i) = java.lang.Float.floatToIntBits(r.getFloat(c)).toLong }
-    case DoubleType => new Appender {
-      def append(r: InternalRow, i: Int): Unit =
-        longs(c)(i) = java.lang.Double.doubleToLongBits(r.getDouble(c)) }
-    case d: DecimalType if d.precision <= 18 => new Appender {
-      def append(r: InternalRow, i: Int): Unit =
-        longs(c)(i) = r.getDecimal(c, d.precision, d.scale).toUnscaledLong }
-    case d: DecimalType => new Appender {
-      def append(r: InternalRow, i: Int): Unit =
-        bins(c)(i) = r.getDecimal(c, d.precision, d.scale)
-          .toJavaBigDecimal.unscaledValue.toByteArray }
-    case StringType => new Appender {
-      def append(r: InternalRow, i: Int): Unit = bins(c)(i) = r.getUTF8String(c).getBytes }
-    case BinaryType => new Appender {
-      def append(r: InternalRow, i: Int): Unit = bins(c)(i) = r.getBinary(c) }
-    case dt if NestedCodec.isNested(dt) && NestedCodec.supported(dt) => new Appender {
-      def append(r: InternalRow, i: Int): Unit = bins(c)(i) = NestedCodec.serialize(r.get(c, dt), dt) }
-    case other => throw new UnsupportedOperationException(s"vortex: unsupported type $other")
-  }
-
-  private val appenders: Array[Appender] = Array.tabulate(nCols)(appenderFor)
-
-  def write(row: InternalRow): Unit = {
+  /** exact sums over the buffered chunk, accumulated at flush: the
+    * same per-column value sequence (rows in order) as the former
+    * per-row accumulation, so results — including the overflow
+    * point that permanently disables a column — are identical */
+  private def sumPass(): Unit = {
     var c = 0
     while (c < nCols) {
-      if (row.isNullAt(c)) nulls(c)(count) = true
-      else {
-        appenders(c).append(row, count)
-        if (sumOk(c)) {
-          // integral / unscaled-decimal longs land in longs(c)(count)
-          try sums(c) = Math.addExact(sums(c), longs(c)(count))
-          catch { case _: ArithmeticException => sumOk(c) = false }
+      if (sumOk(c)) {
+        val l = buf.longs(c); val nl = buf.nulls(c); val count = buf.count; var i = 0
+        while (i < count && sumOk(c)) {
+          if (!nl(i)) {
+            try sums(c) = Math.addExact(sums(c), l(i))
+            catch { case _: ArithmeticException => sumOk(c) = false }
+          }
+          i += 1
         }
       }
       c += 1
     }
-    count += 1
-    if (count == chunkRows) flushChunk()
   }
 
-  /** Columnar bulk-copy fill kernel, resolved once per column like
-    * [[appenderFor]]: copies rows [src, src+len) of a ColumnVector into
-    * this writer's chunk buffers at [dst, dst+len). Column-outer
-    * segment loops — one monomorphic primitive loop per column segment
-    * instead of a row-iterator step + virtual appender call per cell.
-    * Primitive fills read null slots too (vector getters are safe
-    * there and the codec ignores slots flagged in `nulls`); object
-    * fills must skip them. */
-  private abstract class BatchFill {
-    def fill(vec: org.apache.spark.sql.vectorized.ColumnVector,
-             src: Int, dst: Int, len: Int): Unit
+  def write(row: InternalRow): Unit = {
+    if (buf.write(row)) flushChunk()
   }
-  private type CV = org.apache.spark.sql.vectorized.ColumnVector
-
-  private def batchFillFor(c: Int): BatchFill = fields(c).dataType match {
-    case BooleanType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
-      val l = longs(c); var k = 0
-      while (k < n) { l(d + k) = if (!v.isNullAt(s + k) && v.getBoolean(s + k)) 1L else 0L; k += 1 } } }
-    case ByteType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
-      val l = longs(c); var k = 0
-      while (k < n) { l(d + k) = v.getByte(s + k).toLong; k += 1 } } }
-    case ShortType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
-      val l = longs(c); var k = 0
-      while (k < n) { l(d + k) = v.getShort(s + k).toLong; k += 1 } } }
-    case IntegerType | DateType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
-      val l = longs(c); var k = 0
-      while (k < n) { l(d + k) = v.getInt(s + k).toLong; k += 1 } } }
-    case TimestampType | TimestampNTZType =>
-      if (tsUnits(c) == "us") new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
-        val l = longs(c); var k = 0
-        while (k < n) { l(d + k) = v.getLong(s + k); k += 1 } } }
-      else { val unit = tsUnits(c); new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
-        val l = longs(c); var k = 0
-        while (k < n) {
-          if (!v.isNullAt(s + k)) l(d + k) = storedFromMicros(v.getLong(s + k), unit)
-          k += 1 } } } }
-    case LongType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
-      val l = longs(c); var k = 0
-      while (k < n) { l(d + k) = v.getLong(s + k); k += 1 } } }
-    case FloatType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
-      val l = longs(c); var k = 0
-      while (k < n) { l(d + k) = java.lang.Float.floatToIntBits(v.getFloat(s + k)).toLong; k += 1 } } }
-    case DoubleType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
-      val l = longs(c); var k = 0
-      while (k < n) { l(d + k) = java.lang.Double.doubleToLongBits(v.getDouble(s + k)); k += 1 } } }
-    case dt: DecimalType if dt.precision <= 18 => new BatchFill {
-      def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
-        val l = longs(c); var k = 0
-        while (k < n) {
-          if (!v.isNullAt(s + k)) l(d + k) = v.getDecimal(s + k, dt.precision, dt.scale).toUnscaledLong
-          k += 1 } } }
-    case dt: DecimalType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
-      val b = bins(c); var k = 0
-      while (k < n) {
-        if (!v.isNullAt(s + k)) b(d + k) = v.getDecimal(s + k, dt.precision, dt.scale)
-          .toJavaBigDecimal.unscaledValue.toByteArray
-        k += 1 } } }
-    case StringType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
-      val b = bins(c); var k = 0
-      while (k < n) {
-        // getBytes copies out of the (reused) batch buffer
-        if (!v.isNullAt(s + k)) b(d + k) = v.getUTF8String(s + k).getBytes
-        k += 1 } } }
-    case BinaryType => new BatchFill { def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
-      val b = bins(c); var k = 0
-      while (k < n) { if (!v.isNullAt(s + k)) b(d + k) = v.getBinary(s + k); k += 1 } } }
-    case dt if NestedCodec.isNested(dt) && NestedCodec.supported(dt) => new BatchFill {
-      def fill(v: CV, s: Int, d: Int, n: Int): Unit = {
-        val b = bins(c); var k = 0
-        while (k < n) {
-          if (!v.isNullAt(s + k)) {
-            val value: Any = dt match {
-              case at: ArrayType => v.getArray(s + k)
-              case mt: MapType => v.getMap(s + k)
-              case st: StructType => v.getStruct(s + k)
-              case _ => null // unreachable: isNested gates
-            }
-            b(d + k) = NestedCodec.serialize(value, dt)
-          }
-          k += 1 } } }
-    case other => throw new UnsupportedOperationException(s"vortex: unsupported type $other")
-  }
-
-  private lazy val batchFills: Array[BatchFill] = Array.tabulate(nCols)(batchFillFor)
 
   /** Bulk-copy entry: append a whole ColumnarBatch (e.g. straight from
     * the vectorized parquet reader — see VortexBulkCopy) without ever
@@ -260,43 +127,24 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
     val total = batch.numRows()
     var src = 0
     while (src < total) {
-      val len = math.min(chunkRows - count, total - src)
-      var c = 0
-      while (c < nCols) {
-        val vec = batch.column(c)
-        if (vec.hasNull) {
-          val nl = nulls(c); var k = 0
-          while (k < len) { if (vec.isNullAt(src + k)) nl(count + k) = true; k += 1 }
-        }
-        batchFills(c).fill(vec, src, count, len)
-        // exact sums ride the long buffers, same as write()
-        if (sumOk(c)) {
-          val l = longs(c); val nl = nulls(c); var k = 0
-          while (k < len && sumOk(c)) {
-            if (!nl(count + k)) {
-              try sums(c) = Math.addExact(sums(c), l(count + k))
-              catch { case _: ArithmeticException => sumOk(c) = false }
-            }
-            k += 1
-          }
-        }
-        c += 1
-      }
-      count += len
+      val len = math.min(chunkRows - buf.count, total - src)
+      val full = buf.fillSegment(batch, src, len)
       src += len
-      if (count == chunkRows) flushChunk()
+      if (full) flushChunk()
     }
   }
 
   private def flushChunk(): Unit = {
-    if (count == 0) return
+    if (buf.count == 0) return
+    sumPass()
     bloomPass()
+    val count = buf.count
     val metas = new Array[ColumnChunkMeta](nCols)
     var c = 0
     while (c < nCols) {
       val vec =
-        if (fixed(c)) new ColVec(count, nulls(c), longs(c), null)
-        else new ColVec(count, nulls(c), null, bins(c))
+        if (fixed(c)) new ColVec(count, buf.nulls(c), buf.longs(c), null)
+        else new ColVec(count, buf.nulls(c), null, buf.bins(c))
       val enc = PageCodec.encode(vec, fields(c).dataType)
       out.write(enc.bytes)
       metas(c) = ColumnChunkMeta(pos, enc.bytes.length, enc.encoding, enc.compressed,
@@ -305,7 +153,7 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
       c += 1
     }
     chunks += ChunkMeta(count, metas)
-    alloc()
+    buf.alloc()
   }
 
   def close(): Unit = {

@@ -63,88 +63,35 @@ object VortexIpc {
 
   // ---- core stream writer --------------------------------------------
 
-  /** Streaming IPC writer over `out`; caller closes the stream. */
+  /** Streaming IPC writer over `out`; caller closes the stream.
+    * Chunk buffers + append kernels are the shared [[ChunkBuffer]]
+    * (the file writer's kernel — one storage domain, one kernel);
+    * timestamps travel as raw µs, so every ts unit is "us". */
   final class Writer(out: OutputStream, schema: StructType,
                      chunkRows: Int = DefaultChunkRows) {
     private val dos = new DataOutputStream(out)
     private val fields = schema.fields
     private val nCols = fields.length
-    private val fixed = fields.map(f => PageCodec.isFixed(f.dataType))
-    private var longs: Array[Array[Long]] = _
-    private var bins: Array[Array[Array[Byte]]] = _
-    private var nulls: Array[Array[Boolean]] = _
-    private var count = 0
-    alloc()
+    private val buf = new ChunkBuffer(fields, chunkRows, Array.fill(nCols)("us"))
 
     dos.write(Magic)
     private val schemaBytes = schema.json.getBytes("UTF-8")
     dos.writeInt(schemaBytes.length)
     dos.write(schemaBytes)
 
-    private def alloc(): Unit = {
-      longs = Array.tabulate(nCols)(i => if (fixed(i)) new Array[Long](chunkRows) else null)
-      bins = Array.tabulate(nCols)(i => if (!fixed(i)) new Array[Array[Byte]](chunkRows) else null)
-      nulls = Array.fill(nCols)(new Array[Boolean](chunkRows))
-      count = 0
-    }
-
-    /** Per-column append kernel resolved once at construction (same
-      * monomorphic-dispatch discipline as VortexFileWriter). */
-    private abstract class Appender { def append(row: InternalRow, i: Int): Unit }
-
-    private def appenderFor(c: Int): Appender = fields(c).dataType match {
-      case BooleanType => new Appender {
-        def append(r: InternalRow, i: Int): Unit = longs(c)(i) = if (r.getBoolean(c)) 1L else 0L }
-      case ByteType => new Appender {
-        def append(r: InternalRow, i: Int): Unit = longs(c)(i) = r.getByte(c).toLong }
-      case ShortType => new Appender {
-        def append(r: InternalRow, i: Int): Unit = longs(c)(i) = r.getShort(c).toLong }
-      case IntegerType | DateType => new Appender {
-        def append(r: InternalRow, i: Int): Unit = longs(c)(i) = r.getInt(c).toLong }
-      case LongType | TimestampType | TimestampNTZType => new Appender {
-        def append(r: InternalRow, i: Int): Unit = longs(c)(i) = r.getLong(c) }
-      case FloatType => new Appender {
-        def append(r: InternalRow, i: Int): Unit =
-          longs(c)(i) = java.lang.Float.floatToIntBits(r.getFloat(c)).toLong }
-      case DoubleType => new Appender {
-        def append(r: InternalRow, i: Int): Unit =
-          longs(c)(i) = java.lang.Double.doubleToLongBits(r.getDouble(c)) }
-      case d: DecimalType if d.precision <= 18 => new Appender {
-        def append(r: InternalRow, i: Int): Unit =
-          longs(c)(i) = r.getDecimal(c, d.precision, d.scale).toUnscaledLong }
-      case d: DecimalType => new Appender {
-        def append(r: InternalRow, i: Int): Unit =
-          bins(c)(i) = r.getDecimal(c, d.precision, d.scale)
-            .toJavaBigDecimal.unscaledValue.toByteArray }
-      case StringType => new Appender {
-        def append(r: InternalRow, i: Int): Unit = bins(c)(i) = r.getUTF8String(c).getBytes }
-      case BinaryType => new Appender {
-        def append(r: InternalRow, i: Int): Unit = bins(c)(i) = r.getBinary(c) }
-      case dt if NestedCodec.isNested(dt) && NestedCodec.supported(dt) => new Appender {
-        def append(r: InternalRow, i: Int): Unit = bins(c)(i) = NestedCodec.serialize(r.get(c, dt), dt) }
-      case other => throw new UnsupportedOperationException(s"vortex ipc: unsupported type $other")
-    }
-    private val appenders: Array[Appender] = Array.tabulate(nCols)(appenderFor)
-
     def write(row: InternalRow): Unit = {
-      var c = 0
-      while (c < nCols) {
-        if (row.isNullAt(c)) nulls(c)(count) = true
-        else appenders(c).append(row, count)
-        c += 1
-      }
-      count += 1
-      if (count == chunkRows) flushChunk()
+      if (buf.write(row)) flushChunk()
     }
 
     private def flushChunk(): Unit = {
-      if (count == 0) return
+      if (buf.count == 0) return
+      val count = buf.count
       dos.writeInt(count)
       var c = 0
       while (c < nCols) {
         val vec =
-          if (fixed(c)) new ColVec(count, nulls(c), longs(c), null)
-          else new ColVec(count, nulls(c), null, bins(c))
+          if (buf.fixed(c)) new ColVec(count, buf.nulls(c), buf.longs(c), null)
+          else new ColVec(count, buf.nulls(c), null, buf.bins(c))
         val enc = PageCodec.encode(vec, fields(c).dataType)
         dos.writeByte(enc.encoding)
         dos.writeBoolean(enc.compressed)
@@ -153,7 +100,7 @@ object VortexIpc {
         dos.write(enc.bytes)
         c += 1
       }
-      alloc()
+      buf.alloc()
     }
 
     /** Flush the tail chunk and the end-of-stream marker (does NOT

@@ -116,34 +116,53 @@ class VortexBulkCopySpec extends AnyFunSuite {
     assert(sums == (0L until 10000L).sum)
   }
 
-  test("commit sweeps orphan files from losing task attempts") {
-    // bulk copy renames task-side without the commit coordinator, so a
-    // speculative/retried attempt can land a file AFTER the winning
-    // attempt returned its message; the job-scoped sweep must delete
-    // any same-jobId file no commit message claims
+  test("tasks never rename: only driver-claimed files become data, tmp files are swept") {
+    // exactly-once contract: tasks write dot-hidden `.…inprogress`
+    // files and the DRIVER promotes exactly the claimed set at commit,
+    // so a speculative/retried attempt can never land a readable
+    // duplicate. Observable invariants: a stale tmp file (a crashed
+    // prior job's leftover) stays invisible and untouched, this job's
+    // tmp files are all gone, and the count is exact.
     val dir = tmp()
-    val df = sourceDf
-    VortexBulkCopy.copy(df, dir)
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(hconf)
-    val real = fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.endsWith(".vortex")).sortBy(_.getName)
-    assert(real.nonEmpty)
-    // part-<pid>-<jobId>-<tid>.vortex → recover the jobId
-    val jobId = real.head.getName.split("-")(2)
-    val orphan = new org.apache.hadoop.fs.Path(root, s"part-99999-$jobId-777.vortex")
-    org.apache.hadoop.fs.FileUtil.copy(fs, real.head, fs, orphan, false, hconf)
-    // orphaned duplicate is visible to scans until a commit sweeps it
-    assert(spark.read.format("vortex").load(dir).count() > 10000)
-    val messages = real.toSeq.map(p =>
-      graft.sources.vortex.VortexCommit(Seq(p.toString)))
-    graft.sources.vortex.VortexCommitOps.commitJob(
-      dir, hconf, jobId, messages, df.schema,
-      truncate = false, preExisting = Seq.empty,
-      partitionCols = Seq.empty, bucketSpec = None, sweepTaskRenames = true)
-    assert(!fs.exists(orphan), "sweep must delete the unclaimed same-jobId file")
+    fs.mkdirs(root)
+    val stale = new org.apache.hadoop.fs.Path(root, ".part-00000-deadbeef-1.vortex.inprogress")
+    fs.create(stale, true).close()
+    VortexBulkCopy.copy(sourceDf, dir, overwrite = false)
     assert(spark.read.format("vortex").load(dir).count() == 10000)
+    val leftovers = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.endsWith(".inprogress")).toSeq
+    assert(leftovers == Seq(stale.getName),
+      s"only the other job's stale tmp may remain, got $leftovers")
+  }
+
+  test("empty input produces a readable zero-row dataset like the row path") {
+    // a bare scan of an EMPTY parquet keeps the columnar path (a
+    // filter would fall back to the row path and dodge the case)
+    val pq = tmp() + "/empty.parquet"
+    sourceDf.filter(lit(false)).write.parquet(pq)
+    val df = spark.read.parquet(pq)
+    assert(VortexBulkCopy.isColumnar(df), "empty bare scan must stay columnar")
+    val dir = tmp()
+    VortexBulkCopy.copy(df, dir)
+    assert(spark.read.format("vortex").load(dir).count() == 0)
+    assert(spark.read.format("vortex").load(dir).schema == df.schema)
+  }
+
+  test("bloom column validation does not depend on which path the plan takes") {
+    val columnar = sourceDf                       // bare scan → vectorized path
+    val rowPath = sourceDf.selectExpr("CAST(c_long AS STRING) AS c_long2") // cast → row path
+    assert(VortexBulkCopy.isColumnar(columnar) && !VortexBulkCopy.isColumnar(rowPath))
+    val e1 = intercept[IllegalArgumentException] {
+      VortexBulkCopy.copy(columnar, tmp(), bloomCols = Set("no_such_col"))
+    }
+    assert(e1.getMessage.contains("not in schema"))
+    val e2 = intercept[IllegalArgumentException] {
+      VortexBulkCopy.copy(rowPath, tmp(), bloomCols = Set("no_such_col"))
+    }
+    assert(e2.getMessage.contains("not in schema"))
   }
 
   test("multi-chunk boundaries: batch larger than chunkRows splits exactly") {

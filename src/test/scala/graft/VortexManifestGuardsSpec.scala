@@ -13,8 +13,9 @@ import graft.sources.vortex.VortexFileReader
   *    manifests written against different schemas (manually merged
   *    datasets), and a shared per-root verdict would let drifted files
   *    skip the footer drift guard and decode garbage;
-  *  - round-3 bare-array manifests (file-level stats, no chunks) still
-  *    prune whole files before any footer fetch;
+  *  - round-3 bare-array manifests (file-level stats, no schema) are
+  *    never trusted for pruning — their files keep the footer drift
+  *    guard;
   *  - grouped aggregate pushdown groups by the TYPED partition value,
   *    so externally-written spellings of the same value ('g=1' vs
   *    'g=01' under LongType) merge instead of duplicating groups;
@@ -88,7 +89,14 @@ class VortexManifestGuardsSpec extends AnyFunSuite {
     assert(driftInChain(e), s"expected schema-drift failure, got: $e")
   }
 
-  test("bare-array (round-3) manifest still prunes whole files before footer I/O") {
+  test("schema-less (round-3) manifest entries are never trusted for pruning") {
+    // a bare-array manifest records name-matched min/max BYTES but no
+    // schema; min/max are raw storage bytes whose interpretation
+    // depends on the column type, so using them under the TABLE's
+    // inferred type would silently mis-prune (or crash planning) if
+    // the file had drifted. Entries without a recorded schema
+    // therefore get no pruning at all: their files pay one footer
+    // fetch, which keeps the loud schema-drift guard.
     val dir = Files.createTempDirectory("vortex_bare_manifest_").toString
     spark.range(0, 40000).select(col("id"))
       .repartitionByRange(4, col("id"))
@@ -109,10 +117,8 @@ class VortexManifestGuardsSpec extends AnyFunSuite {
     val cnt = spark.read.format("vortex").load(dir).filter(col("id") < 5000).count()
     assert(cnt == 5000)
     val delta = VortexFileReader.footerFetches.get() - before
-    // schema inference (no manifest schema now) reads one footer; the
-    // 3 range-excluded files must be pruned from FILE-level stats, so
-    // only the surviving file's footer is ever fetched
-    assert(delta <= 2, s"bare-array manifest pruning should leave <=2 footer fetches, got $delta")
+    assert(delta >= 4,
+      s"schema-less entries must not prune: every data file's footer is consulted, got $delta")
   }
 
   test("grouped stats pushdown merges distinct path spellings of one typed value") {
