@@ -660,53 +660,57 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
-  /** Per-doc LSH band keys: (doc_id, band, band-hex) — 4 bands × 4
-    * rows over the 16-hash MinHash signature, hashed map-side over the
-    * doc's distinct token set (same parameters as the self-join path,
-    * so both produce the same buckets). */
-  private def docBands(s: SparkSession, tok: DataFrame): DataFrame = {
+  /** Per-SET LSH band keys: (sid, band, band-hex) — 4 bands × 4 rows
+    * over the 16-hash MinHash signature, hashed map-side once per
+    * DISTINCT token set (same parameters as the self-join path, so
+    * both produce the same buckets; same set-collapse discipline, so
+    * the md5 work — the dominant cost — is paid per distinct set, not
+    * per document). */
+  private def setBands(s: SparkSession, sets: DataFrame): DataFrame = {
     import s.implicits._
     import graft.functions.Hashing
-    tok.groupBy("doc_id").agg(sort_array(collect_set(col("w"))).as("toks"))
-      .select(col("doc_id"), col("toks")).as[(Long, Seq[String])]
-      .flatMap { case (id, toks) =>
+    sets.select(col("sid"), col("toks")).as[(Long, Seq[String])]
+      .flatMap { case (sid, toks) =>
         val k = 16
         val mh = new Array[Byte](k * 16)
         java.util.Arrays.fill(mh, 0xFF.toByte)
         toks.foreach(w => Hashing.minhashUpdate(mh, k, w))
-        Iterator.tabulate(4)(b => (id, b, Hashing.toHexRange(mh, 64 * b, 64)))
-      }.toDF("doc_id", "band", "bkey")
+        Iterator.tabulate(4)(b => (sid, b, Hashing.toHexRange(mh, 64 * b, 64)))
+      }.toDF("sid", "band", "bkey")
   }
 
   /** Incremental (against-corpus) near-dup — the daily-ingest shape: a
     * new batch checked for duplicates of an EXISTING corpus, without
-    * the corpus×corpus self-join. Bipartite MinHash-LSH: both sides'
-    * band keys (map-side hashing), one equi-join on (band, band-key),
-    * candidates deduplicated, then exact-Jaccard verification against
-    * the token sets. Returns one row per verified duplicate pair
-    * (batch doc `bid`, corpus doc `cid`, exact `jac` ≥ τ).
+    * the corpus×corpus self-join. Both sides collapse to distinct
+    * token sets, band keys hash once per set, one equi-join on
+    * (band, band-key) yields candidate SET pairs (deduplicated), exact
+    * Jaccard verifies each set pair, and doc pairs explode from the
+    * membership lists last. Returns one row per verified duplicate
+    * pair (batch doc `bid`, corpus doc `cid`, exact `jac` ≥ τ).
     *
     * At 100 TB: the corpus bands are a cheap derivative of stored
-    * signatures (hash once per corpus doc EVER, not per ingest), the
+    * signatures (hash once per corpus set EVER, not per ingest), the
     * batch side is small — AQE broadcasts it into the band join — and
     * nothing here is O(corpus²): work is O(corpus + batch + matches).
     */
   def minhashNearDupAgainst(s: SparkSession, corpusTok: DataFrame,
                             batchTok: DataFrame, tau: Double): DataFrame = {
-    val cand = docBands(s, batchTok).select(col("doc_id").as("bid"), col("band"), col("bkey"))
-      .join(docBands(s, corpusTok).select(col("doc_id").as("cid"), col("band"), col("bkey")),
+    val bsets = distinctSetsDF(batchTok)
+    val csets = distinctSetsDF(corpusTok)
+    val cand = setBands(s, bsets).select(col("sid").as("bsid"), col("band"), col("bkey"))
+      .join(setBands(s, csets).select(col("sid").as("csid"), col("band"), col("bkey")),
             Seq("band", "bkey"))
-      .select("bid", "cid").distinct()
-    def sets(tok: DataFrame, idName: String, tokName: String, nName: String) =
-      tok.groupBy("doc_id").agg(sort_array(collect_set(col("w"))).as(tokName))
-        .select(col("doc_id").as(idName), col(tokName), size(col(tokName)).as(nName))
+      .select("bsid", "csid").distinct()
     cand
-      .join(sets(batchTok, "bid", "tb", "nb"), "bid")
-      .join(sets(corpusTok, "cid", "tc", "nc"), "cid")
+      .join(bsets.select(col("sid").as("bsid"), col("toks").as("tb"),
+        size(col("toks")).as("nb"), col("members").as("bm")), "bsid")
+      .join(csets.select(col("sid").as("csid"), col("toks").as("tc"),
+        size(col("toks")).as("nc"), col("members").as("cm")), "csid")
       .withColumn("inter", size(array_intersect(col("tb"), col("tc"))))
       .withColumn("jac", col("inter").cast("double") / (col("nb") + col("nc") - col("inter")))
       .filter(col("jac") >= tau)
-      .select(col("bid"), col("cid"), col("jac"))
+      .select(explode(col("bm")).as("bid"), col("cm"), col("jac"))
+      .select(col("bid"), explode(col("cm")).as("cid"), col("jac"))
   }
 
   // Incremental dedup query: docs with doc_id % 7 = 0 are "today's

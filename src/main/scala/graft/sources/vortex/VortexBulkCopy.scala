@@ -183,12 +183,17 @@ object VortexBulkCopy {
         }
       }
     }.collect().toSeq
-    taskMessages.flatMap(_.files).foreach { f =>
+    // parallel promotion: object stores implement rename as COPY+DELETE
+    // (one round trip per file) — serial renames would make commit
+    // latency O(files · RTT) at large file counts
+    val renameFailed = new java.util.concurrent.atomic.AtomicReference[String](null)
+    java.util.Arrays.stream(taskMessages.flatMap(_.files).toArray).parallel().forEach { f =>
       val p = new Path(f)
       val tmp = new Path(p.getParent, s".${p.getName}.inprogress")
-      if (!fs.rename(tmp, p))
-        throw new IOException(s"vortex: rename failed for $p")
+      if (!p.getFileSystem(hconf).rename(tmp, p)) renameFailed.compareAndSet(null, f)
     }
+    if (renameFailed.get != null)
+      throw new IOException(s"vortex: rename failed for ${renameFailed.get}")
     // losing attempts that completed their tmp write but weren't the
     // returned message leave dot-hidden files; sweep this job's.
     // (A zombie still mid-write re-creates its tmp after the sweep —
