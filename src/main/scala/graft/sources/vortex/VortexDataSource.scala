@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
@@ -47,15 +47,20 @@ class VortexDataSource extends TableProvider with DataSourceRegister {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val listed = VortexDataSource.listAll(paths(options), conf)
     require(listed.nonEmpty, s"vortex: no files found for ${paths(options).mkString(",")}")
-    // manifest-held schema first (round-4 format): a covered dataset
-    // infers with zero footer I/O; planning's drift guard still
-    // validates any file the manifest doesn't cover
-    val manifestSchema = paths(options).iterator.flatMap { raw =>
-      try StatsManifest.rootOf(raw, conf).flatMap(p => StatsManifest.readAll(p, conf)._1)
-      catch { case _: Exception => None }
-    }.nextOption()
-    val fileSchema = manifestSchema.getOrElse(
-      VortexFileReader.readFooter(listed.head._1.getPath, conf).schema)
+    val fileSchema =
+      if (Option(options.get("mergeschema")).exists(_.toBoolean))
+        VortexDataSource.mergedSchema(paths(options), listed, conf)
+      else {
+        // manifest-held schema first (round-4 format): a covered dataset
+        // infers with zero footer I/O; planning's drift guard still
+        // validates any file the manifest doesn't cover
+        val manifestSchema = paths(options).iterator.flatMap { raw =>
+          try StatsManifest.rootOf(raw, conf).flatMap(p => StatsManifest.readAll(p, conf)._1)
+          catch { case _: Exception => None }
+        }.nextOption()
+        manifestSchema.getOrElse(
+          VortexFileReader.readFooter(listed.head._1.getPath, conf).schema)
+      }
     val partSchema = PartitionedLayout.inferPartitionSchema(listed)
     // __bucket is layout, not data: never surfaces as a column
     StructType(fileSchema.fields ++ partSchema.fields.filterNot(f =>
@@ -88,6 +93,61 @@ object VortexDataSource {
 
   def expand(raw: Seq[String], conf: org.apache.hadoop.conf.Configuration): Seq[Path] =
     listAll(raw, conf).map(_._1.getPath)
+
+  /** Reader-side type guard: a name matched between the read schema
+    * and a file's footer must keep its exact type — defense in depth
+    * behind the plan-time drift/evolution checks (a stale plan or a
+    * file swapped after planning would otherwise decode garbage). */
+  def checkReadType(path: Path, fileField: StructField, required: StructField): Unit =
+    if (fileField.dataType != required.dataType)
+      throw new VortexSchemaDriftException(
+        s"vortex: column ${required.name} of $path is " +
+        s"${fileField.dataType.simpleString}, read expects ${required.dataType.simpleString}")
+
+  /** Schema-evolution ("mergeSchema") inference: the by-NAME union of
+    * every schema present in the dataset — manifest-recorded schemas
+    * first (zero footer I/O for covered files), footers only for
+    * uncovered files. Field order is first-seen; a name bound to two
+    * different types anywhere in the dataset is a loud drift error
+    * (evolution adds and drops columns, it never silently retypes). */
+  def mergedSchema(roots: Seq[String],
+                   listed: Seq[(org.apache.hadoop.fs.FileStatus, Seq[(String, String)])],
+                   conf: org.apache.hadoop.conf.Configuration): StructType = {
+    val entryInfo: Seq[(String, Option[StructType])] = roots.flatMap { raw =>
+      try StatsManifest.rootOf(raw, conf).toSeq.flatMap { p =>
+        val fs = p.getFileSystem(conf)
+        val rootQ = fs.makeQualified(p).toString
+        StatsManifest.readAll(p, conf)._2.values
+          .map(e => (s"$rootQ/${e.relPath}", e.manifestSchema)).toSeq
+      } catch { case _: Exception => Seq.empty }
+    }
+    val covered = entryInfo.collect { case (pth, Some(_)) => pth }.toSet
+    val schemas: Seq[StructType] =
+      (entryInfo.flatMap(_._2) ++
+        listed.filterNot(f => covered.contains(f._1.getPath.toString))
+          .map(f => VortexFileReader.readFooter(f._1.getPath, conf).schema)).distinct
+    val merged = new scala.collection.mutable.LinkedHashMap[String, StructField]()
+    schemas.foreach(_.fields.foreach { f =>
+      merged.get(f.name) match {
+        case None => merged(f.name) = f
+        case Some(g) if g.dataType == f.dataType => // keep first (incl. ts-unit metadata)
+        case Some(g) => throw new VortexSchemaDriftException(
+          s"vortex mergeSchema: column ${f.name} bound to both " +
+          s"${g.dataType.simpleString} and ${f.dataType.simpleString}")
+      }
+    })
+    // a column absent from ANY schema reads as null for those files —
+    // it MUST surface nullable or Catalyst constant-folds IsNull(c) to
+    // false (and downstream code trusts a non-null contract the data
+    // does not honor); a column present everywhere keeps the union of
+    // the files' nullability
+    StructType(merged.values.toSeq.map { f =>
+      val everywhere = schemas.forall(_.fieldNames.contains(f.name))
+      val anyNullable = schemas.exists(s =>
+        s.fieldNames.contains(f.name) && s(f.name).nullable)
+      f.copy(nullable = !everywhere || anyNullable)
+    })
+  }
 }
 
 class VortexTable(schema: StructType, paths: Seq[String],
@@ -115,7 +175,8 @@ class VortexTable(schema: StructType, paths: Seq[String],
         TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new VortexScanBuilder(schema, paths)
+    new VortexScanBuilder(schema, paths,
+      evolution = Option(options.get("mergeschema")).exists(_.toBoolean))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val chunkRows = Option(info.options.get("chunkrows")).map(_.toInt)
@@ -253,7 +314,8 @@ object BucketSpecFile {
     } catch { case _: Exception => }
 }
 
-class VortexScanBuilder(schema: StructType, paths: Seq[String])
+class VortexScanBuilder(schema: StructType, paths: Seq[String],
+                        evolution: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = schema
@@ -282,7 +344,9 @@ class VortexScanBuilder(schema: StructType, paths: Seq[String])
   private def probeAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) = {
     if (!aggProbe.exists(_._1 eq agg)) {
       val res =
-        if (filters.nonEmpty || pushedLimit.isDefined) None
+        // evolution mode: files may carry schema subsets, so positional
+        // footer/manifest stats can't answer aggregates — bail always
+        if (filters.nonEmpty || pushedLimit.isDefined || evolution) None
         else VortexStatsPushdown.compute(agg, schema, paths,
           SparkSession.active.sessionState.newHadoopConf())
       aggProbe = Some((agg, res))
@@ -312,7 +376,7 @@ class VortexScanBuilder(schema: StructType, paths: Seq[String])
 
   override def build(): Scan = pushedAgg match {
     case Some((s, rows, desc)) => new VortexStatsScan(s, rows, desc)
-    case None => new VortexScan(schema, required, filters, paths, pushedLimit)
+    case None => new VortexScan(schema, required, filters, paths, pushedLimit, evolution)
   }
 }
 
@@ -332,7 +396,8 @@ case class VortexInputPartition(file: String, chunkIdxs: Array[Int],
 
 class VortexScan(fileSchema: StructType, required: StructType,
                  initialFilters: Array[Filter], paths: Seq[String],
-                 pushedLimit: Option[Int] = None)
+                 pushedLimit: Option[Int] = None,
+                 evolution: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -564,19 +629,32 @@ class VortexScan(fileSchema: StructType, required: StructType,
         // chunk metas: manifest-held stats, else the file footer (with
         // the schema-drift guard — inferSchema trusts the first footer;
         // a directory mixing drifted files would otherwise decode
-        // garbage, since readers map columns by index)
-        val chunkMetas: IndexedSeq[(VortexFormat.ChunkMeta, Long)] =
+        // garbage, since readers map columns by index). `pruneSchema`
+        // is the schema the metas are POSITIONALLY aligned with: the
+        // table schema for manifest stats (recorded-and-matching by
+        // construction), the file's own footer schema otherwise — under
+        // evolution a file may carry a name-compatible subset, and
+        // pruning its chunks against table positions would skip wrong.
+        val (chunkMetas, pruneSchema): (IndexedSeq[(VortexFormat.ChunkMeta, Long)], StructType) =
           chunkSources.get(f.toString) match {
-            case Some(chunks) => chunks.map(ch => (ch.toChunkMeta, ch.bytes))
+            case Some(chunks) => (chunks.map(ch => (ch.toChunkMeta, ch.bytes)), dataSchema)
             case None =>
               val footer = VortexFileReader.readFooter(f, conf)
               val got = footer.schema.fields.toSeq.map(fl => (fl.name, fl.dataType))
-              if (got != expectedData)
-                throw new VortexSchemaDriftException(
-                  s"vortex: schema drift in $f: file columns ${got.mkString("[", ", ", "]")} " +
-                  s"do not match the table's data columns ${expectedData.mkString("[", ", ", "]")}")
-              footer.chunks.toIndexedSeq.map(ch =>
-                (ch, ch.columns.map(_.length.toLong).sum))
+              if (got != expectedData) {
+                // evolution mode tolerates added/dropped columns; a
+                // shared NAME must keep its type — silent retyping is
+                // the drift case that decodes garbage
+                val tableTypes = expectedData.toMap
+                val compatible = evolution &&
+                  got.forall { case (n, dt) => tableTypes.get(n).forall(_ == dt) }
+                if (!compatible)
+                  throw new VortexSchemaDriftException(
+                    s"vortex: schema drift in $f: file columns ${got.mkString("[", ", ", "]")} " +
+                    s"do not match the table's data columns ${expectedData.mkString("[", ", ", "]")}")
+              }
+              (footer.chunks.toIndexedSeq.map(ch =>
+                (ch, ch.columns.map(_.length.toLong).sum)), footer.schema)
           }
         // __bucket is a layout segment, not a partition column
         val kvs = kvs0.filter { case (k, _) => partSchema.fieldNames.contains(k) }
@@ -601,7 +679,7 @@ class VortexScan(fileSchema: StructType, required: StructType,
           // tier 2: per-chunk stats pruning (manifest metas carry the
           // same nullCount/min/max the footer would)
           val keep = limitRemaining > 0L &&
-            !filters.exists(fl => FilterPruning.canSkip(fl, chunk, dataSchema))
+            !filters.exists(fl => FilterPruning.canSkip(fl, chunk, pruneSchema))
           if (keep) {
             if (limitRemaining != Long.MaxValue)
               limitRemaining = math.max(0L, limitRemaining - chunk.rowCount)
@@ -665,10 +743,17 @@ class VortexColumnarReader(part: VortexInputPartition,
   private val path = new Path(part.file)
   private val footer = VortexFileReader.readFooter(path, conf)
   private val partMap = part.partCols.zip(part.partValues).toMap
+  // required field → Right(file col, type-checked) | Left(partition
+  // constant) | Left(null) = column absent from this file (schema
+  // evolution: older files read the added column as all-null)
   private val slots: Array[Either[Any, Int]] = required.fields.map { f =>
     footer.schema.fieldNames.indexOf(f.name) match {
-      case -1 => Left(PartitionedLayout.toInternal(partMap(f.name), f.dataType))
-      case i => Right(i)
+      case -1 if partMap.contains(f.name) =>
+        Left(PartitionedLayout.toInternal(partMap(f.name), f.dataType))
+      case -1 => Left(null)
+      case i =>
+        VortexDataSource.checkReadType(path, footer.schema.fields(i), f)
+        Right(i)
     }
   }
   private val dts = required.fields.map(_.dataType)
@@ -678,6 +763,7 @@ class VortexColumnarReader(part: VortexInputPartition,
 
   private def constVector(n: Int, dt: DataType, v: Any): OnHeapColumnVector = {
     val cv = new OnHeapColumnVector(n, dt)
+    if (v == null) { cv.putNulls(0, n); return cv }
     var i = 0
     dt match {
       case LongType | TimestampType | TimestampNTZType =>
@@ -850,11 +936,16 @@ class VortexPartitionReader(part: VortexInputPartition,
   private val path = new Path(part.file)
   private val footer = VortexFileReader.readFooter(path, conf)
   private val partMap = part.partCols.zip(part.partValues).toMap
-  // required field → Right(file col index) or Left(partition constant)
+  // required field → Right(file col index) or Left(partition constant);
+  // Left(null) = column absent from this file (schema evolution)
   private val slots: Array[Either[Any, Int]] = required.fields.map { f =>
     footer.schema.fieldNames.indexOf(f.name) match {
-      case -1 => Left(PartitionedLayout.toInternal(partMap(f.name), f.dataType))
-      case i => Right(i)
+      case -1 if partMap.contains(f.name) =>
+        Left(PartitionedLayout.toInternal(partMap(f.name), f.dataType))
+      case -1 => Left(null)
+      case i =>
+        VortexDataSource.checkReadType(path, footer.schema.fields(i), f)
+        Right(i)
     }
   }
   private val dts = required.fields.map(_.dataType)

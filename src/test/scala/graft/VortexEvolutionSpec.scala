@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.vortex.VortexSchemaDriftException
+
+/** Schema evolution on read (`.option("mergeSchema", "true")`): a
+  * 100 TB dataset accumulates added/dropped columns; evolution reads
+  * the by-name union, null-fills missing columns per file, and keeps
+  * the loud drift guard for same-name/different-type — while the
+  * DEFAULT read stays strict (any drift throws). */
+class VortexEvolutionSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("vortex_evo_").toString
+
+  /** copy dir b's data files into dir a (manifests untouched: the
+    * copied files are manifest-uncovered, like any out-of-band add) */
+  private def mixIn(a: String, b: String): Unit =
+    new java.io.File(b).listFiles.filter(_.getName.endsWith(".vortex")).foreach { f =>
+      Files.copy(f.toPath, Paths.get(a, "evo_" + f.getName), StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** v1 files (a, b) + v2 files (a, b, c) in one directory */
+  private def evolvedDir(): String = {
+    val dir = tmp()
+    val v2 = tmp()
+    spark.range(0, 100).selectExpr("id AS a", "CAST(id * 2 AS INT) AS b")
+      .coalesce(1).write.format("vortex").mode("overwrite").save(dir)
+    spark.range(100, 150)
+      .selectExpr("id AS a", "CAST(id * 2 AS INT) AS b", "concat('v2_', id) AS c")
+      .coalesce(1).write.format("vortex").mode("overwrite").save(v2)
+    mixIn(dir, v2)
+    dir
+  }
+
+  test("default read stays strict: mixed schemas throw the drift error") {
+    val dir = evolvedDir()
+    val e = intercept[Exception] {
+      spark.read.format("vortex").load(dir).count()
+    }
+    def drift(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[VortexSchemaDriftException] || drift(t.getCause))
+    assert(drift(e), s"expected drift failure, got $e")
+  }
+
+  test("mergeSchema reads the union; missing columns are null per file") {
+    val dir = evolvedDir()
+    val df = spark.read.format("vortex").option("mergeSchema", "true").load(dir)
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    assert(df.count() == 150)
+    // v1 rows surface c as NULL; v2 rows carry their values
+    assert(df.filter(col("c").isNull).count() == 100)
+    assert(df.filter(col("a") >= 100).filter(col("c") === concat(lit("v2_"), col("a"))).count() == 50)
+    // aggregates over the shared columns see every file
+    assert(df.agg(sum("a")).collect()(0).getLong(0) == (0L until 150L).sum)
+  }
+
+  test("projection of only the added column over old files yields nulls") {
+    val dir = evolvedDir()
+    val df = spark.read.format("vortex").option("mergeSchema", "true").load(dir)
+    val vals = df.select("c").collect().map(r => Option(r.getString(0)))
+    assert(vals.count(_.isEmpty) == 100 && vals.count(_.isDefined) == 50)
+  }
+
+  test("filters on shared columns still prune and return exact results") {
+    val dir = evolvedDir()
+    val df = spark.read.format("vortex").option("mergeSchema", "true").load(dir)
+    assert(df.filter(col("a") < 10).count() == 10)
+    assert(df.filter(col("a") >= 140).count() == 10)
+    // filter on the evolved column: old files contribute nothing
+    assert(df.filter(col("c").isNotNull && col("a") < 120).count() == 20)
+  }
+
+  test("same-name different-type stays a loud error even under mergeSchema") {
+    val dir = tmp()
+    val bad = tmp()
+    spark.range(0, 10).selectExpr("id AS a").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(dir)
+    spark.range(0, 10).selectExpr("CAST(id AS STRING) AS a").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(bad)
+    mixIn(dir, bad)
+    val e = intercept[Exception] {
+      spark.read.format("vortex").option("mergeSchema", "true").load(dir).count()
+    }
+    def drift(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[VortexSchemaDriftException] || drift(t.getCause))
+    assert(drift(e), s"expected retype to fail loudly, got $e")
+  }
+
+  test("evolved datasets decline stats pushdown but answer correctly") {
+    val dir = evolvedDir()
+    val df = spark.read.format("vortex").option("mergeSchema", "true").load(dir)
+    val row = df.agg(count(lit(1)), min("a"), max("a"), count("c")).collect()(0)
+    assert(row.getLong(0) == 150 && row.getLong(1) == 0 && row.getLong(2) == 149
+      && row.getLong(3) == 50)
+  }
+}
