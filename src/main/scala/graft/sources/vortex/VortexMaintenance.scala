@@ -50,24 +50,6 @@ object VortexMaintenance {
     val listed = PartitionedLayout.listWithPartitions(root, hconf)
     val byDir = listed.groupBy(_._1.getPath.getParent.toString)
 
-    val batches = byDir.toSeq.sortBy(_._1).flatMap { case (d, files) =>
-      val small = files.map(_._1).filter(_.getLen < targetBytes)
-        .sortBy(_.getPath.getName)
-      val out = scala.collection.mutable.ListBuffer[Seq[String]]()
-      var cur = scala.collection.mutable.ListBuffer[String]()
-      var bytes = 0L
-      small.foreach { st =>
-        if (bytes + st.getLen > targetBytes && cur.nonEmpty) {
-          if (cur.length >= minFiles) out += cur.toSeq
-          cur = scala.collection.mutable.ListBuffer[String](); bytes = 0L
-        }
-        cur += st.getPath.toString; bytes += st.getLen
-      }
-      if (cur.length >= minFiles) out += cur.toSeq
-      out.toSeq
-    }
-    if (batches.isEmpty) return CompactResult(byDir.size, 0, 0, 0L)
-
     // manifest state BEFORE the rewrite: sources are deleted during
     // compaction, but their (path,len)-validated entries let the new
     // files inherit what a footer can't reproduce — writer-exact SUMs
@@ -80,9 +62,46 @@ object VortexMaintenance {
     val lenByPath: Map[String, Long] = listed.map { case (st, _) =>
       fs.makeQualified(st.getPath).toString -> st.getLen }.toMap
 
+    // schema key per file (manifest-recorded first, footer fallback):
+    // batches never mix schemas, so an EVOLVED dataset (mergeSchema
+    // reads) compacts within each schema version instead of failing
+    // the whole job at the executor-side schema check
+    def schemaKeyOf(st: org.apache.hadoop.fs.FileStatus): String = {
+      val q = fs.makeQualified(st.getPath).toString
+      val rel = q.stripPrefix(rootQ).stripPrefix("/")
+      preManifest.get(rel)
+        .filter(e => e.len == st.getLen && e.manifestSchema.isDefined)
+        .map(_.manifestSchema.get.json)
+        .getOrElse(
+          try VortexFileReader.readFooter(st.getPath, hconf).schema.json
+          catch { case _: Exception => s"unreadable:$q" })
+    }
+
+    val batches: Seq[(Seq[String], String)] = byDir.toSeq.sortBy(_._1).flatMap { case (_, files) =>
+      files.map(_._1).filter(_.getLen < targetBytes)
+        .sortBy(_.getPath.getName)
+        .groupBy(schemaKeyOf).toSeq.sortBy(_._1)
+        .filterNot(_._1.startsWith("unreadable:"))
+        .flatMap { case (sk, small) =>
+          val out = scala.collection.mutable.ListBuffer[(Seq[String], String)]()
+          var cur = scala.collection.mutable.ListBuffer[String]()
+          var bytes = 0L
+          small.foreach { st =>
+            if (bytes + st.getLen > targetBytes && cur.nonEmpty) {
+              if (cur.length >= minFiles) out += ((cur.toSeq, sk))
+              cur = scala.collection.mutable.ListBuffer[String](); bytes = 0L
+            }
+            cur += st.getPath.toString; bytes += st.getLen
+          }
+          if (cur.length >= minFiles) out += ((cur.toSeq, sk))
+          out.toSeq
+        }
+    }
+    if (batches.isEmpty) return CompactResult(byDir.size, 0, 0, 0L)
+
     val sconf = new SerializableConfiguration(hconf)
     val results = spark.sparkContext
-      .parallelize(batches, batches.length)
+      .parallelize(batches.map(_._1), batches.length)
       .map(batch => compactBatch(batch, sconf.value))
       .collect()
 
@@ -120,12 +139,15 @@ object VortexMaintenance {
       (sums, blooms)
     }
     val inheritedByCreated: Map[String, (Map[String, Long], Map[String, Array[Byte]])] =
-      batches.zip(results).map { case (batch, (created, _)) =>
+      batches.zip(results).map { case ((batch, _), (created, _)) =>
         created -> inherited(batch) }.toMap
 
-    // extend the stats manifest with the new files (tier-1.5 pruning)
+    // extend the stats manifest with the new files (tier-1.5 pruning),
+    // ONE manifest write per schema version: the manifest envelope
+    // records a single schema, and per-entry schema validation trusts
+    // an entry only under its own manifest's recorded schema
     val jobId = java.util.UUID.randomUUID().toString.take(8)
-    val entries = results.flatMap { case (created, _) =>
+    def entryOf(created: String): Option[StatsManifest.FileStats] =
       try {
         val p = new Path(created)
         val st = fs.getFileStatus(p)
@@ -135,18 +157,18 @@ object VortexMaintenance {
         Some(base.copy(cols = base.cols.map(c =>
           c.copy(sum = sums.get(c.name), bloom = blooms.get(c.name)))))
       } catch { case _: Exception => None }
+    results.zip(batches).flatMap { case ((created, _), (_, sk)) =>
+      entryOf(created).map(e => (sk, e))
+    }.groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex.foreach { case ((sk, group), i) =>
+      val schema =
+        try Some(org.apache.spark.sql.types.DataType.fromJson(sk)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        catch { case _: Exception => None }
+      StatsManifest.write(root, hconf, s"compact-$jobId-$i", group.map(_._2), schema)
     }
-    // record the file schema so compacted outputs stay plannable with
-    // zero footer I/O (same round-4 manifest envelope as batch commits)
-    val mSchema = entries.headOption.flatMap { e =>
-      try Some(VortexFileReader.readFooter(
-        new Path(rootQ + "/" + e.relPath), hconf).schema)
-      catch { case _: Exception => None }
-    }
-    StatsManifest.write(root, hconf, s"compact-$jobId", entries.toSeq, mSchema)
 
     CompactResult(byDir.size, batches.length,
-      batches.map(_.length).sum, results.map(_._2).sum)
+      batches.map(_._1.length).sum, results.map(_._2).sum)
   }
 
   /** Merge one batch into one file by chunk byte-copy; returns

@@ -95,6 +95,27 @@ class VortexEvolutionSpec extends AnyFunSuite {
     assert(drift(e), s"expected retype to fail loudly, got $e")
   }
 
+  test("compaction groups by schema version: evolved dirs compact and stay readable") {
+    val dir = tmp()
+    val v2 = tmp()
+    // many small files of each version in ONE directory
+    spark.range(0, 1000).selectExpr("id AS a", "CAST(id * 2 AS INT) AS b")
+      .repartition(4).write.format("vortex").mode("overwrite").save(dir)
+    spark.range(1000, 1500)
+      .selectExpr("id AS a", "CAST(id * 2 AS INT) AS b", "concat('v2_', id) AS c")
+      .repartition(3).write.format("vortex").mode("overwrite").save(v2)
+    mixIn(dir, v2)
+    val before = new java.io.File(dir).listFiles.count(_.getName.endsWith(".vortex"))
+    val res = graft.sources.vortex.VortexMaintenance.compact(spark, dir)
+    assert(res.filesAbsorbed == before,
+      s"both schema versions must compact (absorbed ${res.filesAbsorbed} of $before)")
+    assert(res.batches == 2, "one output file per schema version")
+    val df = spark.read.format("vortex").option("mergeSchema", "true").load(dir)
+    assert(df.count() == 1500)
+    assert(df.filter(col("c").isNull).count() == 1000)
+    assert(df.agg(sum("a")).collect()(0).getLong(0) == (0L until 1500L).sum)
+  }
+
   test("evolved datasets decline stats pushdown but answer correctly") {
     val dir = evolvedDir()
     val df = spark.read.format("vortex").option("mergeSchema", "true").load(dir)
