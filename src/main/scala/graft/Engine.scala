@@ -64,6 +64,12 @@ final case class Engine(spark: SparkSession) {
     fs.delete(bak, true)
   }
 
+  /** Delete stale `.…inprogress` tmp files older than `ttlMs` (crashed
+    * writers, zombie speculative attempts) — invisible to reads but
+    * storage-accumulating. Returns files deleted. */
+  def vacuumVortex(path: String, ttlMs: Long = 24L * 3600 * 1000): Int =
+    sources.vortex.VortexMaintenance.vacuum(spark, path, ttlMs)
+
   // ---- dedup -----------------------------------------------------------
   /** exact content dedup: keep one row per distinct value of `col` */
   def dedupExact(df: DataFrame, col: String): DataFrame = df.dropDuplicates(col)
@@ -119,12 +125,14 @@ final case class Engine(spark: SparkSession) {
     * `localCheckpoint`ed (an unreliable lineage break — one executor
     * loss would make the job unrecoverable instead of recomputable).
     * The expensive part — the MinHash/LSH/verify PAIR pipeline — is
-    * `persist(MEMORY_AND_DISK)`ed instead: every propagation round,
-    * the convergence probe, and the final action reuse one evaluation,
-    * while a lost block recomputes from lineage (persist is a cache,
-    * not a lineage break). The pairs frame is the near-dup pair set —
-    * far smaller than the corpus — and LRU eviction bounds its
-    * residency. For very expensive pair pipelines, opt in to a
+    * `persist(MEMORY_ONLY)`ed instead: every propagation round, the
+    * convergence probe, and the final action reuse one evaluation,
+    * while a lost or evicted block recomputes from lineage (persist is
+    * a cache, not a lineage break). MEMORY_ONLY deliberately: a disk
+    * tier would hold blocks until the ContextCleaner GCs the plan,
+    * accumulating executor disk across repeated calls; memory blocks
+    * LRU-evict to recompute, which bounds residency. The pairs frame
+    * is the near-dup pair set — far smaller than the corpus. For very expensive pair pipelines, opt in to a
     * RELIABLE checkpoint (durable-storage, recomputable by re-read)
     * with `reliableCheckpoint = true` after calling
     * `spark.sparkContext.setCheckpointDir(...)`. */
@@ -132,7 +140,7 @@ final case class Engine(spark: SparkSession) {
                     reliableCheckpoint: Boolean = false): DataFrame = {
     val docs = df.select(col(idCol).cast("long").as("doc_id"))
     val pairs = minhashNearDup(df, idCol, textCol, tau).select("id_a", "id_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     var labels = queries.DedupOps.labelPropagate(docs, pairs, rounds = 4)
     if (reliableCheckpoint) labels = labels.checkpoint(eager = false)
     // pointer-jumping: lbl ← lbl(lbl) three times squares the resolved

@@ -688,15 +688,23 @@ object DedupOps {
     * membership lists last. Returns one row per verified duplicate
     * pair (batch doc `bid`, corpus doc `cid`, exact `jac` ≥ τ).
     *
-    * At 100 TB: the corpus bands are a cheap derivative of stored
-    * signatures (hash once per corpus set EVER, not per ingest), the
-    * batch side is small — AQE broadcasts it into the band join — and
-    * nothing here is O(corpus²): work is O(corpus + batch + matches).
+    * At 100 TB: the batch side is small — AQE broadcasts it into the
+    * band join — and nothing here is O(corpus²): work is
+    * O(corpus + batch + matches). Each side's distinct-sets aggregate
+    * feeds BOTH the banding and the verification join, so it is
+    * persisted MEMORY_ONLY for the call (one evaluation; evicted or
+    * lost blocks recompute from lineage, and no disk tier accumulates
+    * across calls). A production ingest pipeline would go further and
+    * store the corpus sets/signatures as a dataset, re-hashing only
+    * the batch per ingest — this operator takes token frames so the
+    * caller can feed exactly that.
     */
   def minhashNearDupAgainst(s: SparkSession, corpusTok: DataFrame,
                             batchTok: DataFrame, tau: Double): DataFrame = {
     val bsets = distinctSetsDF(batchTok)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val csets = distinctSetsDF(corpusTok)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val cand = setBands(s, bsets).select(col("sid").as("bsid"), col("band"), col("bkey"))
       .join(setBands(s, csets).select(col("sid").as("csid"), col("band"), col("bkey")),
             Seq("band", "bkey"))

@@ -212,9 +212,19 @@ object VortexBulkCopy {
     val messages =
       if (taskMessages.flatMap(_.files).nonEmpty) taskMessages
       else {
-        val p = new Path(dir, f"part-00000-$jobId-driver.vortex")
-        val w = new VortexFileWriter(p, hconf, schema, chunkRows, bloomCols)
-        w.close()
+        // same tmp-then-promote discipline as the task files: a failed
+        // driver write must never leave a visible corrupt file
+        val name = f"part-00000-$jobId-driver.vortex"
+        val p = new Path(dir, name)
+        val tmp = new Path(dir, s".$name.inprogress")
+        val w = new VortexFileWriter(tmp, hconf, schema, chunkRows, bloomCols)
+        try w.close()
+        catch { case e: Throwable =>
+          try { fs.delete(tmp, false) } catch { case _: Exception => }
+          throw e
+        }
+        if (!fs.rename(tmp, p))
+          throw new IOException(s"vortex: rename failed for $p")
         Seq(VortexCommit(Seq(p.toString),
           Map(p.toString -> w.columnSums), Map(p.toString -> w.columnBlooms)))
       }

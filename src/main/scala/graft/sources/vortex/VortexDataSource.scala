@@ -113,19 +113,35 @@ object VortexDataSource {
   def mergedSchema(roots: Seq[String],
                    listed: Seq[(org.apache.hadoop.fs.FileStatus, Seq[(String, String)])],
                    conf: org.apache.hadoop.conf.Configuration): StructType = {
-    val entryInfo: Seq[(String, Option[StructType])] = roots.flatMap { raw =>
+    // entries are trusted only with the same (path, length) validation
+    // planning applies: a stale entry (file replaced out-of-band, or
+    // deleted) must not shape the union — its file's footer speaks, or
+    // nothing does
+    val lenByPath: Map[String, Long] =
+      listed.map(f => f._1.getPath.toString -> f._1.getLen).toMap
+    val entrySchemas: Map[String, StructType] = roots.flatMap { raw =>
       try StatsManifest.rootOf(raw, conf).toSeq.flatMap { p =>
         val fs = p.getFileSystem(conf)
         val rootQ = fs.makeQualified(p).toString
-        StatsManifest.readAll(p, conf)._2.values
-          .map(e => (s"$rootQ/${e.relPath}", e.manifestSchema)).toSeq
+        StatsManifest.readAll(p, conf)._2.values.flatMap { e =>
+          val pth = s"$rootQ/${e.relPath}"
+          e.manifestSchema match {
+            case Some(s) if lenByPath.get(pth).contains(e.len) => Some(pth -> s)
+            case _ => None
+          }
+        }.toSeq
       } catch { case _: Exception => Seq.empty }
-    }
-    val covered = entryInfo.collect { case (pth, Some(_)) => pth }.toSet
+    }.toMap
+    val uncovered = listed.map(_._1.getPath)
+      .filterNot(p => entrySchemas.contains(p.toString))
+    // footer prefetch in parallel (per-JVM cache) — uncovered files at
+    // large counts would otherwise serialize one RTT each
+    if (uncovered.length > 1)
+      java.util.Arrays.stream(uncovered.toArray).parallel()
+        .forEach(p => { VortexFileReader.readFooter(p, conf); () })
     val schemas: Seq[StructType] =
-      (entryInfo.flatMap(_._2) ++
-        listed.filterNot(f => covered.contains(f._1.getPath.toString))
-          .map(f => VortexFileReader.readFooter(f._1.getPath, conf).schema)).distinct
+      (entrySchemas.values.toSeq ++
+        uncovered.map(p => VortexFileReader.readFooter(p, conf).schema)).distinct
     val merged = new scala.collection.mutable.LinkedHashMap[String, StructField]()
     schemas.foreach(_.fields.foreach { f =>
       merged.get(f.name) match {
@@ -706,15 +722,16 @@ class VortexScan(fileSchema: StructType, required: StructType,
     val conf = new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
     val bc: Broadcast[SerializableConfiguration] =
       SparkSession.active.sparkContext.broadcast(conf)
-    new VortexReaderFactory(bc, required)
+    new VortexReaderFactory(bc, required, evolution)
   }
 }
 
-class VortexReaderFactory(conf: Broadcast[SerializableConfiguration], required: StructType)
+class VortexReaderFactory(conf: Broadcast[SerializableConfiguration], required: StructType,
+                          evolution: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[VortexInputPartition]
-    new VortexPartitionReader(p, conf.value.value, required)
+    new VortexPartitionReader(p, conf.value.value, required, evolution)
   }
 
   // Columnar scan path: decoded pages land directly in ColumnVectors,
@@ -728,13 +745,14 @@ class VortexReaderFactory(conf: Broadcast[SerializableConfiguration], required: 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[VortexInputPartition]
-    new VortexColumnarReader(p, conf.value.value, required)
+    new VortexColumnarReader(p, conf.value.value, required, evolution)
   }
 }
 
 class VortexColumnarReader(part: VortexInputPartition,
                            conf: org.apache.hadoop.conf.Configuration,
-                           required: StructType)
+                           required: StructType,
+                           evolution: Boolean = false)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -750,7 +768,12 @@ class VortexColumnarReader(part: VortexInputPartition,
     footer.schema.fieldNames.indexOf(f.name) match {
       case -1 if partMap.contains(f.name) =>
         Left(PartitionedLayout.toInternal(partMap(f.name), f.dataType))
-      case -1 => Left(null)
+      case -1 if evolution => Left(null) // schema evolution: read as all-null
+      case -1 =>
+        // strict read: a column the file does not carry is drift (file
+        // swapped after planning) — fail loudly, never silent nulls
+        throw new VortexSchemaDriftException(
+          s"vortex: column ${f.name} absent from $path (strict read)")
       case i =>
         VortexDataSource.checkReadType(path, footer.schema.fields(i), f)
         Right(i)
@@ -932,7 +955,8 @@ class VortexColumnarReader(part: VortexInputPartition,
 
 class VortexPartitionReader(part: VortexInputPartition,
                             conf: org.apache.hadoop.conf.Configuration,
-                            required: StructType) extends PartitionReader[InternalRow] {
+                            required: StructType,
+                            evolution: Boolean = false) extends PartitionReader[InternalRow] {
   private val path = new Path(part.file)
   private val footer = VortexFileReader.readFooter(path, conf)
   private val partMap = part.partCols.zip(part.partValues).toMap
@@ -942,7 +966,12 @@ class VortexPartitionReader(part: VortexInputPartition,
     footer.schema.fieldNames.indexOf(f.name) match {
       case -1 if partMap.contains(f.name) =>
         Left(PartitionedLayout.toInternal(partMap(f.name), f.dataType))
-      case -1 => Left(null)
+      case -1 if evolution => Left(null) // schema evolution: read as all-null
+      case -1 =>
+        // strict read: a column the file does not carry is drift (file
+        // swapped after planning) — fail loudly, never silent nulls
+        throw new VortexSchemaDriftException(
+          s"vortex: column ${f.name} absent from $path (strict read)")
       case i =>
         VortexDataSource.checkReadType(path, footer.schema.fields(i), f)
         Right(i)

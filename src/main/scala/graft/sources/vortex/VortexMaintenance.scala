@@ -38,6 +38,31 @@ object VortexMaintenance {
   final case class CompactResult(dirs: Int, batches: Int,
                                  filesAbsorbed: Int, bytesRewritten: Long)
 
+  /** Delete stale `.…inprogress` tmp files older than `ttlMs` —
+    * leftovers of crashed writers and zombie speculative attempts.
+    * They are dot-hidden (invisible to every read), but on object
+    * stores they accumulate storage forever with no other cleanup
+    * path. The TTL guards live writers: any attempt still running
+    * after the TTL has long been superseded by a retry. Returns the
+    * number of files deleted. */
+  def vacuum(spark: SparkSession, dir: String,
+             ttlMs: Long = 24L * 3600 * 1000): Int = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return 0
+    val cutoff = System.currentTimeMillis() - ttlMs
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap(s =>
+        if (s.isDirectory) walk(s.getPath) else Seq(s))
+    val stale = walk(root).filter(s =>
+      s.getPath.getName.startsWith(".") &&
+      s.getPath.getName.endsWith(".inprogress") &&
+      s.getModificationTime < cutoff)
+    stale.foreach(s => fs.delete(s.getPath, false))
+    stale.length
+  }
+
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024,
               minFiles: Int = 2): CompactResult = {
@@ -66,6 +91,22 @@ object VortexMaintenance {
     // batches never mix schemas, so an EVOLVED dataset (mergeSchema
     // reads) compacts within each schema version instead of failing
     // the whole job at the executor-side schema check
+    // parallel footer prefetch for manifest-uncovered small files:
+    // schemaKeyOf would otherwise pay one serial driver RTT per file
+    // (the same pattern as planning's footer prefetch; reads land in
+    // the per-JVM cache)
+    locally {
+      val uncovered = listed.map(_._1)
+        .filter(st => st.getLen < targetBytes && {
+          val rel = fs.makeQualified(st.getPath).toString.stripPrefix(rootQ).stripPrefix("/")
+          !preManifest.get(rel).exists(e => e.len == st.getLen && e.manifestSchema.isDefined)
+        })
+        .map(_.getPath)
+      if (uncovered.length > 1)
+        java.util.Arrays.stream(uncovered.toArray).parallel()
+          .forEach(pp => { try { VortexFileReader.readFooter(pp, hconf); () }
+                           catch { case _: Exception => } })
+    }
     def schemaKeyOf(st: org.apache.hadoop.fs.FileStatus): String = {
       val q = fs.makeQualified(st.getPath).toString
       val rel = q.stripPrefix(rootQ).stripPrefix("/")

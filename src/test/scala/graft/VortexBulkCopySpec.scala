@@ -136,6 +136,13 @@ class VortexBulkCopySpec extends AnyFunSuite {
       .filter(_.endsWith(".inprogress")).toSeq
     assert(leftovers == Seq(stale.getName),
       s"only the other job's stale tmp may remain, got $leftovers")
+    // vacuum is the cleanup path for exactly such foreign leftovers:
+    // a fresh tmp survives (TTL protects live writers), an aged one goes
+    assert(graft.sources.vortex.VortexMaintenance.vacuum(spark, dir) == 0)
+    assert(fs.exists(stale))
+    assert(graft.sources.vortex.VortexMaintenance.vacuum(spark, dir, ttlMs = -1) == 1)
+    assert(!fs.exists(stale))
+    assert(spark.read.format("vortex").load(dir).count() == 10000)
   }
 
   test("empty input produces a readable zero-row dataset like the row path") {
