@@ -67,7 +67,8 @@ final case class Engine(spark: SparkSession) {
   /** Delete stale `.…inprogress` tmp files older than `ttlMs` (crashed
     * writers, zombie speculative attempts) — invisible to reads but
     * storage-accumulating. Returns files deleted. */
-  def vacuumVortex(path: String, ttlMs: Long = 24L * 3600 * 1000): Int =
+  def vacuumVortex(path: String,
+                   ttlMs: Long = sources.vortex.VortexMaintenance.DefaultVacuumTtlMs): Int =
     sources.vortex.VortexMaintenance.vacuum(spark, path, ttlMs)
 
   // ---- dedup -----------------------------------------------------------
@@ -125,14 +126,15 @@ final case class Engine(spark: SparkSession) {
     * `localCheckpoint`ed (an unreliable lineage break — one executor
     * loss would make the job unrecoverable instead of recomputable).
     * The expensive part — the MinHash/LSH/verify PAIR pipeline — is
-    * `persist(MEMORY_ONLY)`ed instead: every propagation round, the
-    * convergence probe, and the final action reuse one evaluation,
-    * while a lost or evicted block recomputes from lineage (persist is
-    * a cache, not a lineage break). MEMORY_ONLY deliberately: a disk
-    * tier would hold blocks until the ContextCleaner GCs the plan,
-    * accumulating executor disk across repeated calls; memory blocks
-    * LRU-evict to recompute, which bounds residency. The pairs frame
-    * is the near-dup pair set — far smaller than the corpus. For very expensive pair pipelines, opt in to a
+    * `persist(MEMORY_AND_DISK)`ed instead: the propagation rounds,
+    * the convergence probe, and the final action make 6+ passes over
+    * it, so an evicted block must spill to local disk rather than
+    * recompute the whole MinHash/LSH/verify pipeline per pass
+    * (MEMORY_ONLY would). Persist is a cache, not a lineage break — a
+    * lost executor recomputes from lineage — and the blocks are
+    * reclaimed when the ContextCleaner GCs the plan after the result
+    * is consumed. The pairs frame is the near-dup pair set — far
+    * smaller than the corpus. For very expensive pair pipelines, opt in to a
     * RELIABLE checkpoint (durable-storage, recomputable by re-read)
     * with `reliableCheckpoint = true` after calling
     * `spark.sparkContext.setCheckpointDir(...)`. */
@@ -140,7 +142,7 @@ final case class Engine(spark: SparkSession) {
                     reliableCheckpoint: Boolean = false): DataFrame = {
     val docs = df.select(col(idCol).cast("long").as("doc_id"))
     val pairs = minhashNearDup(df, idCol, textCol, tau).select("id_a", "id_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = queries.DedupOps.labelPropagate(docs, pairs, rounds = 4)
     if (reliableCheckpoint) labels = labels.checkpoint(eager = false)
     // pointer-jumping: lbl ← lbl(lbl) three times squares the resolved

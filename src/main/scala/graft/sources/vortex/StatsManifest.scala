@@ -82,9 +82,16 @@ object StatsManifest {
       * drift; even name-matched file-level min/max are raw storage
       * bytes whose interpretation depends on the column type, so a
       * schema-less round-3 entry over a drifted file would compare
-      * garbage). Schema-less entries are never used for pruning. */
-    def schemaRecordedAndMatches(expected: Seq[(String, DataType)]): Boolean =
-      manifestSchema.exists(s => s.fields.toSeq.map(f => (f.name, f.dataType)) == expected)
+      * garbage). Schema-less entries are never used for pruning.
+      * `expected` is (name, type, ts-unit) TRIPLES: two files can
+      * agree on (name, type) yet store timestamps in different units,
+      * and unit-blind trust would prune (or metadata-answer
+      * aggregates) with the wrong scale — unit mismatches fall to the
+      * footer path, whose pruning and decode use the file's own
+      * schema. */
+    def schemaRecordedAndMatches(expected: Seq[(String, DataType, String)]): Boolean =
+      manifestSchema.exists(s =>
+        s.fields.toSeq.map(f => (f.name, f.dataType, VortexFormat.tsUnit(f))) == expected)
     /** synthetic whole-file ChunkMeta aligned with `schema` for
       * FilterPruning.canSkip; unknown columns get nulls = -1 (skips
       * nothing) and no range. */

@@ -139,9 +139,17 @@ object VortexDataSource {
     if (uncovered.length > 1)
       java.util.Arrays.stream(uncovered.toArray).parallel()
         .forEach(p => { VortexFileReader.readFooter(p, conf); () })
+    // iterate in LISTED-file order (listAll sorts by path), never in
+    // hash-map order: the union's field order is first-seen, and a
+    // nondeterministic order would permute df.columns between reads of
+    // the same dataset, breaking positional consumers (INSERT SELECT *,
+    // union, row.get(i))
     val schemas: Seq[StructType] =
-      (entrySchemas.values.toSeq ++
-        uncovered.map(p => VortexFileReader.readFooter(p, conf).schema)).distinct
+      listed.map(_._1.getPath).flatMap { p =>
+        entrySchemas.get(p.toString)
+          .orElse(try Some(VortexFileReader.readFooter(p, conf).schema)
+                  catch { case _: Exception => None })
+      }.distinct
     val merged = new scala.collection.mutable.LinkedHashMap[String, StructField]()
     schemas.foreach(_.fields.foreach { f =>
       merged.get(f.name) match {
@@ -545,6 +553,11 @@ class VortexScan(fileSchema: StructType, required: StructType,
       fileSchema.fields.filterNot(f => partSchema.fieldNames.contains(f.name)))
     val expectedData: Seq[(String, DataType)] =
       dataSchema.fields.toSeq.map(f => (f.name, f.dataType))
+    // manifest-trust key: (name, type, ts-unit) — a unit mismatch must
+    // fall to the footer path, whose pruning/decode use the file's own
+    // schema (see StatsManifest.schemaRecordedAndMatches)
+    val expectedUnits: Seq[(String, DataType, String)] =
+      dataSchema.fields.toSeq.map(f => (f.name, f.dataType, VortexFormat.tsUnit(f)))
     // commit manifests: tier-1.5 file pruning AND — since the round-4
     // format carries per-chunk stats + the file schema — the primary
     // chunk-meta source, so planning a manifest-covered dataset does
@@ -564,7 +577,7 @@ class VortexScan(fileSchema: StructType, required: StructType,
             val (_, entries) = StatsManifest.readAll(p, conf)
             entries.values.map { e =>
               s"$rootQ/${e.relPath}" ->
-                (if (e.schemaRecordedAndMatches(expectedData)) e else e.copy(chunks = None))
+                (if (e.schemaRecordedAndMatches(expectedUnits)) e else e.copy(chunks = None))
             }
           }
         } catch { case _: Exception => Nil }
@@ -594,7 +607,7 @@ class VortexScan(fileSchema: StructType, required: StructType,
         // bloom drops the file outright — the lookup path where ranges
         // never prune (high-cardinality unsorted ids)
         val bloomDrop = manifestEntries.get(st.getPath.toString).exists(m =>
-          m.len == st.getLen && m.schemaRecordedAndMatches(expectedData) &&
+          m.len == st.getLen && m.schemaRecordedAndMatches(expectedUnits) &&
           m.cols.exists(_.bloom.isDefined) && {
             val blooms = m.cols.collect {
               case c if c.bloom.isDefined => c.name -> c.bloom.get
@@ -616,7 +629,7 @@ class VortexScan(fileSchema: StructType, required: StructType,
             // entries therefore get no pruning — their files pay one
             // footer fetch and keep the drift guard.
             manifestEntries.get(st.getPath.toString) match {
-              case Some(m) if m.len == st.getLen && m.schemaRecordedAndMatches(expectedData) =>
+              case Some(m) if m.len == st.getLen && m.schemaRecordedAndMatches(expectedUnits) =>
                 !filters.exists(fl =>
                   FilterPruning.canSkip(fl, m.toChunkMeta(dataSchema), dataSchema))
               case _ => true

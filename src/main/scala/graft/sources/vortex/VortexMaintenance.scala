@@ -38,15 +38,17 @@ object VortexMaintenance {
   final case class CompactResult(dirs: Int, batches: Int,
                                  filesAbsorbed: Int, bytesRewritten: Long)
 
+  val DefaultVacuumTtlMs: Long = 24L * 3600 * 1000
+
   /** Delete stale `.…inprogress` tmp files older than `ttlMs` —
     * leftovers of crashed writers and zombie speculative attempts.
     * They are dot-hidden (invisible to every read), but on object
     * stores they accumulate storage forever with no other cleanup
     * path. The TTL guards live writers: any attempt still running
     * after the TTL has long been superseded by a retry. Returns the
-    * number of files deleted. */
+    * number of files actually deleted. */
   def vacuum(spark: SparkSession, dir: String,
-             ttlMs: Long = 24L * 3600 * 1000): Int = {
+             ttlMs: Long = DefaultVacuumTtlMs): Int = {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(hconf)
@@ -59,8 +61,9 @@ object VortexMaintenance {
       s.getPath.getName.startsWith(".") &&
       s.getPath.getName.endsWith(".inprogress") &&
       s.getModificationTime < cutoff)
-    stale.foreach(s => fs.delete(s.getPath, false))
-    stale.length
+    // count only real deletions: a racing commit/vacuum may have
+    // removed (or promoted) the path between listing and delete
+    stale.count(s => try fs.delete(s.getPath, false) catch { case _: Exception => false })
   }
 
   def compact(spark: SparkSession, dir: String,

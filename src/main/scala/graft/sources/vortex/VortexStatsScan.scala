@@ -112,7 +112,7 @@ object VortexStatsPushdown {
     // with zero footer I/O); count/min/max fall back to footers for
     // uncovered files — SUM cannot (footers carry no sums) and bails.
     // rootOf resolves glob/file paths to their dataset directory.
-    val expected = dataFields.toSeq.map(f => (f.name, f.dataType))
+    val expected = dataFields.toSeq.map(f => (f.name, f.dataType, VortexFormat.tsUnit(f)))
     // per-ENTRY schema acceptance (not per-root: a root can hold
     // manifests recorded against different schemas; only entries whose
     // own manifest matches may serve positional chunk stats / sums)
@@ -163,7 +163,11 @@ object VortexStatsPushdown {
             case Some(chunks) => chunks.map(_.toChunkMeta)
             case None =>
               val f = VortexFileReader.readFooter(st.getPath, conf)
-              if (f.schema.fields.toSeq.map(x => (x.name, x.dataType)) != expected) return None
+              // units included: stats values are STORAGE-domain and the
+              // fold converts via the TABLE's ts units — a unit
+              // mismatch must bail to the normal scan
+              if (f.schema.fields.toSeq.map(x =>
+                    (x.name, x.dataType, VortexFormat.tsUnit(x))) != expected) return None
               f.chunks.toSeq
           }
         } catch { case _: Exception => return None }
