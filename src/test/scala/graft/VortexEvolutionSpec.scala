@@ -116,6 +116,43 @@ class VortexEvolutionSpec extends AnyFunSuite {
     assert(df.agg(sum("a")).collect()(0).getLong(0) == (0L until 1500L).sum)
   }
 
+  test("mixed timestamp-unit vintages never mis-prune (manifest trust is unit-aware)") {
+    // two vintages agree on (name, type) but store ts in different
+    // units (ms vs µs). Manifest stats are storage-domain, so trusting
+    // the other vintage's entries under the table's unit would convert
+    // a filter constant with the wrong scale and silently prune every
+    // chunk of those files. Unit-mismatched entries must fall to the
+    // footer path (file-faithful pruning + decode).
+    val dir = tmp()
+    val v2 = tmp()
+    def rows(lo: Int, hi: Int) = spark.range(lo, hi).selectExpr(
+      "id AS a", "timestamp_micros(CAST(id * 86400000000 AS LONG)) AS ts")
+    rows(0, 500).coalesce(1).write.format("vortex")
+      .option("timestampUnits", "ts=ms").mode("overwrite").save(dir)
+    rows(500, 1000).coalesce(1).write.format("vortex").mode("overwrite").save(v2)
+    // mix in BOTH the data files (ORIGINAL names, so the copied
+    // manifest's relPaths resolve) and their manifests: the foreign
+    // vintage must be manifest-COVERED — the trust path under test
+    new java.io.File(v2).listFiles.filter(_.getName.endsWith(".vortex")).foreach { f =>
+      Files.copy(f.toPath, Paths.get(dir, f.getName), StandardCopyOption.REPLACE_EXISTING)
+    }
+    new java.io.File(v2, "_manifests").listFiles
+      .filter(f => f.getName.endsWith(".json") && !f.getName.startsWith("."))
+      .foreach { f =>
+        Files.copy(f.toPath, Paths.get(dir, "_manifests", f.getName),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    val df = spark.read.format("vortex").load(dir)
+    // cut inside each vintage's range: exact counts prove no vintage
+    // was mis-pruned in either direction
+    assert(df.filter(col("ts") >= lit("1970-09-01").cast("timestamp")).count() ==
+      1000 - 243)
+    assert(df.filter(col("ts") >= lit("1972-01-01").cast("timestamp")).count() ==
+      1000 - 730)
+    assert(df.count() == 1000)
+    assert(df.agg(min("ts"), max("ts")).collect()(0).toString.nonEmpty)
+  }
+
   test("evolved datasets decline stats pushdown but answer correctly") {
     val dir = evolvedDir()
     val df = spark.read.format("vortex").option("mergeSchema", "true").load(dir)
