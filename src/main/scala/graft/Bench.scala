@@ -103,19 +103,28 @@ object Bench {
     }
     val ok = results.collect { case (k, (v, None)) => k -> v }
     val bad = results.collect { case (k, (_, Some(e))) => k -> e }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal seconds (0.1 ms grain): full Double repr tripled the
+    // line length, and an over-long line is exactly what the driver's
+    // tail capture has truncated in past rounds ("parsed": null)
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = bad.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    // durability: the driver's stdout capture has truncated this line in
-    // past rounds (BENCH_r03/r04 "parsed": null) — persist to a file too
-    // so the per-query map survives any tail-capture
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // durability, three channels: stdout (the driver's primary
+    // capture), stderr (survives stdout-only truncation), and a file
+    // (survives any tail capture). Flush stdout so the line isn't
+    // interleaved with or cut by the JVM/sbt epilogue.
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchFile), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] could not write $benchFile: ${e.getMessage}") }
     println(line)
+    System.out.flush()
+    System.err.println(line)
+    System.err.flush()
     bad.foreach { case (k, e) => System.err.println(s"[bench] $k FAILED: $e") }
     spark.stop()
     if (bad.nonEmpty) sys.exit(1)

@@ -131,12 +131,16 @@ final case class Engine(spark: SparkSession) {
     * it, so an evicted block must spill to local disk rather than
     * recompute the whole MinHash/LSH/verify pipeline per pass
     * (MEMORY_ONLY would). Persist is a cache, not a lineage break — a
-    * lost executor recomputes from lineage — and the blocks are
-    * reclaimed when the ContextCleaner GCs the plan after the result
-    * is consumed. The pairs frame is the near-dup pair set — far
-    * smaller than the corpus. For very expensive pair pipelines, opt in to a
-    * RELIABLE checkpoint (durable-storage, recomputable by re-read)
-    * with `reliableCheckpoint = true` after calling
+    * lost executor recomputes from lineage. Dataset caches live in the
+    * session CacheManager until an explicit unpersist (the
+    * ContextCleaner never reclaims them), so this method materializes
+    * the label result eagerly and unpersists the pair cache before
+    * returning. The RETURNED frame is itself cached
+    * (MEMORY_AND_DISK — two longs per doc); callers keeping it beyond
+    * one consumption should `unpersist()` it when done. For very
+    * expensive pair pipelines, opt in to a RELIABLE checkpoint
+    * (durable-storage, recomputable by re-read) with
+    * `reliableCheckpoint = true` after calling
     * `spark.sparkContext.setCheckpointDir(...)`. */
   def dedupClusters(df: DataFrame, idCol: String, textCol: String, tau: Double,
                     reliableCheckpoint: Boolean = false): DataFrame = {
@@ -162,17 +166,33 @@ final case class Engine(spark: SparkSession) {
           .select(col("doc_id"), col("lbl2").as("lbl"))
       }
     }
-    labels.select(col("doc_id"), col("lbl").as("cluster"))
+    val out = labels.select(col("doc_id"), col("lbl").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the labels while the pair cache is hot, then drop
+    // the pair cache — otherwise every call leaks a disk-backed copy
+    // of the full near-dup pair set until session end
+    out.count()
+    pairs.unpersist(false)
+    out
   }
 
-  /** near-dup REMOVAL: keep one canonical row (lowest id) per cluster */
-  def dedupNear(df: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame =
-    df.join(
-      dedupClusters(df, idCol, textCol, tau)
-        .filter(col("doc_id") === col("cluster"))
-        .select(col("doc_id").as(s"__keep_$idCol")),
-      col(idCol).cast("long") === col(s"__keep_$idCol"))
+  /** near-dup REMOVAL: keep one canonical row (lowest id) per cluster.
+    * The keep-set (one long per surviving cluster) is materialized
+    * eagerly so the cluster cache from [[dedupClusters]] can be
+    * released here instead of leaking until session end; the returned
+    * keep-set cache is what the final join consumes — callers keeping
+    * the result beyond one consumption should `unpersist()` it. */
+  def dedupNear(df: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
+    val clusters = dedupClusters(df, idCol, textCol, tau)
+    val keep = clusters
+      .filter(col("doc_id") === col("cluster"))
+      .select(col("doc_id").as(s"__keep_$idCol"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    keep.count()
+    clusters.unpersist(false)
+    df.join(keep, col(idCol).cast("long") === col(s"__keep_$idCol"))
       .drop(s"__keep_$idCol")
+  }
 
   /** per-document k-function MinHash signature (typed Aggregator) */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int = 16): DataFrame = {

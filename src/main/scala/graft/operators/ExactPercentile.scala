@@ -238,14 +238,24 @@ object ExactPercentile {
       .selectExpr("g0", stackExpr)
       .where(col("v").isNotNull)
       .select(concat(col("cidx"), lit("|"), col("g0")).as("g"), col("v"))
-    // materialize once when the input is an expensive pipeline; leave
-    // off for bare table scans (column-pruned re-reads beat a
-    // checkpoint write)
-    val base = if (materialize) projected.localCheckpoint(false) else projected
+    // cache once when the input is an expensive pipeline (the
+    // histogram solver makes 2+ passes); leave off for bare table
+    // scans (column-pruned re-reads beat caching the stacked frame).
+    // persist, NOT localCheckpoint: a localCheckpoint is an
+    // unreliable lineage break — one executor loss makes the job
+    // unrecoverable instead of recomputable — while an evicted or
+    // lost persisted block recomputes from lineage. Callers with a
+    // very expensive input and a configured
+    // `spark.sparkContext.setCheckpointDir` can pre-checkpoint the
+    // input reliably before calling.
+    val base = if (materialize)
+      projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else projected
 
     val psArr = specs.map(_._2).toArray
     val psOf: String => Seq[Double] = g => psArr(g.substring(0, g.indexOf('|')).toInt)
-    val sol = solve(base, psOf, buckets, fetchCap, maxDriverCells)
+    val sol = try solve(base, psOf, buckets, fetchCap, maxDriverCells)
+    finally { if (materialize) base.unpersist(false) }
 
     // assemble: per original group, all specs' values (inner semantics)
     val byGroup = sol.toSeq.groupBy { case ((g, _), _) =>

@@ -693,8 +693,9 @@ object DedupOps {
     * O(corpus + batch + matches). Each side's distinct-sets aggregate
     * feeds BOTH the banding and the verification join, so it is
     * persisted MEMORY_ONLY for the call (one evaluation; evicted or
-    * lost blocks recompute from lineage, and no disk tier accumulates
-    * across calls). A production ingest pipeline would go further and
+    * lost blocks recompute from lineage) and unpersisted before the
+    * call returns — nothing accumulates in the session CacheManager
+    * across calls. A production ingest pipeline would go further and
     * store the corpus sets/signatures as a dataset, re-hashing only
     * the batch per ingest — this operator takes token frames so the
     * caller can feed exactly that.
@@ -703,14 +704,27 @@ object DedupOps {
                             batchTok: DataFrame, tau: Double): DataFrame = {
     val csets = distinctSetsDF(corpusTok)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    minhashNearDupAgainstIndex(s, csets, setBands(s, csets), batchTok, tau)
+    // AgainstIndex materializes its (cached) result eagerly, so the
+    // corpus-set cache is drained by the time it returns — drop it
+    // here rather than leaking a corpus-sized cache per call
+    // (Dataset caches live in the session CacheManager until an
+    // explicit unpersist; the ContextCleaner never reclaims them).
+    val out = minhashNearDupAgainstIndex(s, csets, setBands(s, csets), batchTok, tau)
+    csets.unpersist(false)
+    out
   }
 
   /** Indexed variant — the "hash the corpus once EVER" form: `csets`
     * (sid, toks, members) and `cbands` (sid, band, bkey) come from a
     * PRECOMPUTED corpus index (typically a stored vortex dataset, see
     * `d_incremental_stored`); only the batch is tokenized and hashed
-    * per ingest. */
+    * per ingest.
+    *
+    * The returned match frame is materialized eagerly and CACHED
+    * (MEMORY_ONLY — far smaller than either input side); the batch-set
+    * intermediate is unpersisted before returning. Callers that keep
+    * the result beyond one consumption should `unpersist()` it when
+    * done. */
   def minhashNearDupAgainstIndex(s: SparkSession, csets: DataFrame, cbands: DataFrame,
                                  batchTok: DataFrame, tau: Double): DataFrame = {
     val bsets = distinctSetsDF(batchTok)
@@ -719,7 +733,7 @@ object DedupOps {
       .join(cbands.select(col("sid").as("csid"), col("band"), col("bkey")),
             Seq("band", "bkey"))
       .select("bsid", "csid").distinct()
-    cand
+    val out = cand
       .join(bsets.select(col("sid").as("bsid"), col("toks").as("tb"),
         size(col("toks")).as("nb"), col("members").as("bm")), "bsid")
       .join(csets.select(col("sid").as("csid"), col("toks").as("tc"),
@@ -729,6 +743,13 @@ object DedupOps {
       .filter(col("jac") >= tau)
       .select(explode(col("bm")).as("bid"), col("cm"), col("jac"))
       .select(col("bid"), explode(col("cm")).as("cid"), col("jac"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // materialize while bsets is still cached, then release it: the
+    // downstream consumer reads `out` from cache (an evicted block
+    // recomputes from lineage — correct, just re-reads the inputs)
+    out.count()
+    bsets.unpersist(false)
+    out
   }
 
   private val incrementalOracle =
@@ -801,7 +822,13 @@ object DedupOps {
       val cbands = s.read.format("vortex").load(s"$dir/bands")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val batchTok = tokens(s, d).filter(col("doc_id") % 7 === 0)
-      minhashNearDupAgainstIndex(s, csets, cbands, batchTok, tau = 0.5)
+      // AgainstIndex returns an eagerly-materialized cached frame, so
+      // the index-read caches can be dropped immediately — no
+      // per-query cache accumulation in the session CacheManager
+      val matched = minhashNearDupAgainstIndex(s, csets, cbands, batchTok, tau = 0.5)
+      csets.unpersist(false)
+      cbands.unpersist(false)
+      matched
         .groupBy("bid").agg(count(lit(1)).as("n_dups"), max(col("jac")).as("best_jac"))
         .orderBy("bid")
     },

@@ -240,17 +240,23 @@ object SimilarityOps {
     var cents: Array[Array[Long]] = ds.sort("id").limit(K).collect().map(_.q)
     for (_ <- 1 to refinements) {
       val bc = s.sparkContext.broadcast(cents)
+      // partial aggregation (map-side combine + merge) — each task
+      // folds its slice into a 65-long accumulator, the shuffle moves
+      // only K×partitions accumulators, and no cluster's vectors ever
+      // stream through one task. Long adds commute, so the sums are
+      // bit-identical to the sequential fold under any partitioning.
       val sums = ds.map(v => (assignOf(v.q, bc.value), v.q))
         .groupByKey(_._1)
-        .mapGroups { (k, it) =>
-          val acc = new Array[Long](64); var n = 0L
-          it.foreach { t => var j = 0; while (j < 64) { acc(j) += t._2(j); j += 1 }; n += 1 }
-          (k, acc, n)
-        }.collect()
+        .mapValues(_._2)
+        .agg(new graft.functions.CentroidSumAgg().toColumn.name("acc"))
+        .collect()
       val next = cents.clone()
       // plain long division truncates toward zero — matching DuckDB's
       // `//` on negative component sums (floorDiv would round down)
-      sums.foreach { case (k, acc, n) => next(k) = acc.map(x => x / n) }
+      sums.foreach { case (k, acc) =>
+        val n = acc(64)
+        next(k) = Array.tabulate(64)(j => acc(j) / n)
+      }
       cents = next
     }
     val bc = s.sparkContext.broadcast(cents)

@@ -183,6 +183,24 @@ object VortexBulkCopy {
         }
       }
     }.collect().toSeq
+    // Any failure between the first promotion and the manifest commit
+    // must not leave visible orphans: already-promoted `part-…-$jobId-…`
+    // files have no manifest entry and no other cleanup path (vacuum
+    // only sweeps dot-hidden tmp files), and under overwrite a reader
+    // in that window would see old committed files mixed with the new
+    // ones. Best-effort demote this job's visible files, then rethrow.
+    def cleanupPromoted(): Unit =
+      try {
+        if (fs.exists(root))
+          fs.listStatus(root)
+            .filter { s =>
+              val n = s.getPath.getName
+              n.startsWith("part-") && n.contains(s"-$jobId-") && n.endsWith(".vortex")
+            }
+            .foreach(s => try { fs.delete(s.getPath, false); () }
+                          catch { case _: Exception => () })
+      } catch { case _: Exception => () }
+    try {
     // parallel promotion: object stores implement rename as COPY+DELETE
     // (one round trip per file) — serial renames would make commit
     // latency O(files · RTT) at large file counts
@@ -231,5 +249,6 @@ object VortexBulkCopy {
     VortexCommitOps.commitJob(dir, hconf, jobId, messages, schema,
       truncate = overwrite, preExisting = preExisting,
       partitionCols = Seq.empty, bucketSpec = None)
+    } catch { case e: Throwable => cleanupPromoted(); throw e }
   }
 }

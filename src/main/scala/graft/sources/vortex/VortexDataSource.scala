@@ -135,20 +135,38 @@ object VortexDataSource {
     val uncovered = listed.map(_._1.getPath)
       .filterNot(p => entrySchemas.contains(p.toString))
     // footer prefetch in parallel (per-JVM cache) — uncovered files at
-    // large counts would otherwise serialize one RTT each
+    // large counts would otherwise serialize one RTT each. Prefetch
+    // failures are swallowed HERE only so one flaky parallel task
+    // doesn't abort its siblings; the sequential pass below re-reads
+    // and fails loudly.
     if (uncovered.length > 1)
       java.util.Arrays.stream(uncovered.toArray).parallel()
-        .forEach(p => { VortexFileReader.readFooter(p, conf); () })
+        .forEach(p => try { VortexFileReader.readFooter(p, conf); () }
+                      catch { case _: Exception => () })
     // iterate in LISTED-file order (listAll sorts by path), never in
     // hash-map order: the union's field order is first-seen, and a
     // nondeterministic order would permute df.columns between reads of
     // the same dataset, breaking positional consumers (INSERT SELECT *,
     // union, row.get(i))
     val schemas: Seq[StructType] =
-      listed.map(_._1.getPath).flatMap { p =>
-        entrySchemas.get(p.toString)
-          .orElse(try Some(VortexFileReader.readFooter(p, conf).schema)
-                  catch { case _: Exception => None })
+      listed.map(_._1.getPath).map { p =>
+        entrySchemas.getOrElse(p.toString, {
+          // an unreadable footer must FAIL inference (after one retry
+          // for transient I/O), never silently shrink the union — the
+          // read would still succeed without this file's columns and
+          // an added column would just vanish from results. Matches
+          // Spark's parquet mergeSchema, which propagates footer
+          // failures.
+          try VortexFileReader.readFooter(p, conf).schema
+          catch { case _: Exception =>
+            try VortexFileReader.readFooter(p, conf).schema
+            catch { case e: Exception =>
+              throw new java.io.IOException(
+                s"vortex mergeSchema: cannot read footer of $p — " +
+                "failing inference rather than dropping its columns", e)
+            }
+          }
+        })
       }.distinct
     val merged = new scala.collection.mutable.LinkedHashMap[String, StructField]()
     schemas.foreach(_.fields.foreach { f =>

@@ -90,35 +90,33 @@ object VortexMaintenance {
     val lenByPath: Map[String, Long] = listed.map { case (st, _) =>
       fs.makeQualified(st.getPath).toString -> st.getLen }.toMap
 
-    // schema key per file (manifest-recorded first, footer fallback):
-    // batches never mix schemas, so an EVOLVED dataset (mergeSchema
-    // reads) compacts within each schema version instead of failing
-    // the whole job at the executor-side schema check
-    // parallel footer prefetch for manifest-uncovered small files:
-    // schemaKeyOf would otherwise pay one serial driver RTT per file
-    // (the same pattern as planning's footer prefetch; reads land in
-    // the per-JVM cache)
+    // schema key per file: batches never mix schemas, so an EVOLVED
+    // dataset (mergeSchema reads) compacts within each schema version
+    // instead of failing the whole job at the executor-side schema
+    // check. The key is ALWAYS the footer schema JSON — one canonical
+    // domain. Mixing manifest-recorded JSON for covered files with
+    // footer JSON for uncovered ones would split identical-schema
+    // files into separate batches whenever the two serializations
+    // differ (e.g. extra StructField metadata recorded at write time),
+    // and a manifest entry that disagrees with its footer would put
+    // genuinely mismatched files in ONE batch — failing the whole
+    // compact job at compactBatch's executor-side require.
+    // parallel footer prefetch for every small file: schemaKeyOf would
+    // otherwise pay one serial driver RTT per file (same pattern as
+    // planning's footer prefetch; reads land in the per-JVM cache)
     locally {
-      val uncovered = listed.map(_._1)
-        .filter(st => st.getLen < targetBytes && {
-          val rel = fs.makeQualified(st.getPath).toString.stripPrefix(rootQ).stripPrefix("/")
-          !preManifest.get(rel).exists(e => e.len == st.getLen && e.manifestSchema.isDefined)
-        })
+      val smallPaths = listed.map(_._1)
+        .filter(_.getLen < targetBytes)
         .map(_.getPath)
-      if (uncovered.length > 1)
-        java.util.Arrays.stream(uncovered.toArray).parallel()
+      if (smallPaths.length > 1)
+        java.util.Arrays.stream(smallPaths.toArray).parallel()
           .forEach(pp => { try { VortexFileReader.readFooter(pp, hconf); () }
                            catch { case _: Exception => } })
     }
     def schemaKeyOf(st: org.apache.hadoop.fs.FileStatus): String = {
       val q = fs.makeQualified(st.getPath).toString
-      val rel = q.stripPrefix(rootQ).stripPrefix("/")
-      preManifest.get(rel)
-        .filter(e => e.len == st.getLen && e.manifestSchema.isDefined)
-        .map(_.manifestSchema.get.json)
-        .getOrElse(
-          try VortexFileReader.readFooter(st.getPath, hconf).schema.json
-          catch { case _: Exception => s"unreadable:$q" })
+      try VortexFileReader.readFooter(st.getPath, hconf).schema.json
+      catch { case _: Exception => s"unreadable:$q" }
     }
 
     val batches: Seq[(Seq[String], String)] = byDir.toSeq.sortBy(_._1).flatMap { case (_, files) =>
