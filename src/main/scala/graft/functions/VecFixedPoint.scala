@@ -50,4 +50,24 @@ object VecFixedPoint {
   /** round(cos, 4) as java BigDecimal — the output/threshold form */
   def cos4(dotU: Long, saaU: Long, sbbU: Long): JBigDecimal =
     JBigDecimal.valueOf(cos(dotU, saaU, sbbU)).setScale(4, RoundingMode.HALF_UP)
+
+  /** exact squared euclidean distance in the quantized domain */
+  def sqDist(q: Array[Long], c: Array[Long]): Long = {
+    var sum = 0L; var j = 0
+    while (j < q.length) { val dd = q(j) - c(j); sum += dd * dd; j += 1 }
+    sum
+  }
+
+  /** index of the nearest centroid (exact long squared distance,
+    * lowest index wins ties — the k-means oracle's ORDER BY dist, k
+    * rule). Lives HERE, not on the query object, so executor closures
+    * calling it reference a static module instead of capturing the
+    * (non-serializable) query-set object. */
+  def nearestCentroid(q: Array[Long], cs: Array[Array[Long]]): Int = {
+    var best = 0; var bd = sqDist(q, cs(0)); var k = 1
+    while (k < cs.length) {
+      val dd = sqDist(q, cs(k)); if (dd < bd) { bd = dd; best = k }; k += 1
+    }
+    best
+  }
 }

@@ -796,15 +796,38 @@ object DedupOps {
     * shape made real: the corpus's distinct token sets and their LSH
     * band keys persisted as vortex datasets; each ingest hashes only
     * the batch and equi-joins the stored bands. */
+  /** Build the stored corpus signature index at `dir` (distinct token
+    * sets + their LSH band keys, each a vortex dataset) — the
+    * "hash the corpus once EVER" step 1. */
+  def buildCorpusIndex(s: SparkSession, corpusTok: DataFrame, dir: String): Unit = {
+    val csets = distinctSetsDF(corpusTok)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    csets.write.format("vortex").mode("overwrite").save(s"$dir/sets")
+    setBands(s, csets).write.format("vortex").mode("overwrite").save(s"$dir/bands")
+    csets.unpersist(false)
+  }
+
+  /** Incremental index update — the daily-ingest APPEND: ONLY the new
+    * docs are tokenized and hashed; their distinct sets and band keys
+    * land as NEW files in the stored index. The standing corpus's
+    * files are never read, re-hashed, or rewritten — a rebuild-on-
+    * append would defeat "hash the corpus once ever". A token set
+    * identical to an already-indexed one appends as its own row (its
+    * sid is the min of the NEW members, disjoint from the old row's);
+    * probes join both rows through the shared band keys and emit the
+    * union of their member doc ids — the same pairs a from-scratch
+    * rebuild over old∪new produces. */
+  def appendCorpusIndex(s: SparkSession, newTok: DataFrame, dir: String): Unit = {
+    val nsets = distinctSetsDF(newTok)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    nsets.write.format("vortex").mode("append").save(s"$dir/sets")
+    setBands(s, nsets).write.format("vortex").mode("append").save(s"$dir/bands")
+    nsets.unpersist(false)
+  }
+
   val dsCorpusIndex: VortexQueries.Ds =
-    VortexQueries.dataset("corpus_sigs", Seq("documents"), "v1") { (s, d, dir) =>
-      val corpusTok = tokens(s, d).filter(col("doc_id") % 7 =!= 0)
-      val csets = distinctSetsDF(corpusTok)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-      csets.write.format("vortex").mode("overwrite").save(s"$dir/sets")
-      setBands(s, csets).write.format("vortex").mode("overwrite").save(s"$dir/bands")
-      csets.unpersist()
-      ()
+    VortexQueries.dataset("corpus_sigs", Seq("documents"), "v2") { (s, d, dir) =>
+      buildCorpusIndex(s, tokens(s, d).filter(col("doc_id") % 7 =!= 0), dir)
     }
 
   // Same semantics and oracle as d_incremental, but probing the STORED

