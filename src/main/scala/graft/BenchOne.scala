@@ -9,6 +9,7 @@ object BenchOne extends App {
   val spark = SparkSession.builder().master(s"local[$cpus]")
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.ui.enabled", "false").getOrCreate()
   spark.sparkContext.setLogLevel("WARN")
   graft.Tables.names.foreach(n => graft.Tables.t(spark, sfDir, n).count())

@@ -107,6 +107,35 @@ final case class Engine(spark: SparkSession) {
     queries.DedupOps.minhashNearDupAgainst(spark, tok(corpus), tok(batch), tau)
   }
 
+  /** Build the stored corpus signature index ("hash the corpus once
+    * EVER"): distinct token sets + LSH band keys persisted as vortex
+    * datasets under `dir`. Probe with [[dedupAgainstIndex]]. */
+  def buildDedupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                      dir: String): Unit =
+    queries.DedupOps.buildCorpusIndex(spark,
+      corpus.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("w")), dir)
+
+  /** Incremental index update — the daily-ingest APPEND: only
+    * `newDocs` are hashed; their sets/bands land as new files, the
+    * standing corpus is never re-read or re-hashed. */
+  def appendDedupIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                       dir: String): Unit =
+    queries.DedupOps.appendCorpusIndex(spark,
+      newDocs.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("w")), dir)
+
+  /** Probe a stored index: which docs of `batch` duplicate (exact
+    * Jaccard ≥ τ, MinHash-LSH recall) any indexed corpus doc. Only the
+    * batch is hashed. Returns (bid, cid, jac). */
+  def dedupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+                        dir: String, tau: Double): DataFrame =
+    queries.DedupOps.minhashNearDupAgainstIndex(spark,
+      spark.read.format("vortex").load(s"$dir/sets"),
+      spark.read.format("vortex").load(s"$dir/bands"),
+      batch.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("w")), tau)
+
   /** 64-bit SimHash signature per document (typed Aggregator — one
     * pass, map-side partial merge) */
   def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -249,6 +278,32 @@ final case class Engine(spark: SparkSession) {
       .partitionBy("id_q").orderBy(col("cos").desc, col("id_n"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  /** Build a stored IVF ANN index at `dir`: fixed-point k-means
+    * centroids + the corpus assignment persisted as a vortex dataset
+    * partitioned by cluster (probes plan only probed clusters'
+    * directories); centroids ride as a sidecar for appends. */
+  def buildAnnIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                    dir: String, clusters: Int = 8, refinements: Int = 2): Unit =
+    queries.SimilarityOps.buildIvfIndex(spark,
+      annVecs(embeddings, idCol, vecCol), dir, clusters, refinements)
+
+  /** Incremental ANN-index APPEND: new vectors assign to the STORED
+    * centroids (one map over the batch) and append into their
+    * clusters' partitions — no re-clustering, no corpus re-read. */
+  def appendAnnIndex(newEmbeddings: DataFrame, idCol: String, vecCol: String,
+                     dir: String): Unit =
+    queries.SimilarityOps.appendIvfIndex(spark,
+      annVecs(newEmbeddings, idCol, vecCol), dir)
+
+  private def annVecs(df: DataFrame, idCol: String, vecCol: String)
+      : Dataset[queries.SimilarityOps.QVec] =
+    df.select(col(idCol).cast("long"), lit(0), col(vecCol).cast("array<float>"))
+      .as[(Long, Int, Seq[Float])]
+      .map { case (id, _, e) =>
+        val q = functions.VecFixedPoint.quantize(e)
+        queries.SimilarityOps.QVec(id, 0, q, functions.VecFixedPoint.dot(q, q))
+      }
 
   // ---- text analysis ---------------------------------------------------
   def textQuality(df: DataFrame, idCol: String, textCol: String): DataFrame =

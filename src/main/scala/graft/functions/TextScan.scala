@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass byte-scan kernels replacing the java.util.regex engine
+  * for the two literal-pattern `regexp_count` shapes a text-quality
+  * pipeline runs per document (stopword-set counts `\b(w1|w2|…)\b`
+  * and codepoint-class counts `[\x{a}-\x{b}]`). Installed by
+  * [[graft.plans.FastRegexCountRule]] ONLY when the rewrite is
+  * provably equivalent to the regex engine's find() semantics; every
+  * other pattern keeps the builtin.
+  *
+  * Equivalence argument (java.util.regex, non-UNICODE_CHARACTER_CLASS
+  * mode — Spark's default): `\b` tests word-char adjacency with
+  * `\w = [A-Za-z0-9_]` (ASCII-only), so every byte ≥ 0x80 is non-word
+  * and byte-level boundary tests equal the engine's char-level ones.
+  * find() takes the leftmost match, trying alternation branches in
+  * pattern order at each start — for word-literal branches that is:
+  * at each boundary start, the first branch whose bytes match AND
+  * whose trailing boundary holds wins and consumes its length.
+  * TextScanSpec cross-checks against regexp_count on adversarial
+  * inputs (punctuation, shared prefixes, unicode, overlaps).
+  */
+object TextScan {
+
+  def isWordByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+    (b >= '0' && b <= '9') || b == '_'
+
+  /** count of non-overlapping `\b(w1|w2|…)\b` matches, branch order
+    * preserved */
+  def countWordSet(s: UTF8String, words: Array[Array[Byte]]): Int = {
+    val n = s.numBytes()
+    var i = 0
+    var cnt = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (isWordByte(b) && (i == 0 || !isWordByte(s.getByte(i - 1)))) {
+        var matchedLen = 0
+        var w = 0
+        while (matchedLen == 0 && w < words.length) {
+          val word = words(w)
+          val L = word.length
+          if (i + L <= n) {
+            var j = 0
+            while (j < L && s.getByte(i + j) == word(j)) j += 1
+            if (j == L && (i + L == n || !isWordByte(s.getByte(i + L))))
+              matchedLen = L
+          }
+          w += 1
+        }
+        if (matchedLen > 0) { cnt += 1; i += matchedLen }
+        else i += 1
+      } else i += 1
+    }
+    cnt
+  }
+
+  /** count of codepoints in [lo, hi] (≙ `[\x{lo}-\x{hi}]` matches —
+    * each match is one codepoint) */
+  def countCodepointRange(s: UTF8String, lo: Int, hi: Int): Int = {
+    val n = s.numBytes()
+    var i = 0
+    var cnt = 0
+    while (i < n) {
+      val b = s.getByte(i) & 0xff
+      var cp = 0
+      var len = 1
+      if (b < 0x80) { cp = b }
+      else if ((b & 0xe0) == 0xc0) { len = 2; cp = b & 0x1f }
+      else if ((b & 0xf0) == 0xe0) { len = 3; cp = b & 0x0f }
+      else { len = 4; cp = b & 0x07 }
+      var j = 1
+      while (j < len && i + j < n) {
+        cp = (cp << 6) | (s.getByte(i + j) & 0x3f)
+        j += 1
+      }
+      if (cp >= lo && cp <= hi) cnt += 1
+      i += len
+    }
+    cnt
+  }
+}
+
+/** codegen'd `\b(w1|w2|…)\b` counter (see [[TextScan]]) */
+case class WordSetCount(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "word_set_count"
+
+  @transient private lazy val wordBytes: Array[Array[Byte]] =
+    words.map(_.getBytes("UTF-8")).toArray
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"word_set_count requires a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextScan.countWordSet(input.asInstanceOf[UTF8String], wordBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("words", wordBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextScan.countWordSet($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** codegen'd `[\x{lo}-\x{hi}]` codepoint-class counter (see [[TextScan]]) */
+case class CodepointRangeCount(child: Expression, lo: Int, hi: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "codepoint_range_count"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"codepoint_range_count requires a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextScan.countCodepointRange(input.asInstanceOf[UTF8String], lo, hi)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextScan.countCodepointRange($c, $lo, $hi);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

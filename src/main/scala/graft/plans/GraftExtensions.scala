@@ -34,6 +34,56 @@ object FastJsonRule extends Rule[LogicalPlan] {
         spark.experimental.extraOptimizations :+ this
 }
 
+/** Rewrites literal-pattern `regexp_count` into single-pass byte-scan
+  * expressions for the two shapes a per-document text pipeline runs
+  * hottest (analysis replaces RegExpCount with
+  * `size(regexp_extract_all(...))`, so that is the form matched):
+  *
+  *  - `\b(w1|w2|…)\b` / `\bword\b` over word-literal branches →
+  *    [[graft.functions.WordSetCount]]
+  *  - `[\x{lo}-\x{hi}]` codepoint class → [[graft.functions.CodepointRangeCount]]
+  *
+  * Anything else — metacharacters, non-word branches, non-literal
+  * patterns, non-zero group index, legacy size-of-null — is left on
+  * the builtin regex engine. Equivalence is argued in
+  * [[graft.functions.TextScan]] and cross-checked in TextScanSpec. */
+object FastRegexCountRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{RegExpExtractAll, Size}
+  import org.apache.spark.sql.types.IntegerType
+
+  private val WordAlt = "^\\\\b\\(((?:[A-Za-z0-9_]+\\|)*[A-Za-z0-9_]+)\\)\\\\b$".r
+  private val WordOne = "^\\\\b([A-Za-z0-9_]+)\\\\b$".r
+  private val CpRange =
+    "^\\[\\\\x\\{([0-9a-fA-F]{1,6})\\}-\\\\x\\{([0-9a-fA-F]{1,6})\\}\\]$".r
+
+  private def rewrite(subject: org.apache.spark.sql.catalyst.expressions.Expression,
+                      pattern: String) = pattern match {
+    case WordAlt(ws) =>
+      Some(graft.functions.WordSetCount(subject,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(ws.split("\\|"))))
+    case WordOne(w) => Some(graft.functions.WordSetCount(subject, Seq(w)))
+    case CpRange(lo, hi) =>
+      val l = Integer.parseInt(lo, 16); val h = Integer.parseInt(hi, 16)
+      if (l <= h && h <= 0x10FFFF) Some(graft.functions.CodepointRangeCount(subject, l, h))
+      else None
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case sz @ Size(RegExpExtractAll(subj, Literal(p: UTF8String, StringType),
+                                    Literal(0, IntegerType)), false)
+        if subj.dataType == StringType =>
+      rewrite(subj, p.toString).getOrElse(sz)
+  }
+
+  /** Install into an already-running session (same contract as
+    * [[FastJsonRule.install]]). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+}
+
 /** Session extensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
   * (or pass to `withExtensions`). Installed by graft's own
@@ -41,6 +91,7 @@ object FastJsonRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FastJsonRule)
+    e.injectOptimizerRule(_ => FastRegexCountRule)
     // graft's custom expressions, for sessions that only speak SQL
     // (the register() helpers cover programmatic sessions)
     import org.apache.spark.sql.catalyst.FunctionIdentifier

@@ -670,6 +670,10 @@ class VortexScan(fileSchema: StructType, required: StructType,
       else Long.MaxValue
     var totRows = 0L
     var totBytes = 0L
+    // (file, kept (chunkIdx, bytes), partCols, partVals, partKey, bucket)
+    val pendingFiles = scala.collection.mutable.ArrayBuffer[
+      (String, Array[(Int, Long)], Array[String], Array[String],
+       org.apache.spark.sql.catalyst.expressions.GenericInternalRow, Int)]()
     survivingPruned.foreach { case (st, kvs0) =>
       if (limitRemaining > 0L) {
         val f = st.getPath
@@ -720,8 +724,7 @@ class VortexScan(fileSchema: StructType, required: StructType,
             kvs.map { case (k, v) =>
               PartitionedLayout.toInternal(v, partSchema(k).dataType)
             }.toArray[Any])
-        var cur = scala.collection.mutable.ArrayBuffer[Int]()
-        var bytes = 0L
+        val kept = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
         chunkMetas.zipWithIndex.foreach { case ((chunk, chunkBytes), ci) =>
           // tier 2: per-chunk stats pruning (manifest metas carry the
           // same nullCount/min/max the footer would)
@@ -732,16 +735,45 @@ class VortexScan(fileSchema: StructType, required: StructType,
               limitRemaining = math.max(0L, limitRemaining - chunk.rowCount)
             totRows += chunk.rowCount
             totBytes += chunkBytes
-            cur += ci
-            bytes += chunkBytes
-            if (bytes >= VortexFormat.TargetSplitBytes) {
-              parts += VortexInputPartition(f.toString, cur.toArray, pc, pv, pk, bucketId)
-              cur = scala.collection.mutable.ArrayBuffer[Int](); bytes = 0L
-            }
+            kept += ((ci, chunkBytes))
           }
         }
-        if (cur.nonEmpty) parts += VortexInputPartition(f.toString, cur.toArray, pc, pv, pk, bucketId)
+        if (kept.nonEmpty) pendingFiles += ((f.toString, kept.toArray, pc, pv, pk, bucketId))
       }
+    }
+    // Split-size selection AFTER the walk, when total kept bytes are
+    // known — Spark's own FilePartition.maxSplitBytes rule: cap at
+    // TargetSplitBytes (the object-store-friendly ceiling), but shrink
+    // toward totalBytes/defaultParallelism so a dataset smaller than
+    // cores×128MB still fans out across every core instead of
+    // single-threading one big file (the sf1 finding: a 6M-row
+    // single-file scan planned ONE task while DuckDB used all
+    // threads). Keyed (Hive-partitioned / bucketed) files keep the
+    // static ceiling ONLY while storage-partitioned execution is on:
+    // their HasPartitionKey contract then feeds KeyGroupedPartitioning,
+    // where duplicate keys from intra-file splits would break the
+    // one-partition-per-key report; with SPJ off (the default) we
+    // report UnknownPartitioning anyway, so keyed files fan out too.
+    val dynTarget = {
+      val parallelism = math.max(spark.sparkContext.defaultParallelism, 1)
+      math.min(VortexFormat.TargetSplitBytes,
+        math.max(VortexFormat.MinSplitBytes, totBytes / parallelism + 1))
+    }
+    val spjOn =
+      spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+    pendingFiles.foreach { case (f, kept, pc, pv, pk, bucketId) =>
+      val target = if (pk == null || !spjOn) dynTarget else VortexFormat.TargetSplitBytes
+      var cur = scala.collection.mutable.ArrayBuffer[Int]()
+      var bytes = 0L
+      kept.foreach { case (ci, chunkBytes) =>
+        cur += ci
+        bytes += chunkBytes
+        if (bytes >= target) {
+          parts += VortexInputPartition(f, cur.toArray, pc, pv, pk, bucketId)
+          cur = scala.collection.mutable.ArrayBuffer[Int](); bytes = 0L
+        }
+      }
+      if (cur.nonEmpty) parts += VortexInputPartition(f, cur.toArray, pc, pv, pk, bucketId)
     }
     val out = parts.toArray
     lastPlan = (planKey, out)

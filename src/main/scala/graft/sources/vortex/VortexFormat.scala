@@ -39,6 +39,10 @@ object VortexFormat {
   val DefaultBloomMaxBytes = 128 * 1024
   /** target bytes per InputPartition (split granularity for executors) */
   val TargetSplitBytes: Long = 128L * 1024 * 1024
+  /** floor for the parallelism-adaptive split target (≙ Spark's
+    * filesOpenCostInBytes role: below this, per-task overhead beats
+    * added parallelism) */
+  val MinSplitBytes: Long = 8L * 1024 * 1024
 
   // page encodings
   val EncPlain: Byte = 0
