@@ -87,4 +87,33 @@ class EngineSpec extends AnyFunSuite {
     assert(topk.count() == 6)
     assert(topk.groupBy("id_q").count().collect().forall(_.getLong(1) == 3))
   }
+
+  test("stored dedup index: build, append, probe through the facade") {
+    val dir = java.nio.file.Files.createTempDirectory("engine_didx_").toString
+    val docs = Tables.t(spark, sf, "documents")
+    val corpusA = docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") < 250)
+    val corpusB = docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") >= 250)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    e.buildDedupIndex(corpusA, "doc_id", "text", dir)
+    e.appendDedupIndex(corpusB, "doc_id", "text", dir)
+    val probed = e.dedupAgainstIndex(batch, "doc_id", "text", dir, tau = 0.5)
+    val direct = e.dedupAgainstCorpus(
+      docs.filter(col("doc_id") % 7 =!= 0), batch, "doc_id", "text", tau = 0.5)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("bid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(probed) == pairSet(direct))
+    probed.unpersist(false); direct.unpersist(false)
+  }
+
+  test("stored ANN index: build, append, partitioned layout through the facade") {
+    val dir = java.nio.file.Files.createTempDirectory("engine_aidx_").toString
+    val emb = Tables.t(spark, sf, "embeddings")
+    val n = emb.count()
+    e.buildAnnIndex(emb.filter(col("vec_id") < n / 2), "vec_id", "embedding", dir,
+      clusters = 4)
+    e.appendAnnIndex(emb.filter(col("vec_id") >= n / 2), "vec_id", "embedding", dir)
+    val idx = e.readVortex(dir)
+    assert(idx.count() == n)
+    assert(idx.select("k").distinct().count() > 1)
+  }
 }
