@@ -160,4 +160,23 @@ class VortexEvolutionSpec extends AnyFunSuite {
     assert(row.getLong(0) == 150 && row.getLong(1) == 0 && row.getLong(2) == 149
       && row.getLong(3) == 50)
   }
+
+  test("an unreadable footer fails mergeSchema inference loudly") {
+    val dir = evolvedDir()
+    // truncate the mixed-in (manifest-uncovered) v2 file: silently
+    // dropping its columns would make `c` vanish from results instead
+    // of failing the job — the round-6 advice fix under test
+    val f = new java.io.File(dir).listFiles
+      .filter(x => x.getName.startsWith("evo_") && x.getName.endsWith(".vortex")).head
+    val ch = java.nio.channels.FileChannel.open(f.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(10) finally ch.close()
+    val e = intercept[Exception] {
+      spark.read.format("vortex").option("mergeSchema", "true").load(dir).count()
+    }
+    def loud(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("cannot read footer")) ||
+        loud(t.getCause))
+    assert(loud(e), s"expected the loud footer-failure, got $e")
+  }
 }
