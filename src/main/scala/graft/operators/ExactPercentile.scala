@@ -272,6 +272,12 @@ object ExactPercentile {
       org.apache.spark.sql.types.StructField(groupCol, org.apache.spark.sql.types.StringType) +:
         specs.flatMap(_._3).map(n =>
           org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType)))
-    spark.createDataFrame(spark.sparkContext.parallelize(out.toList, 1), schema)
+    // output size is bounded by maxDriverCells but can still reach
+    // millions of group rows — return it spread across the session's
+    // parallelism (one slice per ~64k rows), not a one-partition tail
+    // that would single-thread every downstream operator
+    val slices = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, out.length / 65536 + 1))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toList, slices), schema)
   }
 }
