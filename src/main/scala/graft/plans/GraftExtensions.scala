@@ -66,7 +66,11 @@ object FastRegexCountRule extends Rule[LogicalPlan] {
       val l = Integer.parseInt(lo, 16); val h = Integer.parseInt(hi, 16)
       if (l <= h && h <= 0x10FFFF) Some(graft.functions.CodepointRangeCount(subject, l, h))
       else None
-    case _ => None
+    case p =>
+      // tokenizer-count family: alternation of simple ASCII character
+      // classes, optionally plus-quantified ([a-z]+|[0-9]+|[^a-z0-9\s])
+      graft.functions.ClassAltCount.parse(p)
+        .map(_ => graft.functions.ClassAltCount(subject, p))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {

@@ -42,7 +42,15 @@ class TextScanSpec extends AnyFunSuite {
     "\\bthe\\b",
     "\\b(el|la|de|los)\\b",
     "[\\x{4e00}-\\x{9fff}]",
-    "[\\x{61}-\\x{7a}]")
+    "[\\x{61}-\\x{7a}]",
+    // class-alternation family (ClassAltCount)
+    "[a-z]+|[0-9]+|[^a-z0-9\\s]",
+    "[a-z]+",
+    "[0-9]",
+    "[^a-z]",                    // negated: must count unicode chars too
+    "[abc]+|[x-z]",
+    "[a-]",                      // '-' as a literal member
+    "[\\d]+|[\\s]")
 
   test("byte-scan counts equal regexp_count on adversarial inputs") {
     import spark.implicits._
@@ -71,10 +79,15 @@ class TextScanSpec extends AnyFunSuite {
     assert(planOf("\\b(the|a)\\b").contains("word_set_count"))
     assert(planOf("\\bthe\\b").contains("word_set_count"))
     assert(planOf("[\\x{4e00}-\\x{9fff}]").contains("codepoint_range_count"))
+    assert(planOf("[a-z]+|[0-9]+|[^a-z0-9\\s]").contains("class_alt_count"))
     // NOT provable: metachars, non-literal branch, case-insensitive flag
     assert(!planOf("\\b(the|a.)\\b").contains("word_set_count"))
     assert(!planOf("the|a").contains("word_set_count"))
     assert(!planOf("(?i)\\b(the)\\b").contains("word_set_count"))
     assert(!planOf("[\\x{4e00}-\\x{9fff}]+").contains("codepoint_range_count"))
+    // NOT provable class-alternations: star/optional quantifiers,
+    // trailing context, \w (would change on UNICODE flags), nesting
+    val unprovable = Seq("[a-z]*", "[a-z]+x", "[\\w]+", "[a-z]+|", "[a-[b]]")
+    unprovable.foreach(p => assert(!planOf(p).contains("class_alt_count"), p))
   }
 }
