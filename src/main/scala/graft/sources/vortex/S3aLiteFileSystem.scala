@@ -302,11 +302,17 @@ class S3aLiteFileSystem extends FileSystem {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
     val fileOut = new java.io.FileOutputStream(tmp)
     val out = new java.io.OutputStream {
+      private var closed = false
       override def write(b: Int): Unit = { fileOut.write(b); digest.update(b.toByte) }
       override def write(b: Array[Byte], off: Int, n: Int): Unit = {
         fileOut.write(b, off, n); digest.update(b, off, n)
       }
+      // idempotent: FilterOutputStream wrappers may close twice, and a
+      // second close must not re-PUT (the digest is consumed and the
+      // spill file deleted by the first)
       override def close(): Unit = {
+        if (closed) return
+        closed = true
         fileOut.close()
         val sha = digest.digest().map(x => f"${x & 0xff}%02x").mkString
         val in = new FileInputStream(tmp)
@@ -332,9 +338,14 @@ class S3aLiteFileSystem extends FileSystem {
       copyObject(keyOf(src), keyOf(dst))
       request("DELETE", keyOf(src)).disconnect()
     } else {
+      // per-key COPY+DELETE in parallel — a directory rename is
+      // O(files) round trips on any object store; serial latency would
+      // dominate large-directory commits (same pattern as the bulk
+      // copy's parallel promotion)
       val prefix = keyOf(src) + "/"
       val dstPrefix = keyOf(dst) + "/"
-      listPrefix(prefix, delimiter = None).keys.foreach { case (k, _, _) =>
+      val keys = listPrefix(prefix, delimiter = None).keys.map(_._1).toArray
+      java.util.Arrays.stream(keys).parallel().forEach { k =>
         copyObject(k, dstPrefix + k.stripPrefix(prefix))
         request("DELETE", k).disconnect()
       }
@@ -349,7 +360,9 @@ class S3aLiteFileSystem extends FileSystem {
       val children = listPrefix(keyOf(f) + "/", delimiter = None).keys
       if (children.nonEmpty && !recursive)
         throw new IOException(s"S3aLite: directory $f is not empty")
-      children.foreach { case (k, _, _) => request("DELETE", k).disconnect() }
+      val keys = children.map(_._1).toArray
+      java.util.Arrays.stream(keys).parallel()
+        .forEach(k => request("DELETE", k).disconnect())
       true
     }
   }
