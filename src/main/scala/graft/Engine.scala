@@ -206,21 +206,36 @@ final case class Engine(spark: SparkSession) {
   }
 
   /** near-dup REMOVAL: keep one canonical row (lowest id) per cluster.
-    * The keep-set (one long per surviving cluster) is materialized
-    * eagerly so the cluster cache from [[dedupClusters]] can be
-    * released here instead of leaking until session end; the returned
-    * keep-set cache is what the final join consumes — callers keeping
-    * the result beyond one consumption should `unpersist()` it. */
-  def dedupNear(df: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
+    * The keep-set (one long per surviving cluster) materializes while
+    * the [[dedupClusters]] cache is hot, the cluster cache is released
+    * here, and when the keep-set provably fits the driver (size gate —
+    * the count is already in hand) it localizes into a broadcast-side
+    * relation, leaving ZERO cache residue. Beyond the gate the
+    * keep-set stays cached for the join (8 bytes per surviving
+    * cluster) — that one entry lives until session end or
+    * `spark.catalog.clearCache()`; callers can't release it through
+    * the returned joined frame (non-cascading unpersist matches only
+    * the exact cached plan). */
+  def dedupNear(df: DataFrame, idCol: String, textCol: String, tau: Double,
+                maxLocalKeep: Int = 4 << 20): DataFrame = {
     val clusters = dedupClusters(df, idCol, textCol, tau)
-    val keep = clusters
+    val keepCol = s"__keep_$idCol"
+    val keepDs = clusters
       .filter(col("doc_id") === col("cluster"))
-      .select(col("doc_id").as(s"__keep_$idCol"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    keep.count()
-    clusters.unpersist(false)
-    df.join(keep, col(idCol).cast("long") === col(s"__keep_$idCol"))
-      .drop(s"__keep_$idCol")
+      .select(col("doc_id").as(keepCol))
+    val cnt = keepDs.count() // reads the clusters cache — one cheap pass
+    if (cnt <= maxLocalKeep) {
+      val ids = keepDs.as[Long].collect() // bounded by the count proof
+      clusters.unpersist(false)
+      val keep = spark.createDataset(ids.toSeq).toDF(keepCol)
+      df.join(broadcast(keep), col(idCol).cast("long") === col(keepCol))
+        .drop(keepCol)
+    } else {
+      val keep = keepDs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      keep.count()
+      clusters.unpersist(false)
+      df.join(keep, col(idCol).cast("long") === col(keepCol)).drop(keepCol)
+    }
   }
 
   /** per-document k-function MinHash signature (typed Aggregator) */
@@ -301,6 +316,12 @@ final case class Engine(spark: SparkSession) {
     df.select(col(idCol).cast("long"), lit(0), col(vecCol).cast("array<float>"))
       .as[(Long, Int, Seq[Float])]
       .map { case (id, _, e) =>
+        // the fixed-point k-means kernels (CentroidSumAgg's 64+1
+        // accumulator, the centroid sidecar) are 64-wide; a mismatched
+        // vector must fail HERE with a named error, not as an
+        // ArrayIndexOutOfBounds deep inside a task
+        require(e.length == 64,
+          s"ANN index requires 64-dim embeddings; id=$id has ${e.length}")
         val q = functions.VecFixedPoint.quantize(e)
         queries.SimilarityOps.QVec(id, 0, q, functions.VecFixedPoint.dot(q, q))
       }

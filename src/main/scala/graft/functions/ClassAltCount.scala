@@ -58,6 +58,11 @@ object ClassAltCount {
       while (i < n && !closed) {
         pattern.charAt(i) match {
           case ']' if !empty => closed = true; i += 1
+          case '&' =>
+            // java class syntax: `&&` is set INTERSECTION — treating
+            // the ampersands as literals would silently change counts;
+            // a single literal '&' is too close to misread, reject both
+            return None
           case '\\' if i + 1 < n =>
             pattern.charAt(i + 1) match {
               case 's' => add(' '); add('\t'); add('\n'); add(0x0B); add('\f'); add('\r')
@@ -69,6 +74,10 @@ object ClassAltCount {
               case _ => return None
             }
             empty = false; i += 2
+            // an escape as a range LOWER endpoint ([\t-z] = java range
+            // 0x09..'z') would misparse as three literals — reject
+            if (i + 1 < n && pattern.charAt(i) == '-' && pattern.charAt(i + 1) != ']')
+              return None
           case c if c >= 0x20 && c < 0x7f =>
             // range? literal 'a-z' (the '-' must sit between two plain members)
             if (i + 2 < n && pattern.charAt(i + 1) == '-' && pattern.charAt(i + 2) != ']') {

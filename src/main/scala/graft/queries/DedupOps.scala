@@ -784,13 +784,28 @@ object DedupOps {
   spark("d_incremental",
     (s, d) => {
       val tok = tokens(s, d)
-      minhashNearDupAgainst(s,
+      val matched = minhashNearDupAgainst(s,
           corpusTok = tok.filter(col("doc_id") % 7 =!= 0),
           batchTok = tok.filter(col("doc_id") % 7 === 0), tau = 0.5)
-        .groupBy("bid").agg(count(lit(1)).as("n_dups"), max(col("jac")).as("best_jac"))
-        .orderBy("bid")
+      // hold the cached match frame's HANDLE: unpersisting a derived
+      // frame is a no-op (CacheManager matches the exact plan), so the
+      // aggregate materializes first — bounded to ≤ one row per batch
+      // doc, the designed daily-batch size — then the cache drops.
+      // Nothing persists across reps.
+      finishIncremental(s, matched)
     },
     incrementalOracle)
+
+  /** aggregate + localize the per-batch-doc result, then release the
+    * match cache (shared by d_incremental / d_incremental_stored) */
+  private def finishIncremental(s: SparkSession, matched: DataFrame): DataFrame = {
+    val agg = matched
+      .groupBy("bid").agg(count(lit(1)).as("n_dups"), max(col("jac")).as("best_jac"))
+      .orderBy("bid")
+    val rows = agg.collect()
+    matched.unpersist(false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+  }
 
   /** Stored corpus signature index — the "hash the corpus once EVER"
     * shape made real: the corpus's distinct token sets and their LSH
@@ -846,14 +861,13 @@ object DedupOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val batchTok = tokens(s, d).filter(col("doc_id") % 7 === 0)
       // AgainstIndex returns an eagerly-materialized cached frame, so
-      // the index-read caches can be dropped immediately — no
-      // per-query cache accumulation in the session CacheManager
+      // the index-read caches can be dropped immediately; the match
+      // cache itself drops inside finishIncremental — no per-query
+      // cache accumulation in the session CacheManager
       val matched = minhashNearDupAgainstIndex(s, csets, cbands, batchTok, tau = 0.5)
       csets.unpersist(false)
       cbands.unpersist(false)
-      matched
-        .groupBy("bid").agg(count(lit(1)).as("n_dups"), max(col("jac")).as("best_jac"))
-        .orderBy("bid")
+      finishIncremental(s, matched)
     },
     incrementalOracle)
 

@@ -151,7 +151,8 @@ class S3aLiteFileSystem extends FileSystem {
   private case class Listing(keys: Seq[(String, Long, Long)], prefixes: Seq[String])
 
   private def listPrefix(prefix: String, delimiter: Option[String],
-                         maxKeys: Int = 1000): Listing = {
+                         maxKeys: Int = 1000,
+                         firstPageOnly: Boolean = false): Listing = {
     var token: Option[String] = None
     val keys = Seq.newBuilder[(String, Long, Long)]
     val prefixes = Seq.newBuilder[String]
@@ -185,7 +186,7 @@ class S3aLiteFileSystem extends FileSystem {
         .exists(_.getTextContent == "true")
       token = Option(doc.getElementsByTagName("NextContinuationToken").item(0))
         .map(_.getTextContent)
-      more = truncated && token.isDefined
+      more = truncated && token.isDefined && !firstPageOnly
     }
     Listing(keys.result(), prefixes.result())
   }
@@ -211,7 +212,11 @@ class S3aLiteFileSystem extends FileSystem {
       fileStatus(key, len, mtime)
     } catch {
       case _: java.io.FileNotFoundException =>
-        val l = listPrefix(key + "/", delimiter = Some("/"), maxKeys = 1)
+        // existence probe: ONE page answers it — paginating to
+        // exhaustion would turn exists() on a 10k-object prefix into
+        // 10k LIST round trips on a real endpoint
+        val l = listPrefix(key + "/", delimiter = Some("/"), maxKeys = 1,
+          firstPageOnly = true)
         if (l.keys.nonEmpty || l.prefixes.nonEmpty) dirStatus(key)
         else throw new java.io.FileNotFoundException(f.toString)
     }

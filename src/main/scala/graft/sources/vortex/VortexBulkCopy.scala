@@ -183,12 +183,17 @@ object VortexBulkCopy {
         }
       }
     }.collect().toSeq
-    // Any failure between the first promotion and the manifest commit
-    // must not leave visible orphans: already-promoted `part-…-$jobId-…`
-    // files have no manifest entry and no other cleanup path (vacuum
-    // only sweeps dot-hidden tmp files), and under overwrite a reader
-    // in that window would see old committed files mixed with the new
-    // ones. Best-effort demote this job's visible files, then rethrow.
+    // Any failure during PROMOTION must not leave visible orphans:
+    // already-promoted `part-…-$jobId-…` files have no manifest entry
+    // and no other cleanup path (vacuum only sweeps dot-hidden tmp
+    // files), and under overwrite a reader in that window would see
+    // old committed files mixed with the new ones. Best-effort demote
+    // this job's visible files, then rethrow. The cleanup scope ends
+    // BEFORE commitJob: once commitJob starts it may have deleted the
+    // preExisting files (truncate), and deleting the new files too on
+    // a late commit-metadata failure would leave the directory with
+    // NEITHER generation — readers survive a missing manifest via the
+    // footer fallback, so the new files must stay.
     def cleanupPromoted(): Unit =
       try {
         if (fs.exists(root))
@@ -200,7 +205,7 @@ object VortexBulkCopy {
             .foreach(s => try { fs.delete(s.getPath, false); () }
                           catch { case _: Exception => () })
       } catch { case _: Exception => () }
-    try {
+    val committedMessages = try {
     // parallel promotion: object stores implement rename as COPY+DELETE
     // (one round trip per file) — serial renames would make commit
     // latency O(files · RTT) at large file counts
@@ -246,9 +251,10 @@ object VortexBulkCopy {
         Seq(VortexCommit(Seq(p.toString),
           Map(p.toString -> w.columnSums), Map(p.toString -> w.columnBlooms)))
       }
-    VortexCommitOps.commitJob(dir, hconf, jobId, messages, schema,
+    messages
+    } catch { case e: Throwable => cleanupPromoted(); throw e }
+    VortexCommitOps.commitJob(dir, hconf, jobId, committedMessages, schema,
       truncate = overwrite, preExisting = preExisting,
       partitionCols = Seq.empty, bucketSpec = None)
-    } catch { case e: Throwable => cleanupPromoted(); throw e }
   }
 }

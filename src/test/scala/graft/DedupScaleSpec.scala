@@ -89,13 +89,16 @@ class DedupScaleSpec extends AnyFunSuite {
     val stripped = src.replaceAll("(?s)/\\*.*?\\*/", "")
     val hits = java.util.regex.Pattern.quote(".collect()").r
       .findAllIn(stripped).size
-    // 5 gated sites: distinctSetsOf (kernel-only wrapper),
+    // 6 gated sites: distinctSetsOf (kernel-only wrapper),
     // labelPropagateKernel wrapper + kernel-core ids collect,
-    // labelPropagateAuto's limit(cap+1)-bounded probe, and
+    // labelPropagateAuto's limit(cap+1)-bounded probe,
     // jaccardDocPairsAuto's limit(cap+1)-bounded probe-and-input
     // collect (round 5: the probe IS the kernel input, one aggregation
-    // instead of two)
-    assert(hits == 5, s"expected exactly 5 gated collect() in DedupOps, found $hits")
+    // instead of two), and finishIncremental's per-batch-doc aggregate
+    // (round 6: ≤ one row per batch doc — the daily-batch bound — so
+    // the match cache's handle can be released instead of leaking per
+    // call)
+    assert(hits == 6, s"expected exactly 6 gated collect() in DedupOps, found $hits")
     def bodyOf(defName: String): String = {
       val b = src.substring(src.indexOf(s"def $defName"))
       b.take(b.indexOf("\n  }"))

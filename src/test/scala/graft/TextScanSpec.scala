@@ -86,8 +86,10 @@ class TextScanSpec extends AnyFunSuite {
     assert(!planOf("(?i)\\b(the)\\b").contains("word_set_count"))
     assert(!planOf("[\\x{4e00}-\\x{9fff}]+").contains("codepoint_range_count"))
     // NOT provable class-alternations: star/optional quantifiers,
-    // trailing context, \w (would change on UNICODE flags), nesting
-    val unprovable = Seq("[a-z]*", "[a-z]+x", "[\\w]+", "[a-z]+|", "[a-[b]]")
+    // trailing context, \w (would change on UNICODE flags), nesting,
+    // java set-intersection syntax, escape-led ranges
+    val unprovable = Seq("[a-z]*", "[a-z]+x", "[\\w]+", "[a-z]+|", "[a-[b]]",
+      "[a&&b]", "[a&&[b]]", "[\\t-z]", "[\\t-z]+")
     unprovable.foreach(p => assert(!planOf(p).contains("class_alt_count"), p))
   }
 }
