@@ -217,7 +217,11 @@ final case class Engine(spark: SparkSession) {
     * the returned joined frame (non-cascading unpersist matches only
     * the exact cached plan). */
   def dedupNear(df: DataFrame, idCol: String, textCol: String, tau: Double,
-                maxLocalKeep: Int = 4 << 20): DataFrame = {
+                maxLocalKeep: Int = 1 << 19): DataFrame = {
+    // default gate 512k rows: the localized keep-set becomes driver
+    // UnsafeRows + a broadcast hash relation (~tens of MB at the
+    // gate), well inside a default driver/executor — a multi-million
+    // gate would trade the documented cache residue for driver OOM
     val clusters = dedupClusters(df, idCol, textCol, tau)
     val keepCol = s"__keep_$idCol"
     val keepDs = clusters

@@ -82,7 +82,10 @@ object ClassAltCount {
             // range? literal 'a-z' (the '-' must sit between two plain members)
             if (i + 2 < n && pattern.charAt(i + 1) == '-' && pattern.charAt(i + 2) != ']') {
               val hi = pattern.charAt(i + 2)
-              if (hi == '\\' || c > hi) return None
+              // hi must also be plain printable ASCII: a non-ASCII
+              // upper endpoint ([a-é]) would silently drop the >=0x80
+              // members from the 128-bit bitmap
+              if (hi == '\\' || hi < 0x20 || hi >= 0x7f || c > hi) return None
               addRange(c, hi); empty = false; i += 3
             } else { add(c); empty = false; i += 1 }
           case _ => return None
@@ -105,25 +108,13 @@ object ClassAltCount {
   def countRef(s: UTF8String, branches: AnyRef): Int =
     count(s, branches.asInstanceOf[Array[Branch]])
 
-  /** count of non-overlapping matches, java find() semantics */
+  /** count of non-overlapping matches, java find() semantics;
+    * codepoint decode shared via [[TextScan.codePointAt]] */
   def count(s: UTF8String, branches: Array[Branch]): Int = {
     val n = s.numBytes()
     var i = 0
     var cnt = 0
-    // decode the codepoint at byte i; returns (cp, byteLen)
-    def cpAt(i: Int): Long = {
-      val b = s.getByte(i) & 0xff
-      if (b < 0x80) (b.toLong << 3) | 1L
-      else {
-        var len = 1; var cp = 0
-        if ((b & 0xe0) == 0xc0) { len = 2; cp = b & 0x1f }
-        else if ((b & 0xf0) == 0xe0) { len = 3; cp = b & 0x0f }
-        else { len = 4; cp = b & 0x07 }
-        var j = 1
-        while (j < len && i + j < n) { cp = (cp << 6) | (s.getByte(i + j) & 0x3f); j += 1 }
-        (cp.toLong << 3) | len.toLong
-      }
-    }
+    def cpAt(i: Int): Long = TextScan.codePointAt(s, i, n)
     while (i < n) {
       val e = cpAt(i)
       val cp = (e >>> 3).toInt
@@ -158,14 +149,18 @@ case class ClassAltCount(child: Expression, pattern: String) extends UnaryExpres
   override def dataType: DataType = IntegerType
   override def prettyName: String = "class_alt_count"
 
-  @transient private lazy val branches: Array[ClassAltCount.Branch] =
-    ClassAltCount.parse(pattern).get
+  // parsed once per instance (and once per executor after
+  // deserialization); the type check reads the same result, so the
+  // eval path's branches can never diverge from what it validated
+  @transient private lazy val parsed: Option[Array[ClassAltCount.Branch]] =
+    ClassAltCount.parse(pattern)
+  @transient private lazy val branches: Array[ClassAltCount.Branch] = parsed.get
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType != StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"class_alt_count requires a string input, got ${child.dataType}")
-    else if (ClassAltCount.parse(pattern).isEmpty)
+    else if (parsed.isEmpty)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"class_alt_count: unsupported pattern $pattern")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess

@@ -59,6 +59,24 @@ object TextScan {
     cnt
   }
 
+  /** decode the UTF-8 codepoint at byte `i` of `s` (which has `n`
+    * bytes): packed `(codepoint << 3) | byteLen` — the ONE decode
+    * shared by every codepoint-iterating kernel (a second copy would
+    * have to be kept bit-identical forever) */
+  def codePointAt(s: UTF8String, i: Int, n: Int): Long = {
+    val b = s.getByte(i) & 0xff
+    if (b < 0x80) (b.toLong << 3) | 1L
+    else {
+      var len = 1; var cp = 0
+      if ((b & 0xe0) == 0xc0) { len = 2; cp = b & 0x1f }
+      else if ((b & 0xf0) == 0xe0) { len = 3; cp = b & 0x0f }
+      else { len = 4; cp = b & 0x07 }
+      var j = 1
+      while (j < len && i + j < n) { cp = (cp << 6) | (s.getByte(i + j) & 0x3f); j += 1 }
+      (cp.toLong << 3) | len.toLong
+    }
+  }
+
   /** count of codepoints in [lo, hi] (≙ `[\x{lo}-\x{hi}]` matches —
     * each match is one codepoint) */
   def countCodepointRange(s: UTF8String, lo: Int, hi: Int): Int = {
@@ -66,20 +84,10 @@ object TextScan {
     var i = 0
     var cnt = 0
     while (i < n) {
-      val b = s.getByte(i) & 0xff
-      var cp = 0
-      var len = 1
-      if (b < 0x80) { cp = b }
-      else if ((b & 0xe0) == 0xc0) { len = 2; cp = b & 0x1f }
-      else if ((b & 0xf0) == 0xe0) { len = 3; cp = b & 0x0f }
-      else { len = 4; cp = b & 0x07 }
-      var j = 1
-      while (j < len && i + j < n) {
-        cp = (cp << 6) | (s.getByte(i + j) & 0x3f)
-        j += 1
-      }
+      val e = codePointAt(s, i, n)
+      val cp = (e >>> 3).toInt
       if (cp >= lo && cp <= hi) cnt += 1
-      i += len
+      i += (e & 7L).toInt
     }
     cnt
   }

@@ -152,10 +152,11 @@ class S3aLiteFileSystem extends FileSystem {
 
   private def listPrefix(prefix: String, delimiter: Option[String],
                          maxKeys: Int = 1000,
-                         firstPageOnly: Boolean = false): Listing = {
+                         stopWhenFound: Boolean = false): Listing = {
     var token: Option[String] = None
     val keys = Seq.newBuilder[(String, Long, Long)]
     val prefixes = Seq.newBuilder[String]
+    var found = false
     var more = true
     while (more) {
       val q = Seq("list-type" -> "2", "prefix" -> prefix,
@@ -186,7 +187,12 @@ class S3aLiteFileSystem extends FileSystem {
         .exists(_.getTextContent == "true")
       token = Option(doc.getElementsByTagName("NextContinuationToken").item(0))
         .map(_.getTextContent)
-      more = truncated && token.isDefined && !firstPageOnly
+      found = found || contents.getLength > 0 || cps.getLength > 0
+      // stopWhenFound = existence probe: stop at the first page that
+      // names anything — but keep paginating through EMPTY truncated
+      // pages (S3 documents pages may carry fewer keys than MaxKeys),
+      // or a legally-empty first page would read as non-existence
+      more = truncated && token.isDefined && !(stopWhenFound && found)
     }
     Listing(keys.result(), prefixes.result())
   }
@@ -212,11 +218,11 @@ class S3aLiteFileSystem extends FileSystem {
       fileStatus(key, len, mtime)
     } catch {
       case _: java.io.FileNotFoundException =>
-        // existence probe: ONE page answers it — paginating to
-        // exhaustion would turn exists() on a 10k-object prefix into
-        // 10k LIST round trips on a real endpoint
+        // existence probe: stop at the first page that names anything —
+        // paginating to exhaustion would turn exists() on a 10k-object
+        // prefix into 10k LIST round trips on a real endpoint
         val l = listPrefix(key + "/", delimiter = Some("/"), maxKeys = 1,
-          firstPageOnly = true)
+          stopWhenFound = true)
         if (l.keys.nonEmpty || l.prefixes.nonEmpty) dirStatus(key)
         else throw new java.io.FileNotFoundException(f.toString)
     }

@@ -253,8 +253,21 @@ object VortexBulkCopy {
       }
     messages
     } catch { case e: Throwable => cleanupPromoted(); throw e }
-    VortexCommitOps.commitJob(dir, hconf, jobId, committedMessages, schema,
-      truncate = overwrite, preExisting = preExisting,
-      partitionCols = Seq.empty, bucketSpec = None)
+    try
+      VortexCommitOps.commitJob(dir, hconf, jobId, committedMessages, schema,
+        truncate = overwrite, preExisting = preExisting,
+        partitionCols = Seq.empty, bucketSpec = None)
+    catch { case e: Throwable =>
+      // commitJob's FIRST action deletes the preExisting generation.
+      // If that provably never started (every old file still present),
+      // demoting this job's files restores the exact old state —
+      // atomic overwrite for early commit failures. Once ANY old file
+      // is gone the new files must STAY: readers fall back to footers,
+      // and deleting them would leave NEITHER generation.
+      val oldIntact = preExisting.nonEmpty && preExisting.forall(p =>
+        try fs.exists(new Path(p)) catch { case _: Exception => false })
+      if (oldIntact) cleanupPromoted()
+      throw e
+    }
   }
 }

@@ -89,7 +89,7 @@ class TextScanSpec extends AnyFunSuite {
     // trailing context, \w (would change on UNICODE flags), nesting,
     // java set-intersection syntax, escape-led ranges
     val unprovable = Seq("[a-z]*", "[a-z]+x", "[\\w]+", "[a-z]+|", "[a-[b]]",
-      "[a&&b]", "[a&&[b]]", "[\\t-z]", "[\\t-z]+")
+      "[a&&b]", "[a&&[b]]", "[\\t-z]", "[\\t-z]+", "[a-é]")
     unprovable.foreach(p => assert(!planOf(p).contains("class_alt_count"), p))
   }
 }
