@@ -14,21 +14,82 @@ import org.apache.spark.unsafe.types.UTF8String
   * other pattern keeps the builtin.
   *
   * Equivalence argument (java.util.regex, non-UNICODE_CHARACTER_CLASS
-  * mode — Spark's default): `\b` tests word-char adjacency with
-  * `\w = [A-Za-z0-9_]` (ASCII-only), so every byte ≥ 0x80 is non-word
-  * and byte-level boundary tests equal the engine's char-level ones.
-  * find() takes the leftmost match, trying alternation branches in
-  * pattern order at each start — for word-literal branches that is:
-  * at each boundary start, the first branch whose bytes match AND
-  * whose trailing boundary holds wins and consumes its length.
-  * TextScanSpec cross-checks against regexp_count on adversarial
-  * inputs (punctuation, shared prefixes, unicode, overlaps).
+  * mode — Spark's default): even without the UNICODE flag, java's
+  * `\b` (Pattern's Bound node) is NOT `\w`-relative — it decodes the
+  * adjacent CODEPOINT and tests `cp=='_' || isLetterOrDigit(cp) ||
+  * (getType(cp)==NON_SPACING_MARK && hasBaseCharacter)`, so CJK/
+  * accented letters are word chars at boundaries. The kernels decode
+  * boundary-adjacent codepoints and apply that exact predicate
+  * (including Bound's char-at-a-time hasBaseCharacter walk, which
+  * sees a preceding supplementary codepoint as its unpaired low
+  * surrogate and stops). Match STARTS are still byte-scanned: word
+  * literals begin with ASCII word bytes, and no byte of a multi-byte
+  * UTF-8 sequence is an ASCII word byte. find() takes the leftmost
+  * match, trying alternation branches in pattern order at each start
+  * — for word-literal branches that is: at each boundary start, the
+  * first branch whose bytes match AND whose trailing boundary holds
+  * wins and consumes its length. TextScanSpec cross-checks against
+  * java.util.regex on adversarial inputs (punctuation, shared
+  * prefixes, CJK/accents/combining-mark/supplementary neighbors,
+  * overlaps) on an RDD-backed frame so the kernels actually execute.
   */
 object TextScan {
 
   def isWordByte(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
     (b >= '0' && b <= '9') || b == '_'
+
+  /** java.util.regex Bound's hasBaseCharacter, on UTF-8 bytes: walk
+    * codepoints BACKWARD from byte offset `end` (exclusive — the
+    * triggering mark itself is already consumed by Bound's loop);
+    * letter/digit → base found, non-spacing marks are skipped,
+    * anything else stops. Java walks one CHAR at a time, so a
+    * preceding supplementary codepoint is seen as its unpaired low
+    * surrogate (type SURROGATE) and stops the walk — replicated here
+    * by stopping on any cp > 0xFFFF. */
+  private def hasBaseChar(s: UTF8String, end: Int): Boolean = {
+    var e = end
+    while (e > 0) {
+      var st = e - 1
+      while (st > 0 && (s.getByte(st) & 0xc0) == 0x80) st -= 1
+      val cp = (codePointAt(s, st, e) >>> 3).toInt
+      if (cp > 0xFFFF) return false
+      if (Character.isLetterOrDigit(cp)) return true
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) return false
+      e = st
+    }
+    false
+  }
+
+  /** is the codepoint ENDING at byte `i` (exclusive) a Bound word
+    * char? (`false` at the string start — \b holds there). Bound's
+    * LEFT check hands hasBaseCharacter the neighbor's LAST char
+    * index, so a supplementary NSM is seen as its own unpaired low
+    * surrogate → "no base" immediately (hence `cp <= 0xFFFF`). */
+  def leftIsWord(s: UTF8String, i: Int): Boolean = {
+    if (i <= 0) return false
+    val pb = s.getByte(i - 1)
+    if ((pb & 0x80) == 0) return isWordByte(pb)
+    var st = i - 1
+    while (st > 0 && (s.getByte(st) & 0xc0) == 0x80) st -= 1
+    val cp = (codePointAt(s, st, i) >>> 3).toInt
+    cp == '_' || Character.isLetterOrDigit(cp) ||
+    (Character.getType(cp) == Character.NON_SPACING_MARK && cp <= 0xFFFF &&
+      hasBaseChar(s, st))
+  }
+
+  /** is the codepoint STARTING at byte `j` a Bound word char?
+    * (`false` at the string end). Bound's RIGHT check hands
+    * hasBaseCharacter the neighbor's FIRST char index, so even a
+    * supplementary NSM is seen fully and skipped before the walk. */
+  def rightIsWord(s: UTF8String, j: Int, n: Int): Boolean = {
+    if (j >= n) return false
+    val b = s.getByte(j)
+    if ((b & 0x80) == 0) return isWordByte(b)
+    val cp = (codePointAt(s, j, n) >>> 3).toInt
+    cp == '_' || Character.isLetterOrDigit(cp) ||
+    (Character.getType(cp) == Character.NON_SPACING_MARK && hasBaseChar(s, j))
+  }
 
   /** count of non-overlapping `\b(w1|w2|…)\b` matches, branch order
     * preserved */
@@ -38,7 +99,7 @@ object TextScan {
     var cnt = 0
     while (i < n) {
       val b = s.getByte(i)
-      if (isWordByte(b) && (i == 0 || !isWordByte(s.getByte(i - 1)))) {
+      if (isWordByte(b) && !leftIsWord(s, i)) {
         var matchedLen = 0
         var w = 0
         while (matchedLen == 0 && w < words.length) {
@@ -47,7 +108,7 @@ object TextScan {
           if (i + L <= n) {
             var j = 0
             while (j < L && s.getByte(i + j) == word(j)) j += 1
-            if (j == L && (i + L == n || !isWordByte(s.getByte(i + L))))
+            if (j == L && !rightIsWord(s, i + L, n))
               matchedLen = L
           }
           w += 1

@@ -33,7 +33,20 @@ class TextScanSpec extends AnyFunSuite {
     "The A OF And tO",           // case-sensitive: must NOT match
     "a|b (a) \\ba\\b",
     "of. of? of! of\nof\tof",
-    "aandofto a and of to aand ofto")
+    "aandofto a and of to aand ofto",
+    // \b unicode adjacency: java's Bound decodes codepoints even in
+    // non-UNICODE_CHARACTER_CLASS mode — CJK/accented letters are
+    // word chars, so 汉the / éthe must NOT match \bthe\b
+    "éthe theé é the é",
+    "汉the the汉 汉 the 汉",
+    // combining marks: NSM with a letter base extends the word
+    // (áthe has no boundary before t; thé has none after e)
+    "áthe thé ́the .́the ́́the",
+    // supplementary neighbors: 𝕒 (U+1D552, a letter) blocks the
+    // boundary; the surrogate quirk in hasBaseCharacter
+    "𝕒the the𝕒 𝕒́the",
+    // supplementary NSM (U+1D17B) directly adjacent
+    "the𝅻 𝅻the a𝅻the")
 
   private val patterns = Seq(
     "\\b(the|a|of|and|to)\\b",
@@ -54,19 +67,55 @@ class TextScanSpec extends AnyFunSuite {
 
   test("byte-scan counts equal regexp_count on adversarial inputs") {
     import spark.implicits._
-    val df = adversarial.toDF("t")
+    // RDD-backed, NOT a LocalRelation: ConvertToLocalRelation would
+    // constant-fold the projection with the builtin regex before the
+    // User Provided Optimizers batch runs and the kernels would never
+    // execute (the unicode-\b divergence hid exactly this way)
+    val df = spark.createDataset(spark.sparkContext.parallelize(adversarial, 2)).toDF("t")
     patterns.foreach { p =>
-      // builtin answer computed WITHOUT the rule: call the kernel vs
-      // java.util.regex directly per row for an engine-independent twin
+      // expected answer from java.util.regex directly per row — an
+      // engine-independent twin of the builtin's semantics
       val expected = adversarial.map { s =>
         var c = 0
         val m = java.util.regex.Pattern.compile(p).matcher(s)
         while (m.find()) c += 1
         c
       }
-      val got = df.select(regexp_count(col("t"), lit(p)).cast("int")).as[Int].collect()
+      val q = df.select(regexp_count(col("t"), lit(p)).cast("int"))
+      // prove non-vacuity: the kernels must actually be in the plan
+      // for every provable pattern (all of `patterns` are provable)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("word_set_count") ||
+             optimized.contains("codepoint_range_count") ||
+             optimized.contains("class_alt_count"),
+        s"pattern $p: kernel did not fire; plan:\n$optimized")
+      val got = q.as[Int].collect()
       assert(got.toSeq == expected,
         s"pattern $p: got ${got.toSeq} expected $expected")
+    }
+  }
+
+  test("fuzz: countWordSet equals java.util.regex over a boundary-stressing alphabet") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // every \b-relevant category: ASCII word/non-word, accented and
+    // CJK letters, BMP NSM (U+0301), supplementary letter (U+1D552),
+    // supplementary NSM (U+1D17B)
+    val alphabet = Array("a", "t", "h", "e", "n", "d", " ", ".", "_", "9",
+      "é", "汉", "́", "𝕒", "𝅻")
+    val words = Seq("the", "a", "and", "to")
+    val wordBytes = words.map(_.getBytes("UTF-8")).toArray
+    val pat = java.util.regex.Pattern.compile("\\b(the|a|and|to)\\b")
+    val rnd = new scala.util.Random(42)
+    var k = 0
+    while (k < 4000) {
+      val s = (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      var expected = 0
+      val m = pat.matcher(s)
+      while (m.find()) expected += 1
+      val got = graft.functions.TextScan.countWordSet(UTF8String.fromString(s), wordBytes)
+      assert(got == expected,
+        s"input ${s.map(c => f"\\u$c%04x").mkString} ('$s'): kernel $got engine $expected")
+      k += 1
     }
   }
 
