@@ -18,26 +18,63 @@ object DevProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "6")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.queries.DedupOps
+    Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
+    Tables.registerAll(spark, sfDir)
 
-    def tok = Tables.t(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-    t("warm: documents count")(Tables.t(spark, sfDir, "documents").count())
+    val head = """SELECT o_year,
+      |  CAST(CAST(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN rev4 ELSE 0 END) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE)
+      |    / CAST(CAST(CAST(SUM(rev4) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS mkt_share
+      |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |        CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4,
+      |        n2.n_name AS nation""".stripMargin
+    val tail = """) all_nations
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
 
-    t("candidates count")(println("  n=" + DedupOps.minhashCandidates(spark, tok).count()))
-    Thread.sleep(3000)
-    t("candidates count again")(println("  n=" + DedupOps.minhashCandidates(spark, tok).count()))
-    Thread.sleep(3000)
-    val q1 = SparkEntry.queries("d_minhash_lsh")(spark, sfDir)
-    t("d_minhash_lsh force")(println("  rows=" + Bench.force(q1)))
-    Thread.sleep(3000)
-    val q2 = SparkEntry.queries("d_minhash_lsh")(spark, sfDir)
-    t("d_minhash_lsh force#2")(println("  rows=" + Bench.force(q2)))
+    val vA = head + """
+      |      FROM part JOIN lineitem ON p_partkey = l_partkey
+      |        JOIN supplier ON s_suppkey = l_suppkey
+      |        JOIN orders ON l_orderkey = o_orderkey
+      |        JOIN customer ON o_custkey = c_custkey
+      |        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |        JOIN region ON n1.n_regionkey = r_regionkey
+      |        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'""".stripMargin + tail
+
+    val vB = head + """
+      |      FROM part JOIN lineitem ON p_partkey = l_partkey
+      |        JOIN supplier ON s_suppkey = l_suppkey
+      |        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |        JOIN (SELECT o_orderkey, o_orderdate
+      |              FROM orders JOIN customer ON o_custkey = c_custkey
+      |                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |                JOIN region ON n1.n_regionkey = r_regionkey
+      |              WHERE r_name = 'EUROPE') eo ON l_orderkey = eo.o_orderkey
+      |      WHERE p_type = 'ECONOMY'""".stripMargin + tail
+
+    val vC = vB.replace("FROM (SELECT CAST(year(o_orderdate)",
+      "FROM (SELECT /*+ BROADCAST(eo) */ CAST(year(o_orderdate)")
+    val vD = vB.replace("FROM (SELECT CAST(year(o_orderdate)",
+      "FROM (SELECT /*+ SHUFFLE_HASH(eo) */ CAST(year(o_orderdate)")
+
+    Seq("A-current" -> vA, "B-eo-subtree" -> vB,
+        "C-bcast-eo" -> vC, "D-shufhash-eo" -> vD).foreach { case (nm, q) =>
+      val df = spark.sql(q)
+      if (sys.env.contains("Q8_EXPLAIN")) { println(s"=== $nm ==="); df.explain("formatted") }
+      (0 until 3).foreach { r =>
+        val t0 = System.nanoTime()
+        val n = Bench.force(spark.sql(q))
+        println(f"[q8] $nm rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+        Thread.sleep(6000)
+      }
+      println(s"[q8] $nm result: " + df.collect().map(_.toString).mkString(" "))
+      Thread.sleep(4000)
+    }
     spark.stop()
   }
 }

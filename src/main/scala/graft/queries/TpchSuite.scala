@@ -98,22 +98,36 @@ object TpchSuite {
   // Q8: national market share within a region, by year. Spark side on
   // the cents kernel; both sums surface through the same exact
   // decimal→double path before the (identical) double division.
+  //
+  // Join shape (the one that survives 100× scale): BOTH fact legs are
+  // dimension-reduced BEFORE they meet — lineitem by broadcast
+  // ECONOMY partkeys, orders by the broadcast EUROPE customer set
+  // (kept as the RIGHT subtree: ExtractFiltersAndInnerJoins flattens
+  // left children only, so the reduction is not linearized back into
+  // a whole-orders build). A flat join list instead planned orders as
+  // a driver-built 1.5M-row broadcast at sf1 — the one q8 shape that
+  // got WORSE with scale. SHUFFLE_HASH(eo) then joins the two reduced
+  // legs without sorting either (the reduced orders leg hash-builds
+  // per partition; an explicit BROADCAST(eo) would cap scale at
+  // driver memory). Measured at sf1/6 threads: 1.36 s flat-list →
+  // 0.64 s this shape, identical 7-row result.
   spark("tpch_q8_mktshare",
     (s, d) => { graft.Tables.registerAll(s, d)
       s.sql("""SELECT o_year,
               |  CAST(CAST(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN rev4 ELSE 0 END) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE)
               |    / CAST(CAST(CAST(SUM(rev4) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS mkt_share
-              |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              |FROM (SELECT /*+ SHUFFLE_HASH(eo) */ CAST(year(o_orderdate) AS BIGINT) AS o_year,
               |        CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4,
               |        n2.n_name AS nation
               |      FROM part JOIN lineitem ON p_partkey = l_partkey
               |        JOIN supplier ON s_suppkey = l_suppkey
-              |        JOIN orders ON l_orderkey = o_orderkey
-              |        JOIN customer ON o_custkey = c_custkey
-              |        JOIN nation n1 ON c_nationkey = n1.n_nationkey
-              |        JOIN region ON n1.n_regionkey = r_regionkey
               |        JOIN nation n2 ON s_nationkey = n2.n_nationkey
-              |      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY') all_nations
+              |        JOIN (SELECT o_orderkey, o_orderdate
+              |              FROM orders JOIN customer ON o_custkey = c_custkey
+              |                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              |                JOIN region ON n1.n_regionkey = r_regionkey
+              |              WHERE r_name = 'EUROPE') eo ON l_orderkey = eo.o_orderkey
+              |      WHERE p_type = 'ECONOMY') all_nations
               |GROUP BY o_year ORDER BY o_year""".stripMargin) },
     s"""SELECT o_year,
        |  CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
