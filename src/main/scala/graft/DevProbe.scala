@@ -62,6 +62,32 @@ object DevProbe {
     val vD = vB.replace("FROM (SELECT CAST(year(o_orderdate)",
       "FROM (SELECT /*+ SHUFFLE_HASH(eo) */ CAST(year(o_orderdate)")
 
+    // percentile materialize A/B (histogram path forced via maxSmallRows=0)
+    if (sys.env.contains("PCT_AB")) {
+      val specs = Seq(("l_quantity", Seq(0.5, 0.9), Seq("p50r", "p90r")),
+                      ("l_extendedprice", Seq(0.25), Seq("p25r")))
+      def run(nm: String)(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+        (0 until 3).foreach { r =>
+          val li = Tables.t(spark, sfDir, "lineitem")
+          val t0 = System.nanoTime()
+          val n = Bench.force(mk(li))
+          println(f"[pct] $nm rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+          Thread.sleep(6000)
+        }
+      def auto(li: org.apache.spark.sql.DataFrame) =
+        graft.operators.ExactPercentile.computeMultiAuto(
+          li, "l_returnflag", specs, maxSmallRows = 16000000)
+      run("bare")(auto)
+      run("bare+cast")(li => auto(li).selectExpr("l_returnflag",
+        "CAST(CAST(p50r AS DECIMAL(18,4)) AS DOUBLE) AS p50",
+        "CAST(CAST(p90r AS DECIMAL(18,4)) AS DOUBLE) AS p90",
+        "CAST(CAST(p25r AS DECIMAL(18,4)) AS DOUBLE) AS p25_price"))
+      run("bare+sort")(li => auto(li).orderBy("l_returnflag"))
+      run("bare+rep1sort")(li =>
+        auto(li).repartition(1).sortWithinPartitions("l_returnflag"))
+      spark.stop(); return
+    }
+
     Seq("A-current" -> vA, "B-eo-subtree" -> vB,
         "C-bcast-eo" -> vC, "D-shufhash-eo" -> vD).foreach { case (nm, q) =>
       val df = spark.sql(q)

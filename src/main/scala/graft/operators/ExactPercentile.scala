@@ -176,12 +176,30 @@ object ExactPercentile {
     * knows the row count, else `sizeInBytes ≤ maxSmallBytes` —
     * sizeInBytes counts EVERY column's raw bytes while the buffers
     * hold only the projected value doubles, so the byte bound
-    * over-estimates and errs toward the scale-safe path. */
+    * over-estimates and errs toward the scale-safe path.
+    *
+    * maxSmallRows default: the buffers hold each spec's non-null
+    * values as primitive doubles, so the WORST case (every row in one
+    * group, in one final task) is rows × 8 B per spec — 16M rows =
+    * 128 MB/spec, comfortably inside a multi-GB task budget even with
+    * grow-copy slack. (The previous 2M default was 10× more
+    * conservative than the memory it guards: at ~6M input rows it
+    * pushed a fits-in-memory input onto the 2-scan histogram path,
+    * measured 36% slower at sf1.)
+    *
+    * `materialize` (histogram path only): None = decide from the
+    * input plan — persist the stacked frame only when re-computing it
+    * per solver pass repeats EXPENSIVE work (a join, aggregate,
+    * window or generator upstream). For a bare (possibly
+    * filtered/projected) scan, re-reading the column-pruned files
+    * beats caching: measured at sf1/6 threads, persisting the 12M-row
+    * stacked frame made the histogram path 40%+ SLOWER than two
+    * pruned re-scans. */
   def computeMultiAuto(df: DataFrame, groupCol: String,
                        specs: Seq[(String, Seq[Double], Seq[String])],
-                       maxSmallRows: Int = 2000000,
+                       maxSmallRows: Int = 16000000,
                        buckets: Int = 4096, fetchCap: Int = 1 << 17,
-                       materialize: Boolean = true,
+                       materialize: Option[Boolean] = None,
                        maxDriverCells: Int = 1 << 21,
                        maxSmallBytes: Long = 256L << 20): DataFrame = {
     val stats = df.queryExecution.optimizedPlan.stats
@@ -200,7 +218,24 @@ object ExactPercentile {
         names.zipWithIndex.map { case (n, j) => element_at(col(s"arr_$i"), j + 1).as(n) } }
       // inner semantics: a group appears only if every spec resolved
       out.select(cols: _*).na.drop(specs.flatMap(_._3))
-    } else computeMulti(df, groupCol, specs, buckets, fetchCap, materialize, maxDriverCells)
+    } else {
+      val mat = materialize.getOrElse(isExpensiveToRecompute(df))
+      computeMulti(df, groupCol, specs, buckets, fetchCap, mat, maxDriverCells)
+    }
+  }
+
+  /** Does re-computing `df` repeat work beyond a (pruned, filtered)
+    * scan? Joins, aggregates, windows and generators make each solver
+    * re-read re-pay a shuffle or expansion — persist then; plain
+    * scan pipelines re-read faster than they cache (measured, see
+    * [[computeMultiAuto]]). */
+  private def isExpensiveToRecompute(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Generate |
+           _: Distinct | _: Intersect | _: Except => true
+      case _ => false
+    }
   }
 
   /** Percentiles of SEVERAL value columns in the same passes: the

@@ -56,19 +56,23 @@ object Coverage2 {
   spark("q_percentile",
     (s, d) => {
       val li = Tables.t(s, d, "lineitem")
-      // both value columns ride the same extent + histogram scans; the
-      // input is a bare pruned table scan, so re-reading per pass beats
-      // paying a checkpoint materialization up front
+      // size-gated dispatch decides everything: inputs that provably
+      // fit task memory take the one-pass buffer aggregate, larger
+      // ones the histogram plan, and on that path the persist choice
+      // follows the plan shape (a bare pruned scan re-reads faster
+      // than it caches — measured in ExactPercentile's scaladoc)
       val q = graft.operators.ExactPercentile.computeMultiAuto(
         li, "l_returnflag",
         Seq(("l_quantity", Seq(0.5, 0.9), Seq("p50r", "p90r")),
-            ("l_extendedprice", Seq(0.25), Seq("p25r"))),
-        materialize = false)
-      q.selectExpr("l_returnflag",
+            ("l_extendedprice", Seq(0.25), Seq("p25r"))))
+      // one row per l_returnflag: TinyResult skips the range-sampling
+      // job a plain orderBy would spend re-running the aggregate
+      graft.operators.TinyResult.globalSort(
+        q.selectExpr("l_returnflag",
           "CAST(CAST(p50r AS DECIMAL(18,4)) AS DOUBLE) AS p50",
           "CAST(CAST(p90r AS DECIMAL(18,4)) AS DOUBLE) AS p90",
-          "CAST(CAST(p25r AS DECIMAL(18,4)) AS DOUBLE) AS p25_price")
-        .orderBy("l_returnflag")
+          "CAST(CAST(p25r AS DECIMAL(18,4)) AS DOUBLE) AS p25_price"),
+        org.apache.spark.sql.functions.col("l_returnflag"))
     },
     """SELECT l_returnflag,
       |  CAST(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS p50,

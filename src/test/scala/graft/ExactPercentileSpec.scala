@@ -91,6 +91,37 @@ class ExactPercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("percentile_buf map mode, raw degrade and mixed merges are value-identical") {
+    import spark.implicits._
+    val ps = Array(0.0, 0.1, 0.5, 0.77, 1.0)
+    def registerWithCap(cap: Int): Unit =
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "percentile_buf_capped", exprs => graft.functions.PercentileBuf(
+          exprs.head, ps, mapCap = cap), "built-in")
+    val rnd = new scala.util.Random(13)
+    // 40 distinct repeated values + a continuous tail + -0.0/NaN-free
+    // mix, across several partitions so merges cross modes: cap=8
+    // degrades mid-partition, cap=1<<16 never degrades
+    val vals = (1 to 20000).map(_ => (rnd.nextInt(40) + 1).toDouble) ++
+               (1 to 5000).map(_ => rnd.nextDouble() * 1e6) ++ Seq.fill(30)(-0.0)
+    val df = spark.createDataset(spark.sparkContext.parallelize(vals.map(("a", _)), 7))
+      .toDF("g", "v")
+    val expected = df.groupBy("g")
+      .agg(org.apache.spark.sql.functions.expr(
+        s"percentile(v, array(${ps.mkString(",")}))").as("r"))
+      .collect()(0).getSeq[Double](1)
+    Seq(8, 64, 1 << 16).foreach { cap =>
+      registerWithCap(cap)
+      val got = df.groupBy("g")
+        .agg(org.apache.spark.sql.functions.expr(
+          "percentile_buf_capped(CAST(v AS DOUBLE))").as("r"))
+        .collect()(0).getSeq[Double](1)
+      got.zip(expected).foreach { case (g, e) =>
+        assert(math.abs(g - e) <= math.abs(e) * 1e-12 + 1e-12, s"cap=$cap: $got vs $expected")
+      }
+    }
+  }
+
   test("driver-cells guard fails fast instead of collecting unbounded state") {
     import spark.implicits._
     val df = (1 to 200).map(i => (s"g$i", i.toDouble)).toDF("g", "v")
