@@ -62,6 +62,94 @@ object DevProbe {
     val vD = vB.replace("FROM (SELECT CAST(year(o_orderdate)",
       "FROM (SELECT /*+ SHUFFLE_HASH(eo) */ CAST(year(o_orderdate)")
 
+    if (sys.env.contains("FLOOR_AB")) {
+      import org.apache.spark.sql.types.DecimalType
+      def run(nm: String)(mk: => org.apache.spark.sql.DataFrame): Unit =
+        (0 until 3).foreach { r =>
+          val t0 = System.nanoTime()
+          val n = Bench.force(mk)
+          println(f"[floor] $nm rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+          Thread.sleep(5000)
+        }
+      def tumblingBase = Tables.t(spark, sfDir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_v"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_v"))
+      run("tumbling-current")(tumblingBase.orderBy("ws", "event_type"))
+      run("tumbling-nosort")(tumblingBase)
+      run("tumbling-tiny")(graft.operators.TinyResult.globalSort(
+        tumblingBase, col("ws"), col("event_type")))
+
+      Tables.registerAll(spark, sfDir)
+      run("except-current")(spark.sql(
+        """SELECT c_custkey AS k FROM customer
+          |EXCEPT
+          |SELECT o_custkey AS k FROM orders
+          |ORDER BY k""".stripMargin))
+      run("except-nosort")(spark.sql(
+        """SELECT c_custkey AS k FROM customer
+          |EXCEPT
+          |SELECT o_custkey AS k FROM orders""".stripMargin))
+      run("except-predistinct")(spark.sql(
+        """SELECT k FROM (SELECT DISTINCT c_custkey AS k FROM customer) c
+          |  LEFT ANTI JOIN (SELECT DISTINCT o_custkey AS k2 FROM orders) o ON k = k2
+          |ORDER BY k""".stripMargin))
+
+      run("w4range-current")(SparkEntry.queries("w4_range_frame")(spark, sfDir))
+      run("w4range-nosort")(spark.sql(
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
+          |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS BIGINT) AS n_near
+          |FROM orders""".stripMargin))
+      run("w4range-rangepart") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").cast(DecimalType(18, 2)))
+          .rangeBetween(-1000, 1000)
+        Tables.t(spark, sfDir, "orders")
+          .repartitionByRange(col("o_custkey"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            count(lit(1)).over(w).cast("bigint").as("n_near"))
+          .sortWithinPartitions("o_custkey", "o_orderkey")
+      }
+      run("w4range-rangepart-cents") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .rangeBetween(-100000, 100000)
+        Tables.t(spark, sfDir, "orders")
+          .repartitionByRange(col("o_custkey"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            count(lit(1)).over(w).cast("bigint").as("n_near"))
+          .sortWithinPartitions("o_custkey", "o_orderkey")
+      }
+      run("w4run-current")(SparkEntry.queries("w4_running_sum")(spark, sfDir))
+      run("w4run-rangepart-cents") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(spark, sfDir, "orders")
+          .repartitionByRange(col("o_custkey"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            (sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).over(w)
+              .cast(DecimalType(20, 0)) / lit(100)).cast("double").as("running"))
+          .sortWithinPartitions("o_custkey", "o_orderkey")
+      }
+      run("tumbling-datetrunc")(Tables.t(spark, sfDir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_v"))
+        .orderBy("ws", "event_type"))
+      run("tumbling-cents")(Tables.t(spark, sfDir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DECIMAL(20,0)) / 100 AS DOUBLE)").as("sum_v"))
+        .orderBy("ws", "event_type"))
+      spark.stop(); return
+    }
+
     // percentile materialize A/B (histogram path forced via maxSmallRows=0)
     if (sys.env.contains("PCT_AB")) {
       val specs = Seq(("l_quantity", Seq(0.5, 0.9), Seq("p50r", "p90r")),

@@ -535,7 +535,18 @@ object Relational {
       |SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
       |ORDER BY k""".stripMargin)
 
-  common("o6_except",
+  // EXCEPT ≡ distinct(left) ANTI JOIN distinct(right) — but done in
+  // that order: Spark's own Except rewrite anti-joins the RAW sides
+  // and dedups after, shuffling every fact row; pre-aggregating each
+  // side first gets map-side combine before the shuffle (orders'
+  // 1.5M keys → ~100k before moving). Null-safe <=> keeps EXCEPT's
+  // null-equality semantics. Measured at sf1: 0.98 → 0.46 s.
+  spark("o6_except",
+    (s, d) => { graft.Tables.registerAll(s, d)
+      s.sql("""SELECT k FROM (SELECT DISTINCT c_custkey AS k FROM customer) c
+              |  LEFT ANTI JOIN (SELECT DISTINCT o_custkey AS k2 FROM orders) o
+              |    ON k <=> k2
+              |ORDER BY k""".stripMargin) },
     """SELECT c_custkey AS k FROM customer
       |EXCEPT
       |SELECT o_custkey AS k FROM orders
