@@ -122,6 +122,34 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchFile), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] could not write $benchFile: ${e.getMessage}") }
     println(line)
+    // The driver's capture keeps only a 2000-char stdout TAIL, and the
+    // full line (~3 kB at 131 queries — the names alone are 1.6 kB)
+    // has had its head truncated into "parsed": null for six rounds.
+    // The VERY LAST stdout line is therefore a compact self-contained
+    // JSON under 1700 bytes: totals + errors + the SLOWEST queries
+    // that fit (the perf signal), with the truncation disclosed via
+    // "omitted" (count) and "omitted_max" (the slowest omitted time —
+    // every missing query is at or under it). Full precision and full
+    // coverage stay in BENCH.json and on stderr above.
+    val budget = 1700
+    def fmt2(v: Double): String = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val errsCompact = bad.map { case (k, e) => s"\"" + k + "\":\"" + e.take(40) + "\"" }
+      .mkString("{", ",", "}")
+    val bySlowest = ok.toSeq.sortBy(-_._2)
+    val head = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","sf":"$sfDir","errors":$errsCompact,"""
+    val fixedTailLen = """"omitted":999,"omitted_max":99999.99,"queries":{}}""".length
+    val entries = scala.collection.mutable.ListBuffer[String]()
+    var used = head.length + fixedTailLen
+    var omitted = 0; var omittedMax = 0.0
+    bySlowest.foreach { case (k, v) =>
+      val e = s"\"" + k + "\":" + fmt2(v)
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      else { omitted += 1; omittedMax = math.max(omittedMax, v) }
+    }
+    val compact = head + s""""omitted":$omitted,"omitted_max":${fmt2(omittedMax)},""" +
+      entries.mkString("\"queries\":{", ",", "}}")
+    println(compact)
     System.out.flush()
     System.err.println(line)
     System.err.flush()
