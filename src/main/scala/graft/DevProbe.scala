@@ -62,6 +62,49 @@ object DevProbe {
     val vD = vB.replace("FROM (SELECT CAST(year(o_orderdate)",
       "FROM (SELECT /*+ SHUFFLE_HASH(eo) */ CAST(year(o_orderdate)")
 
+    if (sys.env.contains("IPC_AB")) {
+      import graft.sources.vortex.{VortexIpc, VortexFileReader}
+      import org.apache.spark.sql.catalyst.InternalRow
+      val src = Tables.t(spark, sfDir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_shipdate"))
+      val schema = src.schema
+      def legacyRows(bytes: Array[Byte]): Iterator[InternalRow] = {
+        val (sch, chunks) = VortexIpc.readChunks(new java.io.ByteArrayInputStream(bytes))
+        val fields = sch.fields
+        chunks.flatMap { case (n, vecs) =>
+          (0 until n).iterator.map { i =>
+            val vals = new Array[Any](fields.length)
+            var c = 0
+            while (c < fields.length) {
+              vals(c) = VortexFileReader.value(vecs(c), i, fields(c).dataType); c += 1
+            }
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+          }
+        }
+      }
+      def agg(back: org.apache.spark.sql.DataFrame) = back.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_key"),
+          max(col("l_shipdate")).as("max_ship"),
+          sum(col("l_linenumber").cast("long")).as("sum_line"))
+        .orderBy("l_returnflag")
+      def run(nm: String)(mk: => org.apache.spark.sql.DataFrame): Unit =
+        (0 until 4).foreach { r =>
+          val t0 = System.nanoTime()
+          val n = Bench.force(mk)
+          println(f"[ipc] $nm rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+          Thread.sleep(4000)
+        }
+      run("columnar")(agg(VortexIpc.deserialize(spark, VortexIpc.serialize(src), schema)))
+      run("legacy") {
+        val rowRdd = VortexIpc.serialize(src).rdd.flatMap(legacyRows)
+        agg(org.apache.spark.sql.graft.InternalRowDataFrame.create(spark, rowRdd, schema))
+      }
+      run("columnar2")(agg(VortexIpc.deserialize(spark, VortexIpc.serialize(src), schema)))
+      run("serialize-only")(VortexIpc.serialize(src).toDF("b").select(length(col("b")).as("n")))
+      spark.stop(); return
+    }
+
     if (sys.env.contains("FLOOR_AB")) {
       import org.apache.spark.sql.types.DecimalType
       def run(nm: String)(mk: => org.apache.spark.sql.DataFrame): Unit =

@@ -186,26 +186,30 @@ object VortexIpc {
   }
 
   /** Decode a payload straight to INTERNAL rows — the [[deserialize]]
-    * fast path: chunk frames decode into column vectors and each row
-    * materializes once in the Catalyst domain (UTF8String/Decimal/µs
-    * longs, exactly what [[VortexFileReader.value]] yields). No
-    * internal→Scala converter pass, no external Row allocation, no
-    * re-conversion inside a createDataFrame scan — the decode+rebuild
-    * tier the round-5 verdict priced at 0.21 s of s12_vortex_ipc. */
+    * fast path, COLUMNAR like the file scan: each chunk frame fills
+    * Spark writable column vectors through the shared [[ColVecFill]]
+    * and rows surface as ColumnarBatch row VIEWS — zero per-row
+    * allocation, zero per-value boxing (the prior GenericInternalRow
+    * rebuild boxed every long). The views are transient: the scan that
+    * consumes this RDD (RDDScanExec) copies each row through its
+    * UnsafeProjection before anything downstream can buffer it — the
+    * standard mutable-row source contract. */
   def readInternalRows(bytes: Array[Byte]): Iterator[InternalRow] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+    import scala.jdk.CollectionConverters._
     val (schema, chunks) = readChunks(new ByteArrayInputStream(bytes))
     val fields = schema.fields
-    val nCols = fields.length
     chunks.flatMap { case (n, vecs) =>
-      (0 until n).iterator.map { i =>
-        val vals = new Array[Any](nCols)
-        var c = 0
-        while (c < nCols) {
-          vals(c) = VortexFileReader.value(vecs(c), i, fields(c).dataType)
-          c += 1
-        }
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      val vectors = new Array[ColumnVector](fields.length)
+      var c = 0
+      while (c < fields.length) {
+        val cv = new OnHeapColumnVector(n, fields(c).dataType)
+        ColVecFill.fill(cv, vecs(c), fields(c).dataType, n)
+        vectors(c) = cv
+        c += 1
       }
+      new ColumnarBatch(vectors, n).rowIterator().asScala
     }
   }
 
