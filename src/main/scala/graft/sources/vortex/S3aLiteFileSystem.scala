@@ -279,10 +279,18 @@ class S3aLiteFileSystem extends FileSystem {
     }
 
     override def read(b: Array[Byte], off: Int, n: Int): Int = {
+      if (n == 0) return 0
       if (pos >= len) return -1
       if (pos < windowStart || pos >= windowStart + window.length) {
         window = fetch(pos, math.max(n, ReadAhead))
         windowStart = pos
+        // InputStream contract: 0-byte returns while pos < len are
+        // forbidden (readFully callers would spin forever). An empty
+        // fetch here means the endpoint returned an empty 200/206 body
+        // or the object shrank after open — surface it as truncation.
+        if (window.isEmpty)
+          throw new java.io.EOFException(
+            s"S3aLite: $key truncated at $pos of $len (empty ranged GET)")
       }
       val avail = (windowStart + window.length - pos).toInt
       val take = math.min(n, avail)
@@ -299,37 +307,111 @@ class S3aLiteFileSystem extends FileSystem {
     }
   }
 
+  /** Writes spill to a local part file; once the part-size threshold
+    * is crossed a multipart upload is initiated and each full part
+    * streams out as an UploadPart, so object size is bounded by S3's
+    * 10,000-part × part-size limit instead of the 5 GiB single-PUT cap
+    * (a >5 GiB task output MUST go multipart — this is a completeness
+    * requirement, not a throughput optimization). Small objects keep
+    * the one-PUT shape. Failure aborts the multipart upload so no
+    * orphaned parts accrue storage. */
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
                       bufferSize: Int, replication: Short, blockSize: Long,
                       progress: Progressable): FSDataOutputStream = {
     val key = keyOf(f)
     if (!overwrite && exists(f))
       throw new FileAlreadyExistsException(f.toString)
-    // buffer to a local spill file, hash as we go, one fixed-length PUT
-    // on close — the simple correct shape (multipart upload is a
-    // throughput optimization, not a semantics change)
-    val tmp = java.io.File.createTempFile("s3alite", ".part")
-    tmp.deleteOnExit()
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-    val fileOut = new java.io.FileOutputStream(tmp)
+    val partSize = getConf.getLong("fs.s3a.multipart.size", 64L * 1024 * 1024)
+    require(partSize > 0, "fs.s3a.multipart.size must be positive")
     val out = new java.io.OutputStream {
       private var closed = false
-      override def write(b: Int): Unit = { fileOut.write(b); digest.update(b.toByte) }
-      override def write(b: Array[Byte], off: Int, n: Int): Unit = {
-        fileOut.write(b, off, n); digest.update(b, off, n)
+      private var tmp = java.io.File.createTempFile("s3alite", ".part")
+      tmp.deleteOnExit()
+      private var fileOut = new java.io.FileOutputStream(tmp)
+      private var digest = java.security.MessageDigest.getInstance("SHA-256")
+      private var buffered = 0L
+      private var uploadId: Option[String] = None
+      private val etags = scala.collection.mutable.ListBuffer[String]()
+
+      override def write(b: Int): Unit = {
+        fileOut.write(b); digest.update(b.toByte); buffered += 1
+        if (buffered >= partSize) rollPart()
       }
+      override def write(b: Array[Byte], off: Int, n: Int): Unit = {
+        // a single chunk may overfill the part: split at the boundary
+        var o = off; var left = n
+        while (left > 0) {
+          val take = math.min(left.toLong, partSize - buffered).toInt
+          fileOut.write(b, o, take); digest.update(b, o, take); buffered += take
+          o += take; left -= take
+          if (buffered >= partSize) rollPart()
+        }
+      }
+
+      private def initiate(): String = {
+        val conn = request("POST", key, query = Seq("uploads" -> ""))
+        val doc = try javax.xml.parsers.DocumentBuilderFactory.newInstance()
+          .newDocumentBuilder().parse(conn.getInputStream)
+        finally conn.disconnect()
+        doc.getElementsByTagName("UploadId").item(0).getTextContent
+      }
+
+      /** ship the current spill as the next part and reset it */
+      private def rollPart(): Unit = {
+        fileOut.close()
+        val id = uploadId.getOrElse { val i = initiate(); uploadId = Some(i); i }
+        val sha = digest.digest().map(x => f"${x & 0xff}%02x").mkString
+        val in = new FileInputStream(tmp)
+        val conn = try request("PUT", key,
+          query = Seq("partNumber" -> (etags.length + 1).toString, "uploadId" -> id),
+          body = Some((in, tmp.length)), payloadSha = sha)
+        catch { case e: Throwable => abort(); throw e }
+        etags += Option(conn.getHeaderField("ETag")).getOrElse("")
+        conn.disconnect()
+        tmp.delete()
+        tmp = java.io.File.createTempFile("s3alite", ".part")
+        tmp.deleteOnExit()
+        fileOut = new java.io.FileOutputStream(tmp)
+        digest = java.security.MessageDigest.getInstance("SHA-256")
+        buffered = 0L
+      }
+
+      private def abort(): Unit = uploadId.foreach { id =>
+        try request("DELETE", key, query = Seq("uploadId" -> id),
+          okCodes = Set(200, 204)).disconnect()
+        catch { case _: Exception => () } // best effort; parts expire by bucket policy
+      }
+
       // idempotent: FilterOutputStream wrappers may close twice, and a
       // second close must not re-PUT (the digest is consumed and the
       // spill file deleted by the first)
       override def close(): Unit = {
         if (closed) return
         closed = true
-        fileOut.close()
-        val sha = digest.digest().map(x => f"${x & 0xff}%02x").mkString
-        val in = new FileInputStream(tmp)
-        try request("PUT", key, body = Some((in, tmp.length)), payloadSha = sha)
-          .disconnect()
-        finally tmp.delete()
+        try {
+          uploadId match {
+            case None =>
+              fileOut.close()
+              val sha = digest.digest().map(x => f"${x & 0xff}%02x").mkString
+              val in = new FileInputStream(tmp)
+              try request("PUT", key, body = Some((in, tmp.length)), payloadSha = sha)
+                .disconnect()
+              finally tmp.delete()
+            case Some(id) =>
+              try {
+                if (buffered > 0) rollPart() // final short part (allowed)
+                else fileOut.close()
+                val xml = etags.zipWithIndex.map { case (e, i) =>
+                  s"<Part><PartNumber>${i + 1}</PartNumber><ETag>${e}</ETag></Part>"
+                }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+                  .getBytes("UTF-8")
+                request("POST", key, query = Seq("uploadId" -> id),
+                  body = Some((new ByteArrayInputStream(xml), xml.length)),
+                  payloadSha = S3SigV4.sha256Hex(xml)).disconnect()
+              } catch { case e: Throwable => abort(); throw e }
+              finally tmp.delete()
+          }
+        } finally { tmp.delete(); () }
       }
     }
     new FSDataOutputStream(new java.io.BufferedOutputStream(out, 64 * 1024), statistics)
@@ -343,10 +425,32 @@ class S3aLiteFileSystem extends FileSystem {
       "x-amz-copy-source" -> ("/" + bucket + "/" + S3SigV4.uriEncode(srcKey, keepSlash = true))))
       .disconnect()
 
+  /** Hadoop FileSystem rename contract (matching S3AFileSystem): a
+    * missing src or an existing-FILE dst returns false; an existing
+    * DIRECTORY dst receives src nested under it; a fresh dst requires
+    * its parent "directory" to exist (virtual — any object under the
+    * prefix, or the bucket root). Non-vortex writers on the same
+    * session (FileOutputCommitter et al.) rely on exactly these
+    * semantics; silently clobbering dst would misplace their output. */
   override def rename(src: Path, dst: Path): Boolean = {
     val st = try getFileStatus(src) catch { case _: java.io.FileNotFoundException => return false }
+    val dstSt = try Some(getFileStatus(dst)) catch { case _: java.io.FileNotFoundException => None }
+    val target: Path = dstSt match {
+      case Some(d) if d.isDirectory =>
+        val nested = new Path(dst, src.getName)
+        val nestedSt = try Some(getFileStatus(nested)) catch { case _: java.io.FileNotFoundException => None }
+        if (nestedSt.exists(_.isFile)) return false
+        nested
+      case Some(_) => return false // dst exists as a file
+      case None =>
+        val parent = dst.getParent
+        val parentOk = parent == null || keyOf(parent).isEmpty ||
+          (try getFileStatus(parent).isDirectory catch { case _: java.io.FileNotFoundException => false })
+        if (!parentOk) return false
+        dst
+    }
     if (st.isFile) {
-      copyObject(keyOf(src), keyOf(dst))
+      copyObject(keyOf(src), keyOf(target))
       request("DELETE", keyOf(src)).disconnect()
     } else {
       // per-key COPY+DELETE in parallel — a directory rename is
@@ -354,7 +458,7 @@ class S3aLiteFileSystem extends FileSystem {
       // dominate large-directory commits (same pattern as the bulk
       // copy's parallel promotion)
       val prefix = keyOf(src) + "/"
-      val dstPrefix = keyOf(dst) + "/"
+      val dstPrefix = keyOf(target) + "/"
       val keys = listPrefix(prefix, delimiter = None).keys.map(_._1).toArray
       java.util.Arrays.stream(keys).parallel().forEach { k =>
         copyObject(k, dstPrefix + k.stripPrefix(prefix))

@@ -29,13 +29,19 @@ class S3aLiteSpec extends AnyFunSuite {
   private val AK = "GRAFTTESTACCESSKEY00"
   private val SK = "graftTestSecretKey/graftTestSecretKey000"
 
+  /** multipart-upload state: uploadId → (key, partNumber → bytes) */
+  private type Uploads = ConcurrentHashMap[String, (String, ConcurrentHashMap[Int, Array[Byte]])]
+
   /** In-memory S3-protocol bucket server. Returns (server, port). */
   private def startServer(store: ConcurrentHashMap[String, Array[Byte]],
-                          badSig: java.util.concurrent.atomic.AtomicLong)
+                          badSig: java.util.concurrent.atomic.AtomicLong,
+                          uploads: Uploads = new Uploads,
+                          partPuts: java.util.concurrent.atomic.AtomicLong =
+                            new java.util.concurrent.atomic.AtomicLong)
       : HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => {
-      try handle(ex, store, badSig)
+      try handle(ex, store, badSig, uploads, partPuts)
       catch {
         case e: Throwable =>
           val msg = s"<Error>${e.getMessage}</Error>".getBytes
@@ -49,7 +55,9 @@ class S3aLiteSpec extends AnyFunSuite {
   }
 
   private def handle(ex: HttpExchange, store: ConcurrentHashMap[String, Array[Byte]],
-                     badSig: java.util.concurrent.atomic.AtomicLong): Unit = {
+                     badSig: java.util.concurrent.atomic.AtomicLong,
+                     uploads: Uploads,
+                     partPuts: java.util.concurrent.atomic.AtomicLong): Unit = {
     val method = ex.getRequestMethod
     val rawPath = ex.getRequestURI.getRawPath // /bucket/key...
     val body = ex.getRequestBody.readAllBytes()
@@ -75,6 +83,44 @@ class S3aLiteSpec extends AnyFunSuite {
     }
 
     method match {
+      case "POST" if qparam("uploads").isDefined =>
+        val id = java.util.UUID.randomUUID().toString
+        uploads.put(id, (key, new ConcurrentHashMap[Int, Array[Byte]]()))
+        respond(200, (s"<?xml version=\"1.0\"?><InitiateMultipartUploadResult>" +
+          s"<Bucket>testbucket</Bucket><Key>$key</Key><UploadId>$id</UploadId>" +
+          "</InitiateMultipartUploadResult>").getBytes("UTF-8"))
+
+      case "PUT" if qparam("uploadId").isDefined =>
+        val id = qparam("uploadId").get
+        val up = uploads.get(id)
+        if (up == null || up._1 != key) respond(404, Array.empty)
+        else {
+          val pn = qparam("partNumber").get.toInt
+          up._2.put(pn, body)
+          partPuts.incrementAndGet()
+          respond(200, Array.empty,
+            "ETag" -> ("\"" + S3SigV4.sha256Hex(body).take(32) + "\""))
+        }
+
+      case "POST" if qparam("uploadId").isDefined =>
+        val id = qparam("uploadId").get
+        val up = uploads.remove(id)
+        if (up == null || up._1 != key) respond(404, Array.empty)
+        else {
+          // order parts by number (the XML body's order is also
+          // ascending, but the map is the source of truth here)
+          import scala.jdk.CollectionConverters._
+          val all = new java.io.ByteArrayOutputStream()
+          up._2.asScala.toSeq.sortBy(_._1).foreach(p => all.write(p._2))
+          store.put(key, all.toByteArray)
+          respond(200, ("<?xml version=\"1.0\"?><CompleteMultipartUploadResult>" +
+            s"<Key>$key</Key></CompleteMultipartUploadResult>").getBytes("UTF-8"))
+        }
+
+      case "DELETE" if qparam("uploadId").isDefined =>
+        uploads.remove(qparam("uploadId").get)
+        respond(204, Array.empty)
+
       case "GET" if qparam("list-type").isDefined =>
         val prefix = qparam("prefix").getOrElse("")
         val delim = qparam("delimiter")
@@ -232,6 +278,89 @@ class S3aLiteSpec extends AnyFunSuite {
       assert(S3aLiteFileSystem.Ops.gets.get > g0, "reads must issue ranged GETs")
       assert(badSig.get == 0, s"${badSig.get} requests failed server-side SigV4 " +
         s"verification; first: ${S3aLiteSpec.firstBad.get()}")
+    } finally server.stop(0)
+  }
+
+  test("multipart upload above the part-size threshold, every part signed") {
+    val store = new ConcurrentHashMap[String, Array[Byte]]()
+    val badSig = new java.util.concurrent.atomic.AtomicLong
+    val uploads = new Uploads
+    val partPuts = new java.util.concurrent.atomic.AtomicLong
+    val server = startServer(store, badSig, uploads, partPuts)
+    try {
+      val port = server.getAddress.getPort
+      val hc = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
+      hc.set("fs.s3a.impl", classOf[S3aLiteFileSystem].getName)
+      hc.set("fs.s3a.impl.disable.cache", "true")
+      hc.set("fs.s3a.access.key", AK)
+      hc.set("fs.s3a.secret.key", SK)
+      hc.set("fs.s3a.endpoint", s"http://127.0.0.1:$port")
+      hc.set("fs.s3a.path.style.access", "true")
+      hc.setLong("fs.s3a.multipart.size", 64 * 1024) // force multipart on a ~1 MB object
+      val fs = new org.apache.hadoop.fs.Path("s3a://testbucket/").getFileSystem(hc)
+
+      // ~1 MB of deterministic bytes → 16 full parts + a short tail
+      val rnd = new java.util.Random(7)
+      val payload = new Array[Byte](1024 * 1024 + 12345)
+      rnd.nextBytes(payload)
+      val p = new org.apache.hadoop.fs.Path("s3a://testbucket/big/blob.bin")
+      val out = fs.create(p, true)
+      // write in odd-sized chunks so part boundaries split mid-chunk
+      var off = 0
+      while (off < payload.length) {
+        val n = math.min(37011, payload.length - off)
+        out.write(payload, off, n); off += n
+      }
+      out.close()
+
+      assert(partPuts.get > 1, s"expected multipart parts, saw ${partPuts.get}")
+      assert(uploads.isEmpty, "multipart state must be consumed by Complete")
+      assert(java.util.Arrays.equals(store.get("big/blob.bin"), payload),
+        "multipart-assembled object must be byte-identical")
+      // round trip back through the ranged-GET reader
+      val in = fs.open(p)
+      val back = new Array[Byte](payload.length)
+      in.readFully(0, back)
+      in.close()
+      assert(java.util.Arrays.equals(back, payload))
+      assert(badSig.get == 0, s"${badSig.get} multipart requests failed SigV4 " +
+        s"verification; first: ${S3aLiteSpec.firstBad.get()}")
+    } finally server.stop(0)
+  }
+
+  test("rename honors the Hadoop contract: no clobber, nest into dirs, parent must exist") {
+    val store = new ConcurrentHashMap[String, Array[Byte]]()
+    val badSig = new java.util.concurrent.atomic.AtomicLong
+    val server = startServer(store, badSig)
+    try {
+      val port = server.getAddress.getPort
+      val hc = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
+      hc.set("fs.s3a.impl", classOf[S3aLiteFileSystem].getName)
+      hc.set("fs.s3a.impl.disable.cache", "true")
+      hc.set("fs.s3a.access.key", AK)
+      hc.set("fs.s3a.secret.key", SK)
+      hc.set("fs.s3a.endpoint", s"http://127.0.0.1:$port")
+      hc.set("fs.s3a.path.style.access", "true")
+      val fs = new org.apache.hadoop.fs.Path("s3a://testbucket/").getFileSystem(hc)
+      def put(k: String, s: String): Unit = store.put(k, s.getBytes)
+      def path(s: String) = new org.apache.hadoop.fs.Path(s"s3a://testbucket/$s")
+
+      put("a/x.txt", "xx"); put("a/y.txt", "yy"); put("d/marker.txt", "m")
+      // missing src → false
+      assert(!fs.rename(path("a/missing.txt"), path("a/z.txt")))
+      // dst exists as a FILE → false, dst untouched
+      assert(!fs.rename(path("a/x.txt"), path("a/y.txt")))
+      assert(new String(store.get("a/y.txt")) == "yy")
+      // dst exists as a DIRECTORY → src nests under it
+      assert(fs.rename(path("a/x.txt"), path("d")))
+      assert(store.containsKey("d/x.txt") && !store.containsKey("a/x.txt"))
+      // fresh dst whose parent does not exist → false
+      assert(!fs.rename(path("a/y.txt"), path("nodir/sub/y.txt")))
+      assert(store.containsKey("a/y.txt"))
+      // fresh dst with existing parent → plain move
+      assert(fs.rename(path("a/y.txt"), path("d/y2.txt")))
+      assert(store.containsKey("d/y2.txt") && !store.containsKey("a/y.txt"))
+      assert(badSig.get == 0)
     } finally server.stop(0)
   }
 }
