@@ -259,12 +259,14 @@ object VortexBulkCopy {
         partitionCols = Seq.empty, bucketSpec = None)
     catch { case e: Throwable =>
       // commitJob's FIRST action deletes the preExisting generation.
-      // If that provably never started (every old file still present),
-      // demoting this job's files restores the exact old state —
-      // atomic overwrite for early commit failures. Once ANY old file
-      // is gone the new files must STAY: readers fall back to footers,
-      // and deleting them would leave NEITHER generation.
-      val oldIntact = preExisting.nonEmpty && preExisting.forall(p =>
+      // If that provably never started (every old file still present —
+      // trivially true for a FRESH write, where the exact old state is
+      // an empty directory and restoring it means deleting the new
+      // files), demoting this job's files restores the exact old state
+      // — atomic overwrite for early commit failures. Once ANY old
+      // file is gone the new files must STAY: readers fall back to
+      // footers, and deleting them would leave NEITHER generation.
+      val oldIntact = preExisting.forall(p =>
         try fs.exists(new Path(p)) catch { case _: Exception => false })
       if (oldIntact) cleanupPromoted()
       throw e

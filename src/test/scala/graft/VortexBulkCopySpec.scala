@@ -116,6 +116,26 @@ class VortexBulkCopySpec extends AnyFunSuite {
     assert(sums == (0L until 10000L).sum)
   }
 
+  test("fresh-write commit failure demotes promoted files (empty old state restored)") {
+    val dir = tmp() + "/ds"
+    new java.io.File(dir).mkdirs()
+    // sabotage: occupy the manifest directory's name with a plain FILE
+    // so StatsManifest.write inside commitJob fails AFTER the part
+    // files were promoted. overwrite=false keeps the sabotage alive
+    // (truncate would delete it first) — this is the append-into-empty
+    // shape the advisor flagged: pre-fix, the promoted parts stayed
+    // reader-visible via the footer fallback and a retried append
+    // would have duplicated every row.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, graft.sources.vortex.StatsManifest.DirName),
+      "not a directory")
+    val df = sourceDf
+    intercept[Exception] { VortexBulkCopy.copy(df, dir, overwrite = false) }
+    val left = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).map(_.getName)
+    assert(!left.exists(_.endsWith(".vortex")),
+      s"commit failure on a fresh write left reader-visible parts: ${left.mkString(", ")}")
+  }
+
   test("tasks never rename: only driver-claimed files become data, tmp files are swept") {
     // exactly-once contract: tasks write dot-hidden `.…inprogress`
     // files and the DRIVER promotes exactly the claimed set at commit,
