@@ -105,6 +105,71 @@ object DevProbe {
       spark.stop(); return
     }
 
+    if (sys.env.contains("FLOOR2")) {
+      import org.apache.spark.sql.types.DecimalType
+      Tables.registerAll(spark, sfDir)
+      def run(nm: String)(mk: => org.apache.spark.sql.DataFrame): Unit =
+        (0 until 3).foreach { r =>
+          val t0 = System.nanoTime()
+          val n = Bench.force(mk)
+          println(f"[f2] $nm rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+          Thread.sleep(5000)
+        }
+      run("intersect-cur")(spark.sql(
+        """SELECT o_custkey AS k FROM orders
+          |INTERSECT
+          |SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+          |ORDER BY k""".stripMargin))
+      run("intersect-predist")(spark.sql(
+        """SELECT k FROM (SELECT DISTINCT o_custkey AS k FROM orders) o
+          |  LEFT SEMI JOIN (SELECT DISTINCT c_custkey AS k2 FROM customer
+          |                  WHERE c_mktsegment = 'BUILDING') c ON k <=> k2
+          |ORDER BY k""".stripMargin))
+      run("sliding-cur")(SparkEntry.queries("e_sliding_window")(spark, sfDir))
+      run("sliding-tiny")(graft.operators.TinyResult.globalSort(
+        Tables.t(spark, sfDir, "events")
+          .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("ws"), col("event_type"), col("n")),
+        col("ws"), col("event_type")))
+      run("w1-cur")(SparkEntry.queries("w1_rank")(spark, sfDir))
+      run("w1-rangepart") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.t(spark, sfDir, "orders")
+          .repartitionByRange(col("o_custkey"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).cast("bigint").as("rn"),
+            rank().over(w).cast("bigint").as("rk"),
+            dense_rank().over(w).cast("bigint").as("drk"),
+            ntile(4).over(w).cast("bigint").as("nt"))
+          .filter(col("rn") <= 3)
+          .sortWithinPartitions("o_custkey", "rn")
+      }
+      run("sessions-cur")(SparkEntry.queries("e_sessions")(spark, sfDir))
+      run("sessions-rangepart")(spark.sql(
+        """WITH g AS (
+          |  SELECT user_id, ts, event_id, value,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM (SELECT /*+ REPARTITION_BY_RANGE(user_id) */ * FROM events) e
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                              ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+          |SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n, min(ts) AS session_start, max(ts) AS session_end,
+          |  CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DECIMAL(20,0)) / 100 AS DOUBLE) AS sum_v
+          |FROM s GROUP BY user_id, sid
+          |SORT BY user_id, sid""".stripMargin))
+      run("gaps-cur")(SparkEntry.queries("e_user_gaps")(spark, sfDir))
+      run("gaps-isolate")(spark.sql(
+        """SELECT /*+ REPARTITION(event_id) */ event_id, user_id,
+          |  unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)) AS gap_us
+          |FROM events ORDER BY event_id""".stripMargin))
+      spark.stop(); return
+    }
+
     if (sys.env.contains("FLOOR_AB")) {
       import org.apache.spark.sql.types.DecimalType
       def run(nm: String)(mk: => org.apache.spark.sql.DataFrame): Unit =

@@ -32,12 +32,15 @@ object EventsOps {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
       |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)
 
+  // bounded hours×types output → TinyResult ordering skips the range
+  // sampling that re-ran the expand+aggregate (0.54 → 0.44 s at sf1)
   spark("e_sliding_window",
-    (s, d) => Tables.t(s, d, "events")
-      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("w.start").as("ws"), col("event_type"), col("n"))
-      .orderBy("ws", "event_type"),
+    (s, d) => graft.operators.TinyResult.globalSort(
+      Tables.t(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n")),
+      col("ws"), col("event_type")),
     """WITH s AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS hb, event_type FROM events),
       |w AS (SELECT hb - INTERVAL 1 HOUR AS ws, event_type FROM s
       |      UNION ALL SELECT hb AS ws, event_type FROM s)

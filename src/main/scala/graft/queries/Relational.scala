@@ -529,7 +529,15 @@ object Relational {
       |  (SELECT l_returnflag AS f FROM lineitem UNION ALL SELECT o_orderstatus AS f FROM orders) AS u
       |GROUP BY f ORDER BY f NULLS FIRST""".stripMargin)
 
-  common("o6_intersect",
+  // INTERSECT ≡ distinct(left) SEMI JOIN distinct(right), pre-
+  // aggregated for the same reason as o6_except below: map-side
+  // combine shrinks both sides before anything shuffles.
+  spark("o6_intersect",
+    (s, d) => { graft.Tables.registerAll(s, d)
+      s.sql("""SELECT k FROM (SELECT DISTINCT o_custkey AS k FROM orders) o
+              |  LEFT SEMI JOIN (SELECT DISTINCT c_custkey AS k2 FROM customer
+              |                  WHERE c_mktsegment = 'BUILDING') c ON k <=> k2
+              |ORDER BY k""".stripMargin) },
     """SELECT o_custkey AS k FROM orders
       |INTERSECT
       |SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
