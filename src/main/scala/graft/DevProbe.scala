@@ -105,6 +105,56 @@ object DevProbe {
       spark.stop(); return
     }
 
+    if (sys.env.contains("FLOOR3")) {
+      Tables.registerAll(spark, sfDir)
+      def run(nm: String)(mk: => org.apache.spark.sql.DataFrame): Unit =
+        (0 until 3).foreach { r =>
+          val t0 = System.nanoTime()
+          val n = Bench.force(mk)
+          println(f"[f3] $nm rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+          Thread.sleep(5000)
+        }
+      run("tokens-cur")(SparkEntry.queries("t_tokens")(spark, sfDir))
+      run("tokens-rangepart")(Tables.t(spark, sfDir, "documents")
+        .repartitionByRange(col("doc_id"))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("n_tok"),
+          length(col("text")).cast("long").as("n_char"))
+        .sortWithinPartitions("doc_id"))
+      run("j2left-cur")(SparkEntry.queries("j2_left")(spark, sfDir))
+      run("j2left-preagg")(spark.sql(
+        """SELECT c_custkey, c_name, coalesce(n, CAST(0 AS BIGINT)) AS n_orders
+          |FROM customer LEFT JOIN
+          |  (SELECT o_custkey, count(o_orderkey) AS n FROM orders GROUP BY o_custkey) o
+          |  ON c_custkey = o_custkey
+          |ORDER BY c_custkey""".stripMargin))
+      run("q9-cur")(SparkEntry.queries("tpch_q9_profit")(spark, sfDir))
+      run("q9-shufhash")(spark.sql(
+        """SELECT nation, o_year,
+          |  CAST(CAST(CAST(SUM(amount4) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS sum_profit
+          |FROM (SELECT /*+ SHUFFLE_HASH(orders) */ n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |        CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
+          |          - CAST(round(p_retailprice * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT) AS amount4
+          |      FROM part JOIN lineitem ON p_partkey = l_partkey
+          |        JOIN supplier ON s_suppkey = l_suppkey
+          |        JOIN orders ON o_orderkey = l_orderkey
+          |        JOIN nation ON s_nationkey = n_nationkey
+          |      WHERE p_name LIKE '%red%') profit
+          |GROUP BY nation, o_year ORDER BY nation, o_year DESC NULLS LAST""".stripMargin))
+      run("math2-cur")(SparkEntry.queries("f_math2")(spark, sfDir))
+      run("math2-rangepart")(spark.sql(
+        """SELECT o_orderkey,
+          |  CAST(sign(o_orderkey % 5 - 2) AS BIGINT) AS sg,
+          |  mod(o_orderkey, 97) AS md,
+          |  CAST(CAST(round(log10(CAST(o_orderkey + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS l10,
+          |  CAST(CAST(round(log2(CAST(o_orderkey + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS l2,
+          |  o_orderkey & 255 AS band, o_orderkey | 7 AS bor, o_orderkey ^ 255 AS bxor
+          |FROM (SELECT /*+ REPARTITION_BY_RANGE(o_orderkey) */ o_orderkey FROM orders) o
+          |SORT BY o_orderkey""".stripMargin))
+      spark.stop(); return
+    }
+
     if (sys.env.contains("FLOOR2")) {
       import org.apache.spark.sql.types.DecimalType
       Tables.registerAll(spark, sfDir)

