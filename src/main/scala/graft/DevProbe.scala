@@ -142,6 +142,49 @@ object DevProbe {
           |        JOIN nation ON s_nationkey = n_nationkey
           |      WHERE p_name LIKE '%red%') profit
           |GROUP BY nation, o_year ORDER BY nation, o_year DESC NULLS LAST""".stripMargin))
+      run("fp-cur")(SparkEntry.queries("t_fingerprint")(spark, sfDir))
+      run("fp-rangepart") {
+        import spark.implicits._
+        import graft.functions.Hashing
+        Tables.t(spark, sfDir, "documents")
+          .repartitionByRange(col("doc_id"))
+          .select("doc_id", "text").as[(Long, String)]
+          .map { case (id, text) =>
+            val canon = text.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
+            val nSh = math.max(canon.length - 7, 1)
+            var best: Array[Byte] = null
+            var i = 0
+            while (i < nSh) {
+              val h = Hashing.md5bytes(canon.substring(i, math.min(i + 8, canon.length)))
+              if (best == null || Hashing.byteLess(h, best)) best = h
+              i += 1
+            }
+            (id, Hashing.md5hex(canon), Hashing.toHex(best))
+          }
+          .toDF("doc_id", "fp", "min_shingle")
+          .sortWithinPartitions("doc_id")
+      }
+      run("j1-cur")(SparkEntry.queries("j1_inner")(spark, sfDir))
+      run("j1-rangepart")(
+        Tables.t(spark, sfDir, "orders")
+          .repartitionByRange(col("o_orderkey"))
+          .join(broadcast(Tables.t(spark, sfDir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+            col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+          .sortWithinPartitions("o_orderkey"))
+      run("md5-cur")(SparkEntry.queries("f2_md5")(spark, sfDir))
+      run("md5-rangepart")(spark.sql(
+        """SELECT o_orderkey, md5(CAST(o_orderkey AS STRING)) AS h
+          |FROM (SELECT /*+ REPARTITION_BY_RANGE(o_orderkey) */ o_orderkey FROM orders) o
+          |SORT BY o_orderkey""".stripMargin))
+      run("dt-cur")(SparkEntry.queries("f_datetime")(spark, sfDir))
+      run("dt-rangepart")(spark.sql(
+        """SELECT event_id, CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS mo,
+          |  CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h,
+          |  CAST(date_trunc('day', ts) AS TIMESTAMP_NTZ) AS day_ts, CAST(ts AS DATE) AS dt
+          |FROM (SELECT /*+ REPARTITION_BY_RANGE(event_id) */ event_id, ts FROM events) e
+          |SORT BY event_id""".stripMargin))
       run("math2-cur")(SparkEntry.queries("f_math2")(spark, sfDir))
       run("math2-rangepart")(spark.sql(
         """SELECT o_orderkey,

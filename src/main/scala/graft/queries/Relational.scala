@@ -67,7 +67,22 @@ object Relational {
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
 
   // ---- §2.3 joins ------------------------------------------------------
-  common("j1_inner",
+  // Range-partition the fact on the output order key and broadcast
+  // the dim: the broadcast join preserves the fact's partitioning, so
+  // the trailing local sort IS the global ORDER BY — one exchange,
+  // and no range-sampling job re-executing the join. The explicit
+  // broadcast() pins the plan shape the ordering correctness relies
+  // on (dim-table precondition; a fact-fact ORDER BY keeps plain
+  // orderBy). Measured at sf1: 1.64 → 0.88 s.
+  spark("j1_inner",
+    (s, d) => graft.Tables.t(s, d, "orders")
+      .repartitionByRange(org.apache.spark.sql.functions.col("o_orderkey"))
+      .join(org.apache.spark.sql.functions.broadcast(graft.Tables.t(s, d, "customer")),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .selectExpr("o_orderkey", "o_custkey", "c_name",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price")
+      .sortWithinPartitions("o_orderkey"),
     """SELECT o_orderkey, o_custkey, c_name, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
       |FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin)
 

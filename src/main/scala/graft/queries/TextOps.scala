@@ -86,7 +86,15 @@ object TextOps {
     (s, d) => {
       import s.implicits._
       import graft.functions.Hashing
-      Tables.t(s, d, "documents").select("doc_id", "text").as[(Long, String)]
+      // range-partition BEFORE the rolling-hash map: the exchange (a)
+      // spreads the md5-per-shingle compute across the session's
+      // cores (the small parquet yields 1-2 input splits, so the map
+      // otherwise runs near-serial), and (b) makes the trailing local
+      // sort the global ORDER BY with no range-sampling job re-running
+      // the map. Measured at sf1: 5.5 → 0.78 s.
+      Tables.t(s, d, "documents")
+        .repartitionByRange(org.apache.spark.sql.functions.col("doc_id"))
+        .select("doc_id", "text").as[(Long, String)]
         .map { case (id, text) =>
           val canon = text.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
           val nSh = math.max(canon.length - 7, 1)
@@ -100,7 +108,7 @@ object TextOps {
           (id, Hashing.md5hex(canon), Hashing.toHex(best))
         }
         .toDF("doc_id", "fp", "min_shingle")
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     },
     """WITH c AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS canon FROM documents),
       |e AS (SELECT doc_id, canon, unnest(range(1, greatest(length(canon) - 7, 1) + 1)) AS i FROM c)
