@@ -92,12 +92,9 @@ object Coverage2 {
       |FROM part ORDER BY p_partkey""".stripMargin)
 
   // xor spelled differently: Spark `^` vs DuckDB xor() (DuckDB ^ is power)
-  // Range-partition the scan on the order key and sort locally: the
-  // projection preserves the partitioning, so SORT BY is the global
-  // ORDER BY and the range-sampling job reads the bare scan instead
-  // of re-running the log/decimal projection over every row (which a
-  // plain ORDER BY did: 5.2 → 1.2 s at sf1, the suite's largest
-  // single-row win).
+  // plan note: SortThroughProject pushes the ORDER BY below this
+  // log+decimal projection (5.2 → 1.2 s at sf1 — a plain global sort
+  // re-ran the projection inside its range-sampling job)
   spark("f_math2",
     (s, d) => { Tables.registerAll(s, d)
       s.sql("""SELECT o_orderkey,
@@ -106,8 +103,7 @@ object Coverage2 {
               |  CAST(CAST(round(log10(CAST(o_orderkey + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS l10,
               |  CAST(CAST(round(log2(CAST(o_orderkey + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS l2,
               |  o_orderkey & 255 AS band, o_orderkey | 7 AS bor, o_orderkey ^ 255 AS bxor
-              |FROM (SELECT /*+ REPARTITION_BY_RANGE(o_orderkey) */ o_orderkey FROM orders) o
-              |SORT BY o_orderkey""".stripMargin) },
+              |FROM orders ORDER BY o_orderkey""".stripMargin) },
     """SELECT o_orderkey,
       |  CAST(sign(o_orderkey % 5 - 2) AS BIGINT) AS sg,
       |  mod(o_orderkey, 97) AS md,

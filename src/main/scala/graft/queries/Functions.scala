@@ -17,14 +17,9 @@ object Functions {
       |FROM orders ORDER BY o_orderkey""".stripMargin)
 
   // F2: md5(varchar) (reference table.test:49)
-  // range-partition the scan + local sort (see f_math2's note: the
-  // range-sampling job otherwise re-runs the md5 projection over
-  // every row; 1.60 → 0.59 s at sf1)
-  spark("f2_md5",
-    (s, d) => { graft.Tables.registerAll(s, d)
-      s.sql("""SELECT o_orderkey, md5(CAST(o_orderkey AS STRING)) AS h
-              |FROM (SELECT /*+ REPARTITION_BY_RANGE(o_orderkey) */ o_orderkey FROM orders) o
-              |SORT BY o_orderkey""".stripMargin) },
+  // plan note: SortThroughProject pushes the ORDER BY below the md5
+  // projection (1.60 → 0.59 s at sf1)
+  common("f2_md5",
     """SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR(30))) AS h
       |FROM orders ORDER BY o_orderkey""".stripMargin)
 
@@ -72,15 +67,14 @@ object Functions {
 
   // Spark's plain TIMESTAMP is tz-aware; cast the truncation back to
   // NTZ so the parquet output matches DuckDB's naive TIMESTAMP.
-  // range-partition the scan + local sort (f_math2's pattern;
-  // 1.49 → 0.68 s at sf1)
+  // plan note: SortThroughProject pushes the ORDER BY below the
+  // field-extraction projection (1.49 → 0.68 s at sf1)
   spark("f_datetime",
     (s, d) => { graft.Tables.registerAll(s, d)
       s.sql("""SELECT event_id, CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS mo,
               |  CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h,
               |  CAST(date_trunc('day', ts) AS TIMESTAMP_NTZ) AS day_ts, CAST(ts AS DATE) AS dt
-              |FROM (SELECT /*+ REPARTITION_BY_RANGE(event_id) */ event_id, ts FROM events) e
-              |SORT BY event_id""".stripMargin) },
+              |FROM events ORDER BY event_id""".stripMargin) },
     """SELECT event_id, CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS mo,
       |  CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h,
       |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts, CAST(ts AS DATE) AS dt

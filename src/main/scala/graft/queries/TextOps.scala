@@ -14,21 +14,16 @@ object TextOps {
   import set._
 
   // Token counting: whitespace tokens + a BPE-ish regex token count.
-  // Range-partition the SCAN on the output order key, then sort
-  // locally: projections preserve partitioning, so the one range
-  // exchange serves both the tokenizer kernels' distribution and the
-  // global ORDER BY — and the range-bounds sampling job runs against
-  // the bare scan instead of re-executing the per-document kernels
-  // (a plain .orderBy re-ran them: 0.99 → 0.38 s at sf1).
+  // plan note: SortThroughProject pushes the ORDER BY below the
+  // tokenizer-kernel projection (0.99 → 0.38 s at sf1 — the range
+  // sampling otherwise re-ran the kernels over every document)
   spark("t_tokens",
-    (s, d) => Tables.t(s, d, "documents")
-      .repartitionByRange(col("doc_id"))
-      .select(
+    (s, d) => Tables.t(s, d, "documents").select(
         col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_ws"),
         regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("n_tok"),
         length(col("text")).cast("long").as("n_char"))
-      .sortWithinPartitions("doc_id"),
+      .orderBy("doc_id"),
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tok,
