@@ -105,6 +105,72 @@ object DevProbe {
       spark.stop(); return
     }
 
+    if (sys.env.contains("FLOOR4")) {
+      Tables.registerAll(spark, sfDir)
+      def run(nm: String)(mk: => org.apache.spark.sql.DataFrame): Unit =
+        (0 until 3).foreach { r =>
+          val t0 = System.nanoTime()
+          val n = Bench.force(mk)
+          println(f"[f4] $nm rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+          Thread.sleep(5000)
+        }
+      run("q13-cur")(SparkEntry.queries("tpch_q13_custdist")(spark, sfDir))
+      run("q13-preagg")(spark.sql(
+        """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+          |FROM (SELECT c_custkey, coalesce(n, CAST(0 AS BIGINT)) AS c_count
+          |      FROM customer LEFT JOIN
+          |        (SELECT o_custkey, count(o_orderkey) AS n FROM orders
+          |         WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey) o
+          |        ON c_custkey = o_custkey) c_orders
+          |GROUP BY c_count
+          |ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST""".stripMargin))
+      run("q4-cur")(SparkEntry.queries("tpch_q4_priority")(spark, sfDir))
+      run("q4-join-distinct")(spark.sql(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM (SELECT DISTINCT o_orderkey, o_orderpriority
+          |      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |        AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          |        AND l_shipdate > o_orderdate) x
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+      run("q22-cur")(SparkEntry.queries("tpch_q22_opportunity")(spark, sfDir))
+      run("q22-predist")(spark.sql(
+        """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+          |FROM (SELECT CAST(c_custkey % 7 AS BIGINT) AS cntrycode, c_acctbal
+          |      FROM customer LEFT ANTI JOIN
+          |        (SELECT DISTINCT o_custkey FROM orders
+          |         WHERE o_orderpriority = '1-URGENT') u ON o_custkey <=> c_custkey
+          |      WHERE c_custkey % 7 IN (1, 2, 3, 4, 5)
+          |        AND c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          |                         FROM customer c2
+          |                         WHERE c2.c_acctbal > 0 AND c2.c_custkey % 7 IN (1, 2, 3, 4, 5))) custsale
+          |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin))
+      run("j4-cur")(SparkEntry.queries("j4_anti")(spark, sfDir))
+      run("j4-predist") {
+        val c = Tables.t(spark, sfDir, "customer")
+        val o = Tables.t(spark, sfDir, "orders").select(col("o_custkey")).distinct()
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+      }
+      run("q5-cur")(SparkEntry.queries("tpch_q5_local_supplier")(spark, sfDir))
+      run("q5-eo")(spark.sql(
+        """SELECT n_name,
+          |  CAST(CAST(CAST(SUM(rev4) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+          |FROM (SELECT /*+ SHUFFLE_HASH(eo) */ eo.n_name, l.rev4
+          |      FROM (SELECT l_orderkey, l_suppkey,
+          |              CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
+          |            FROM lineitem) l
+          |        JOIN (SELECT o_orderkey, c_nationkey AS eo_nationkey, n_name
+          |              FROM orders JOIN customer ON c_custkey = o_custkey
+          |                JOIN nation ON c_nationkey = n_nationkey
+          |                JOIN region ON n_regionkey = r_regionkey
+          |              WHERE r_name = 'AMERICA') eo ON l.l_orderkey = eo.o_orderkey
+          |        JOIN supplier ON l.l_suppkey = s_suppkey AND eo.eo_nationkey = s_nationkey) j
+          |GROUP BY n_name ORDER BY revenue DESC NULLS LAST, n_name""".stripMargin))
+      spark.stop(); return
+    }
+
     if (sys.env.contains("FLOOR3")) {
       Tables.registerAll(spark, sfDir)
       def run(nm: String)(mk: => org.apache.spark.sql.DataFrame): Unit =

@@ -120,7 +120,11 @@ object Relational {
 
   spark("j4_anti",
     (s, d) => {
-      val c = Tables.t(s, d, "customer"); val o = Tables.t(s, d, "orders")
+      // distinct the probe side first: anti join needs only key
+      // presence, so map-side combine shrinks the fact before the
+      // shuffle (0.66 → 0.45 s at sf1)
+      val c = Tables.t(s, d, "customer")
+      val o = Tables.t(s, d, "orders").select(col("o_custkey")).distinct()
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
     },
@@ -445,7 +449,19 @@ object Relational {
 
   // Q4 skeleton: EXISTS-correlated subquery (adapted: ship-after-order
   // stands in for commit<receipt, which the synthetic schema lacks).
-  common("tpch_q4_priority",
+  // Spark side: the date filter shrinks orders to a broadcastable
+  // slice, so EXISTS becomes broadcast-join → residual date predicate
+  // → DISTINCT on the (unique) order key — the fact is reduced by the
+  // broadcast BEFORE any shuffle, and the distinct partial-aggregates.
+  spark("tpch_q4_priority",
+    (s, d) => { graft.Tables.registerAll(s, d)
+      s.sql("""SELECT o_orderpriority, count(*) AS n
+              |FROM (SELECT DISTINCT o_orderkey, o_orderpriority
+              |      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              |      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              |        AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+              |        AND l_shipdate > o_orderdate) x
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) },
     """SELECT o_orderpriority, count(*) AS n
       |FROM orders
       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'

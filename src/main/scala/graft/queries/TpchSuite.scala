@@ -208,7 +208,21 @@ object TpchSuite {
   // Q13: distribution of customers by order count (two-level agg over
   // a filtered LEFT JOIN — the ON-clause filter must not drop
   // customers).
-  common("tpch_q13_custdist",
+  // Spark side aggregates orders below the outer join (j2_left's
+  // pattern: map-side combine shrinks the fact to one count per
+  // customer before the join; the ON-clause priority filter becomes a
+  // WHERE in the pre-aggregate, and unmatched customers surface as
+  // coalesce 0 exactly like count-over-no-rows). 1.15 → 0.67 s at sf1.
+  spark("tpch_q13_custdist",
+    (s, d) => { graft.Tables.registerAll(s, d)
+      s.sql("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+              |FROM (SELECT c_custkey, coalesce(n, CAST(0 AS BIGINT)) AS c_count
+              |      FROM customer LEFT JOIN
+              |        (SELECT o_custkey, count(o_orderkey) AS n FROM orders
+              |         WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey) o
+              |        ON c_custkey = o_custkey) c_orders
+              |GROUP BY c_count
+              |ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST""".stripMargin) },
     """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
       |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
       |      FROM customer LEFT JOIN orders
