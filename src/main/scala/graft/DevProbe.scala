@@ -153,6 +153,57 @@ object DevProbe {
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
       }
+      run("q7-cur")(SparkEntry.queries("tpch_q7_volume")(spark, sfDir))
+      run("q7-twoleg")(spark.sql(
+        """SELECT supp_nation, cust_nation, l_year,
+          |  CAST(CAST(CAST(SUM(rev4) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+          |FROM (SELECT /*+ SHUFFLE_HASH(eo) */ supp_nation, cust_nation,
+          |        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          |        CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
+          |      FROM (SELECT l_orderkey, l_shipdate, l_extendedprice, l_discount, n1.n_name AS supp_nation
+          |            FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+          |              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |            WHERE n1.n_name IN ('NATION_3', 'NATION_7')) l
+          |        JOIN (SELECT o_orderkey, n2.n_name AS cust_nation
+          |              FROM orders JOIN customer ON c_custkey = o_custkey
+          |                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |              WHERE n2.n_name IN ('NATION_3', 'NATION_7')) eo
+          |          ON l_orderkey = eo.o_orderkey
+          |      WHERE (supp_nation = 'NATION_3' AND cust_nation = 'NATION_7')
+          |         OR (supp_nation = 'NATION_7' AND cust_nation = 'NATION_3')) shipping
+          |GROUP BY supp_nation, cust_nation, l_year
+          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin))
+      run("q15-cur")(SparkEntry.queries("tpch_q15_top_supplier")(spark, sfDir))
+      run("q15-window")(spark.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS total_revenue
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS revenue
+          |FROM supplier JOIN
+          |  (SELECT supplier_no, total_revenue FROM
+          |     (SELECT supplier_no, total_revenue, MAX(total_revenue) OVER () AS mx FROM revenue) t
+          |   WHERE total_revenue = mx) r ON s_suppkey = supplier_no
+          |ORDER BY s_suppkey""".stripMargin))
+      run("q12-cur")(SparkEntry.queries("tpch_q12_shipmode")(spark, sfDir))
+      run("q12-shufhash")(spark.sql(
+        """SELECT /*+ SHUFFLE_HASH(orders) */ l_returnflag,
+          |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          |  AND l_shipdate > o_orderdate
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+      run("a7-cur")(SparkEntry.queries("a7_filter_agg")(spark, sfDir))
+      run("a7-cents")(spark.sql(
+        """SELECT o_orderpriority, count(*) AS n_all,
+          |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+          |  CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DECIMAL(20,0)) / 100 AS DOUBLE) AS sum_f
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
       run("q5-cur")(SparkEntry.queries("tpch_q5_local_supplier")(spark, sfDir))
       run("q5-eo")(spark.sql(
         """SELECT n_name,

@@ -337,7 +337,17 @@ object Relational {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY g1, g2, st, pri""".stripMargin)
 
-  common("a7_filter_agg",
+  // Spark side on the cents kernel: the conditional decimal SUM stays
+  // in whole-stage codegen as a long (CASE with no ELSE sums to NULL
+  // over an empty match set, exactly like FILTER). 0.57 → 0.31 s at
+  // sf1; round(x*100) exactness vs the DECIMAL(18,2) cast is asserted
+  // over every SF.
+  spark("a7_filter_agg",
+    (s, d) => { graft.Tables.registerAll(s, d)
+      s.sql("""SELECT o_orderpriority, count(*) AS n_all,
+              |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+              |  CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DECIMAL(20,0)) / 100 AS DOUBLE) AS sum_f
+              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) },
     """SELECT o_orderpriority, count(*) AS n_all,
       |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f
