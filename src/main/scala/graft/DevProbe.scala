@@ -153,6 +153,19 @@ object DevProbe {
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
       }
+      run("j3-cur")(SparkEntry.queries("j3_semi")(spark, sfDir))
+      run("j3-predist") {
+        val c = Tables.t(spark, sfDir, "customer")
+        val o = Tables.t(spark, sfDir, "orders").select(col("o_custkey")).distinct()
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+      }
+      run("a8-cur")(SparkEntry.queries("a8_having")(spark, sfDir))
+      run("a8-rangeagg")(spark.sql(
+        """SELECT l_orderkey, count(*) AS n
+          |FROM (SELECT /*+ REPARTITION_BY_RANGE(l_orderkey) */ l_orderkey FROM lineitem) l
+          |GROUP BY l_orderkey HAVING count(*) >= 5
+          |SORT BY l_orderkey""".stripMargin))
       run("q7-cur")(SparkEntry.queries("tpch_q7_volume")(spark, sfDir))
       run("q7-twoleg")(spark.sql(
         """SELECT supp_nation, cust_nation, l_year,

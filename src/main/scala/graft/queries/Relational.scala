@@ -110,7 +110,10 @@ object Relational {
   // J3/J4: DataFrame-API semi/anti joins; oracle uses EXISTS/NOT EXISTS.
   spark("j3_semi",
     (s, d) => {
-      val c = Tables.t(s, d, "customer"); val o = Tables.t(s, d, "orders")
+      // distinct the probe side first, as in j4_anti: a semi join
+      // needs only key presence (0.76 → 0.50 s at sf1)
+      val c = Tables.t(s, d, "customer")
+      val o = Tables.t(s, d, "orders").select(col("o_custkey")).distinct()
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
     },
