@@ -153,6 +153,17 @@ object DevProbe {
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
       }
+      run("q11-cur")(SparkEntry.queries("tpch_q11_important")(spark, sfDir))
+      run("q11-window")(spark.sql(
+        """SELECT l_partkey, CAST(v AS DOUBLE) AS value
+          |FROM (SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS v,
+          |        SUM(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))) OVER () AS tot
+          |      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |        JOIN nation ON s_nationkey = n_nationkey
+          |      WHERE n_name = 'NATION_2'
+          |      GROUP BY l_partkey) t
+          |WHERE CAST(v AS DOUBLE) > CAST(tot AS DOUBLE) * 0.001
+          |ORDER BY value DESC NULLS LAST, l_partkey""".stripMargin))
       run("j3-cur")(SparkEntry.queries("j3_semi")(spark, sfDir))
       run("j3-predist") {
         val c = Tables.t(spark, sfDir, "customer")
