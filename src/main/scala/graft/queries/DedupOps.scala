@@ -932,4 +932,64 @@ object DedupOps {
        |votes AS (SELECT doc_id, b, sum(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, b)
        |SELECT doc_id, string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sim64
        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  // ---- benchmark decontamination (train/eval n-gram overlap) -----------
+
+  /** Word n-grams of `textCol`, one output row per gram occurrence:
+    * (idCol, gram). Tokenization is a plain single-space split — the
+    * exact split the SQL oracle and the other dedup kernels use. Docs
+    * shorter than n words emit nothing. */
+  private[graft] def wordGrams(df: DataFrame, idCol: String, textCol: String,
+                               n: Int): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), g -> array_join(slice(toks, g, $n), ' '))"
+      )).as("gram"))
+
+  /** Train/eval contamination scan: corpus documents that contain any
+    * word n-gram of the evaluation set (the overlap check run before
+    * training so benchmark text is not memorized — the 13-gram variant
+    * of Brown et al. 2020 §4; n is a parameter here). Returns
+    * (idCol, n_hits = DISTINCT contaminated grams in the doc).
+    *
+    * 100 TB shape: eval sets are benchmark-sized (MBs, not TBs), so the
+    * default plan broadcasts the DISTINCT eval grams and left-semi
+    * probes the corpus gram stream map-side — the corpus is never
+    * shuffled; the only exchange is the final per-doc count over the
+    * matched rows (output-bound: contaminated docs only). For an eval
+    * side too large to broadcast, `broadcastEval = false` switches to a
+    * shuffled semi-join on the gram — both gram streams partition by
+    * gram hash, still never materializing the corpus × eval product. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, n: Int,
+                    broadcastEval: Boolean = true): DataFrame = {
+    val cg = wordGrams(corpus, idCol, textCol, n)
+    val eg = wordGrams(evalSet, idCol, textCol, n).select("gram").distinct()
+    val matched =
+      if (broadcastEval) cg.join(broadcast(eg), Seq("gram"), "left_semi")
+      else cg.join(eg.hint("SHUFFLE_HASH"), Seq("gram"), "left_semi")
+    matched.groupBy(idCol).agg(countDistinct(col("gram")).as("n_hits"))
+  }
+
+  // Eval set = every 97th doc (deterministic, in-corpus, so the check
+  // provably finds the planted overlap: each eval doc contaminates at
+  // least itself). n = 5 keeps the gram space (vocab^5) selective on
+  // the synthetic small-vocabulary corpus.
+  spark("d_decontaminate",
+    (s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      decontaminate(docs, docs.where(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    },
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(toks[g:g+4], ' ') AS gram
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-4)) AS g FROM words)
+      |),
+      |eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+      |SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hits
+      |FROM grams WHERE gram IN (SELECT gram FROM eval_grams)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }
