@@ -145,4 +145,55 @@ object TextOps {
       .orderBy("doc_id"),
     """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes
       |FROM documents ORDER BY doc_id""".stripMargin)
+
+  // Repetition filter stats (the within-document repetition family of
+  // Rae et al. 2021 §A.1.1, counts instead of fractions so every
+  // column is exact BIGINT): words, distinct words, distinct bigrams
+  // (instances are just n_words-1; the DISTINCT count is the one the
+  // dup-bigram fraction needs) and the top bigram's multiplicity. One
+  // typed map per document —
+  // O(words) with a local count table, no shuffle anywhere (the
+  // orderBy is the only exchange), the same per-row single-pass shape
+  // as d_minhash_sigs. Fractions (dup-word rate, top-bigram coverage)
+  // are ratios of these columns, left to the caller's thresholds.
+  spark("t_repetition",
+    (s, d) => {
+      import s.implicits._
+      // same range-partition-first shape as t_fingerprint: spread the
+      // per-doc pass across cores and make the trailing local sort the
+      // global ORDER BY (no range-sampling job re-running the map)
+      Tables.t(s, d, "documents")
+        .repartitionByRange(col("doc_id"))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val distinct = new java.util.HashSet[String]()
+          toks.foreach(distinct.add)
+          val counts = new java.util.HashMap[String, Int]()
+          var top = 0
+          var i = 0
+          while (i < toks.length - 1) {
+            val b = toks(i) + " " + toks(i + 1)
+            val c = counts.merge(b, 1, Integer.sum)
+            if (c > top) top = c
+            i += 1
+          }
+          (id, toks.length.toLong, distinct.size.toLong,
+            counts.size.toLong, top.toLong)
+        }
+        .toDF("doc_id", "n_words", "n_distinct", "n_distinct_bg", "top_bigram")
+        .sortWithinPartitions("doc_id")
+    },
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+      |                CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM words),
+      |bg AS (SELECT doc_id, array_to_string(toks[g:g+1], ' ') AS b
+      |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS g FROM words)),
+      |bgc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_bg, CAST(max(c) AS BIGINT) AS top_bigram
+      |        FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b) GROUP BY doc_id)
+      |SELECT base.doc_id AS doc_id, n_words, n_distinct,
+      |       coalesce(n_distinct_bg, 0) AS n_distinct_bg, coalesce(top_bigram, 0) AS top_bigram
+      |FROM base LEFT JOIN bgc ON base.doc_id = bgc.doc_id
+      |ORDER BY doc_id""".stripMargin)
 }
