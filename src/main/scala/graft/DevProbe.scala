@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dev-only timing probe for pipeline pieces (not part of the library
@@ -22,26 +23,34 @@ object DevProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val docs = Tables.t(spark, sfDir, "documents")
-    docs.count()
+    Tables.t(spark, sfDir, "embeddings").count()
 
-    def gramsExpr(df: org.apache.spark.sql.DataFrame) =
-      graft.queries.DedupOps.wordGrams(df, "doc_id", "text", 5)
-    def gramsMap(df: org.apache.spark.sql.DataFrame) =
-      df.select(col("doc_id"), col("text")).as[(Long, String)]
-        .flatMap { case (id, text) =>
-          text.split(" ", -1).sliding(5).filter(_.length == 5).map(w => (id, w.mkString(" ")))
-        }.toDF("doc_id", "gram")
+    def tiny(df: DataFrame, k: Int, withCos: Boolean): DataFrame = {
+      val w = Window.partitionBy("id_q").orderBy(col("cosd").desc, col("id_n"))
+      val r = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      val base = r.select(col("id_q"), col("rnk").cast("long").as("rnk"), col("id_n"),
+        col("cosd").cast("decimal(18,4)").cast("double").as("cos"))
+      graft.operators.TinyResult.globalSort(
+        if (withCos) base else base.drop("cos"), col("id_q"), col("rnk"))
+    }
+    def partialTopK(df: DataFrame, k: Int): DataFrame =
+      df.as[(Long, Long, Double)].mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap[Long, scala.collection.mutable.TreeSet[(Double, Long)]]()
+        implicit val ord: Ordering[(Double, Long)] =
+          Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+        it.foreach { case (q, n, c) =>
+          val s = m.getOrElseUpdate(q, scala.collection.mutable.TreeSet.empty)
+          s.add((c, n)); if (s.size > k) s.remove(s.last)
+        }
+        m.iterator.flatMap { case (q, s) => s.iterator.map(x => (q, x._2, x._1)) }
+      }.toDF("id_q", "id_n", "cosd")
 
     (0 until 3).foreach { i =>
-      t(s"grams-expr count rep$i") { println(gramsExpr(docs).count()) }
-      t(s"grams-map  count rep$i") { println(gramsMap(docs).count()) }
-      t(s"full-cur  rep$i") { println(SparkEntry.queries("d_decontaminate")(spark, sfDir).count()) }
-      val eg = gramsMap(docs.where(col("doc_id") % 97 === 0)).select("gram").distinct()
-      t(s"full-map  rep$i") { println(
-        gramsMap(docs).join(broadcast(eg), Seq("gram"), "left_semi")
-          .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_hits"))
-          .orderBy("doc_id").count()) }
+      t(s"ivf-cur  rep$i") { println(SparkEntry.queries("v_cos_ivf")(spark, sfDir).count()) }
+      t(s"ivf-tiny rep$i") { println(tiny(graft.queries.SimilarityOps.scoredProbe(spark, sfDir, true), 3, false).count()) }
+      t(s"ivf-tiny+ptk rep$i") { println(tiny(partialTopK(graft.queries.SimilarityOps.scoredProbe(spark, sfDir, true), 3), 3, false).count()) }
+      t(s"topk-cur rep$i") { println(SparkEntry.queries("v_cos_topk")(spark, sfDir).count()) }
+      t(s"topk-tiny+ptk rep$i") { println(tiny(partialTopK(graft.queries.SimilarityOps.scoredProbe(spark, sfDir, false), 5), 5, true).count()) }
     }
     spark.stop()
   }

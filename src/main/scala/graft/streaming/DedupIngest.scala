@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Engine
+
+/** Streaming daily-ingest dedup: the §2.11 stored-index lifecycle
+  * (build → probe → append) wired into Structured Streaming.
+  *
+  * Each micro-batch of documents
+  *  1. probes the standing corpus signature index — only the BATCH is
+  *     tokenized and hashed, the corpus is never re-read
+  *     (`Engine.dedupAgainstIndex`);
+  *  2. lands its (batch doc, corpus doc, jaccard) matches as one
+  *     parquet partition keyed by batch id (a replay OVERWRITES its
+  *     own partition — the match output is idempotent);
+  *  3. appends its own signatures so every later batch dedups against
+  *     it too (`Engine.appendDedupIndex` — append-only files, the
+  *     standing index is never rewritten).
+  *
+  * Restart semantics: a `_ingested/batch_<id>` marker makes the index
+  * append idempotent under Structured Streaming's batch replay — a
+  * replayed id re-emits matches (overwriting its own partition) but
+  * skips the re-append. The marker is written AFTER the append, so a
+  * crash between the two can leave one batch's signatures doubled
+  * until the replay completes; duplicate signatures only duplicate
+  * CANDIDATES, and candidates are verified and emitted per (bid, cid)
+  * pair, so the match set is unchanged — disclosed, not hidden.
+  *
+  * At 100 TB: per-batch work is O(batch + matches); the index grows by
+  * exactly the batch's sets/bands files. The composition is the
+  * streaming twin of the batch `d_incremental_stored` row.
+  */
+object DedupIngest {
+
+  /** The `(batch, batchId) => Unit` body for
+    * `docs.writeStream.foreachBatch(...)`. `docs` must carry `idCol`
+    * (integral) and `textCol` (string). */
+  def foreachBatchBody(engine: Engine, idCol: String, textCol: String,
+                       indexDir: String, matchDir: String, tau: Double)
+      : (DataFrame, Long) => Unit = (batch, batchId) => {
+    val spark = engine.spark
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$indexDir/_ingested/batch_$batchId")
+    val b = batch.persist()
+    try {
+      // doc ids are globally unique across corpus and stream, so a
+      // bid == cid pair can only be the batch finding its own already-
+      // appended signatures (a replay) — never a real duplicate
+      engine.dedupAgainstIndex(b, idCol, textCol, indexDir, tau)
+        .where(col("bid") =!= col("cid"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .save(s"$matchDir/batch_id=$batchId") // replay overwrites itself
+      if (!fs.exists(marker)) {
+        engine.appendDedupIndex(b, idCol, textCol, indexDir)
+        fs.mkdirs(marker)
+      }
+    } finally b.unpersist()
+  }
+}
