@@ -1,8 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
 /** Dev-only timing probe for pipeline pieces (not part of the library
   * surface; invoked manually while performance-tuning). */
@@ -22,36 +20,29 @@ object DevProbe {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    Tables.t(spark, sfDir, "embeddings").count()
+    Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
+    Tables.registerAll(spark, sfDir)
+    val rev = "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
 
-    def tiny(df: DataFrame, k: Int, withCos: Boolean): DataFrame = {
-      val w = Window.partitionBy("id_q").orderBy(col("cosd").desc, col("id_n"))
-      val r = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-      val base = r.select(col("id_q"), col("rnk").cast("long").as("rnk"), col("id_n"),
-        col("cosd").cast("decimal(18,4)").cast("double").as("cos"))
-      graft.operators.TinyResult.globalSort(
-        if (withCos) base else base.drop("cos"), col("id_q"), col("rnk"))
-    }
-    def partialTopK(df: DataFrame, k: Int): DataFrame =
-      df.as[(Long, Long, Double)].mapPartitions { it =>
-        val m = scala.collection.mutable.HashMap[Long, scala.collection.mutable.TreeSet[(Double, Long)]]()
-        implicit val ord: Ordering[(Double, Long)] =
-          Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
-        it.foreach { case (q, n, c) =>
-          val s = m.getOrElseUpdate(q, scala.collection.mutable.TreeSet.empty)
-          s.add((c, n)); if (s.size > k) s.remove(s.last)
-        }
-        m.iterator.flatMap { case (q, s) => s.iterator.map(x => (q, x._2, x._1)) }
-      }.toDF("id_q", "id_n", "cosd")
-
+    val alt = s"""WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no, SUM($rev) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS revenue
+      |FROM supplier JOIN
+      |  (SELECT /*+ BROADCAST(m) */ supplier_no, total_revenue
+      |   FROM revenue JOIN (SELECT MAX(total_revenue) AS mx FROM revenue) m
+      |     ON total_revenue = mx) r ON s_suppkey = supplier_no
+      |ORDER BY s_suppkey""".stripMargin
     (0 until 3).foreach { i =>
-      t(s"ivf-cur  rep$i") { println(SparkEntry.queries("v_cos_ivf")(spark, sfDir).count()) }
-      t(s"ivf-tiny rep$i") { println(tiny(graft.queries.SimilarityOps.scoredProbe(spark, sfDir, true), 3, false).count()) }
-      t(s"ivf-tiny+ptk rep$i") { println(tiny(partialTopK(graft.queries.SimilarityOps.scoredProbe(spark, sfDir, true), 3), 3, false).count()) }
-      t(s"topk-cur rep$i") { println(SparkEntry.queries("v_cos_topk")(spark, sfDir).count()) }
-      t(s"topk-tiny+ptk rep$i") { println(tiny(partialTopK(graft.queries.SimilarityOps.scoredProbe(spark, sfDir, false), 5), 5, true).count()) }
+      t(s"q15-cur rep$i") { println(SparkEntry.queries("tpch_q15_top_supplier")(spark, sfDir).count()) }
+      t(s"q15-alt rep$i") { println(spark.sql(alt).count()) }
     }
+    println(spark.sql(alt).queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Scan") || l.contains("Join") || l.contains("Reused"))
+      .mkString("\n"))
     spark.stop()
   }
 }

@@ -949,7 +949,11 @@ object DedupOps {
                                n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // null id/text rows emit no grams (the expression formulation's
+    // size(null) >= n was false too) — filter BEFORE the typed map so
+    // neither the Long decode nor split can hit a null
+    df.where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.split(" ", -1)

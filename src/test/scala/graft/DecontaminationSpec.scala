@@ -57,6 +57,15 @@ class DecontaminationSpec extends AnyFunSuite {
     assert(g == Seq((7L, "a b a"), (7L, "b a b"), (7L, "a b a")))
   }
 
+  test("wordGrams: null text rows emit nothing, not an NPE") {
+    import spark.implicits._
+    val withNull = Seq((1L, Some("a b c")), (2L, None))
+      .toDF("doc_id", "text")
+    val g = DedupOps.wordGrams(withNull, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(g == Seq((1L, "a b"), (1L, "b c")))
+  }
+
   test("broadcast plan: eval side broadcast, corpus probe not shuffled") {
     val plan = DedupOps.decontaminate(df(corpus), df(eval), "doc_id", "text",
         n = 3, broadcastEval = true)
