@@ -146,6 +146,38 @@ object TextOps {
     """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes
       |FROM documents ORDER BY doc_id""".stripMargin)
 
+  // Data-mixture curation: per-source token-budget selection — keep
+  // each source's doc_id-ordered prefix while its cumulative token
+  // count fits the budget (the mixing step that caps a source's
+  // contribution to a training run). Exact integer cumsum, windowed
+  // per source. Scale note: the window is one task per source; when a
+  // single source is TB-sized, swap in the two-phase prefix form
+  // (per-partition token sums -> tiny driver prefix-scan of
+  // sources x partitions offsets -> per-partition local cumsum), the
+  // same decomposition ExactPercentile uses for rank routing.
+  spark("t_token_budget",
+    (s, d) => { Tables.registerAll(s, d)
+      s.sql("""WITH toks AS (SELECT doc_id, source,
+              |                     CAST(size(split(text, ' ')) AS BIGINT) AS n_tok
+              |              FROM documents),
+              |cum AS (SELECT doc_id, source, n_tok,
+              |               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+              |        FROM toks)
+              |SELECT doc_id, source, n_tok, cum_tok
+              |FROM cum WHERE cum_tok <= 600
+              |ORDER BY doc_id""".stripMargin) },
+    """WITH toks AS (SELECT doc_id, source,
+      |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |              FROM documents),
+      |cum AS (SELECT doc_id, source, n_tok,
+      |               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      |        FROM toks)
+      |SELECT doc_id, source, n_tok, cum_tok
+      |FROM cum WHERE cum_tok <= 600
+      |ORDER BY doc_id""".stripMargin)
+
   // Repetition filter stats (the within-document repetition family of
   // Rae et al. 2021 §A.1.1, counts instead of fractions so every
   // column is exact BIGINT): words, distinct words, distinct bigrams
