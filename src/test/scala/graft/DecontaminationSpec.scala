@@ -66,6 +66,26 @@ class DecontaminationSpec extends AnyFunSuite {
     assert(g == Seq((1L, "a b"), (1L, "b c")))
   }
 
+  test("wordGrams ≡ local sliding-window reference on random text") {
+    import org.scalacheck.Gen
+    // words over a tiny alphabet plus empty tokens (double spaces) —
+    // the split(" ", -1) semantics the oracle's string_split shares
+    val word = Gen.oneOf("a", "bb", "ccc", "")
+    val doc = Gen.chooseNum(0, 9).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    val docs = Gen.listOfN(40, doc).sample.get.zipWithIndex
+      .map { case (txt, i) => (i.toLong, txt) }
+    def ref(text: String, n: Int): Seq[String] =
+      text.split(" ", -1).toSeq.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+    for (n <- Seq(2, 3)) {
+      val got = DedupOps.wordGrams(df(docs), "doc_id", "text", n)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+      val want = docs.map { case (id, txt) => id -> ref(txt, n).sorted }
+        .filter(_._2.nonEmpty).toMap
+      assert(got == want, s"n=$n")
+    }
+  }
+
   test("broadcast plan: eval side broadcast, corpus probe not shuffled") {
     val plan = DedupOps.decontaminate(df(corpus), df(eval), "doc_id", "text",
         n = 3, broadcastEval = true)
