@@ -134,7 +134,14 @@ object Bench {
     val budget = 1700
     def fmt2(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val errsCompact = bad.map { case (k, e) => s"\"" + k + "\":\"" + e.take(40) + "\"" }
+    // errors share the byte budget: a high-failure round (the case
+    // where the compact line matters MOST) must not blow the cap with
+    // per-failure messages — keep the first few, count the rest
+    val errsShown = bad.take(5)
+    val errsCompact = (errsShown.map { case (k, e) =>
+        s"\"" + k + "\":\"" + e.take(40) + "\"" } ++
+      (if (bad.size > errsShown.size)
+         Seq(s"\"__more_errors\":${bad.size - errsShown.size}") else Nil))
       .mkString("{", ",", "}")
     val bySlowest = ok.toSeq.sortBy(-_._2)
     val head = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","sf":"$sfDir","errors":$errsCompact,"""

@@ -86,6 +86,9 @@ final class PctState(var cap: Int) {
   /** replay the map's tallies into a raw buffer; high-water memory is
     * the same O(rows-so-far) a raw-only buffer would already hold */
   def toRaw(): Unit = {
+    // same cap as appendRaw/mergeIn: fail cleanly, not mid-copy —
+    // counts are Longs, so a low-cardinality map can tally past 2^31
+    if (total > Int.MaxValue - 8) sys.error("percentile_buf raw buffer exceeds 2^31 values")
     raw = new Array[Double](math.max(32, math.min(total * 2, Int.MaxValue - 8).toInt))
     var i = 0
     while (i < keys.length) {

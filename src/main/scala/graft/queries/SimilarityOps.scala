@@ -144,10 +144,6 @@ object SimilarityOps {
        |ORDER BY id_a, id_b""".stripMargin)
 
   /** score corpus against a broadcast query set; returns (id_q, id_n, cosd) */
-  private[graft] def scoredProbe(s: SparkSession, d: String,
-                                 sameLabelOnly: Boolean): DataFrame =
-    scored(s, d, sameLabelOnly)
-
   private def scored(s: SparkSession, d: String,
                      sameLabelOnly: Boolean): DataFrame = {
     import s.implicits._

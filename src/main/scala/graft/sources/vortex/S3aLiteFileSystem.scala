@@ -400,7 +400,11 @@ class S3aLiteFileSystem extends FileSystem {
             case Some(id) =>
               try {
                 if (buffered > 0) rollPart() // final short part (allowed)
-                else fileOut.close()
+                // rollPart reopens a fresh spill stream for a next part
+                // that will never come — close it (and in the no-roll
+                // case this closes the real stream): an unclosed fd
+                // per multipart object leaks under long-lived executors
+                fileOut.close()
                 val xml = etags.zipWithIndex.map { case (e, i) =>
                   s"<Part><PartNumber>${i + 1}</PartNumber><ETag>${e}</ETag></Part>"
                 }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")

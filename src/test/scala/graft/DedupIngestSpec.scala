@@ -66,4 +66,30 @@ class DedupIngestSpec extends AnyFunSuite {
       .select("bid").collect().map(_.getLong(0)).toSeq
     assert(m20 == Seq(20L))
   }
+
+  test("replay emits the original match set even for intra-batch near-dups") {
+    import spark.implicits._
+    val e = Engine(spark)
+    val indexDir = tmp() + "/index"
+    val matchDir = tmp() + "/matches"
+    e.buildDedupIndex(Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text"), "doc_id", "text", indexDir)
+    // docs 30/31 duplicate EACH OTHER but nothing in the corpus: the
+    // first run sees no corpus match; after the append their
+    // signatures are in the index, so a naive replay probe would
+    // surface (30,31)/(31,30) — the anti-join must keep the partition
+    // identical to the first run
+    val body = graft.streaming.DedupIngest.foreachBatchBody(
+      e, "doc_id", "text", indexDir, matchDir, tau = 0.8)
+    val batch = Seq((30L, "one two three four five"),
+                    (31L, "one two three four five")).toDF("doc_id", "text")
+    body(batch, 7L)
+    val first = spark.read.parquet(s"$matchDir/batch_id=7")
+      .select("bid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first == Set.empty, s"first run got $first")
+    body(batch, 7L) // replay
+    val replay = spark.read.parquet(s"$matchDir/batch_id=7")
+      .select("bid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replay == first, s"replay diverged: $replay vs $first")
+  }
 }
