@@ -83,4 +83,38 @@ class SortThroughProjectSpec extends AnyFunSuite {
     val q = base.select(col("k")).orderBy("k")
     assert(!pushed(q), optimized(q))
   }
+
+  test("property: random projection x sort direction equals unpushed reference") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.Column
+    val exprGens: Seq[Long => Column] = Seq(
+      _ => md5(col("k").cast("string")),
+      s => log10(col("k") + lit(s % 13 + 1)),
+      s => (col("k") * lit(s % 7 + 2) + lit(1)),
+      s => sha1(concat(col("k").cast("string"), lit(s.toString))),
+      s => pow(col("k") + lit(1), lit(((s % 3) + 1).toDouble)),
+      s => (col("k") % lit(s % 11 + 2)))
+    val caseGen = for {
+      n     <- Gen.chooseNum(1, 4)
+      picks <- Gen.listOfN(n, Gen.chooseNum(0, exprGens.size - 1))
+      seed  <- Gen.chooseNum(1L, 1000L)
+      desc  <- Gen.oneOf(true, false)
+      alias <- Gen.oneOf(true, false)  // ORDER BY k vs ORDER BY (k AS a)
+    } yield (picks, seed, desc, alias)
+    val cases = Gen.listOfN(12, caseGen).sample.get
+    cases.zipWithIndex.foreach { case ((picks, seed, desc, alias), ci) =>
+      val keyName = if (alias) "a" else "k"
+      val proj = (if (alias) col("k").as("a") else col("k")) +:
+        picks.zipWithIndex.map { case (p, i) => exprGens(p)(seed + i).as(s"e$i") }
+      val key = if (desc) col(keyName).desc else col(keyName).asc
+      val q = base.select(proj: _*).orderBy(key)
+      val got = q.collect().toSeq
+      // reference: no extraOptimizations (fresh builder path) — sort
+      // the same unpushed projection driver-side
+      val plain = base.select(proj: _*).collect()
+        .sortBy(_.getLong(0)).toSeq
+      val want = if (desc) plain.reverse else plain
+      assert(got == want, s"case $ci picks=$picks seed=$seed desc=$desc alias=$alias")
+    }
+  }
 }
