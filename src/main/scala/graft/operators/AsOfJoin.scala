@@ -53,7 +53,7 @@ object AsOfJoin {
         struct(payload.map(col): _*).as("__rp"))
     val l = left
       .select(col(leftKey).cast(kT).as("__k"), col(leftTime).cast(tT).as("__t"),
-        lit(1).as("__side"), struct(left.columns.map(col): _*).as("__lp"))
+        lit(1).as("__side"), struct(left.columns.toIndexedSeq.map(col): _*).as("__lp"))
     // at equal time a right row is eligible (<=): side 0 sorts before 1;
     // among equal-time right rows the LAST carried is the max tieBreak.
     val w = Window.partitionBy("__k")
@@ -62,7 +62,7 @@ object AsOfJoin {
     r.unionByName(l, allowMissingColumns = true)
       .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(c => col("__lp").getField(c).as(c)) ++
+      .select(left.columns.toIndexedSeq.map(c => col("__lp").getField(c).as(c)) ++
               payload.map(p => col("__m").getField(p).as(p)): _*)
   }
 }

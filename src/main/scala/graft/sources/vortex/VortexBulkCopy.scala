@@ -163,7 +163,7 @@ object VortexBulkCopy {
       else {
         // taskAttemptId in the name: a retried/speculated attempt can
         // never collide with its sibling's tmp file
-        val tid = org.apache.spark.TaskContext.get.taskAttemptId()
+        val tid = org.apache.spark.TaskContext.get().taskAttemptId()
         val name = f"part-$pid%05d-$jobId-$tid.vortex"
         val file = new Path(dir, name)
         val tmp = new Path(dir, s".$name.inprogress")

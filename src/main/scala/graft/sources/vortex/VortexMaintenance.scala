@@ -206,7 +206,7 @@ object VortexMaintenance {
         try Some(org.apache.spark.sql.types.DataType.fromJson(sk)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
         catch { case _: Exception => None }
-      StatsManifest.write(root, hconf, s"compact-$jobId-$i", group.map(_._2), schema)
+      StatsManifest.write(root, hconf, s"compact-$jobId-$i", group.map(_._2).toIndexedSeq, schema)
     }
 
     CompactResult(byDir.size, batches.length,
