@@ -178,6 +178,50 @@ object TextOps {
       |FROM cum WHERE cum_tok <= 600
       |ORDER BY doc_id""".stripMargin)
 
+  // End-to-end curation pipeline — the composition a daily training-
+  // data run executes: quality gate (length band + dup-word rate as
+  // exact integer comparisons) -> exact dedup (min doc_id per distinct
+  // text) -> per-source token budget. Every stage is individually
+  // oracle-proven above; this row proves the COMPOSITION end to end.
+  // Scale notes: the quality gate is map-side; the dedup GROUP BY
+  // shuffles document texts - at corpus scale group by (md5(text),
+  // length(text)) instead so only fingerprints move (t_fingerprint's
+  // canon), then verify within the tiny collision groups; the budget
+  // window is one task per source (two-phase prefix form documented at
+  // t_token_budget).
+  spark("t_curate",
+    (s, d) => { Tables.registerAll(s, d)
+      s.sql("""WITH stats AS (SELECT doc_id, source, text,
+              |                      CAST(size(split(text, ' ')) AS BIGINT) AS n_tok,
+              |                      CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_dist
+              |               FROM documents),
+              |quality AS (SELECT * FROM stats WHERE n_tok BETWEEN 20 AND 80 AND 2 * n_dist > n_tok),
+              |uniq AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY text),
+              |survivors AS (SELECT q.doc_id, q.source, q.n_tok
+              |              FROM quality q JOIN uniq u ON q.doc_id = u.doc_id),
+              |cum AS (SELECT doc_id, source, n_tok,
+              |               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+              |        FROM survivors)
+              |SELECT doc_id, source, n_tok, cum_tok
+              |FROM cum WHERE cum_tok <= 400
+              |ORDER BY doc_id""".stripMargin) },
+    """WITH stats AS (SELECT doc_id, source, text,
+      |                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |                      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dist
+      |               FROM documents),
+      |quality AS (SELECT * FROM stats WHERE n_tok BETWEEN 20 AND 80 AND 2 * n_dist > n_tok),
+      |uniq AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY text),
+      |survivors AS (SELECT q.doc_id, q.source, q.n_tok
+      |              FROM quality q JOIN uniq u ON q.doc_id = u.doc_id),
+      |cum AS (SELECT doc_id, source, n_tok,
+      |               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      |        FROM survivors)
+      |SELECT doc_id, source, n_tok, cum_tok
+      |FROM cum WHERE cum_tok <= 400
+      |ORDER BY doc_id""".stripMargin)
+
   // Repetition filter stats (the within-document repetition family of
   // Rae et al. 2021 §A.1.1, counts instead of fractions so every
   // column is exact BIGINT): words, distinct words, distinct bigrams
