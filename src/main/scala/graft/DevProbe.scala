@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev-only timing probe for pipeline pieces (not part of the library
   * surface; invoked manually while performance-tuning). */
@@ -15,18 +14,37 @@ object DevProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
-    val li = Tables.t(spark, sfDir, "lineitem")
-    val specs = Seq(("l_quantity", Seq(0.5, 0.9), Seq("p50r", "p90r")),
-                    ("l_extendedprice", Seq(0.25), Seq("p25r")))
+    Tables.registerAll(spark, sfDir)
     def run(nm: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
       (0 until 2).foreach(_ => Bench.force(mk))
       val best = (0 until 3).map { _ =>
         val t0 = System.nanoTime(); Bench.force(mk); (System.nanoTime() - t0) / 1e9
       }.min
-      println(f"[sweep] $nm%-24s $best%.3f s")
+      println(f"[sweep] $nm%-16s $best%.3f s")
     }
-    run("small-path") { graft.operators.ExactPercentile.computeMultiAuto(li, "l_returnflag", specs) }
-    run("histogram")  { graft.operators.ExactPercentile.computeMultiAuto(li, "l_returnflag", specs, maxSmallRows = 0, maxSmallBytes = 0L) }
+    val q3alt = """WITH lrev AS (
+      |  SELECT l_orderkey, SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
+      |  FROM lineitem WHERE l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+      |  GROUP BY l_orderkey)
+      |SELECT l_orderkey,
+      |  CAST(CAST(CAST(rev4 AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS odate
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lrev ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+      |ORDER BY revenue DESC NULLS LAST, l_orderkey LIMIT 20""".stripMargin
+    val q12alt = """SELECT /*+ SHUFFLE_HASH(orders) */ l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > o_orderdate
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    run("q3-cur") { SparkEntry.queries("tpch_q3_shipping")(spark, sfDir) }
+    run("q3-preagg") { spark.sql(q3alt) }
+    run("q12-cur") { SparkEntry.queries("tpch_q12_shipmode")(spark, sfDir) }
+    run("q12-shufhash") { spark.sql(q12alt) }
     spark.stop()
   }
 }

@@ -363,18 +363,26 @@ object Relational {
   // ---- TPC-H-shaped multi-join analytics (Q3/Q5/Q10 skeletons) --------
   // Spark sides of the TPC-H revenue queries run the cents kernel
   // (see a2_q1_agg); oracles keep the decimal formulation.
+  // Pre-aggregate the fact per order BEFORE the joins (the j8_star /
+  // q13 lever): the groupBy shuffles on l_orderkey - the key the
+  // orders join needs anyway - so the joins probe one row per order
+  // (~4x less input) and the final GROUP BY disappears entirely
+  // (orderkey is unique in both lrev and orders): 0.97 -> 0.77 s at
+  // sf1. Semantics unchanged: grouping by (l_orderkey, o_orderdate)
+  // was already one group per orderkey.
   spark("tpch_q3_shipping",
     (s, d) => { Tables.registerAll(s, d)
-      s.sql("""SELECT l_orderkey,
-              |  CAST(CAST(CAST(SUM(rev4) AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
+      s.sql("""WITH lrev AS (
+              |  SELECT l_orderkey,
+              |         SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
+              |  FROM lineitem WHERE l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+              |  GROUP BY l_orderkey)
+              |SELECT l_orderkey,
+              |  CAST(CAST(CAST(rev4 AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
               |  CAST(o_orderdate AS DATE) AS odate
               |FROM customer JOIN orders ON c_custkey = o_custkey
-              |  JOIN (SELECT l_orderkey, l_shipdate,
-              |          CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
-              |        FROM lineitem) l ON l_orderkey = o_orderkey
+              |  JOIN lrev ON l_orderkey = o_orderkey
               |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
-              |  AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
-              |GROUP BY l_orderkey, o_orderdate
               |ORDER BY revenue DESC NULLS LAST, l_orderkey LIMIT 20""".stripMargin) },
     """SELECT l_orderkey,
       |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,

@@ -207,8 +207,11 @@ object TpchSuite {
 
   // Q12: ship-mode split → returnflag split; late = shipped after the
   // order date inside the year window.
+  // SHUFFLE_HASH(orders): the 1.5M-row orders side hash-builds per
+  // partition instead of sort-merging both sides (0.71 -> 0.63 s at
+  // sf1 - the q9 lever); DuckDB parses the hint as a comment.
   common("tpch_q12_shipmode",
-    """SELECT l_returnflag,
+    """SELECT /*+ SHUFFLE_HASH(orders) */ l_returnflag,
       |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
       |  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
