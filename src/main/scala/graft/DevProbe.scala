@@ -22,29 +22,29 @@ object DevProbe {
       }.min
       println(f"[sweep] $nm%-16s $best%.3f s")
     }
-    val q3alt = """WITH lrev AS (
+    val q10alt = """WITH lr AS (
       |  SELECT l_orderkey, SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
-      |  FROM lineitem WHERE l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
-      |  GROUP BY l_orderkey)
-      |SELECT l_orderkey,
-      |  CAST(CAST(CAST(rev4 AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
-      |  CAST(o_orderdate AS DATE) AS odate
-      |FROM customer JOIN orders ON c_custkey = o_custkey
-      |  JOIN lrev ON l_orderkey = o_orderkey
-      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
-      |ORDER BY revenue DESC NULLS LAST, l_orderkey LIMIT 20""".stripMargin
-    val q12alt = """SELECT /*+ SHUFFLE_HASH(orders) */ l_returnflag,
-      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-      |  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-      |  AND l_shipdate > o_orderdate
-      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
-    run("q3-cur") { SparkEntry.queries("tpch_q3_shipping")(spark, sfDir) }
-    run("q3-preagg") { spark.sql(q3alt) }
-    run("q12-cur") { SparkEntry.queries("tpch_q12_shipmode")(spark, sfDir) }
-    run("q12-shufhash") { spark.sql(q12alt) }
+      |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey),
+      |rev AS (
+      |  SELECT o_custkey, SUM(rev4) AS rev4s
+      |  FROM lr JOIN orders ON l_orderkey = o_orderkey GROUP BY o_custkey)
+      |SELECT c_custkey, c_name,
+      |  CAST(CAST(CAST(rev4s AS DECIMAL(24,0)) / 10000 AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
+      |  CAST(CAST(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DECIMAL(24,0)) / 100 AS DECIMAL(30,6)) AS DOUBLE) AS acctbal,
+      |  n_name
+      |FROM rev JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY revenue DESC NULLS LAST, c_custkey LIMIT 20""".stripMargin
+    val j2alt = """WITH oc AS (SELECT o_custkey, CAST(count(o_orderkey) AS BIGINT) AS n FROM orders GROUP BY o_custkey)
+      |SELECT coalesce(c_custkey, o_custkey) AS k,
+      |       coalesce(n, CAST(0 AS BIGINT)) AS n_o,
+      |       CASE WHEN c_custkey IS NULL THEN CAST(0 AS BIGINT)
+      |            ELSE greatest(coalesce(n, CAST(0 AS BIGINT)), CAST(1 AS BIGINT)) END AS n_c
+      |FROM customer FULL JOIN oc ON c_custkey = o_custkey ORDER BY k""".stripMargin
+    run("q10-cur") { SparkEntry.queries("tpch_q10_returns")(spark, sfDir) }
+    run("q10-preagg") { spark.sql(q10alt) }
+    run("j2full-cur") { SparkEntry.queries("j2_full")(spark, sfDir) }
+    run("j2full-preagg") { spark.sql(j2alt) }
     spark.stop()
   }
 }

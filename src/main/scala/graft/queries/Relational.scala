@@ -102,7 +102,24 @@ object Relational {
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin)
 
-  common("j2_full",
+  // Pre-count orders per custkey BELOW the full join (the j2_left
+  // lever, outer-join-safe): the join then pairs 99k customers with
+  // 100k count rows instead of 1.5M order rows, and the group-by
+  // disappears. Exact per-group equivalence: a matched key's group
+  // held n order rows with c_name repeated n times, so n_o = n and
+  // n_c = n; an orderless customer's single all-null-right row gives
+  // (0, 1); a customerless key keeps (n, 0) - greatest/coalesce
+  // reproduce all three. 0.77 -> 0.57 s at sf1.
+  spark("j2_full",
+    (s, d) => { Tables.registerAll(s, d)
+      s.sql("""WITH oc AS (SELECT o_custkey, CAST(count(o_orderkey) AS BIGINT) AS n
+              |           FROM orders GROUP BY o_custkey)
+              |SELECT coalesce(c_custkey, o_custkey) AS k,
+              |       coalesce(n, CAST(0 AS BIGINT)) AS n_o,
+              |       CASE WHEN c_custkey IS NULL THEN CAST(0 AS BIGINT)
+              |            ELSE greatest(coalesce(n, CAST(0 AS BIGINT)), CAST(1 AS BIGINT)) END AS n_c
+              |FROM customer FULL JOIN oc ON c_custkey = o_custkey
+              |ORDER BY k""".stripMargin) },
     """SELECT coalesce(c_custkey, o_custkey) AS k, count(o_orderkey) AS n_o, count(c_name) AS n_c
       |FROM customer FULL JOIN orders ON c_custkey = o_custkey
       |GROUP BY coalesce(c_custkey, o_custkey) ORDER BY k""".stripMargin)
