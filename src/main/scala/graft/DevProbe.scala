@@ -35,16 +35,16 @@ object DevProbe {
       |FROM rev JOIN customer ON c_custkey = o_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY revenue DESC NULLS LAST, c_custkey LIMIT 20""".stripMargin
-    val j2alt = """WITH oc AS (SELECT o_custkey, CAST(count(o_orderkey) AS BIGINT) AS n FROM orders GROUP BY o_custkey)
-      |SELECT coalesce(c_custkey, o_custkey) AS k,
-      |       coalesce(n, CAST(0 AS BIGINT)) AS n_o,
-      |       CASE WHEN c_custkey IS NULL THEN CAST(0 AS BIGINT)
-      |            ELSE greatest(coalesce(n, CAST(0 AS BIGINT)), CAST(1 AS BIGINT)) END AS n_c
-      |FROM customer FULL JOIN oc ON c_custkey = o_custkey ORDER BY k""".stripMargin
+    // The registered j2_full IS the pre-agg form since f6f6ebb; the
+    // alt here is the OLD group-by-after-join form, so the sweep still
+    // measures the lever (cur should beat old, not tie it).
+    val j2old = """SELECT coalesce(c_custkey, o_custkey) AS k, count(o_orderkey) AS n_o, count(c_name) AS n_c
+      |FROM customer FULL JOIN orders ON c_custkey = o_custkey
+      |GROUP BY coalesce(c_custkey, o_custkey) ORDER BY k""".stripMargin
     run("q10-cur") { SparkEntry.queries("tpch_q10_returns")(spark, sfDir) }
     run("q10-preagg") { spark.sql(q10alt) }
     run("j2full-cur") { SparkEntry.queries("j2_full")(spark, sfDir) }
-    run("j2full-preagg") { spark.sql(j2alt) }
+    run("j2full-old") { spark.sql(j2old) }
     spark.stop()
   }
 }

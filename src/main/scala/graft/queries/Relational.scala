@@ -109,7 +109,10 @@ object Relational {
   // held n order rows with c_name repeated n times, so n_o = n and
   // n_c = n; an orderless customer's single all-null-right row gives
   // (0, 1); a customerless key keeps (n, 0) - greatest/coalesce
-  // reproduce all three. 0.77 -> 0.57 s at sf1.
+  // reproduce all three. Relies on c_custkey being unique (customer's
+  // PK, arange in gen_sf.py): a duplicated key would emit one row per
+  // duplicate here but a single merged row in the oracle's GROUP BY.
+  // 0.77 -> 0.57 s at sf1.
   spark("j2_full",
     (s, d) => { Tables.registerAll(s, d)
       s.sql("""WITH oc AS (SELECT o_custkey, CAST(count(o_orderkey) AS BIGINT) AS n
