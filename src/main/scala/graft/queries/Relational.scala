@@ -253,7 +253,20 @@ object Relational {
       |GROUP BY n_name ORDER BY n_name""".stripMargin)
 
   // ---- §2.4 aggregations ----------------------------------------------
-  common("a1_agg_global",
+  // Spark side runs the a2-style cents kernel: the SUM accumulates in
+  // LONG codegen and MIN/MAX compare longs; only the three final
+  // values touch decimal (one exact /100 each), so the surfaced
+  // doubles are bit-identical to the oracle's decimal-cast path.
+  spark("a1_agg_global",
+    (s, d) => { Tables.registerAll(s, d)
+      s.sql("""SELECT count(*) AS n, count(l_orderkey) AS n_key,
+              |  CAST(CAST(CAST(SUM(qc) AS DECIMAL(24,0)) / 100 AS DECIMAL(30,6)) AS DOUBLE) AS sum_qty,
+              |  CAST(CAST(CAST(MIN(pc) AS DECIMAL(24,0)) / 100 AS DECIMAL(30,6)) AS DOUBLE) AS min_price,
+              |  CAST(CAST(CAST(MAX(pc) AS DECIMAL(24,0)) / 100 AS DECIMAL(30,6)) AS DOUBLE) AS max_price
+              |FROM (SELECT l_orderkey,
+              |        CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+              |        CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+              |      FROM lineitem) c""".stripMargin) },
     """SELECT count(*) AS n, count(l_orderkey) AS n_key,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,

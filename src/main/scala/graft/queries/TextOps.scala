@@ -275,4 +275,75 @@ object TextOps {
       |       coalesce(n_distinct_bg, 0) AS n_distinct_bg, coalesce(top_bigram, 0) AS top_bigram
       |FROM base LEFT JOIN bgc ON base.doc_id = bgc.doc_id
       |ORDER BY doc_id""".stripMargin)
+
+  // Deterministic hash-bucket sampling (training-data subsetting that
+  // is reproducible across engines and runs): a Knuth multiplicative
+  // hash of doc_id picks ~10% of the corpus. Pure map-side filter —
+  // no shuffle, no RNG state, and the SAME rows come out of any
+  // engine that can do exact bigint arithmetic (the oracle runs the
+  // identical formula). The pre-mod by 2^31-1 keeps the product under
+  // 2^63 for arbitrarily large ids. In production the filter column
+  // would be xxhash64; the plan shape (scan → filter → project) is
+  // identical.
+  spark("t_hash_sample",
+    (s, d) => Tables.t(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ((col("doc_id") % 2147483647L) * 2654435761L % 4294967296L).as("bucket"))
+      .where(col("bucket") < 429496730L)
+      .orderBy("doc_id"),
+    """SELECT doc_id, source, n_chars,
+      |  ((doc_id % 2147483647) * 2654435761) % 4294967296 AS bucket
+      |FROM documents
+      |WHERE ((doc_id % 2147483647) * 2654435761) % 4294967296 < 429496730
+      |ORDER BY doc_id""".stripMargin)
+
+  // Stratified (per-source) sampling with an exact quota: the k
+  // hash-smallest docs of every source — the mixing primitive for
+  // "N docs per domain" training subsets. Scale shape: a plain
+  // row_number window would shuffle EVERY row to its source's
+  // partition and sort it; instead phase 1 keeps a bounded heap per
+  // source inside each input partition (k·|sources| entries, no
+  // shuffle), so the exact-rank window in phase 2 sees at most
+  // k·|sources|·partitions candidate rows — the only shuffled data.
+  // Any global top-k row is a top-k row of its partition, so phase 1
+  // drops no winner.
+  spark("t_stratified_sample",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val k = 50
+      val partial = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          ((col("doc_id") % 2147483647L) * 2654435761L % 4294967296L).as("h"))
+        .as[(Long, String, Long)]
+        .mapPartitions { it =>
+          // max-heap on (h, doc_id): head = current worst of the best
+          // k, evicted when a smaller candidate arrives
+          val ord = implicitly[Ordering[(Long, Long)]].reverse
+          val heaps = scala.collection.mutable.Map.empty[String, java.util.PriorityQueue[(Long, Long)]]
+          it.foreach { case (id, src, h) =>
+            val q = heaps.getOrElseUpdate(src,
+              new java.util.PriorityQueue[(Long, Long)](k + 1, ord))
+            if (q.size < k) q.add((h, id))
+            else if (ord.compare((h, id), q.peek()) > 0) { q.poll(); q.add((h, id)) }
+          }
+          heaps.iterator.flatMap { case (src, q) =>
+            scala.jdk.CollectionConverters.IteratorHasAsScala(q.iterator).asScala
+              .map(t => (t._2, src, t._1))
+          }
+        }
+        .toDF("doc_id", "source", "h")
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      partial
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= k)
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy("source", "rk")
+    },
+    """SELECT doc_id, source, rk FROM (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |         ORDER BY ((doc_id % 2147483647) * 2654435761) % 4294967296, doc_id) AS BIGINT) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 50 ORDER BY source, rk""".stripMargin)
 }
