@@ -41,6 +41,13 @@ object DevProbe {
     val j2old = """SELECT coalesce(c_custkey, o_custkey) AS k, count(o_orderkey) AS n_o, count(c_name) AS n_c
       |FROM customer FULL JOIN orders ON c_custkey = o_custkey
       |GROUP BY coalesce(c_custkey, o_custkey) ORDER BY k""".stripMargin
+    val a1old = """SELECT count(*) AS n, count(l_orderkey) AS n_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+      |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+      |FROM lineitem""".stripMargin
+    run("a1-cur") { SparkEntry.queries("a1_agg_global")(spark, sfDir) }
+    run("a1-decimal") { spark.sql(a1old) }
     run("q10-cur") { SparkEntry.queries("tpch_q10_returns")(spark, sfDir) }
     run("q10-preagg") { spark.sql(q10alt) }
     run("j2full-cur") { SparkEntry.queries("j2_full")(spark, sfDir) }
