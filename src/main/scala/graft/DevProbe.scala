@@ -48,6 +48,21 @@ object DevProbe {
       |FROM lineitem""".stripMargin
     run("a1-cur") { SparkEntry.queries("a1_agg_global")(spark, sfDir) }
     run("a1-decimal") { spark.sql(a1old) }
+    val a4old = """SELECT CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+      |       count(DISTINCT l_quantity) AS nd
+      |FROM lineitem""".stripMargin
+    val a6old = """SELECT coalesce(l_returnflag, '<ALL>') AS rf, coalesce(l_linestatus, '<ALL>') AS ls,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g1, CAST(GROUPING(l_linestatus) AS BIGINT) AS g2,
+      |  count(*) AS n,
+      |  CAST(CAST(CAST(SUM(qc) AS DECIMAL(24,0)) / 100 AS DECIMAL(30,6)) AS DOUBLE) AS sum_qty
+      |FROM (SELECT l_returnflag, l_linestatus,
+      |        CAST(round(l_quantity * 100) AS BIGINT) AS qc FROM lineitem) c
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY g1, g2, rf, ls""".stripMargin
+    run("a4sd-cur") { SparkEntry.queries("a4_sum_distinct")(spark, sfDir) }
+    run("a4sd-old") { spark.sql(a4old) }
+    run("a6roll-cur") { SparkEntry.queries("a6_rollup")(spark, sfDir) }
+    run("a6roll-old") { spark.sql(a6old) }
     run("q10-cur") { SparkEntry.queries("tpch_q10_returns")(spark, sfDir) }
     run("q10-preagg") { spark.sql(q10alt) }
     run("j2full-cur") { SparkEntry.queries("j2_full")(spark, sfDir) }

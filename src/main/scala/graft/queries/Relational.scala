@@ -336,7 +336,18 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
 
-  common("a4_sum_distinct",
+  // Spark side pre-distincts the cents value: the distinct runs as a
+  // map-side partial hash-agg on a LONG key (a few thousand survivors
+  // shuffle), and the SUM/COUNT see only the distinct set — no
+  // distinct-aggregate planning over decimals. distinct-of-cents =
+  // cents-of-distinct because round(x*100) is injective on the
+  // 2-decimal corpus (asserted per SF, see a7).
+  spark("a4_sum_distinct",
+    (s, d) => { Tables.registerAll(s, d)
+      s.sql("""SELECT CAST(CAST(CAST(SUM(qc) AS DECIMAL(24,0)) / 100 AS DECIMAL(30,6)) AS DOUBLE) AS sd,
+              |       count(qc) AS nd
+              |FROM (SELECT DISTINCT CAST(round(l_quantity * 100) AS BIGINT) AS qc
+              |      FROM lineitem) c""".stripMargin) },
     """SELECT CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sd,
       |       count(DISTINCT l_quantity) AS nd
       |FROM lineitem""".stripMargin)
@@ -348,16 +359,21 @@ object Relational {
       .agg(approx_count_distinct("l_partkey").as("approx_parts"),
            count_distinct(col("l_partkey")).as("exact_parts")))
 
-  // Spark side runs the cents kernel (see a2_q1_agg): long arithmetic
-  // per row, one exact decimal division per output group.
+  // Spark side runs the cents kernel (see a2_q1_agg) AND pre-aggregates
+  // by the two rollup columns first: count/sum re-aggregate
+  // associatively, so the Expand-by-3 operator runs over the 6
+  // pre-aggregated groups instead of every lineitem row (the expand
+  // was tripling the 6M-row stream at sf1).
   spark("a6_rollup",
     (s, d) => { Tables.registerAll(s, d)
-      s.sql("""SELECT coalesce(l_returnflag, '<ALL>') AS rf, coalesce(l_linestatus, '<ALL>') AS ls,
+      s.sql("""WITH g AS (SELECT l_returnflag, l_linestatus, count(*) AS n0,
+              |                  SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS s0
+              |           FROM lineitem GROUP BY l_returnflag, l_linestatus)
+              |SELECT coalesce(l_returnflag, '<ALL>') AS rf, coalesce(l_linestatus, '<ALL>') AS ls,
               |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g1, CAST(GROUPING(l_linestatus) AS BIGINT) AS g2,
-              |  count(*) AS n,
-              |  CAST(CAST(CAST(SUM(qc) AS DECIMAL(24,0)) / 100 AS DECIMAL(30,6)) AS DOUBLE) AS sum_qty
-              |FROM (SELECT l_returnflag, l_linestatus,
-              |        CAST(round(l_quantity * 100) AS BIGINT) AS qc FROM lineitem) c
+              |  SUM(n0) AS n,
+              |  CAST(CAST(CAST(SUM(s0) AS DECIMAL(24,0)) / 100 AS DECIMAL(30,6)) AS DOUBLE) AS sum_qty
+              |FROM g
               |GROUP BY ROLLUP(l_returnflag, l_linestatus)
               |ORDER BY g1, g2, rf, ls""".stripMargin) },
     """SELECT coalesce(l_returnflag, '<ALL>') AS rf, coalesce(l_linestatus, '<ALL>') AS ls,
