@@ -59,6 +59,11 @@ object DevProbe {
       |        CAST(round(l_quantity * 100) AS BIGINT) AS qc FROM lineitem) c
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY g1, g2, rf, ls""".stripMargin
+    // negative result (kept as a note, probe removed): adding a
+    // groupBy(o_custkey) stage between j8's orders join and the
+    // customer join measured 1.53 s vs 1.39 s current at sf1 — the
+    // extra shuffle costs more than the 1.5M->99k customer-join
+    // shrink saves at this scale.
     run("a4sd-cur") { SparkEntry.queries("a4_sum_distinct")(spark, sfDir) }
     run("a4sd-old") { spark.sql(a4old) }
     run("a6roll-cur") { SparkEntry.queries("a6_rollup")(spark, sfDir) }
