@@ -315,6 +315,17 @@ final case class Engine(spark: SparkSession) {
     queries.SimilarityOps.appendIvfIndex(spark,
       annVecs(newEmbeddings, idCol, vecCol), dir)
 
+  /** Probe the stored ANN index with a batch of embeddings: each query
+    * assigns to its stored centroid and scores ONLY that cluster's
+    * partition — top-k neighbors per query id. `excludeIds` (a one-
+    * column "id" frame) is removed from the candidate pool BEFORE
+    * ranking — the streaming-replay guard. */
+  def annSearchIndex(queryEmbeddings: DataFrame, idCol: String, vecCol: String,
+                     dir: String, k: Int = 3,
+                     excludeIds: Option[DataFrame] = None): DataFrame =
+    queries.SimilarityOps.probeIvfIndex(spark,
+      annVecs(queryEmbeddings, idCol, vecCol), dir, k, excludeIds)
+
   private def annVecs(df: DataFrame, idCol: String, vecCol: String)
       : Dataset[queries.SimilarityOps.QVec] =
     df.select(col(idCol).cast("long"), lit(0), col(vecCol).cast("array<float>"))

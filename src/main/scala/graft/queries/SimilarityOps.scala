@@ -312,6 +312,46 @@ object SimilarityOps {
     * see old and new rows in one partitioned read. Centroids drift as
     * the corpus grows — the standard IVF trade; rebuild via
     * [[buildIvfIndex]] when recall degrades. */
+  /** Probe the stored IVF index with a BATCH of query vectors (the
+    * streaming-ingest shape — no driver-side collect of the queries):
+    * each query assigns to its stored centroid (one map vs the K-row
+    * sidecar), the index read plans ONLY the probed clusters'
+    * partitions, and candidates come from a cluster-id equi-join —
+    * the bounded batch broadcasts, the index streams. `exclude`
+    * removes candidate ids BEFORE the top-k ranking, so an excluded
+    * id cannot consume a rank slot (replay idempotence for ingest).
+    * Duplicate index rows (the disclosed crash-between-append-and-
+    * marker window) are collapsed per (id_q, id_n) pre-ranking. */
+  def probeIvfIndex(s: SparkSession, queries0: Dataset[QVec], dir: String,
+                    k: Int, exclude: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(readCentroids(s, dir))
+    val assigned = queries0
+      .map(v => (v.id, VecFixedPoint.nearestCentroid(v.q, bc.value).toLong, v.q, v.saa))
+      .toDF("id_q", "qk", "qq", "qsaa")
+    // O(#centroids) driver data: which clusters does the batch touch
+    val ks = assigned.select("qk").distinct().as[Long].collect()
+    val idx = s.read.format("vortex").load(dir)
+      .select(col("id"), col("k").cast("long").as("k"), col("q"), col("saa"))
+      .filter(col("k").isin(ks: _*))
+    val pruned = exclude match {
+      case Some(ex) =>
+        idx.join(broadcast(ex.select(col("id").as("__ex_id"))),
+          col("id") === col("__ex_id"), "left_anti")
+      case None => idx
+    }
+    val cand = pruned.join(broadcast(assigned), col("k") === col("qk"))
+      .filter(col("id") =!= col("id_q"))
+      .select(col("id_q"), col("id"), col("qq"), col("qsaa"), col("q"), col("saa"))
+      .as[(Long, Long, Seq[Long], Long, Seq[Long], Long)]
+      .map { case (idq, id, qq, qsaa, qv, saa) =>
+        (idq, id, VecFixedPoint.cos(VecFixedPoint.dot(qq.toArray, qv.toArray), qsaa, saa))
+      }
+      .toDF("id_q", "id_n", "cosd")
+      .dropDuplicates("id_q", "id_n")
+    topk(cand, k, withCos = true)
+  }
+
   def appendIvfIndex(s: SparkSession, newVecs: Dataset[QVec], dir: String): Unit = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(readCentroids(s, dir))
