@@ -103,6 +103,18 @@ object Bench {
     }
     val ok = results.collect { case (k, (v, None)) => k -> v }
     val bad = results.collect { case (k, (_, Some(e))) => k -> e }
+    // error text goes inside JSON string literals: even though capture
+    // already blanks ["\\\n\r\t], escape defensively so an exotic
+    // control char (or a future capture-path change) can't produce
+    // invalid JSON exactly in the high-failure round the line exists
+    // to disclose
+    def esc(s: String): String =
+      s.flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case c if c < ' '  => " "
+        case c             => c.toString
+      }
     // 4-decimal seconds (0.1 ms grain): full Double repr tripled the
     // line length, and an over-long line is exactly what the driver's
     // tail capture has truncated in past rounds ("parsed": null)
@@ -110,7 +122,7 @@ object Bench {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errs = bad.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
+    val errs = bad.map { case (k, e) => s"\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
@@ -121,6 +133,15 @@ object Bench {
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchFile), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] could not write $benchFile: ${e.getMessage}") }
+    // ALL verbose output goes out BEFORE the compact line: in the
+    // driver's merged stdout+stderr 2000-char TAIL capture, whatever
+    // prints last wins, and r7 proved that a post-compact stderr dump
+    // of the full ~3 kB line re-truncates the capture into
+    // "parsed": null. Order: full line (stderr), failure details
+    // (stderr), full line (stdout), compact line (stdout, LAST).
+    System.err.println(line)
+    bad.foreach { case (k, e) => System.err.println(s"[bench] $k FAILED: $e") }
+    System.err.flush()
     println(line)
     // The driver's capture keeps only a 2000-char stdout TAIL, and the
     // full line (~3 kB at 131 queries — the names alone are 1.6 kB)
@@ -139,7 +160,7 @@ object Bench {
     // per-failure messages — keep the first few, count the rest
     val errsShown = bad.take(5)
     val errsCompact = (errsShown.map { case (k, e) =>
-        s"\"" + k + "\":\"" + e.take(40) + "\"" } ++
+        s"\"" + k + "\":\"" + esc(e.take(40)) + "\"" } ++
       (if (bad.size > errsShown.size)
          Seq(s"\"__more_errors\":${bad.size - errsShown.size}") else Nil))
       .mkString("{", ",", "}")
@@ -158,9 +179,6 @@ object Bench {
       entries.mkString("\"queries\":{", ",", "}}")
     println(compact)
     System.out.flush()
-    System.err.println(line)
-    System.err.flush()
-    bad.foreach { case (k, e) => System.err.println(s"[bench] $k FAILED: $e") }
     spark.stop()
     if (bad.nonEmpty) sys.exit(1)
   }

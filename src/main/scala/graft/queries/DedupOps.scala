@@ -796,15 +796,23 @@ object DedupOps {
     },
     incrementalOracle)
 
-  /** aggregate + localize the per-batch-doc result, then release the
-    * match cache (shared by d_incremental / d_incremental_stored) */
+  /** aggregate + materialize the per-batch-doc result, then release
+    * the match cache (shared by d_incremental / d_incremental_stored).
+    * localCheckpoint(eager) pins the aggregate in executor block
+    * storage and truncates lineage, so unpersisting `matched` can't
+    * trigger recompute — and unlike the former collect()/
+    * createDataFrame shape, no row round-trips the driver (at
+    * production daily-batch scale the batch is millions of rows). The
+    * checkpoint blocks are freed by the ContextCleaner once the
+    * returned frame goes unreachable, so nothing accumulates across
+    * Verify reps. */
   private def finishIncremental(s: SparkSession, matched: DataFrame): DataFrame = {
     val agg = matched
       .groupBy("bid").agg(count(lit(1)).as("n_dups"), max(col("jac")).as("best_jac"))
       .orderBy("bid")
-    val rows = agg.collect()
+    val out = agg.localCheckpoint(true)
     matched.unpersist(false)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+    out
   }
 
   /** Stored corpus signature index — the "hash the corpus once EVER"

@@ -174,8 +174,8 @@ object TextOps {
       |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
       |              FROM documents),
       |cum AS (SELECT doc_id, source, n_tok,
-      |               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      |               CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
       |        FROM toks)
       |SELECT doc_id, source, n_tok, cum_tok
       |FROM cum WHERE cum_tok <= 600
@@ -218,8 +218,8 @@ object TextOps {
       |survivors AS (SELECT q.doc_id, q.source, q.n_tok
       |              FROM quality q JOIN uniq u ON q.doc_id = u.doc_id),
       |cum AS (SELECT doc_id, source, n_tok,
-      |               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      |               CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
       |        FROM survivors)
       |SELECT doc_id, source, n_tok, cum_tok
       |FROM cum WHERE cum_tok <= 400

@@ -322,7 +322,16 @@ class S3aLiteFileSystem extends FileSystem {
     if (!overwrite && exists(f))
       throw new FileAlreadyExistsException(f.toString)
     val partSize = getConf.getLong("fs.s3a.multipart.size", 64L * 1024 * 1024)
-    require(partSize > 0, "fs.s3a.multipart.size must be positive")
+    // AWS rejects non-final parts under 5 MiB — but only at
+    // CompleteMultipartUpload time (EntityTooSmall), AFTER every byte
+    // has shipped. Enforce the floor up front so a misconfigured part
+    // size fails before any data moves. The floor itself is
+    // configurable (default = S3's enforced minimum) because loopback
+    // test endpoints legitimately accept tiny parts.
+    val minPart = getConf.getLong("fs.s3a.internal.part.min.size", 5L * 1024 * 1024)
+    require(partSize >= math.max(1L, minPart),
+      s"fs.s3a.multipart.size=$partSize below the S3 minimum part size " +
+        s"$minPart (EntityTooSmall would fail the upload at complete time)")
     val out = new java.io.OutputStream {
       private var closed = false
       private var tmp = java.io.File.createTempFile("s3alite", ".part")
@@ -366,7 +375,15 @@ class S3aLiteFileSystem extends FileSystem {
           query = Seq("partNumber" -> (etags.length + 1).toString, "uploadId" -> id),
           body = Some((in, tmp.length)), payloadSha = sha)
         catch { case e: Throwable => abort(); throw e }
-        etags += Option(conn.getHeaderField("ETag")).getOrElse("")
+        // a missing ETag means CompleteMultipartUpload is guaranteed to
+        // fail (its manifest echoes each part's ETag) — fail the part
+        // PUT now, not after every remaining part has shipped
+        val etag = Option(conn.getHeaderField("ETag")).getOrElse {
+          conn.disconnect(); abort()
+          throw new java.io.IOException(
+            s"UploadPart ${etags.length + 1} for $key returned no ETag header")
+        }
+        etags += etag
         conn.disconnect()
         tmp.delete()
         tmp = java.io.File.createTempFile("s3alite", ".part")

@@ -44,28 +44,34 @@ object DedupIngest {
     val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(s"$indexDir/_ingested/batch_$batchId")
     val b = batch.persist()
-    val matches = engine.dedupAgainstIndex(b, idCol, textCol, indexDir, tau)
+    // nested try/finally: if dedupAgainstIndex itself throws, the outer
+    // finally still unpersists b — under batch replay a leaked cached
+    // batch would otherwise re-leak on every retry
     try {
-      // The emitted set is "matches against the STANDING corpus as of
-      // batch start". On a replay the batch's own signatures are
-      // already in the index (the marker skipped the re-append), so
-      // the probe would also surface the batch against ITSELF — both
-      // self-pairs and intra-batch near-dup pairs the original run
-      // never saw. Anti-joining cid against the batch's ids removes
-      // exactly that replay residue (doc ids are globally unique), so
-      // the overwrite really is idempotent.
-      val batchIds = b.select(col(idCol).cast("long").as("__bid_filter"))
-      matches
-        .join(broadcast(batchIds), col("cid") === col("__bid_filter"), "left_anti")
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .save(s"$matchDir/batch_id=$batchId") // replay overwrites itself
-      if (!fs.exists(marker)) {
-        engine.appendDedupIndex(b, idCol, textCol, indexDir)
-        fs.mkdirs(marker)
+      val matches = engine.dedupAgainstIndex(b, idCol, textCol, indexDir, tau)
+      try {
+        // The emitted set is "matches against the STANDING corpus as of
+        // batch start". On a replay the batch's own signatures are
+        // already in the index (the marker skipped the re-append), so
+        // the probe would also surface the batch against ITSELF — both
+        // self-pairs and intra-batch near-dup pairs the original run
+        // never saw. Anti-joining cid against the batch's ids removes
+        // exactly that replay residue (doc ids are globally unique), so
+        // the overwrite really is idempotent.
+        val batchIds = b.select(col(idCol).cast("long").as("__bid_filter"))
+        matches
+          .join(broadcast(batchIds), col("cid") === col("__bid_filter"), "left_anti")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .save(s"$matchDir/batch_id=$batchId") // replay overwrites itself
+        if (!fs.exists(marker)) {
+          engine.appendDedupIndex(b, idCol, textCol, indexDir)
+          fs.mkdirs(marker)
+        }
+      } finally {
+        matches.unpersist() // dedupAgainstIndex hands back a persisted frame
       }
     } finally {
-      matches.unpersist() // dedupAgainstIndex hands back a persisted frame
       b.unpersist()
     }
   }

@@ -297,6 +297,9 @@ class S3aLiteSpec extends AnyFunSuite {
       hc.set("fs.s3a.endpoint", s"http://127.0.0.1:$port")
       hc.set("fs.s3a.path.style.access", "true")
       hc.setLong("fs.s3a.multipart.size", 64 * 1024) // force multipart on a ~1 MB object
+      // the loopback server accepts tiny parts; lower the AWS 5 MiB
+      // floor so the 64 KiB test part size passes the up-front check
+      hc.setLong("fs.s3a.internal.part.min.size", 1024)
       val fs = new org.apache.hadoop.fs.Path("s3a://testbucket/").getFileSystem(hc)
 
       // ~1 MB of deterministic bytes → 16 full parts + a short tail
@@ -325,6 +328,17 @@ class S3aLiteSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(back, payload))
       assert(badSig.get == 0, s"${badSig.get} multipart requests failed SigV4 " +
         s"verification; first: ${S3aLiteSpec.firstBad.get()}")
+
+      // a part size below the S3 floor must fail at create() — BEFORE
+      // any data ships — not at CompleteMultipartUpload (EntityTooSmall)
+      val hcBad = new org.apache.hadoop.conf.Configuration(hc)
+      hcBad.setLong("fs.s3a.internal.part.min.size", 5L * 1024 * 1024)
+      val fsBad = new org.apache.hadoop.fs.Path("s3a://testbucket/")
+        .getFileSystem(hcBad)
+      val ex = intercept[IllegalArgumentException] {
+        fsBad.create(new org.apache.hadoop.fs.Path("s3a://testbucket/big/too-small.bin"), true)
+      }
+      assert(ex.getMessage.contains("EntityTooSmall"))
     } finally server.stop(0)
   }
 

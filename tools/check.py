@@ -90,6 +90,21 @@ for name in names:
     if sorted(scols) != sorted(ocols):
         print(f'{name}: COLUMN MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}')
         fails.append(name); continue
+    # The driver canonicalizer float-coerces DuckDB HUGEINT output
+    # columns ("600.0" vs Spark's "600") but duckdb-python hands them
+    # back as plain int, so a value lint can't see them. Lint the
+    # DECLARED oracle output types instead: any HUGEINT (the type of
+    # every un-cast sum()/sum() OVER in DuckDB) is a hash mismatch
+    # waiting to happen — CAST it to BIGINT/DOUBLE oracle-side.
+    try:
+        otypes = [str(t) for t in con.sql(sqltext).types]
+    except Exception:
+        otypes = []
+    hug = [c for c, t in zip(ocols, otypes) if 'HUGEINT' in t.upper()]
+    if hug:
+        print(f'{name}: TYPE LINT: oracle outputs HUGEINT column(s) {hug} '
+              f'(un-cast sum? CAST to BIGINT oracle-side)')
+        fails.append(name); continue
     lint = type_lint(srows) or type_lint(orows)
     if lint:
         print(f'{name}: TYPE LINT: {lint}'); fails.append(name); continue
