@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Distributed grouped running sum — the two-phase prefix
+  * decomposition of
+  * `sum(value) OVER (PARTITION BY grp ORDER BY ord ROWS UNBOUNDED
+  * PRECEDING)`.
+  *
+  * The single-window form puts an ENTIRE group in one task: fine when
+  * groups are numerous, a serialization wall when one group is
+  * TB-sized (the token-budget mixing case — a handful of sources,
+  * each huge). Classic fix (the same decomposition ExactPercentile
+  * uses for rank routing): split each group into order-contiguous
+  * buckets, cumsum locally per bucket, and add each bucket's
+  * prefix offset (the sum of all earlier buckets of the same group).
+  *
+  * Phase structure, all Spark-native:
+  *   1. one approxQuantile pass over `ord` → explicit bucket bounds;
+  *   2. one partial-aggregate job → (bucket, grp, sum) — at most
+  *      buckets × |groups| rows, collected to the driver (tiny by
+  *      construction, NOT data-sized);
+  *   3. exclusive prefix scan of those partials per group (driver,
+  *      O(buckets × groups));
+  *   4. final pass: local window per (bucket, grp) + broadcast-joined
+  *      offset. Parallelism = buckets × groups instead of groups.
+  *
+  * Why explicit VALUE bounds instead of `spark_partition_id()` over a
+  * `repartitionByRange`: the range exchange re-samples its bounds on
+  * every execution (RangePartitioner seeds from the RDD id), so two
+  * separate jobs can assign boundary rows to DIFFERENT partitions —
+  * the partials job and the final job would silently disagree. A
+  * bucket computed by comparing `ord` against literal bounds is a pure
+  * function of the data: both jobs agree by construction, nothing
+  * needs to be persisted or checkpointed between phases, and a lost
+  * executor recomputes identically.
+  *
+  * Requirements: `value` must be integral (summed exactly as LONG);
+  * `grp` must be non-null (group keys); ties in `ord` land in the same
+  * bucket, so within-tie accumulation order matches the single-window
+  * form's tie semantics.
+  */
+object PrefixSum {
+
+  /** `df` plus column `cumName` = running sum of `value` per `grp` in
+    * `ord` order. `buckets` defaults to the session shuffle
+    * parallelism. */
+  def groupedCumSum(df: DataFrame, grp: String, ord: String, value: String,
+                    cumName: String, buckets: Int = 0): DataFrame = {
+    val s = df.sparkSession
+    val nb = math.max(1, if (buckets > 0) buckets
+                         else s.sessionState.conf.numShufflePartitions)
+    // Phase 1: deterministic order-contiguous bucketing. approxQuantile
+    // is one pass; dedup+sort guards against degenerate bound lists on
+    // low-cardinality ord. relativeError 0.01 only skews bucket
+    // BALANCE, never correctness.
+    val bounds: Array[Double] =
+      if (nb == 1) Array.empty
+      else df.stat.approxQuantile(ord, (1 until nb).map(_.toDouble / nb).toArray, 0.01)
+        .distinct.sorted
+    val bucketCol = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(ord) > lit(b), 1).otherwise(0)
+    }
+    val withB = df.withColumn("__bkt", bucketCol)
+
+    // Phase 2+3: per-(bucket, group) sums → exclusive prefix offsets.
+    // Bounded by buckets × |groups| — the whole point is that this is
+    // tiny even when the DATA is 100 TB.
+    val grpField = df.schema(grp)
+    val partials: Array[Row] = withB
+      .groupBy(col("__bkt"), col(grp))
+      .agg(sum(col(value).cast(LongType)).as("__psum"))
+      .collect()
+    val offsets: Array[Row] = partials
+      .groupBy(_.get(1)) // group key
+      .iterator
+      .flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_.getInt(0)).map { r =>
+          val off = acc
+          acc += (if (r.isNullAt(2)) 0L else r.getLong(2))
+          Row(r.getInt(0), g, off)
+        }
+      }
+      .toArray
+    val offSchema = StructType(Seq(
+      StructField("__bkt", IntegerType, nullable = false),
+      grpField.copy(name = grp),
+      StructField("__off", LongType, nullable = false)))
+    val offDf = s.createDataFrame(
+      java.util.Arrays.asList(offsets: _*), offSchema)
+
+    // Phase 4: local cumsum per (bucket, group) + broadcast offset.
+    val w = Window.partitionBy(col("__bkt"), col(grp)).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .join(broadcast(offDf), Seq("__bkt", grp), "left")
+      .withColumn(cumName,
+        sum(col(value).cast(LongType)).over(w) + coalesce(col("__off"), lit(0L)))
+      .drop("__bkt", "__off")
+  }
+}

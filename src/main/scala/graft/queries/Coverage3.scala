@@ -50,6 +50,53 @@ object Coverage3 {
     """SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
       |FROM documents ORDER BY doc_id, w""".stripMargin)
 
+  // Recursive iteration (WITH RECURSIVE twin): ancestor closure over
+  // a parent edge set derived from part (child k → parent k/2, a
+  // ~7-deep binary-tree walk). Spark side runs
+  // Fixpoint.recursiveUnion — semi-naive driver-looped fixpoint,
+  // UNION-distinct semantics, every row distributed; the oracle is a
+  // literal DuckDB WITH RECURSIVE over the identical edges.
+  spark("q_recursive",
+    (s, d) => {
+      val part = Tables.t(s, d, "part")
+      val edges = part.filter(col("p_partkey") >= 1)
+        .select(col("p_partkey").as("child"),
+          (col("p_partkey") / 2).cast("long").as("parent"))
+      // fixed 50-key start band: output and round count stay constant
+      // across SFs while the EDGE set (what the recursion probes each
+      // round) grows with the data; keys 50-99 exist at every SF and
+      // give a ~7-round recursion (each round is a sequential job —
+      // depth is wall-clock, so the demo uses a band deep enough to be
+      // a real recursion and no deeper)
+      val base = part.filter(col("p_partkey").between(50, 99))
+        .select(col("p_partkey").as("start"), col("p_partkey").as("node"),
+          lit(0L).as("depth"))
+      // depth strictly increases over an acyclic parent function, so
+      // the UNION ALL form applies: one job per round, no per-round
+      // dedup shuffle (the UNION-distinct form is recursiveUnion,
+      // cycle-proven in FixpointSpec)
+      val closure = graft.operators.Fixpoint.recursiveUnionAll(base, fr =>
+        // frontier is ≤ |starts| rows per round — broadcast it so each
+        // round is a map-side probe of the (large, at scale) edge set
+        edges.join(broadcast(fr), col("child") === col("node"))
+          .select(col("start"), col("parent").as("node"),
+            (col("depth") + 1).as("depth")), maxRounds = 64)
+      closure.groupBy("start")
+        .agg(count(lit(1)).as("n_anc"), max(col("depth")).as("max_depth"))
+        .orderBy("start")
+    },
+    """WITH RECURSIVE edges AS (
+      |  SELECT p_partkey AS child, p_partkey // 2 AS parent
+      |  FROM part WHERE p_partkey >= 1),
+      |anc AS (
+      |  SELECT p_partkey AS start, p_partkey AS node, CAST(0 AS BIGINT) AS depth
+      |  FROM part WHERE p_partkey BETWEEN 50 AND 99
+      |  UNION ALL
+      |  SELECT a.start, e.parent AS node, a.depth + 1 AS depth
+      |  FROM anc a JOIN edges e ON e.child = a.node)
+      |SELECT start, count(*) AS n_anc, CAST(max(depth) AS BIGINT) AS max_depth
+      |FROM anc GROUP BY start ORDER BY start""".stripMargin)
+
   // sampling: nondeterministic across engines → rows-only check; seeded
   // so it is at least reproducible within Spark
   sparkOnly("q_sample",

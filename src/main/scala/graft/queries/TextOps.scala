@@ -151,10 +151,10 @@ object TextOps {
   // count fits the budget (the mixing step that caps a source's
   // contribution to a training run). Exact integer cumsum, windowed
   // per source. Scale note: the window is one task per source; when a
-  // single source is TB-sized, swap in the two-phase prefix form
-  // (per-partition token sums -> tiny driver prefix-scan of
-  // sources x partitions offsets -> per-partition local cumsum), the
-  // same decomposition ExactPercentile uses for rank routing.
+  // single source is TB-sized, use PrefixSum.groupedCumSum (the
+  // two-phase bucketed decomposition — t_token_budget_prefix below
+  // proves it equal against the SAME oracle, and PrefixSumSpec proves
+  // it on a skewed multi-bucket synthetic).
   spark("t_token_budget",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -168,6 +168,34 @@ object TextOps {
       // the budget bounds the output (≤ budget/min-doc-tokens rows per
       // source): TinyResult skips the range-sampling job that re-ran
       // the tokenize+window pipeline (0.92 → 0.61 s at sf1)
+      graft.operators.TinyResult.globalSort(cum, col("doc_id"))
+    },
+    """WITH toks AS (SELECT doc_id, source,
+      |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |              FROM documents),
+      |cum AS (SELECT doc_id, source, n_tok,
+      |               CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+      |        FROM toks)
+      |SELECT doc_id, source, n_tok, cum_tok
+      |FROM cum WHERE cum_tok <= 600
+      |ORDER BY doc_id""".stripMargin)
+
+  // The SAME selection through the two-phase prefix decomposition
+  // (operators/PrefixSum.scala): per-bucket partial sums -> tiny
+  // bucket×source offset table -> local cumsum + broadcast offset.
+  // Checked against the IDENTICAL oracle SQL as t_token_budget — the
+  // driver hash-compare is the equality proof at sf0.01, and the
+  // parallelism no longer degrades to one-task-per-source when a
+  // single source dominates the corpus.
+  spark("t_token_budget_prefix",
+    (s, d) => {
+      val toks = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val cum = graft.operators.PrefixSum
+        .groupedCumSum(toks, "source", "doc_id", "n_tok", "cum_tok")
+        .where(col("cum_tok") <= 600)
       graft.operators.TinyResult.globalSort(cum, col("doc_id"))
     },
     """WITH toks AS (SELECT doc_id, source,

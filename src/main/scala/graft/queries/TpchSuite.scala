@@ -37,18 +37,24 @@ object TpchSuite {
   // correlated formulation (independent shapes, same rows).
   spark("tpch_q2_supplier",
     (s, d) => { Tables.registerAll(s, d)
-      s.sql("""SELECT DISTINCT p_partkey, p_brand, s_name,
-        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
-        |FROM (
-        |  SELECT p_partkey, p_brand, s_name, s_acctbal,
-        |    MAX(s_acctbal) OVER (PARTITION BY p_partkey) AS max_bal
-        |  FROM part JOIN lineitem ON l_partkey = p_partkey
-        |    JOIN supplier ON l_suppkey = s_suppkey
-        |    JOIN nation ON s_nationkey = n_nationkey
-        |    JOIN region ON n_regionkey = r_regionkey
-        |  WHERE p_size = 15 AND r_name = 'AMERICA') x
-        |WHERE s_acctbal = max_bal
-        |ORDER BY acctbal DESC NULLS LAST, p_partkey, s_name""".stripMargin) },
+      // output is bounded by the p_size=15 part band (≈2% of parts ×
+      // tied max-balance suppliers) — TinyResult skips the range-
+      // sampling job that re-ran the join+window+distinct child
+      graft.operators.TinyResult.globalSort(
+        s.sql("""SELECT DISTINCT p_partkey, p_brand, s_name,
+          |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+          |FROM (
+          |  SELECT p_partkey, p_brand, s_name, s_acctbal,
+          |    MAX(s_acctbal) OVER (PARTITION BY p_partkey) AS max_bal
+          |  FROM part JOIN lineitem ON l_partkey = p_partkey
+          |    JOIN supplier ON l_suppkey = s_suppkey
+          |    JOIN nation ON s_nationkey = n_nationkey
+          |    JOIN region ON n_regionkey = r_regionkey
+          |  WHERE p_size = 15 AND r_name = 'AMERICA') x
+          |WHERE s_acctbal = max_bal""".stripMargin),
+        org.apache.spark.sql.functions.col("acctbal").desc_nulls_last,
+        org.apache.spark.sql.functions.col("p_partkey"),
+        org.apache.spark.sql.functions.col("s_name")) },
     s"""SELECT DISTINCT p_partkey, p_brand, s_name,
        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
        |FROM part JOIN lineitem ON l_partkey = p_partkey
@@ -191,8 +197,27 @@ object TpchSuite {
        |ORDER BY nation, o_year DESC NULLS LAST""".stripMargin)
 
   // Q11: important parts by shipped value for one nation's suppliers;
-  // HAVING against a scalar subquery over the same aggregate.
-  common("tpch_q11_important",
+  // HAVING against a scalar subquery over the same aggregate. Spark
+  // inlines the subquery, so the HAVING formulation scans and joins
+  // lineitem TWICE (ReuseExchange can't help — the two aggregates
+  // group differently, and the shared join below them is
+  // broadcast-joined, exchange-free). The Spark side folds the grand
+  // total into SUM(SUM(..)) OVER () over the ~200k-row per-partkey
+  // aggregate — decimal addition is associative, so the total is the
+  // identical DECIMAL before the identical double cast. The oracle
+  // keeps the subquery form (DuckDB materializes the shared scan).
+  spark("tpch_q11_important",
+    (s, d) => { graft.Tables.registerAll(s, d)
+      s.sql("""SELECT l_partkey, value FROM (
+              |  SELECT l_partkey,
+              |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value,
+              |    CAST(SUM(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))) OVER () AS DOUBLE) * 0.001 AS threshold
+              |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              |    JOIN nation ON s_nationkey = n_nationkey
+              |  WHERE n_name = 'NATION_2'
+              |  GROUP BY l_partkey) t
+              |WHERE value > threshold
+              |ORDER BY value DESC NULLS LAST, l_partkey""".stripMargin) },
     """SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |  JOIN nation ON s_nationkey = n_nationkey
@@ -403,7 +428,27 @@ object TpchSuite {
   // balance (scalar subquery) and never ordered urgently (NOT EXISTS;
   // the unfiltered original is empty at every SF of the synthetic
   // data — all high-balance customers have orders).
-  common("tpch_q22_opportunity",
+  // Spark side: ONE customer scan instead of two — the scalar-average
+  // subquery folds into whole-frame window sums over the SAME filtered
+  // band (sum/count of the >0-balance rows; identical DECIMAL sum and
+  // integer count → identical double division), and the NOT EXISTS
+  // probe pre-distincts to o_custkey so the anti-join build is unique
+  // keys (broadcastable at any realistic customer:orders ratio). The
+  // oracle keeps the textbook correlated form.
+  spark("tpch_q22_opportunity",
+    (s, d) => { graft.Tables.registerAll(s, d)
+      s.sql("""WITH probe AS (SELECT DISTINCT o_custkey FROM orders
+              |               WHERE o_orderpriority = '1-URGENT'),
+              |band AS (SELECT c_custkey, CAST(c_custkey % 7 AS BIGINT) AS cntrycode, c_acctbal,
+              |                CAST(SUM(CASE WHEN c_acctbal > 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) END) OVER () AS DOUBLE)
+              |                  / SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) OVER () AS avg_bal
+              |         FROM customer
+              |         WHERE c_custkey % 7 IN (1, 2, 3, 4, 5))
+              |SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+              |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+              |FROM band LEFT ANTI JOIN probe ON c_custkey = o_custkey
+              |WHERE c_acctbal > avg_bal
+              |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin) },
     """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
       |FROM (SELECT CAST(c_custkey % 7 AS BIGINT) AS cntrycode, c_acctbal

@@ -89,16 +89,15 @@ class DedupScaleSpec extends AnyFunSuite {
     val stripped = src.replaceAll("(?s)/\\*.*?\\*/", "")
     val hits = java.util.regex.Pattern.quote(".collect()").r
       .findAllIn(stripped).size
-    // 6 gated sites: distinctSetsOf (kernel-only wrapper),
+    // 5 gated sites: distinctSetsOf (kernel-only wrapper),
     // labelPropagateKernel wrapper + kernel-core ids collect,
     // labelPropagateAuto's limit(cap+1)-bounded probe,
     // jaccardDocPairsAuto's limit(cap+1)-bounded probe-and-input
     // collect (round 5: the probe IS the kernel input, one aggregation
-    // instead of two), and finishIncremental's per-batch-doc aggregate
-    // (round 6: ≤ one row per batch doc — the daily-batch bound — so
-    // the match cache's handle can be released instead of leaking per
-    // call)
-    assert(hits == 6, s"expected exactly 6 gated collect() in DedupOps, found $hits")
+    // instead of two). finishIncremental's former per-batch collect is
+    // gone (round 8): it materializes via eager localCheckpoint, so
+    // the per-batch result never round-trips the driver.
+    assert(hits == 5, s"expected exactly 5 gated collect() in DedupOps, found $hits")
     def bodyOf(defName: String): String = {
       val b = src.substring(src.indexOf(s"def $defName"))
       b.take(b.indexOf("\n  }"))
@@ -113,6 +112,10 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(bodyOf("jaccardDocPairsAuto").contains("limit(maxKernelSets + 1)"))
     // and the distributed labelPropagate stays shuffle-only
     assert(!bodyOf("labelPropagate(").contains(".collect()"))
+    // round 8: finishIncremental materializes via localCheckpoint —
+    // no driver round-trip of the per-batch result
+    assert(!bodyOf("finishIncremental").contains(".collect()"))
+    assert(bodyOf("finishIncremental").contains("localCheckpoint"))
   }
 
   test("labelPropagateAuto ≡ distributed labelPropagate") {
