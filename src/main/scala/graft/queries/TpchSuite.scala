@@ -428,27 +428,15 @@ object TpchSuite {
   // balance (scalar subquery) and never ordered urgently (NOT EXISTS;
   // the unfiltered original is empty at every SF of the synthetic
   // data — all high-balance customers have orders).
-  // Spark side: ONE customer scan instead of two — the scalar-average
-  // subquery folds into whole-frame window sums over the SAME filtered
-  // band (sum/count of the >0-balance rows; identical DECIMAL sum and
-  // integer count → identical double division), and the NOT EXISTS
-  // probe pre-distincts to o_custkey so the anti-join build is unique
-  // keys (broadcastable at any realistic customer:orders ratio). The
-  // oracle keeps the textbook correlated form.
-  spark("tpch_q22_opportunity",
-    (s, d) => { graft.Tables.registerAll(s, d)
-      s.sql("""WITH probe AS (SELECT DISTINCT o_custkey FROM orders
-              |               WHERE o_orderpriority = '1-URGENT'),
-              |band AS (SELECT c_custkey, CAST(c_custkey % 7 AS BIGINT) AS cntrycode, c_acctbal,
-              |                CAST(SUM(CASE WHEN c_acctbal > 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) END) OVER () AS DOUBLE)
-              |                  / SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) OVER () AS avg_bal
-              |         FROM customer
-              |         WHERE c_custkey % 7 IN (1, 2, 3, 4, 5))
-              |SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
-              |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
-              |FROM band LEFT ANTI JOIN probe ON c_custkey = o_custkey
-              |WHERE c_acctbal > avg_bal
-              |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin) },
+  // Round-8 A/B note: two rewrites were measured AGAINST this form at
+  // sf1 (paced 6-thread Bench, same day) and both LOST — pre-distinct
+  // anti-join probe + whole-frame-window avg fold: 0.672 s; same
+  // without the distinct: 0.702 s; this textbook form: 0.615 s. The
+  // planner's own shape (broadcast anti on the filtered orders probe,
+  // scalar subquery as its own tiny job) is already right; the folds
+  // only added a single-partition window exchange. Second negative
+  // result on this row (r7 tried join restructures) — leave it alone.
+  common("tpch_q22_opportunity",
     """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
       |FROM (SELECT CAST(c_custkey % 7 AS BIGINT) AS cntrycode, c_acctbal
