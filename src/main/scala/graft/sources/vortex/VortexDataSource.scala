@@ -274,8 +274,22 @@ class VortexTable(schema: StructType, paths: Seq[String],
     // Sbbf.forNdv itself applies)
     require(bloomMaxBytes >= 64,
       s"vortex: bloomMaxBytes must be >= 64, got $bloomMaxBytes")
+    // "distributionSketches" = "col1,col2": per-file exact-count
+    // log-bucketed quantile sketches in the commit manifest (the
+    // reference layout tier's ddsketch role — see QuantileSketch);
+    // powers metadata-routed exact percentiles (SketchPercentile).
+    val sketchCols = Option(info.options.get("distributionsketches")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+    sketchCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"vortex: distributionSketches column $c not in schema"))
+      require(!partitionCols.contains(c),
+        s"vortex: distributionSketches column $c is a partition column")
+      require(QuantileSketch.supports(f.dataType),
+        s"vortex: distributionSketches unsupported for ${f.dataType.simpleString} column $c")
+    }
     new VortexWriteBuilder(schema, paths.head, chunkRows, partitionCols, bucketSpec,
-      bloomCols, bloomMaxBytes)
+      bloomCols, bloomMaxBytes, sketchCols)
   }
 }
 
@@ -975,20 +989,22 @@ class VortexWriteBuilder(schema: StructType, path: String, chunkRows: Int,
                          partitionCols: Seq[String],
                          bucketSpec: Option[(String, Int)] = None,
                          bloomCols: Set[String] = Set.empty,
-                         bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes)
+                         bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes,
+                         sketchCols: Set[String] = Set.empty)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write =
     new VortexWrite(schema, path, doTruncate, chunkRows, partitionCols, bucketSpec,
-      bloomCols, bloomMaxBytes)
+      bloomCols, bloomMaxBytes, sketchCols)
 }
 
 class VortexWrite(schema: StructType, path: String, truncate: Boolean, chunkRows: Int,
                   partitionCols: Seq[String] = Seq.empty,
                   bucketSpec: Option[(String, Int)] = None,
                   bloomCols: Set[String] = Set.empty,
-                  bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes) extends Write
+                  bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes,
+                  sketchCols: Set[String] = Set.empty) extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 
@@ -1016,7 +1032,7 @@ class VortexWrite(schema: StructType, path: String, truncate: Boolean, chunkRows
 
   override def toBatch: BatchWrite =
     new VortexBatchWrite(schema, path, truncate, chunkRows, partitionCols, bucketSpec,
-      bloomCols, bloomMaxBytes)
+      bloomCols, bloomMaxBytes, sketchCols)
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new VortexStreamingWrite(schema, path, chunkRows)
 }
@@ -1039,7 +1055,7 @@ class VortexStreamingWrite(schema: StructType, dir: String, chunkRows: Int)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(hconf)
-    messages.collect { case VortexCommit(fls, _, _) => fls }.flatten
+    messages.collect { case VortexCommit(fls, _, _, _) => fls }.flatten
       .foreach(f => fs.delete(new Path(f), false))
   }
 }
@@ -1055,7 +1071,8 @@ class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunk
                        partitionCols: Seq[String],
                        bucketSpec: Option[(String, Int)] = None,
                        bloomCols: Set[String] = Set.empty,
-                       bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes) extends BatchWrite {
+                       bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes,
+                       sketchCols: Set[String] = Set.empty) extends BatchWrite {
   private val spark = SparkSession.active
   private val hconf = spark.sessionState.newHadoopConf()
   // appending into an existing bucketed layout with a different spec
@@ -1088,7 +1105,7 @@ class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunk
     val fs = p.getFileSystem(hconf)
     if (!fs.exists(p)) fs.mkdirs(p)
     new VortexWriterFactory(schema, dir, jobId, new SerializableConfiguration(hconf),
-      chunkRows, partitionCols, bucketSpec, bloomCols, bloomMaxBytes)
+      chunkRows, partitionCols, bucketSpec, bloomCols, bloomMaxBytes, sketchCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -1098,7 +1115,7 @@ class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunk
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(hconf)
-    messages.collect { case VortexCommit(fls, _, _) => fls }.flatten
+    messages.collect { case VortexCommit(fls, _, _, _) => fls }.flatten
       .foreach(f => fs.delete(new Path(f), false))
   }
 }
@@ -1110,7 +1127,8 @@ class VortexBatchWrite(schema: StructType, dir: String, truncate: Boolean, chunk
   * folded into the manifest for plan-time point-lookup pruning. */
 case class VortexCommit(files: Seq[String],
                         sums: Map[String, IndexedSeq[Option[Long]]] = Map.empty,
-                        blooms: Map[String, IndexedSeq[Option[Array[Byte]]]] = Map.empty)
+                        blooms: Map[String, IndexedSeq[Option[Array[Byte]]]] = Map.empty,
+                        sketches: Map[String, IndexedSeq[Option[Array[Byte]]]] = Map.empty)
     extends WriterCommitMessage
 
 class VortexWriterFactory(schema: StructType, dir: String, jobId: String,
@@ -1118,14 +1136,15 @@ class VortexWriterFactory(schema: StructType, dir: String, jobId: String,
                           chunkRows: Int, partitionCols: Seq[String],
                           bucketSpec: Option[(String, Int)] = None,
                           bloomCols: Set[String] = Set.empty,
-                          bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes) extends DataWriterFactory {
+                          bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes,
+                          sketchCols: Set[String] = Set.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     if (partitionCols.isEmpty && bucketSpec.isEmpty)
       new VortexDataWriter(schema, dir, jobId, conf.value, partitionId, taskId, chunkRows,
-        bloomCols, bloomMaxBytes)
+        bloomCols, bloomMaxBytes, sketchCols)
     else
       new VortexPartitionedDataWriter(schema, dir, jobId, conf.value, partitionId, taskId,
-        chunkRows, partitionCols, bucketSpec, bloomCols, bloomMaxBytes)
+        chunkRows, partitionCols, bucketSpec, bloomCols, bloomMaxBytes, sketchCols)
 }
 
 /** Hive-style partitioned writer: one open file per partition value
@@ -1139,7 +1158,8 @@ class VortexPartitionedDataWriter(schema: StructType, dir: String, jobId: String
                                   partitionCols: Seq[String],
                                   bucketSpec: Option[(String, Int)] = None,
                                   bloomCols: Set[String] = Set.empty,
-                                  bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes) extends DataWriter[InternalRow] {
+                                  bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes,
+                                  sketchCols: Set[String] = Set.empty) extends DataWriter[InternalRow] {
   private val partIdx = partitionCols.map(schema.fieldIndex).toArray
   private val partDts = partIdx.map(schema.fields(_).dataType)
   private val storedIdx = schema.fields.indices.filterNot(partIdx.contains).toArray
@@ -1164,7 +1184,7 @@ class VortexPartitionedDataWriter(schema: StructType, dir: String, jobId: String
       val name = f"part-$partitionId%05d-$jobId-$taskId.vortex"
       val p = new Path(new Path(dir, key), name)
       (p, new VortexFileWriter(new Path(new Path(dir, key), s".$name.inprogress"),
-        conf, storedSchema, chunkRows, bloomCols, bloomMaxBytes))
+        conf, storedSchema, chunkRows, bloomCols, bloomMaxBytes, sketchCols))
     })
     var c = 0
     while (c < storedIdx.length) {
@@ -1183,7 +1203,8 @@ class VortexPartitionedDataWriter(schema: StructType, dir: String, jobId: String
     }
     VortexCommit(writers.values.map(_._1.toString).toSeq,
       writers.values.map { case (p, w) => p.toString -> w.columnSums }.toMap,
-      writers.values.map { case (p, w) => p.toString -> w.columnBlooms }.toMap)
+      writers.values.map { case (p, w) => p.toString -> w.columnBlooms }.toMap,
+      writers.values.map { case (p, w) => p.toString -> w.columnSketches }.toMap)
   }
   override def abort(): Unit = {
     writers.values.foreach { case (p, w) =>
@@ -1205,11 +1226,13 @@ class VortexDataWriter(schema: StructType, dir: String, jobId: String,
                        conf: org.apache.hadoop.conf.Configuration,
                        partitionId: Int, taskId: Long, chunkRows: Int,
                        bloomCols: Set[String] = Set.empty,
-                       bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes) extends DataWriter[InternalRow] {
+                       bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes,
+                       sketchCols: Set[String] = Set.empty) extends DataWriter[InternalRow] {
   private val name = f"part-$partitionId%05d-$jobId-$taskId.vortex"
   private val file = new Path(dir, name)
   private val tmp = new Path(dir, s".$name.inprogress")
-  private val writer = new VortexFileWriter(tmp, conf, schema, chunkRows, bloomCols, bloomMaxBytes)
+  private val writer = new VortexFileWriter(tmp, conf, schema, chunkRows, bloomCols,
+    bloomMaxBytes, sketchCols)
   private var closed = false
 
   override def write(record: InternalRow): Unit = writer.write(record)
@@ -1218,7 +1241,8 @@ class VortexDataWriter(schema: StructType, dir: String, jobId: String,
     val fs = file.getFileSystem(conf)
     if (!fs.rename(tmp, file)) throw new java.io.IOException(s"vortex: rename failed for $file")
     VortexCommit(Seq(file.toString), Map(file.toString -> writer.columnSums),
-      Map(file.toString -> writer.columnBlooms))
+      Map(file.toString -> writer.columnBlooms),
+      Map(file.toString -> writer.columnSketches))
   }
   override def abort(): Unit = {
     if (!closed) try writer.close() catch { case _: Exception => }

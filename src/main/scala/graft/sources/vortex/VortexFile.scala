@@ -16,7 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
 final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType,
                              chunkRows: Int = VortexFormat.DefaultChunkRows,
                              bloomCols: Set[String] = Set.empty,
-                             bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes) {
+                             bloomMaxBytes: Int = VortexFormat.DefaultBloomMaxBytes,
+                             sketchCols: Set[String] = Set.empty) {
   import VortexFormat._
 
   private val fs = path.getFileSystem(conf)
@@ -89,6 +90,41 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
     }
   }
 
+  // opt-in per-file distribution sketches (writer option
+  // "distributionSketches"): exact-count log-bucketed histograms (the
+  // reference layout tier's ddsketch role — QuantileSketch.scala)
+  // accumulated chunk-wise over the SAME buffered storage longs the
+  // codec encodes; the double view per type matches the Spark-side
+  // CAST(col AS DOUBLE) probe filter exactly (SketchPercentile).
+  private val sketchOn: Array[Boolean] =
+    fields.map(f => sketchCols.contains(f.name) && QuantileSketch.supports(f.dataType))
+  private val sketches: Array[QuantileSketch] =
+    Array.tabulate(nCols)(c => if (sketchOn(c)) QuantileSketch() else null)
+
+  /** per-stored-column serialized QuantileSketch; None = not opted in
+    * (or unsupported type) */
+  def columnSketches: IndexedSeq[Option[Array[Byte]]] =
+    fields.indices.map(c => if (sketchOn(c)) Some(sketches(c).toBytes) else None)
+
+  private def sketchPass(): Unit = {
+    var c = 0
+    while (c < nCols) {
+      if (sketchOn(c)) {
+        val s = sketches(c); val l = buf.longs(c); val nl = buf.nulls(c)
+        val count = buf.count; var i = 0
+        fields(c).dataType match {
+          case FloatType =>
+            while (i < count) { if (!nl(i)) s.add(java.lang.Float.intBitsToFloat(l(i).toInt).toDouble); i += 1 }
+          case DoubleType =>
+            while (i < count) { if (!nl(i)) s.add(java.lang.Double.longBitsToDouble(l(i))); i += 1 }
+          case _ => // integral: storage long IS the value
+            while (i < count) { if (!nl(i)) s.add(l(i).toDouble); i += 1 }
+        }
+      }
+      c += 1
+    }
+  }
+
   // chunk buffers + per-column append/fill kernels live in the shared
   // ChunkBuffer (also used by the IPC stream writer — one storage
   // domain, one kernel)
@@ -138,6 +174,7 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
     if (buf.count == 0) return
     sumPass()
     bloomPass()
+    sketchPass()
     val count = buf.count
     val metas = new Array[ColumnChunkMeta](nCols)
     var c = 0
