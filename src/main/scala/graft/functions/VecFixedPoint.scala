@@ -42,6 +42,12 @@ object VecFixedPoint {
   def decToDouble(unscaled: Long): Double =
     new JBigDecimal(java.math.BigInteger.valueOf(unscaled), DotScale).doubleValue()
 
+  /** decimal(18,8) element → double — the same proven-equal
+    * decimal→double path as [[decToDouble]], at the element scale.
+    * Used by the int8 code quantizer (v_cos_quantized). */
+  def dec8ToDouble(unscaled: Long): Double =
+    new JBigDecimal(java.math.BigInteger.valueOf(unscaled), Scale).doubleValue()
+
   /** cosine as the exact-decimal-to-double expression both engines use:
     * CAST(dot AS DOUBLE) / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))) */
   def cos(dotU: Long, saaU: Long, sbbU: Long): Double =

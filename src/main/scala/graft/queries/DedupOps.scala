@@ -1004,6 +1004,66 @@ object DedupOps {
     matched.groupBy(idCol).agg(countDistinct(col("gram")).as("n_hits"))
   }
 
+  // Chunk-level exact substring dedup with document reconstruction —
+  // the sub-document granularity of Lee et al. 2022 ("Deduplicating
+  // Training Data Makes Language Models Better") restricted to aligned
+  // 10-word chunks: a repeated chunk keeps only its FIRST occurrence
+  // (lowest doc_id, then lowest offset) and every later copy is cut
+  // out of its document; the output is each document's surviving text
+  // plus kept/total chunk counts. Scale shape: chunking is a map-side
+  // typed flatMap (no (doc,token) explode); winner election shuffles
+  // chunks keyed on (md5, length) — the same 128-bit+length dedup
+  // identity as t_curate, so only when the digest AND length collide
+  // do two distinct chunks merge, and BOTH engines elect winners over
+  // the identical key so even that case stays bit-equal; reconstruction
+  // is one groupBy(doc_id). Two hash shuffles total, no driver state,
+  // no all-pairs term anywhere.
+  spark("d_chunk_dedup",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val chunks = Tables.t(s, d, "documents")
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val toks = text.split(" ", -1)
+          Iterator.tabulate((toks.length - 1) / 10 + 1) { g =>
+            val from = g * 10
+            val until = math.min(from + 10, toks.length)
+            val sb = new StringBuilder
+            var i = from
+            while (i < until) { if (i > from) sb.append(' '); sb.append(toks(i)); i += 1 }
+            (id, g.toLong, sb.toString)
+          }
+        }
+        .toDF("doc_id", "ord", "chunk")
+      val w = Window.partitionBy(md5(col("chunk")), length(col("chunk")))
+        .orderBy(col("doc_id"), col("ord"))
+      chunks
+        .withColumn("kept", row_number().over(w) === 1)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(CASE WHEN kept THEN struct(ord, chunk) END)), x -> x.chunk)"))
+            .as("new_text"))
+        .orderBy("doc_id")
+    },
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |ch AS (SELECT doc_id, g AS ord,
+      |              array_to_string(toks[g*10+1:g*10+10], ' ') AS chunk
+      |       FROM (SELECT doc_id, toks,
+      |                    unnest(generate_series(0, (len(toks)-1)//10)) AS g
+      |             FROM words)),
+      |rk AS (SELECT doc_id, ord, chunk,
+      |              row_number() OVER (PARTITION BY md5(chunk), length(chunk)
+      |                                 ORDER BY doc_id, ord) AS rn
+      |       FROM ch)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+      |       coalesce(string_agg(chunk, ' ' ORDER BY ord) FILTER (WHERE rn = 1), '') AS new_text
+      |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   // Eval set = every 97th doc (deterministic, in-corpus, so the check
   // provably finds the planted overlap: each eval doc contaminates at
   // least itself). n = 5 keeps the gram space (vocab^5) selective on

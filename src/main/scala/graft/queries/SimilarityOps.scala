@@ -206,6 +206,64 @@ object SimilarityOps {
        |SELECT id_q, CAST(rnk AS BIGINT) AS rnk, id_n
        |FROM rk WHERE rnk <= 3 ORDER BY id_q, rnk""".stripMargin)
 
+  // Int8-quantized brute-force top-5 — the memory-bound scale path:
+  // each vector is L2-normalized and quantized to one signed byte per
+  // dimension (code = floor(127·x/‖x‖ + 0.5)), a 4× size reduction
+  // over float32 that makes a 100 TB corpus scan bandwidth-, not
+  // compute-, bound; scoring is an exact integer dot product of the
+  // codes (≤ 64·127² per pair — no float accumulation order anywhere),
+  // so ranking is bit-reproducible under any partitioning and the
+  // DuckDB oracle replays the IDENTICAL quantize→score→rank pipeline.
+  // The normalize/quantize doubles go through the proven-equal
+  // decimal→double path (VecFixedPoint.dec8ToDouble/decToDouble), so
+  // floor() sees bit-identical inputs on both engines.
+  spark("v_cos_quantized",
+    (s, d) => {
+      import s.implicits._
+      val codes = qvecs(s, d).map { v =>
+        val c = new Array[Int](v.q.length)
+        if (v.saa != 0L) {
+          val nrm = math.sqrt(VecFixedPoint.decToDouble(v.saa))
+          var i = 0
+          while (i < v.q.length) {
+            c(i) = math.floor(127.0 * VecFixedPoint.dec8ToDouble(v.q(i)) / nrm + 0.5).toInt
+            i += 1
+          }
+        }
+        (v.id, c)
+      }
+      val queries = codes.filter(_._1 < 20).collect()
+      val bq = s.sparkContext.broadcast(queries)
+      val scoredQ = codes.flatMap { case (cid, cc) =>
+        bq.value.iterator.filter(_._1 != cid).map { case (qid, qc) =>
+          var dot = 0L; var i = 0
+          while (i < qc.length) { dot += qc(i).toLong * cc(i); i += 1 }
+          (qid, cid, dot)
+        }
+      }.toDF("id_q", "id_n", "qdot")
+      val w = Window.partitionBy("id_q").orderBy(col("qdot").desc, col("id_n"))
+      scoredQ.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select(col("id_q"), col("rnk").cast("long").as("rnk"), col("id_n"), col("qdot"))
+        .orderBy("id_q", "rnk")
+    },
+    s"""WITH $oracleVecs,
+       |code AS (SELECT el.vec_id, el.i,
+       |               CASE WHEN nrm.saa = 0 THEN 0
+       |                    ELSE CAST(floor(127.0 * CAST(el.x AS DOUBLE) / sqrt(CAST(nrm.saa AS DOUBLE)) + 0.5) AS BIGINT)
+       |               END AS c
+       |         FROM el JOIN nrm ON el.vec_id = nrm.vec_id),
+       |p AS (SELECT q.vec_id AS id_q, c.vec_id AS id_n,
+       |             CAST(sum(cq.c * cc.c) AS BIGINT) AS qdot
+       |      FROM nrm q JOIN nrm c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+       |        JOIN code cq ON cq.vec_id = q.vec_id
+       |        JOIN code cc ON cc.vec_id = c.vec_id AND cq.i = cc.i
+       |      GROUP BY 1, 2),
+       |rk AS (SELECT id_q, id_n, qdot,
+       |         row_number() OVER (PARTITION BY id_q ORDER BY qdot DESC, id_n) AS rnk
+       |       FROM p)
+       |SELECT id_q, CAST(rnk AS BIGINT) AS rnk, id_n, qdot
+       |FROM rk WHERE rnk <= 5 ORDER BY id_q, rnk""".stripMargin)
+
   // IVF with LEARNED coarse centroids: fixed-point Lloyd's k-means
   // (K=8; 3 assignment rounds over 2 centroid refinements; init = the
   // 8 lowest vec_ids). Every quantity
@@ -333,7 +391,7 @@ object SimilarityOps {
     val ks = assigned.select("qk").distinct().as[Long].collect()
     val idx = s.read.format("vortex").load(dir)
       .select(col("id"), col("k").cast("long").as("k"), col("q"), col("saa"))
-      .filter(col("k").isin(ks: _*))
+      .filter(col("k").isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(ks): _*))
     val pruned = exclude match {
       case Some(ex) =>
         idx.join(broadcast(ex.select(col("id").as("__ex_id"))),
@@ -360,11 +418,10 @@ object SimilarityOps {
       .write.format("vortex").option("partitionBy", "k").mode("append").save(dir)
   }
 
-  /** end-to-end k-means IVF oracle (train → assign → probe own
-    * cluster → top-3) — shared by the in-query pipeline
-    * (v_cos_ivf_kmeans) and the stored-index probe (v_cos_ivf_stored),
-    * which must produce the identical result. */
-  private val ivfKmeansOracle =
+  /** The fixed-point Lloyd's chain (train → final assignment `a3`) as
+    * DuckDB CTEs — the shared head of every oracle that replays the
+    * learned clustering (IVF probes AND SemDeDup). */
+  private val kmeansChainOracle =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |el AS (SELECT vec_id, i, CAST(e[CAST(i AS INTEGER) + 1] AS DECIMAL(18,8)) AS x,
       |       CAST(CAST(e[CAST(i AS INTEGER) + 1] AS DECIMAL(18,8)) * 100000000 AS BIGINT) AS q
@@ -390,8 +447,14 @@ object SimilarityOps {
       |d3 AS (SELECT el.vec_id, c2.k, sum((el.q - c2.c) * (el.q - c2.c)) AS dist
       |       FROM el JOIN c2 ON el.i = c2.i GROUP BY 1, 2),
       |a3 AS (SELECT vec_id, k FROM (SELECT vec_id, k,
-      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d3) t WHERE rn = 1),
-      |p AS (SELECT q.vec_id AS id_q, c.vec_id AS id_n
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d3) t WHERE rn = 1)""".stripMargin
+
+  /** end-to-end k-means IVF oracle (train → assign → probe own
+    * cluster → top-3) — shared by the in-query pipeline
+    * (v_cos_ivf_kmeans) and the stored-index probe (v_cos_ivf_stored),
+    * which must produce the identical result. */
+  private val ivfKmeansOracle = kmeansChainOracle + ",\n" +
+    """p AS (SELECT q.vec_id AS id_q, c.vec_id AS id_n
       |      FROM a3 q JOIN a3 c ON q.k = c.k AND q.vec_id < 20 AND q.vec_id <> c.vec_id),
       |dt AS (SELECT p.id_q, p.id_n, CAST(sum(ea.x * eb.x) AS DECIMAL(38,16)) AS dot
       |       FROM p JOIN el ea ON ea.vec_id = p.id_q
@@ -457,6 +520,54 @@ object SimilarityOps {
       topk(cand, 3, withCos = false)
     },
     ivfKmeansOracle)
+
+  // Semantic dedup (the SemDeDup shape of Abbas et al. 2023): cluster
+  // the corpus with the SAME oracle-proven fixed-point k-means as the
+  // IVF rows, then inside each cluster drop every vector whose cosine
+  // to a LOWER-id cluster-mate reaches τ — keeping the "minimal"
+  // representatives, the deterministic engine-reproducible variant of
+  // the paper's per-cluster pruning. Pairing is cluster-scoped (never
+  // corpus-wide) and runs through BoundedBucketPairs, so a dominant
+  // cluster becomes bounded block-pair tasks instead of one O(m²)
+  // task; at 100 TB, K scales with the corpus so cluster sizes — and
+  // the quadratic-in-cluster term the paper accepts — stay bounded.
+  // τ = 0.25 sits in the within-cluster cosine tail of the synthetic
+  // corpus (max ≈ 0.47, p99 ≈ 0.30 — it has no true semantic dups),
+  // so the drop path is genuinely exercised.
+  spark("v_semdedup",
+    (s, d) => {
+      import s.implicits._
+      val assigned = kmeansAssign(s, qvecs(s, d), K = 8, refinements = 2)
+      val thr = new java.math.BigDecimal("0.2500")
+      val buckets = assigned.map { case (id, k, q, saa) => (0, k.toString, (id, q, saa)) }
+      val dropped = graft.operators.BoundedBucketPairs.pairs[(Long, Array[Long], Long), Long](
+        buckets, cap = 4096, blocks = 16,
+        blockOf = item => item._1.toInt,
+        emit = (_, a, b) => {
+          val dot = VecFixedPoint.dot(a._2, b._2)
+          if (dot > 0 && VecFixedPoint.cos4(dot, a._3, b._3).compareTo(thr) >= 0)
+            Iterator.single(math.max(a._1, b._1))
+          else Iterator.empty
+        }).toDF("vec_id").distinct().withColumn("isdrop", lit(true))
+      assigned.map(t => (t._1, t._2.toLong)).toDF("vec_id", "k")
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("k"), col("isdrop").isNull.as("kept"))
+        .orderBy("vec_id")
+    },
+    kmeansChainOracle + ",\n" +
+      """pr AS (SELECT a.vec_id AS lo, b.vec_id AS hi,
+        |             CAST(sum(ea.x * eb.x) AS DECIMAL(38,16)) AS dot
+        |      FROM a3 a JOIN a3 b ON a.k = b.k AND a.vec_id < b.vec_id
+        |        JOIN el ea ON ea.vec_id = a.vec_id
+        |        JOIN el eb ON eb.vec_id = b.vec_id AND ea.i = eb.i
+        |      GROUP BY 1, 2),
+        |drp AS (SELECT DISTINCT hi FROM pr
+        |        JOIN nrm na ON pr.lo = na.vec_id JOIN nrm nb ON pr.hi = nb.vec_id
+        |        WHERE dot > 0
+        |          AND CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(na.saa AS DOUBLE)) * sqrt(CAST(nb.saa AS DOUBLE))) AS DECIMAL(18,4)) >= 0.25)
+        |SELECT a3.vec_id, CAST(a3.k AS BIGINT) AS k,
+        |       a3.vec_id NOT IN (SELECT hi FROM drp) AS kept
+        |FROM a3 ORDER BY vec_id""".stripMargin)
 
   // Random-hyperplane LSH bucketing (8 md5-derived planes → 8-bit
   // bucket), exact scoring within bucket. The planes are deterministic

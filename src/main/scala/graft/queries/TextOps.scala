@@ -330,6 +330,53 @@ object TextOps {
       |WHERE ((doc_id % 2147483647) * 2654435761) % 4294967296 < 429496730
       |ORDER BY doc_id""".stripMargin)
 
+  // Temperature-flattened mixture sampling (the multilingual/multi-
+  // source rebalancing step of mBERT / XLM-R, α = 0.5): a source's
+  // keep-rate is base · √(m_min/m_s), where m_s is the source's total
+  // CHARACTER mass (the token-mass proxy the real mixing step uses) —
+  // larger sources are downsampled ∝ m^(α−1) toward the smallest,
+  // flattening the mixture without upsampling. Selection is the same
+  // deterministic Knuth-hash bucket as t_hash_sample compared against
+  // a per-source integer threshold, so the EXACT row set reproduces on
+  // any engine and any partitioning. Per-source masses are exact
+  // BIGINT sums and the only cross-source reduction is min() of those
+  // — no double summation whose order could drift on a cluster; the
+  // double work (√, one multiply chain, floor) is per-source scalar
+  // math with a bit-identical IEEE evaluation order on both engines.
+  // Scale shape: tiny per-source aggregate → broadcast rates →
+  // map-side filter; the corpus is never shuffled.
+  spark("t_mix_temperature",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val masses = Tables.t(s, d, "documents")
+        .groupBy("source").agg(sum(col("n_chars")).as("m_src"))
+      // whole-frame window over the |sources|-row masses frame only
+      val rates = masses
+        .withColumn("m_min", min(col("m_src")).over(Window.partitionBy()))
+        .withColumn("thr",
+          floor(lit(0.75) * sqrt(col("m_min").cast("double") / col("m_src"))
+            * lit(4294967296.0)).cast("long"))
+        .select("source", "m_src", "thr")
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          ((col("doc_id") % 2147483647L) * 2654435761L % 4294967296L).as("bucket"))
+        .join(broadcast(rates), "source")
+        .where(col("bucket") < col("thr"))
+        .select("doc_id", "source", "m_src", "thr", "bucket")
+        .orderBy("doc_id")
+    },
+    """WITH masses AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS m_src
+      |                FROM documents GROUP BY source),
+      |rates AS (SELECT source, m_src,
+      |                 CAST(floor(0.75 * sqrt(CAST((SELECT min(m_src) FROM masses) AS DOUBLE) / m_src)
+      |                            * 4294967296.0) AS BIGINT) AS thr
+      |          FROM masses)
+      |SELECT d.doc_id, d.source, r.m_src, r.thr,
+      |       ((d.doc_id % 2147483647) * 2654435761) % 4294967296 AS bucket
+      |FROM documents d JOIN rates r ON d.source = r.source
+      |WHERE ((d.doc_id % 2147483647) * 2654435761) % 4294967296 < r.thr
+      |ORDER BY d.doc_id""".stripMargin)
+
   // Stratified (per-source) sampling with an exact quota: the k
   // hash-smallest docs of every source — the mixing primitive for
   // "N docs per domain" training subsets. Scale shape: a plain
