@@ -377,6 +377,138 @@ object TextOps {
       |WHERE ((d.doc_id % 2147483647) * 2654435761) % 4294967296 < r.thr
       |ORDER BY d.doc_id""".stripMargin)
 
+  // Sequence packing, the concatenate-then-chunk form (the GPT/T5
+  // pretraining step: stream all surviving documents in a fixed order,
+  // cut the token stream into fixed-length training blocks). Each
+  // document's placement is a pure function of the running token count
+  // before it, so the whole operator is the grouped prefix sum again —
+  // and here the group is the ENTIRE corpus (one stream), exactly the
+  // case where a single-window plan serializes to one task. The
+  // two-phase PrefixSum decomposition keeps parallelism = #buckets on
+  // one global stream; at real scale the stream is sharded first and
+  // this same operator runs per shard. Output: where each doc starts
+  // in the stream and which 128-token blocks it spans (a doc spanning
+  // >1 block is split across training sequences — the standard trade
+  // the packing step accepts).
+  spark("t_pack_blocks",
+    (s, d) => {
+      val B = 128L
+      val toks = Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          lit(0).as("__g"))
+      val cum = graft.operators.PrefixSum
+        .groupedCumSum(toks, "__g", "doc_id", "n_tok", "cum_tok")
+      cum
+        .withColumn("start_tok", col("cum_tok") - col("n_tok"))
+        .withColumn("blk_first", floor(col("start_tok") / B).cast("long"))
+        .withColumn("blk_last", floor((col("cum_tok") - 1) / B).cast("long"))
+        .withColumn("n_blocks", col("blk_last") - col("blk_first") + 1)
+        .select("doc_id", "n_tok", "start_tok", "blk_first", "blk_last", "n_blocks")
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (SELECT doc_id,
+      |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |              FROM documents),
+      |cum AS (SELECT doc_id, n_tok,
+      |               CAST(sum(n_tok) OVER (ORDER BY doc_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+      |        FROM toks)
+      |SELECT doc_id, n_tok,
+      |       cum_tok - n_tok AS start_tok,
+      |       (cum_tok - n_tok) // 128 AS blk_first,
+      |       (cum_tok - 1) // 128 AS blk_last,
+      |       (cum_tok - 1) // 128 - (cum_tok - n_tok) // 128 + 1 AS n_blocks
+      |FROM cum ORDER BY doc_id""".stripMargin)
+
+  // Unigram language-model quality scoring (the CCNet/Wenzek et al.
+  // 2020 shape with the corpus itself as the LM): pass 1 builds the
+  // unigram distribution — a token-count groupBy whose shuffle moves
+  // only vocab-sized partial counts (map-side combine), never (doc,
+  // token) pairs; pass 2 re-scans the corpus and scores each document
+  // map-side against the BROADCAST frequency table (vocab-bounded
+  // driver collect, same bound class as the IVF centroids). Mean
+  // negative log-probability per document; high = improbable tokens =
+  // the filter signal. No per-token shuffle anywhere — at 100 TB the
+  // cost is two corpus scans plus a vocab-sized exchange. The 1e-4
+  // decimal rounding absorbs libm-vs-JVM ln() ulp differences and
+  // summation-order drift (per-doc term count is bounded, so the
+  // double error is ~1e-13 against a 1e-4 grid).
+  spark("t_unigram_nll",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.t(s, d, "documents")
+      val freq = docs
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      // vocab-bounded (31 words on the synthetic corpus; real corpora:
+      // ~millions — still driver-safe, and the real pipeline would cap
+      // to top-K with an <unk> bucket exactly here)
+      val table: Map[String, Long] =
+        freq.as[(String, Long)].collect().toMap
+      val total = table.values.sum.toDouble
+      val bc = s.sparkContext.broadcast(table)
+      docs
+        .repartitionByRange(col("doc_id"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          var acc = 0.0
+          toks.foreach { t => acc += -math.log(bc.value(t) / total) }
+          (id, BigDecimal(acc / toks.length)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            toks.length.toLong)
+        }
+        .toDF("doc_id", "nll", "n_tok")
+        .sortWithinPartitions("doc_id")
+    },
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq)
+      |SELECT t.doc_id,
+      |       CAST(CAST(avg(-ln(CAST(f.c AS DOUBLE) / (SELECT n FROM tot))) AS DECIMAL(18,4)) AS DOUBLE) AS nll,
+      |       CAST(count(*) AS BIGINT) AS n_tok
+      |FROM toks t JOIN freq f ON t.tok = f.tok
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+
+  // Corpus heavy-hitter n-grams: the top-20 most frequent trigrams —
+  // the contamination/boilerplate audit that runs before and after a
+  // dedup pass (a template phrase dominating the corpus shows up
+  // here). Per-partition trigram counting happens in the partial
+  // aggregate (map-side combine bounds the shuffle by the distinct-
+  // trigram count, not the corpus), and the global top-k is Spark's
+  // TakeOrderedAndProject — per-partition heaps, driver sees only
+  // k·partitions candidates. Deterministic total order (count desc,
+  // gram asc) makes the cut reproducible.
+  spark("t_top_ngrams",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val grams = Tables.t(s, d, "documents")
+        .select(col("text")).as[String]
+        .flatMap { text =>
+          val toks = text.split(" ", -1)
+          if (toks.length < 3) Iterator.empty
+          else toks.iterator.sliding(3).withPartial(false)
+            .map(_.mkString(" "))
+        }
+        .toDF("gram")
+      val top = grams.groupBy("gram").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("gram"))
+        .limit(20)
+      // rank window runs over the already-limited 20-row frame only
+      top.withColumn("rk",
+          row_number().over(Window.orderBy(desc("c"), asc("gram"))).cast("long"))
+        .select("rk", "gram", "c")
+        .orderBy("rk")
+    },
+    """WITH w AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT array_to_string(toks[i:i+2], ' ') AS gram
+      |      FROM (SELECT toks, unnest(generate_series(1, len(toks)-2)) AS i FROM w)),
+      |c AS (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY gram)
+      |SELECT CAST(row_number() OVER (ORDER BY c DESC, gram) AS BIGINT) AS rk, gram, c
+      |FROM c ORDER BY c DESC, gram LIMIT 20""".stripMargin)
+
   // Stratified (per-source) sampling with an exact quota: the k
   // hash-smallest docs of every source — the mixing primitive for
   // "N docs per domain" training subsets. Scale shape: a plain

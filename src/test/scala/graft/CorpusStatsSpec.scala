@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-8 corpus-statistics trio: sequence packing
+  * (t_pack_blocks), unigram-LM scoring (t_unigram_nll), heavy-hitter
+  * trigrams (t_top_ngrams). Each is checked against an independent
+  * driver-side scalar recompute on sf0.001 plus the invariants that
+  * make the operator trustworthy at scale.
+  */
+class CorpusStatsSpec extends AnyFunSuite {
+  lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs: Seq[(Long, String)] =
+    Tables.t(spark, sfDir, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+
+  test("t_pack_blocks matches a sequential scalar packer and tiles the stream") {
+    val B = 128L
+    var cum = 0L
+    val want = docs.map { case (id, text) =>
+      val n = text.split(" ", -1).length.toLong
+      val start = cum; cum += n
+      (id, n, start, start / B, (cum - 1) / B, (cum - 1) / B - start / B + 1)
+    }
+    val got = queries.TextOps.set.queries("t_pack_blocks")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == want)
+    // tiling: consecutive docs are contiguous in the token stream
+    // (start of doc i+1 = start of doc i + its token count), so no
+    // token is lost or double-assigned to a block
+    got.zip(got.tail).foreach { case ((_, n1, s1, _, _, _), (_, _, s2, _, _, _)) =>
+      assert(s2 == s1 + n1)
+    }
+    // every block span is consistent with the doc's token interval
+    got.foreach { case (_, n, s, bf, bl, nb) =>
+      assert(bf == s / B && bl == (s + n - 1) / B && nb == bl - bf + 1 && nb >= 1)
+    }
+  }
+
+  test("t_unigram_nll matches a driver-side unigram LM to 1e-4") {
+    val all = docs.flatMap(_._2.split(" ", -1))
+    val freq = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = all.size.toDouble
+    val want = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val nll = toks.map(t => -math.log(freq(t) / total)).sum / toks.length
+      (id, BigDecimal(nll).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        toks.length.toLong)
+    }
+    val got = queries.TextOps.set.queries("t_unigram_nll")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSeq
+    assert(got == want)
+    // nll is bounded below by the most-common token's self-information
+    // (no document can look MORE probable than all-most-common-token)
+    val pMax = freq.values.max / total
+    assert(got.forall(_._2 >= -math.log(pMax) - 1e-4))
+    assert(got.forall(r => r._2 > 0.0))
+  }
+
+  test("t_top_ngrams matches an exact scalar trigram count with the deterministic cut") {
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, text) =>
+      val toks = text.split(" ", -1)
+      var i = 0
+      while (i + 3 <= toks.length) {
+        val g = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+        counts(g) = counts.getOrElse(g, 0L) + 1L
+        i += 1
+      }
+    }
+    val want = counts.toSeq
+      .sortBy { case (g, c) => (-c, g) }
+      .take(20)
+      .zipWithIndex
+      .map { case ((g, c), i) => ((i + 1).toLong, g, c) }
+    val got = queries.TextOps.set.queries("t_top_ngrams")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got == want)
+    assert(got.map(_._3) == got.map(_._3).sorted(Ordering[Long].reverse))
+  }
+}
