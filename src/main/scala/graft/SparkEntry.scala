@@ -14,7 +14,7 @@ object SparkEntry {
   private def sets: Seq[QuerySet] = Seq(
     Relational.set, TpchSuite.set, Windows.set, Functions.set, Coverage2.set,
     Coverage3.set, EventsOps.set, TextOps.set, DedupOps.set, SimilarityOps.set,
-    VortexQueries.set)
+    RetrievalOps.set, VortexQueries.set)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
