@@ -509,6 +509,60 @@ object TextOps {
       |SELECT CAST(row_number() OVER (ORDER BY c DESC, gram) AS BIGINT) AS rk, gram, c
       |FROM c ORDER BY c DESC, gram LIMIT 20""".stripMargin)
 
+  // Per-source distribution shift: KL(P_source ‖ P_corpus) over the
+  // unigram distributions — the domain-shift audit a mixture designer
+  // runs before setting source weights (a source whose token
+  // distribution diverges from the corpus is either valuable signal
+  // or garbage; either way it needs eyes). Counts are exact BIGINTs
+  // built from per-doc local maps, so the shuffle carries
+  // (source, token, tf) partials bounded by |sources|·|vocab|, never
+  // token instances; the KL sum is |vocab| double terms per source
+  // against the broadcast corpus distribution, rounded at 1e-6 to
+  // absorb summation-order drift.
+  spark("t_source_kl",
+    (s, d) => {
+      import s.implicits._
+      val pt = Tables.t(s, d, "documents")
+        .select(col("source"), col("text")).as[(String, String)]
+        .flatMap { case (src, text) =>
+          val counts = new java.util.HashMap[String, Long]()
+          text.split(" ", -1).foreach(t => counts.merge(t, 1L, (a, b) => a + b))
+          scala.jdk.CollectionConverters.IteratorHasAsScala(counts.entrySet().iterator())
+            .asScala.map(e => (src, e.getKey, e.getValue))
+        }
+        .toDF("source", "tok", "tf")
+        .groupBy("source", "tok").agg(sum("tf").as("c_st"))
+      val corpus = pt.groupBy("tok").agg(sum("c_st").as("c_t"))
+      val nCorpus = pt.agg(sum("c_st").as("n_c"))
+      val srcTot = pt.groupBy("source").agg(sum("c_st").as("n_s"),
+        count(lit(1)).as("n_vocab"))
+      pt.join(broadcast(corpus), "tok")
+        .join(broadcast(srcTot), "source")
+        .crossJoin(broadcast(nCorpus))
+        .withColumn("term",
+          (col("c_st").cast("double") / col("n_s")) *
+            log((col("c_st").cast("double") / col("n_s")) /
+              (col("c_t").cast("double") / col("n_c"))))
+        .groupBy("source")
+        .agg(first(col("n_s")).as("n_tok"), first(col("n_vocab")).as("n_vocab"),
+          sum(col("term")).cast("decimal(18,6)").cast("double").as("kl"))
+        .orderBy("source")
+    },
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |pt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st FROM toks GROUP BY 1, 2),
+      |corpus AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM pt GROUP BY tok),
+      |nc AS (SELECT CAST(sum(c_st) AS BIGINT) AS n_c FROM pt),
+      |st AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s,
+      |              CAST(count(*) AS BIGINT) AS n_vocab
+      |       FROM pt GROUP BY source)
+      |SELECT p.source, st.n_s AS n_tok, st.n_vocab,
+      |       CAST(CAST(sum((CAST(p.c_st AS DOUBLE) / st.n_s) *
+      |              ln((CAST(p.c_st AS DOUBLE) / st.n_s) /
+      |                 (CAST(c.c_t AS DOUBLE) / nc.n_c))) AS DECIMAL(18,6)) AS DOUBLE) AS kl
+      |FROM pt p JOIN corpus c ON p.tok = c.tok JOIN st ON p.source = st.source, nc
+      |GROUP BY p.source, st.n_s, st.n_vocab
+      |ORDER BY p.source""".stripMargin)
+
   // Stratified (per-source) sampling with an exact quota: the k
   // hash-smallest docs of every source — the mixing primitive for
   // "N docs per domain" training subsets. Scale shape: a plain

@@ -68,6 +68,34 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got.forall(r => r._2 > 0.0))
   }
 
+  test("t_source_kl matches a scalar KL computation and is non-negative") {
+    val bySrc = Tables.t(spark, sfDir, "documents").select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.groupBy(_._1)
+    val counts = bySrc.view.mapValues { ds =>
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      ds.foreach(_._2.split(" ", -1).foreach(t => m(t) = m.getOrElse(t, 0L) + 1L))
+      m.toMap
+    }.toMap
+    val corpus = counts.values.flatten
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val nC = corpus.values.sum.toDouble
+    val want = counts.toSeq.sortBy(_._1).map { case (src, m) =>
+      val nS = m.values.sum.toDouble
+      val kl2 = m.map { case (t, c) =>
+        (c / nS) * math.log((c / nS) / (corpus(t) / nC))
+      }.sum
+      (src, nS.toLong, m.size.toLong,
+        BigDecimal(kl2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = queries.TextOps.set.queries("t_source_kl")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // doubles: summation order differs between the scalar fold and the
+    // distributed partial aggregation — compare at the rounding grid
+    assert(got.map(g => (g._1, g._2, g._3)) == want.map(w => (w._1, w._2, w._3)))
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g._4 - w._4) <= 2e-6) }
+    got.foreach(g => assert(g._4 >= -1e-9))  // KL >= 0
+  }
+
   test("t_top_ngrams matches an exact scalar trigram count with the deterministic cut") {
     val counts = scala.collection.mutable.Map.empty[String, Long]
     docs.foreach { case (_, text) =>
