@@ -39,6 +39,11 @@ object RetrievalOps {
     // locals so the executor closure captures three strings, not the
     // query-set object
     val (w1, w2, w3) = (T1, T2, T3)
+    // NOT repartitioned before the map: the single input split does
+    // run the tokenize serial, but the A/B (JobCountProbe sf1) showed
+    // the raw-text exchange costs more than it saves here (0.55 →
+    // 0.74 s) — the per-row work is two orders lighter than
+    // t_fingerprint's per-shingle md5, where the same lever wins
     Tables.t(s, d, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>

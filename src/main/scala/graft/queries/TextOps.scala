@@ -523,7 +523,13 @@ object TextOps {
     (s, d) => {
       import s.implicits._
       val pt = Tables.t(s, d, "documents")
-        .select(col("source"), col("text")).as[(String, String)]
+        .select(col("source"), col("text"))
+        // one input split otherwise → serial tokenize; the exchange
+        // pays for itself here (JobCountProbe sf1: 0.64 → 0.52 s)
+        // because the per-doc HashMap counting is heavy enough, unlike
+        // the bm25 tf pass where the same lever measured a loss
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .as[(String, String)]
         .flatMap { case (src, text) =>
           val counts = new java.util.HashMap[String, Long]()
           text.split(" ", -1).foreach(t => counts.merge(t, 1L, (a, b) => a + b))
