@@ -106,11 +106,16 @@ object RetrievalOps {
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
       val nd = Tables.t(s, d, "documents")
         .agg(count(lit(1)).cast("double").as("nd"))
-      ag.crossJoin(broadcast(nd))
-        .withColumn("idf",
-          expr("CAST(CAST(ln((nd - df + 0.5) / (df + 0.5) + 1) AS DECIMAL(18,6)) AS DOUBLE)"))
-        .select(col("tok"), col("df"), col("cf"), col("idf"))
-        .orderBy(desc("df"), asc("tok"))
+      // vocab-bounded result: TinyResult skips the range-sampling job
+      // over the final aggregate (JobCountProbe: 6 → 5 jobs at sf1;
+      // time flat — the sampled child was the already-shuffled tiny
+      // frame — kept for the plan hygiene, not a measured win)
+      graft.operators.TinyResult.globalSort(
+        ag.crossJoin(broadcast(nd))
+          .withColumn("idf",
+            expr("CAST(CAST(ln((nd - df + 0.5) / (df + 0.5) + 1) AS DECIMAL(18,6)) AS DOUBLE)"))
+          .select(col("tok"), col("df"), col("cf"), col("idf")),
+        desc("df"), asc("tok"))
     },
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       |pt AS (SELECT tok, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
