@@ -421,6 +421,52 @@ object TextOps {
       |       (cum_tok - 1) // 128 - (cum_tok - n_tok) // 128 + 1 AS n_blocks
       |FROM cum ORDER BY doc_id""".stripMargin)
 
+  // The loader-facing inverse of t_pack_blocks: the block manifest —
+  // one row per (block, document) intersection telling a training
+  // loader exactly which token slice of which document fills which
+  // part of each fixed 128-token block. Derived by exploding each
+  // document's block span (`sequence` + explode — rows ≈ docs +
+  // blocks, never tokens) from the same two-phase prefix sum; every
+  // column is exact BIGINT arithmetic on the prefix values.
+  spark("t_pack_manifest",
+    (s, d) => {
+      val B = 128L
+      val toks = Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          lit(0).as("__g"))
+      val cum = graft.operators.PrefixSum
+        .groupedCumSum(toks, "__g", "doc_id", "n_tok", "cum_tok")
+        .withColumn("s0", col("cum_tok") - col("n_tok"))
+      cum
+        .withColumn("block_id",
+          explode(sequence(floor(col("s0") / B).cast("long"),
+            floor((col("cum_tok") - 1) / B).cast("long"))))
+        .withColumn("slice_start", greatest(col("s0"), col("block_id") * B))
+        .withColumn("slice_end", least(col("cum_tok"), (col("block_id") + 1) * B))
+        .select(col("block_id"), col("doc_id"),
+          (col("slice_start") - col("s0")).as("tok_from"),
+          (col("slice_end") - col("slice_start")).as("n_toks"),
+          (col("slice_start") - col("block_id") * B).as("blk_off"))
+        .orderBy("block_id", "doc_id")
+    },
+    """WITH toks AS (SELECT doc_id,
+      |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |              FROM documents),
+      |cum AS (SELECT doc_id, n_tok,
+      |               CAST(sum(n_tok) OVER (ORDER BY doc_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+      |        FROM toks),
+      |spans AS (SELECT doc_id, n_tok, cum_tok, cum_tok - n_tok AS s0,
+      |                 unnest(generate_series((cum_tok - n_tok) // 128,
+      |                                        (cum_tok - 1) // 128)) AS block_id
+      |          FROM cum)
+      |SELECT block_id, doc_id,
+      |       greatest(s0, block_id * 128) - s0 AS tok_from,
+      |       least(cum_tok, (block_id + 1) * 128) - greatest(s0, block_id * 128) AS n_toks,
+      |       greatest(s0, block_id * 128) - block_id * 128 AS blk_off
+      |FROM spans ORDER BY block_id, doc_id""".stripMargin)
+
   // Unigram language-model quality scoring (the CCNet/Wenzek et al.
   // 2020 shape with the corpus itself as the LM): pass 1 builds the
   // unigram distribution — a token-count groupBy whose shuffle moves

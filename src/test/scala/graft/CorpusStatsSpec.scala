@@ -46,6 +46,35 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("t_pack_manifest tiles every block exactly and covers every document") {
+    val B = 128L
+    val got = queries.TextOps.set.queries("t_pack_manifest")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val nTokByDoc = docs.map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+    val total = nTokByDoc.values.sum
+    // per document: slices cover [0, n_tok) contiguously
+    got.groupBy(_._2).foreach { case (id, slices) =>
+      val sorted = slices.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      assert(sorted.map(_._4).sum == nTokByDoc(id))
+      sorted.zip(sorted.tail).foreach { case (a, b) => assert(b._3 == a._3 + a._4) }
+    }
+    assert(got.groupBy(_._2).keySet == nTokByDoc.keySet)
+    // per block: slices tile [0, B) (last block may be partial)
+    val lastBlock = (total - 1) / B
+    got.groupBy(_._1).foreach { case (blk, slices) =>
+      val sorted = slices.sortBy(_._5)
+      assert(sorted.head._5 == 0L)
+      sorted.zip(sorted.tail).foreach { case (a, b) => assert(b._5 == a._5 + a._4) }
+      val filled = sorted.map(_._4).sum
+      if (blk < lastBlock) assert(filled == B)
+      else assert(filled == total - lastBlock * B)
+    }
+    assert(got.groupBy(_._1).keySet == (0L to lastBlock).toSet)
+  }
+
   test("t_unigram_nll matches a driver-side unigram LM to 1e-4") {
     val all = docs.flatMap(_._2.split(" ", -1))
     val freq = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
