@@ -330,6 +330,32 @@ object TextOps {
       |WHERE ((doc_id % 2147483647) * 2654435761) % 4294967296 < 429496730
       |ORDER BY doc_id""".stripMargin)
 
+  // Deterministic train/val/test split assignment (80/10/10 by the
+  // same engine-reproducible Knuth-hash bucket as t_hash_sample): a
+  // document's split is a pure function of its id, so the assignment
+  // is stable under corpus growth (new docs never move old ones
+  // between splits — the property random shuffling loses), identical
+  // on any engine/partitioning, and pure map-side. The per-source
+  // counts audit that the hash stratifies evenly without explicit
+  // stratification.
+  spark("t_split_assign",
+    (s, d) => {
+      val bucket = (col("doc_id") % 2147483647L) * 2654435761L % 4294967296L
+      val split = when(bucket < 3435973837L, "train")
+        .when(bucket < 3865470566L, "val").otherwise("test")
+      Tables.t(s, d, "documents")
+        .select(col("source"), split.as("split"))
+        .groupBy("source", "split").agg(count(lit(1)).as("n"))
+        .orderBy("source", "split")
+    },
+    """SELECT source,
+      |  CASE WHEN b < 3435973837 THEN 'train'
+      |       WHEN b < 3865470566 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n
+      |FROM (SELECT source, ((doc_id % 2147483647) * 2654435761) % 4294967296 AS b
+      |      FROM documents)
+      |GROUP BY 1, 2 ORDER BY source, split""".stripMargin)
+
   // Temperature-flattened mixture sampling (the multilingual/multi-
   // source rebalancing step of mBERT / XLM-R, α = 0.5): a source's
   // keep-rate is base · √(m_min/m_s), where m_s is the source's total

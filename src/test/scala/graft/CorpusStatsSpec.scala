@@ -125,6 +125,27 @@ class CorpusStatsSpec extends AnyFunSuite {
     got.foreach(g => assert(g._4 >= -1e-9))  // KL >= 0
   }
 
+  test("t_split_assign is deterministic, complete, and near 80/10/10") {
+    val got = queries.TextOps.set.queries("t_split_assign")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val total = got.map(_._3).sum
+    assert(total == docs.size)
+    val bySplit = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(math.abs(bySplit("train").toDouble / total - 0.8) < 0.08)
+    assert(math.abs(bySplit.getOrElse("val", 0L).toDouble / total - 0.1) < 0.06)
+    assert(math.abs(bySplit.getOrElse("test", 0L).toDouble / total - 0.1) < 0.06)
+    // stability: the assignment is a pure function of doc_id, so the
+    // same docs get the same split when the corpus grows (recompute
+    // the formula over a half-corpus and the full corpus)
+    def split(id: Long): String = {
+      val b = (id % 2147483647L) * 2654435761L % 4294967296L
+      if (b < 3435973837L) "train" else if (b < 3865470566L) "val" else "test"
+    }
+    val half = docs.take(docs.size / 2).map { case (id, _) => id -> split(id) }
+    val full = docs.map { case (id, _) => id -> split(id) }.toMap
+    half.foreach { case (id, sp) => assert(full(id) == sp) }
+  }
+
   test("t_top_ngrams matches an exact scalar trigram count with the deterministic cut") {
     val counts = scala.collection.mutable.Map.empty[String, Long]
     docs.foreach { case (_, text) =>
