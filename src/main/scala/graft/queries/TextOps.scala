@@ -694,4 +694,109 @@ object TextOps {
       |         ORDER BY ((doc_id % 2147483647) * 2654435761) % 4294967296, doc_id) AS BIGINT) AS rk
       |  FROM documents) t
       |WHERE rk <= 50 ORDER BY source, rk""".stripMargin)
+
+  // PII / entity scrubbing: redact email addresses, IPv4 addresses and
+  // the token following "customer" (a stand-in for NER-lite name
+  // masking that actually fires on this corpus — the email/IP patterns
+  // are the real-world ones and are proven on literals in PiiScrubSpec).
+  // Pure map-side regexp work over each document — embarrassingly
+  // parallel, no shuffle; counts are taken on the ORIGINAL text so the
+  // audit trail is independent of replacement order. Both engines use
+  // leftmost-first non-overlapping replace semantics (Java regex /
+  // RE2), so the masked text hashes are comparable.
+  spark("t_pii_scrub",
+    (s, d) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ip = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+      val name = "\\bcustomer [a-z]+"
+      Tables.t(s, d, "documents").select(
+          col("doc_id"),
+          (regexp_count(col("text"), lit(email)) +
+            regexp_count(col("text"), lit(ip))).cast("long").as("n_pii"),
+          regexp_count(col("text"), lit(name)).cast("long").as("n_name"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+              email, "<EMAIL>"), ip, "<IP>"), name, "customer <NAME>"))
+            .as("scrub_md5"))
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) +
+      |       len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_pii,
+      |  CAST(len(regexp_extract_all(text, '\bcustomer [a-z]+')) AS BIGINT) AS n_name,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+      |      '\bcustomer [a-z]+', 'customer <NAME>', 'g')) AS scrub_md5
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  // Tokenizer vocabulary coverage: word frequencies ranked by count,
+  // with the exact cumulative corpus share per rank — the curve a
+  // tokenizer designer reads to size the vocab ("how many types cover
+  // 95% of tokens"). Counting is the proven per-doc HashMap flatMap
+  // (no token-instance shuffle, partials bounded by |vocab|); the
+  // rank/cumsum windows run over the AGGREGATED vocab frame only —
+  // orders of magnitude smaller than the corpus. For a 10M-type vocab
+  // the single-partition window would serialize; swap in the
+  // PrefixSum two-phase grouped cumsum (operators/PrefixSum.scala)
+  // exactly as t_token_budget_prefix does. cum/total are exact
+  // BIGINTs, so the share division is one deterministic double op.
+  spark("t_vocab_coverage",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.t(s, d, "documents")
+        .select(col("text")).as[String]
+        .flatMap { text =>
+          val m = new java.util.HashMap[String, Long]()
+          text.split(" ", -1).foreach(t => m.merge(t, 1L, (a, b) => a + b))
+          scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator())
+            .asScala.map(e => (e.getKey, e.getValue))
+        }
+        .toDF("tok", "tf")
+        .groupBy("tok").agg(sum("tf").as("c"))
+      val w = Window.orderBy(desc("c"), asc("tok"))
+      counts
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum("c").over(Window.partitionBy()))
+        .withColumn("cum_share", col("cum").cast("double") / col("total"))
+        .select(col("rk"), col("tok"), col("c"), col("cum_share"))
+        .orderBy("rk")
+    },
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok)
+      |SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rk, tok, c,
+      |  CAST(CAST(sum(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+      |    / (SELECT CAST(sum(c) AS BIGINT) FROM c) AS cum_share
+      |FROM c ORDER BY rk""".stripMargin)
+
+  // Percentile-clipping outlier filter (FineWeb-style): drop documents
+  // whose length falls outside the exact (P1, P99) interval, report
+  // per-source survivor counts and the kept length range. The bounds
+  // come from Spark's EXACT interpolated percentile aggregate — its
+  // partial state is a value→count map bounded by the number of
+  // DISTINCT lengths (small by construction: doc sizes are bounded),
+  // so it map-side combines and scales; the 1-row bounds frame is
+  // broadcast into the filter, never shuffling the corpus. DuckDB's
+  // quantile_cont uses the same (n-1)·p linear interpolation, so the
+  // double bounds agree bit-for-bit on exact int inputs.
+  spark("t_length_outliers",
+    (s, d) => {
+      val docs = Tables.t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+      val bounds = docs.agg(
+        expr("percentile(n_chars, 0.01)").as("lo"),
+        expr("percentile(n_chars, 0.99)").as("hi"))
+      docs.crossJoin(broadcast(bounds))
+        .where(col("n_chars") > col("lo") && col("n_chars") < col("hi"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept"),
+          min("n_chars").as("min_c"), max("n_chars").as("max_c"))
+        .orderBy("source")
+    },
+    """WITH b AS (SELECT quantile_cont(n_chars, 0.01) AS lo,
+      |                  quantile_cont(n_chars, 0.99) AS hi FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS kept,
+      |  CAST(min(n_chars) AS BIGINT) AS min_c, CAST(max(n_chars) AS BIGINT) AS max_c
+      |FROM documents, b WHERE n_chars > b.lo AND n_chars < b.hi
+      |GROUP BY source ORDER BY source""".stripMargin)
 }
