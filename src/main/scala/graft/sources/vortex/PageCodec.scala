@@ -23,6 +23,12 @@ final class ColVec(val n: Int, val nulls: Array[Boolean],
 object PageCodec {
   import VortexFormat._
 
+  // zstd block level (vortex-zstd role). 3 is the shipped default;
+  // env-tunable for write-throughput A/Bs only — readers are level-
+  // agnostic (the frame carries the raw length).
+  private val ZstdLevel: Int =
+    sys.env.getOrElse("GRAFT_ZSTD_LEVEL", "3").toInt
+
   def width(dt: DataType): Int = dt match {
     case BooleanType | ByteType => 1
     case ShortType => 2
@@ -322,8 +328,8 @@ object PageCodec {
                 val syms = FsstCodec.train(vec.bins, n)
                 if (syms.length >= 8) {
                   val fsst = FsstCodec.encode(vec.bins, n, syms)
-                  val zp = Zstd.compress(plain, 3).length
-                  val zf = Zstd.compress(fsst, 3).length
+                  val zp = Zstd.compress(plain, ZstdLevel).length
+                  val zf = Zstd.compress(fsst, ZstdLevel).length
                   if (zf < zp) Some(fsst) else None
                 } else None
               } else None
@@ -343,7 +349,7 @@ object PageCodec {
     System.arraycopy(payload._2, 0, raw, bitmap.length, payload._2.length)
     // zstd block compression when it pays (≙ vortex-zstd role)
     if (raw.length >= 128) {
-      val comp = Zstd.compress(raw, 3)
+      val comp = Zstd.compress(raw, ZstdLevel)
       if (comp.length < raw.length - 16) {
         val bb = ByteBuffer.allocate(4 + comp.length).order(ByteOrder.LITTLE_ENDIAN)
         bb.putInt(raw.length); bb.put(comp)
