@@ -1,0 +1,70 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Spark half of the randomized differential-testing harness
+  * (tools/fuzz_diff.py): read a {name: sql} JSON of generated ANSI
+  * queries, run each over the registered parquet tables, dump one
+  * parquet per query for the DuckDB compare. Mirrors Verify exactly
+  * (same session config, same failure convention) so a fuzz mismatch
+  * is attributable to the query semantics, not the harness.
+  * Usage: runMain graft.FuzzRun <sfDir> <outDir> <queries.json>
+  */
+object FuzzRun {
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir, qfile) = (args(0), args(1), args(2))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    if (sys.env.get("GRAFT_FUZZ_VORTEX").contains("1")) {
+      // vortex-mode: every table view is a vortex COPY of the parquet
+      // original, so random predicates/projections exercise the whole
+      // write → manifest → scan → pushdown stack while DuckDB still
+      // reads the parquet originals — a storage-level differential.
+      val vroot = s"/tmp/fuzz_vortex_${new java.io.File(sfDir).getName}"
+      Tables.names.foreach { n =>
+        val dir = s"$vroot/$n"
+        if (!new java.io.File(s"$dir/_vortex_manifest.json").exists() &&
+            !new java.io.File(dir).exists())
+          sources.vortex.VortexBulkCopy.copy(Tables.t(spark, sfDir, n), dir)
+        spark.read.format("vortex").load(dir).createOrReplaceTempView(n)
+      }
+    } else Tables.registerAll(spark, sfDir)
+    // tiny flat-JSON reader ({"k":"v",...}, values escaped by the
+    // generator with json.dumps): no JSON library on the classpath
+    val raw = Files.readString(Paths.get(qfile))
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    def unesc(s: String): String = {
+      val b = new StringBuilder; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => b.append('\n'); i += 2
+            case 't' => b.append('\t'); i += 2
+            case 'r' => b.append('\r'); i += 2
+            case 'u' => b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+            case o   => b.append(o); i += 2
+          }
+        } else { b.append(c); i += 1 }
+      }
+      b.toString
+    }
+    entry.findAllMatchIn(raw).foreach { m =>
+      val (name, sql) = (unesc(m.group(1)), unesc(m.group(2)))
+      try spark.sql(sql).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[fuzz] $name failed: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,320 @@
+#!/usr/bin/env python3
+"""Randomized differential testing: generate seeded random ANSI queries
+over the test tables, run them on Spark (graft.FuzzRun) and DuckDB, and
+hash-compare canonicalized results (same canon as tools/check.py).
+
+    python3 tools/fuzz_diff.py [sfdir] [n_queries] [seed] [--skip-spark]
+
+The grammar is restricted to the engine-portable core, with the known
+cross-engine divergences excluded BY CONSTRUCTION (each exclusion is a
+documented semantic difference, not a bug in either engine):
+  - every SUM/COUNT is CAST to BIGINT (DuckDB widens to HUGEINT);
+  - aggregates over double columns go through DECIMAL(18,2) and are
+    final-cast to DOUBLE (double summation order differs per engine);
+  - no CAST(double AS INT) (DuckDB rounds, Spark truncates);
+  - no round() (HALF_UP vs half-away ties), no division that can hit 0;
+  - ORDER BY covers every output column with explicit NULLS FIRST
+    (engine defaults differ), so LIMIT is deterministic.
+"""
+import sys, os, json, glob, hashlib, random, shutil, subprocess
+import duckdb, pyarrow.parquet as pq
+
+args = [a for a in sys.argv[1:] if not a.startswith('-')]
+SF = args[0] if len(args) > 0 else '/root/testdata/sf0.01'
+N = int(args[1]) if len(args) > 1 else 120
+SEED = int(args[2]) if len(args) > 2 else 8
+SKIP_SPARK = '--skip-spark' in sys.argv
+VORTEX = '--vortex' in sys.argv   # Spark side reads vortex COPIES of the tables
+OUT = '/tmp/fuzz_out'
+QFILE = '/tmp/fuzz_queries.json'
+
+rng = random.Random(SEED)
+
+# ---- schema model ---------------------------------------------------
+# (cols by portable type class; pk = deterministic tiebreak order)
+T = {
+  'lineitem': dict(
+    ints=['l_orderkey', 'l_partkey', 'l_suppkey', 'l_linenumber'],
+    dbls=['l_quantity', 'l_extendedprice', 'l_discount', 'l_tax'],
+    strs=['l_returnflag', 'l_linestatus'], tss=['l_shipdate'],
+    pk=['l_orderkey', 'l_linenumber']),
+  'orders': dict(
+    ints=['o_orderkey', 'o_custkey'], dbls=['o_totalprice'],
+    strs=['o_orderstatus', 'o_orderpriority'], tss=['o_orderdate'],
+    pk=['o_orderkey']),
+  'customer': dict(
+    ints=['c_custkey', 'c_nationkey'], dbls=['c_acctbal'],
+    strs=['c_name', 'c_mktsegment'], tss=[], pk=['c_custkey']),
+  'part': dict(
+    ints=['p_partkey', 'p_size'], dbls=['p_retailprice'],
+    strs=['p_name', 'p_brand', 'p_type'], tss=[], pk=['p_partkey']),
+  'supplier': dict(
+    ints=['s_suppkey', 's_nationkey'], dbls=['s_acctbal'],
+    strs=['s_name'], tss=[], pk=['s_suppkey']),
+  'nation': dict(ints=['n_nationkey', 'n_regionkey'], dbls=[],
+                 strs=['n_name'], tss=[], pk=['n_nationkey']),
+  'events': dict(ints=['event_id', 'user_id'], dbls=['value'],
+                 strs=['event_type'], tss=['ts'], pk=['event_id']),
+}
+JOINS = [  # (left table, right table, on)
+  ('lineitem', 'orders', 'l_orderkey = o_orderkey'),
+  ('lineitem', 'part', 'l_partkey = p_partkey'),
+  ('lineitem', 'supplier', 'l_suppkey = s_suppkey'),
+  ('orders', 'customer', 'o_custkey = c_custkey'),
+  ('customer', 'nation', 'c_nationkey = n_nationkey'),
+  ('supplier', 'nation', 's_nationkey = n_nationkey'),
+]
+
+con = duckdb.connect()
+con.execute("SET TimeZone='UTC'")
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+# constants sampled from the real data → predicates with real selectivity
+CONST = {}
+for t, s in T.items():
+    CONST[t] = {}
+    for c in s['ints'] + s['dbls']:
+        qs = con.execute(
+            f"SELECT quantile_disc({c}, 0.25), quantile_disc({c}, 0.5), "
+            f"quantile_disc({c}, 0.75) FROM {t}").fetchone()
+        CONST[t][c] = [v for v in qs if v is not None] or [0]
+    for c in s['strs']:
+        vals = [r[0] for r in con.execute(
+            f"SELECT DISTINCT {c} FROM {t} WHERE {c} IS NOT NULL LIMIT 40").fetchall()]
+        CONST[t][c] = vals or ['x']
+    for c in s['tss']:
+        qs = con.execute(
+            f"SELECT quantile_disc({c}, 0.33), quantile_disc({c}, 0.66) FROM {t}").fetchone()
+        CONST[t][c] = [v for v in qs if v is not None]
+
+def lit(t, c, kind):
+    v = rng.choice(CONST[t][c])
+    if kind == 'str':
+        return "'" + str(v).replace("'", "''") + "'"
+    if kind == 'ts':
+        return f"TIMESTAMP '{v}'"
+    return repr(float(v)) if isinstance(v, float) else str(v)
+
+def pred(t, depth=0):
+    s = T[t]
+    choices = ['int_cmp', 'str_eq', 'in_list', 'between']
+    if s['dbls']: choices.append('dbl_cmp')
+    if s['tss']: choices.append('ts_cmp')
+    if depth < 1: choices += ['and', 'or', 'not']
+    k = rng.choice(choices)
+    if k == 'and' or k == 'or':
+        return f"({pred(t, depth+1)} {k.upper()} {pred(t, depth+1)})"
+    if k == 'not':
+        return f"(NOT {pred(t, depth+1)})"
+    if k == 'int_cmp':
+        c = rng.choice(s['ints'])
+        return f"{c} {rng.choice(['<', '<=', '>', '>=', '=', '<>'])} {lit(t, c, 'int')}"
+    if k == 'dbl_cmp':
+        c = rng.choice(s['dbls'])
+        return f"{c} {rng.choice(['<', '<=', '>', '>='])} {lit(t, c, 'dbl')}"
+    if k == 'ts_cmp':
+        c = rng.choice(s['tss'])
+        return f"{c} {rng.choice(['<', '>='])} {lit(t, c, 'ts')}"
+    if k == 'str_eq':
+        c = rng.choice(s['strs'])
+        return f"{c} {rng.choice(['=', '<>'])} {lit(t, c, 'str')}"
+    if k == 'in_list':
+        c = rng.choice(s['strs'] + s['ints'])
+        kind = 'str' if c in s['strs'] else 'int'
+        vals = ", ".join(sorted({lit(t, c, kind) for _ in range(rng.randint(2, 4))}))
+        return f"{c} IN ({vals})"
+    if k == 'between':
+        c = rng.choice(s['ints'])
+        a, b = sorted(rng.sample(CONST[t][c], 1) * 2)
+        return f"{c} BETWEEN {a} AND {b + rng.randint(1, 50)}"
+
+def scalar_expr(t):
+    """A derived output expression (portable, deterministic)."""
+    s = T[t]
+    k = rng.choice(['arith', 'case', 'strfn', 'coalesce'])
+    if k == 'arith':
+        a, b = rng.choice(s['ints']), rng.choice(s['ints'])
+        op = rng.choice(['+', '-', '*'])
+        return f"CAST({a} {op} {b} AS BIGINT)"
+    if k == 'case':
+        return f"CASE WHEN {pred(t, depth=1)} THEN 1 ELSE 0 END"
+    if k == 'strfn':
+        c = rng.choice(s['strs'])
+        return rng.choice([f"length({c})", f"upper({c})", f"substr({c}, 1, 3)",
+                           f"concat({c}, '_x')"])
+    if k == 'coalesce':
+        c = rng.choice(s['ints'])
+        return f"coalesce({c}, 0)"
+
+def agg_expr(t):
+    s = T[t]
+    k = rng.choice(['cnt', 'cnt_d', 'sum_i', 'sum_dec', 'minmax', 'avg_i'])
+    if k == 'cnt':
+        return "CAST(count(*) AS BIGINT)"
+    if k == 'cnt_d':
+        c = rng.choice(s['ints'] + s['strs'])
+        return f"CAST(count(DISTINCT {c}) AS BIGINT)"
+    if k == 'sum_i':
+        c = rng.choice(s['ints'])
+        return f"CAST(sum({c}) AS BIGINT)"
+    if k == 'sum_dec':
+        if not s['dbls']: return "CAST(count(*) AS BIGINT)"
+        c = rng.choice(s['dbls'])
+        return f"CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
+    if k == 'minmax':
+        c = rng.choice(s['ints'] + s['strs'] + s['tss'])
+        return f"{rng.choice(['min', 'max'])}({c})"
+    if k == 'avg_i':
+        c = rng.choice(s['ints'])
+        return f"CAST(avg({c}) AS DOUBLE)"
+
+def order_by(cols):
+    return "ORDER BY " + ", ".join(f"{c} ASC NULLS FIRST" for c in cols)
+
+def q_scan():
+    t = rng.choice(list(T))
+    s = T[t]
+    cols = rng.sample(s['ints'] + s['strs'] + s['dbls'] + s['tss'],
+                      rng.randint(1, 3))
+    sel = [f"{c} AS c{i}" for i, c in enumerate(cols)]
+    if rng.random() < 0.6:
+        sel.append(f"{scalar_expr(t)} AS c{len(sel)}")
+    names = [x.split(' AS ')[-1] for x in sel]
+    limit = f" LIMIT {rng.randint(5, 200)}" if rng.random() < 0.5 else ""
+    return (f"SELECT {', '.join(sel)} FROM {t} WHERE {pred(t)} "
+            f"{order_by(names)}{limit}")
+
+def q_agg():
+    t = rng.choice(list(T))
+    s = T[t]
+    gcols = rng.sample(s['strs'] + s['ints'], rng.randint(1, 2))
+    aggs = [f"{agg_expr(t)} AS a{i}" for i in range(rng.randint(1, 3))]
+    gsel = [f"{c} AS g{i}" for i, c in enumerate(gcols)]
+    having = f" HAVING count(*) > {rng.randint(1, 3)}" if rng.random() < 0.3 else ""
+    where = f"WHERE {pred(t)} " if rng.random() < 0.7 else ""
+    names = [f"g{i}" for i in range(len(gcols))] + [f"a{i}" for i in range(len(aggs))]
+    return (f"SELECT {', '.join(gsel + aggs)} FROM {t} {where}"
+            f"GROUP BY {', '.join(f'g{i}' for i in range(len(gcols)))}{having} "
+            f"{order_by(names)}")
+
+def q_join():
+    lt, rt, on = rng.choice(JOINS)
+    jt = rng.choice(['JOIN', 'LEFT JOIN'])
+    ls, rs = T[lt], T[rt]
+    if rng.random() < 0.5:   # join + aggregate
+        g = rng.choice(ls['strs'] + rs['strs'])
+        gt = lt if g in ls['strs'] else rt
+        agg = agg_expr(lt)
+        return (f"SELECT {g} AS g0, {agg} AS a0, CAST(count(*) AS BIGINT) AS a1 "
+                f"FROM {lt} {jt} {rt} ON {on} WHERE {pred(lt)} "
+                f"GROUP BY g0 {order_by(['g0', 'a0', 'a1'])}")
+    cols = [rng.choice(ls['ints']), rng.choice(rs['ints'] + rs['strs'])]
+    sel = [f"{c} AS c{i}" for i, c in enumerate(cols)]
+    names = [f"c{i}" for i in range(len(cols))]
+    return (f"SELECT {', '.join(sel)} FROM {lt} {jt} {rt} ON {on} "
+            f"WHERE {pred(lt)} {order_by(names)} LIMIT {rng.randint(10, 300)}")
+
+def q_setop():
+    t = rng.choice(list(T))
+    s = T[t]
+    c = rng.choice(s['ints'] + s['strs'])
+    op = rng.choice(['UNION', 'UNION ALL', 'INTERSECT', 'EXCEPT'])
+    return (f"SELECT {c} AS c0 FROM {t} WHERE {pred(t)} {op} "
+            f"SELECT {c} AS c0 FROM {t} WHERE {pred(t)} ORDER BY c0 ASC NULLS FIRST")
+
+def q_subquery():
+    kind = rng.choice(['in', 'scalar', 'exists'])
+    if kind == 'in':
+        return (f"SELECT o_orderkey AS c0, o_orderstatus AS c1 FROM orders "
+                f"WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE {pred('customer')}) "
+                f"AND {pred('orders')} {order_by(['c0'])} LIMIT 200")
+    if kind == 'scalar':
+        return (f"SELECT c_custkey AS c0, CAST(c_acctbal AS DOUBLE) AS c1 FROM customer "
+                f"WHERE c_acctbal > (SELECT CAST(avg(c_acctbal) AS DOUBLE) FROM customer) "
+                f"AND {pred('customer')} {order_by(['c0'])}")
+    return (f"SELECT c_custkey AS c0 FROM customer WHERE EXISTS "
+            f"(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND {pred('orders')}) "
+            f"{order_by(['c0'])}")
+
+def q_window():
+    t = rng.choice(['lineitem', 'orders', 'events'])
+    s = T[t]
+    g = rng.choice(s['strs'])
+    key = ", ".join(s['pk'])
+    fn = rng.choice([f"row_number() OVER (PARTITION BY {g} ORDER BY {key})",
+                     f"rank() OVER (PARTITION BY {g} ORDER BY {s['ints'][0]})",
+                     f"CAST(sum({s['ints'][-1]}) OVER (PARTITION BY {g} ORDER BY {key} "
+                     f"ROWS UNBOUNDED PRECEDING) AS BIGINT)"])
+    names = ['c0', 'c1', 'c2']
+    return (f"SELECT {s['pk'][0]} AS c0, {g} AS c1, {fn} AS c2 FROM {t} "
+            f"WHERE {pred(t)} {order_by(names)} LIMIT 500")
+
+GENS = [q_scan, q_agg, q_join, q_setop, q_subquery, q_window]
+
+queries = {}
+for i in range(N):
+    queries[f"fz{i:04d}"] = GENS[i % len(GENS)]()
+
+json.dump(queries, open(QFILE, 'w'))
+print(f"[fuzz] generated {len(queries)} queries (seed={SEED}) -> {QFILE}")
+
+if not SKIP_SPARK:
+    shutil.rmtree(OUT, ignore_errors=True)
+    env = dict(os.environ, GRAFT_FUZZ_VORTEX='1') if VORTEX else os.environ
+    r = subprocess.run(['sbt', '-batch', f'runMain graft.FuzzRun {SF} {OUT} {QFILE}'],
+                       cwd='/root/repo', capture_output=True, text=True, timeout=3600, env=env)
+    for line in (r.stdout + r.stderr).splitlines():
+        if '[fuzz]' in line: print(line)
+    if r.returncode != 0:
+        print('FUZZRUN FAILED'); print((r.stdout + r.stderr)[-3000:]); sys.exit(1)
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float): v = repr(v)
+            elif hasattr(v, 'isoformat'): v = v.isoformat()
+            else: v = str(v)
+            vals.append(v)
+        out.append('\x01'.join(vals))
+    return hashlib.md5('\x02'.join(out).encode()).hexdigest(), out
+
+fails, spark_err = [], []
+for name in sorted(queries):
+    sqltext = queries[name]
+    pfiles = glob.glob(f'{OUT}/{name}/*.parquet')
+    if not pfiles:
+        spark_err.append(name); continue
+    tbl = pq.read_table(pfiles[0])
+    scols = list(tbl.column_names)
+    srows = list(zip(*[tbl.column(c).to_pylist() for c in scols])) if tbl.num_rows else []
+    try:
+        res = con.execute(sqltext)
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+    except Exception as e:
+        print(f'{name}: DUCKDB ERROR (spark ran it): {e}'); fails.append(name); continue
+    if sorted(scols) != sorted(ocols):
+        print(f'{name}: COLUMN MISMATCH spark={sorted(scols)} duckdb={sorted(ocols)}')
+        fails.append(name); continue
+    sh, sv = canon(srows, scols)
+    oh, ov = canon(orows, ocols)
+    if sh != oh:
+        fails.append(name)
+        print(f'{name}: MISMATCH spark_rows={len(sv)} duckdb_rows={len(ov)}')
+        print(f'  sql: {sqltext[:500]}')
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            if a != b:
+                print(f'  first diff row {i}:\n    spark : {a[:300]}\n    duckdb: {b[:300]}')
+                break
+        else:
+            if len(sv) != len(ov):
+                print(f'  spark extra: {sv[len(ov):len(ov)+2]} duckdb extra: {ov[len(sv):len(sv)+2]}')
+
+print(f"\n[fuzz] {len(queries) - len(fails) - len(spark_err)}/{len(queries)} match; "
+      f"{len(spark_err)} spark-side errors {spark_err[:10]}; mismatches: {fails}")
+sys.exit(1 if fails else 0)
