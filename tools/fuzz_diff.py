@@ -98,7 +98,7 @@ def lit(t, c, kind):
 
 def pred(t, depth=0):
     s = T[t]
-    choices = ['int_cmp', 'str_eq', 'in_list', 'between']
+    choices = ['int_cmp', 'str_eq', 'in_list', 'between', 'like']
     if s['dbls']: choices.append('dbl_cmp')
     if s['tss']: choices.append('ts_cmp')
     if depth < 1: choices += ['and', 'or', 'not']
@@ -124,6 +124,10 @@ def pred(t, depth=0):
         kind = 'str' if c in s['strs'] else 'int'
         vals = ", ".join(sorted({lit(t, c, kind) for _ in range(rng.randint(2, 4))}))
         return f"{c} IN ({vals})"
+    if k == 'like':
+        col = rng.choice(s['strs'])
+        v = str(rng.choice(CONST[t][col])).replace("'", "''")
+        return f"{col} LIKE '{v[:max(1, len(v)//2)]}%'"
     if k == 'between':
         c = rng.choice(s['ints'])
         a, b = sorted(rng.sample(CONST[t][c], 1) * 2)
@@ -169,8 +173,11 @@ def agg_expr(t):
         c = rng.choice(s['ints'])
         return f"CAST(avg({c}) AS DOUBLE)"
 
-def order_by(cols):
-    return "ORDER BY " + ", ".join(f"{c} ASC NULLS FIRST" for c in cols)
+def order_by(cols, rnd=False):
+    def d(c):
+        return (f"{c} DESC NULLS LAST" if rnd and rng.random() < 0.3
+                else f"{c} ASC NULLS FIRST")
+    return "ORDER BY " + ", ".join(d(c) for c in cols)
 
 def q_scan():
     t = rng.choice(list(T))
@@ -182,8 +189,11 @@ def q_scan():
         sel.append(f"{scalar_expr(t)} AS c{len(sel)}")
     names = [x.split(' AS ')[-1] for x in sel]
     limit = f" LIMIT {rng.randint(5, 200)}" if rng.random() < 0.5 else ""
-    return (f"SELECT {', '.join(sel)} FROM {t} WHERE {pred(t)} "
-            f"{order_by(names)}{limit}")
+    if limit and rng.random() < 0.3:
+        limit += f" OFFSET {rng.randint(1, 40)}"
+    distinct = "DISTINCT " if rng.random() < 0.2 else ""
+    return (f"SELECT {distinct}{', '.join(sel)} FROM {t} WHERE {pred(t)} "
+            f"{order_by(names, rnd=True)}{limit}")
 
 def q_agg():
     t = rng.choice(list(T))
@@ -194,8 +204,10 @@ def q_agg():
     having = f" HAVING count(*) > {rng.randint(1, 3)}" if rng.random() < 0.3 else ""
     where = f"WHERE {pred(t)} " if rng.random() < 0.7 else ""
     names = [f"g{i}" for i in range(len(gcols))] + [f"a{i}" for i in range(len(aggs))]
+    gkeys = ', '.join(f'g{i}' for i in range(len(gcols)))
+    grp = f"ROLLUP({gkeys})" if (len(gcols) > 1 and rng.random() < 0.3) else gkeys
     return (f"SELECT {', '.join(gsel + aggs)} FROM {t} {where}"
-            f"GROUP BY {', '.join(f'g{i}' for i in range(len(gcols)))}{having} "
+            f"GROUP BY {grp}{having} "
             f"{order_by(names)}")
 
 def q_join():
