@@ -622,4 +622,73 @@ object SimilarityOps {
        |       FROM sc)
        |SELECT id_q, CAST(rnk AS BIGINT) AS rnk, id_n
        |FROM rk WHERE rnk <= 3 ORDER BY id_q, rnk""".stripMargin)
+
+  // Per-label embedding cohesion: mean cosine of each vector to its
+  // label's centroid — the embedding-space cluster-quality audit a
+  // mixture designer reads next to t_source_kl's token-space one (a
+  // label whose members don't cohere is mislabeled or noise). Cosine
+  // to the centroid equals cosine to the exact SUM vector (positive
+  // scalar invariance), so the kernel never divides by n: phase 1 is
+  // the proven CentroidSumAgg partial aggregation (exact long sums,
+  // any partitioning), phase 2 collects the |labels|-bounded stats
+  // (same tiny-collect discipline as the IVF centroids), broadcasts
+  // them, and scores map-side. Per-term doubles are derived from
+  // exact fixed-point ints on the decToDouble path the oracle's
+  // decimal→double casts take; the label mean is rounded at 1e-6 to
+  // absorb summation-order drift (t_source_kl discipline).
+  spark("v_label_cohesion",
+    (s, d) => {
+      import s.implicits._
+      // persisted across the two passes: the quantize kernel (64
+      // HALF_UP decimal roundings per vector) dominates, so caching
+      // its output beats recomputing it in the scoring pass; the tiny
+      // result is eagerly localCheckpoint'ed so the cache can be
+      // released before returning (the finishIncremental discipline —
+      // nothing accumulates across Verify reps)
+      val vs = qvecs(s, d).persist()
+      val sums = vs.groupByKey(_.label).mapValues(_.q)
+        .agg(new graft.functions.CentroidSumAgg().toColumn.name("sbuf"))
+        .collect()
+      require(sums.length <= 1024,
+        s"v_label_cohesion: ${sums.length} labels exceed the broadcast-stats bound")
+      val stats: Map[Int, (Array[Double], Double)] = sums.map { case (lb, buf) =>
+        val sd = Array.tabulate(64)(j => VecFixedPoint.dec8ToDouble(buf(j)))
+        var j = 0; var s2 = 0.0
+        while (j < 64) { s2 += sd(j) * sd(j); j += 1 }
+        lb -> ((sd, math.sqrt(s2)))
+      }.toMap
+      val bstats = s.sparkContext.broadcast(stats)
+      val res = vs.map { v =>
+          val (sd, snorm) = bstats.value(v.label)
+          var j = 0; var dot = 0.0
+          while (j < 64) { dot += VecFixedPoint.dec8ToDouble(v.q(j)) * sd(j); j += 1 }
+          (v.label, dot / (math.sqrt(VecFixedPoint.decToDouble(v.saa)) * snorm))
+        }
+        .toDF("label", "term")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vec"),
+          (sum(col("term")) / count(lit(1)))
+            .cast("decimal(18,6)").cast("double").as("cohesion"))
+        .orderBy("label")
+        .localCheckpoint(true)
+      vs.unpersist(false)
+      res
+    },
+    s"""WITH $oracleVecs,
+       |sv AS (SELECT label, i, CAST(sum(x) AS DECIMAL(38,8)) AS sx
+       |       FROM el JOIN v USING (vec_id) GROUP BY label, i),
+       |sn AS (SELECT label, sum(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS s2
+       |       FROM sv GROUP BY label),
+       |dots AS (SELECT v.vec_id, v.label,
+       |           sum(CAST(el.x AS DOUBLE) * CAST(sv.sx AS DOUBLE)) AS dot
+       |         FROM el JOIN v USING (vec_id)
+       |           JOIN sv ON sv.label = v.label AND sv.i = el.i
+       |         GROUP BY v.vec_id, v.label),
+       |terms AS (SELECT d.label,
+       |            d.dot / (sqrt(CAST(n.saa AS DOUBLE)) * sqrt(s.s2)) AS term
+       |          FROM dots d JOIN nrm n ON n.vec_id = d.vec_id
+       |            JOIN sn s ON s.label = d.label)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vec,
+       |  CAST(CAST(sum(term) / count(*) AS DECIMAL(18,6)) AS DOUBLE) AS cohesion
+       |FROM terms GROUP BY label ORDER BY label""".stripMargin)
 }
