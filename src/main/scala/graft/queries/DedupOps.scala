@@ -518,6 +518,53 @@ object DedupOps {
        |FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin)
 
+  // Split-leakage audit: near-duplicate pairs that STRADDLE the
+  // deterministic train/val/test boundary (t_split_assign's bucket
+  // function) — the eval-integrity check a split pipeline must run,
+  // because a test doc with a train near-duplicate is contamination
+  // the split hash can't prevent. Composition of proven pieces: the
+  // exactly-deduplicated LSH candidate stream (first-shared-band, no
+  // distinct() pass), with each side's split derived map-side from the
+  // PURE id→bucket function — no join against an assignment table, no
+  // second pass over the corpus. The quadratic candidate stream
+  // collapses into ≤6 (split_a, split_b) counts via map-side partial
+  // aggregation — nothing pair-shaped is ever sorted or dumped.
+  spark("d_split_leakage",
+    (s, d) => {
+      def splitOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val b = (id % 2147483647L) * 2654435761L % 4294967296L
+        when(b < 3435973837L, "train").when(b < 3865470566L, "val").otherwise("test")
+      }
+      val ida = shiftright(col("k"), 32)
+      val idb = col("k") - (shiftright(col("k"), 32) * lit(1L << 32))
+      minhashCandidatesPacked(s, tokens(s, d))
+        .select(splitOf(ida).as("split_a"), splitOf(idb).as("split_b"))
+        .where(col("split_a") =!= col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("split_a", "split_b")
+    },
+    s"""WITH tok AS ($tokSql),
+       |ih AS (SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || w) AS h
+       |       FROM tok CROSS JOIN range(0, 16) r(i)),
+       |sig AS (SELECT doc_id, i, min(h) AS mh FROM ih GROUP BY doc_id, i),
+       |band AS (SELECT doc_id, i // 4 AS band, string_agg(mh, '|' ORDER BY i) AS bsig
+       |         FROM sig GROUP BY doc_id, i // 4),
+       |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |      FROM band a JOIN band b
+       |        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |sp AS (SELECT
+       |  CASE WHEN ((id_a % 2147483647) * 2654435761) % 4294967296 < 3435973837 THEN 'train'
+       |       WHEN ((id_a % 2147483647) * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+       |       ELSE 'test' END AS split_a,
+       |  CASE WHEN ((id_b % 2147483647) * 2654435761) % 4294967296 < 3435973837 THEN 'train'
+       |       WHEN ((id_b % 2147483647) * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+       |       ELSE 'test' END AS split_b
+       |FROM p)
+       |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM sp WHERE split_a <> split_b
+       |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin)
+
   /** Bounded min-label propagation over an undirected pair graph:
     * `rounds` iterations of label(v) ← min(label(v), min label of
     * neighbors), labels initialized to doc_id. Each round is one
