@@ -29,13 +29,27 @@ object FuzzRun {
       // original, so random predicates/projections exercise the whole
       // write → manifest → scan → pushdown stack while DuckDB still
       // reads the parquet originals — a storage-level differential.
-      val vroot = s"/tmp/fuzz_vortex_${new java.io.File(sfDir).getName}"
+      // cache key = full-path hash so distinct sf dirs (or regenerated
+      // testdata at a new path) never collide on a basename
+      val key = java.lang.Integer.toHexString(new java.io.File(sfDir).getCanonicalPath.hashCode)
+      val vroot = s"/tmp/fuzz_vortex_${new java.io.File(sfDir).getName}_$key"
       Tables.names.foreach { n =>
-        val dir = s"$vroot/$n"
-        if (!new java.io.File(s"$dir/_vortex_manifest.json").exists() &&
-            !new java.io.File(dir).exists())
-          sources.vortex.VortexBulkCopy.copy(Tables.t(spark, sfDir, n), dir)
-        spark.read.format("vortex").load(dir).createOrReplaceTempView(n)
+        val dir = new java.io.File(s"$vroot/$n")
+        // a crashed first copy leaves the dir without a committed
+        // manifest — repair by recopying instead of failing every
+        // query forever
+        val committed = Option(new java.io.File(dir, "_manifests").listFiles())
+          .exists(_.exists(_.getName.endsWith(".json")))
+        if (!committed) {
+          if (dir.exists()) {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+            }
+            rm(dir)
+          }
+          sources.vortex.VortexBulkCopy.copy(Tables.t(spark, sfDir, n), dir.getPath)
+        }
+        spark.read.format("vortex").load(dir.getPath).createOrReplaceTempView(n)
       }
     } else Tables.registerAll(spark, sfDir)
     // tiny flat-JSON reader ({"k":"v",...}, values escaped by the
@@ -61,7 +75,9 @@ object FuzzRun {
     entry.findAllMatchIn(raw).foreach { m =>
       val (name, sql) = (unesc(m.group(1)), unesc(m.group(2)))
       try spark.sql(sql).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // fatal JVM errors (OOM, linkage) must kill the run — a JVM in
+        // an undefined state would misattribute every later query
         System.err.println(s"[fuzz] $name failed: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
       }
     }

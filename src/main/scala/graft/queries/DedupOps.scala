@@ -531,10 +531,7 @@ object DedupOps {
   // aggregation — nothing pair-shaped is ever sorted or dumped.
   spark("d_split_leakage",
     (s, d) => {
-      def splitOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val b = (id % 2147483647L) * 2654435761L % 4294967296L
-        when(b < 3435973837L, "train").when(b < 3865470566L, "val").otherwise("test")
-      }
+      import graft.functions.SplitBucket.splitOf
       val ida = shiftright(col("k"), 32)
       val idb = col("k") - (shiftright(col("k"), 32) * lit(1L << 32))
       minhashCandidatesPacked(s, tokens(s, d))
@@ -554,12 +551,8 @@ object DedupOps {
        |      FROM band a JOIN band b
        |        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
        |sp AS (SELECT
-       |  CASE WHEN ((id_a % 2147483647) * 2654435761) % 4294967296 < 3435973837 THEN 'train'
-       |       WHEN ((id_a % 2147483647) * 2654435761) % 4294967296 < 3865470566 THEN 'val'
-       |       ELSE 'test' END AS split_a,
-       |  CASE WHEN ((id_b % 2147483647) * 2654435761) % 4294967296 < 3435973837 THEN 'train'
-       |       WHEN ((id_b % 2147483647) * 2654435761) % 4294967296 < 3865470566 THEN 'val'
-       |       ELSE 'test' END AS split_b
+       |  ${graft.functions.SplitBucket.splitSql("id_a")} AS split_a,
+       |  ${graft.functions.SplitBucket.splitSql("id_b")} AS split_b
        |FROM p)
        |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
        |FROM sp WHERE split_a <> split_b

@@ -339,21 +339,14 @@ object TextOps {
   // counts audit that the hash stratifies evenly without explicit
   // stratification.
   spark("t_split_assign",
-    (s, d) => {
-      val bucket = (col("doc_id") % 2147483647L) * 2654435761L % 4294967296L
-      val split = when(bucket < 3435973837L, "train")
-        .when(bucket < 3865470566L, "val").otherwise("test")
-      Tables.t(s, d, "documents")
-        .select(col("source"), split.as("split"))
-        .groupBy("source", "split").agg(count(lit(1)).as("n"))
-        .orderBy("source", "split")
-    },
-    """SELECT source,
-      |  CASE WHEN b < 3435973837 THEN 'train'
-      |       WHEN b < 3865470566 THEN 'val' ELSE 'test' END AS split,
+    (s, d) => Tables.t(s, d, "documents")
+      .select(col("source"), graft.functions.SplitBucket.splitOf(col("doc_id")).as("split"))
+      .groupBy("source", "split").agg(count(lit(1)).as("n"))
+      .orderBy("source", "split"),
+    s"""SELECT source,
+      |  ${graft.functions.SplitBucket.splitSql("doc_id")} AS split,
       |  count(*) AS n
-      |FROM (SELECT source, ((doc_id % 2147483647) * 2654435761) % 4294967296 AS b
-      |      FROM documents)
+      |FROM documents
       |GROUP BY 1, 2 ORDER BY source, split""".stripMargin)
 
   // Temperature-flattened mixture sampling (the multilingual/multi-

@@ -26,8 +26,16 @@ object PageCodec {
   // zstd block level (vortex-zstd role). 3 is the shipped default;
   // env-tunable for write-throughput A/Bs only — readers are level-
   // agnostic (the frame carries the raw length).
-  private val ZstdLevel: Int =
-    sys.env.getOrElse("GRAFT_ZSTD_LEVEL", "3").toInt
+  // validated at init so a bad value fails with a readable message
+  // instead of an ExceptionInInitializerError mid-write; on a real
+  // cluster the env must be set on EXECUTORS too (spark.executorEnv.*)
+  private val ZstdLevel: Int = {
+    val raw = sys.env.getOrElse("GRAFT_ZSTD_LEVEL", "3")
+    val lvl = raw.toIntOption.getOrElse(
+      throw new IllegalArgumentException(s"GRAFT_ZSTD_LEVEL must be an int 1..19, got '$raw'"))
+    require(lvl >= 1 && lvl <= 19, s"GRAFT_ZSTD_LEVEL must be in 1..19, got $lvl")
+    lvl
+  }
 
   def width(dt: DataType): Int = dt match {
     case BooleanType | ByteType => 1

@@ -329,4 +329,5 @@ for name in sorted(queries):
 
 print(f"\n[fuzz] {len(queries) - len(fails) - len(spark_err)}/{len(queries)} match; "
       f"{len(spark_err)} spark-side errors {spark_err[:10]}; mismatches: {fails}")
-sys.exit(1 if fails else 0)
+# a query Spark can't run that DuckDB can IS a divergence — fail on both
+sys.exit(1 if (fails or spark_err) else 0)
