@@ -212,7 +212,7 @@ def q_agg():
 
 def q_join():
     lt, rt, on = rng.choice(JOINS)
-    jt = rng.choice(['JOIN', 'LEFT JOIN'])
+    jt = rng.choice(['JOIN', 'LEFT JOIN', 'RIGHT JOIN', 'FULL JOIN'])
     ls, rs = T[lt], T[rt]
     if rng.random() < 0.5:   # join + aggregate
         g = rng.choice(ls['strs'] + rs['strs'])
@@ -245,7 +245,8 @@ def q_subquery():
         return (f"SELECT c_custkey AS c0, CAST(c_acctbal AS DOUBLE) AS c1 FROM customer "
                 f"WHERE c_acctbal > (SELECT CAST(avg(c_acctbal) AS DOUBLE) FROM customer) "
                 f"AND {pred('customer')} {order_by(['c0'])}")
-    return (f"SELECT c_custkey AS c0 FROM customer WHERE EXISTS "
+    neg = "NOT " if rng.random() < 0.4 else ""
+    return (f"SELECT c_custkey AS c0 FROM customer WHERE {neg}EXISTS "
             f"(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND {pred('orders')}) "
             f"{order_by(['c0'])}")
 
