@@ -102,4 +102,63 @@ object PrefixSum {
         sum(col(value).cast(LongType)).over(w) + coalesce(col("__off"), lit(0L)))
       .drop("__bkt", "__off")
   }
+
+  /** Global `(rank, running sum)` in `(ord DESC, tie ASC)` order
+    * without the one-task global window — the frequency-table shape
+    * (vocab coverage, heavy-hitter tails): rank and cumulative count
+    * over a frame that can be 10M+ rows at production vocab sizes.
+    *
+    * Same discipline as [[groupedCumSum]]: explicit VALUE bounds on
+    * `ord` (a pure function of the data, so every job agrees), one
+    * tiny partials collect (buckets rows), local windows with the FULL
+    * `(ord DESC, tie ASC)` tie-break, broadcast offsets. Ties on `ord`
+    * share a bucket by construction (bucket = f(ord) only), so the
+    * within-tie order is resolved entirely inside one local window —
+    * the result is row-for-row identical to the single-window form.
+    *
+    * Returns `df` plus `rkName` (1-based global rank) and `cumName`
+    * (inclusive running sum of `value`). `value` must be integral.
+    */
+  def rankedCumSumDesc(df: DataFrame, ord: String, tie: String, value: String,
+                       rkName: String, cumName: String,
+                       buckets: Int = 0): DataFrame = {
+    val s = df.sparkSession
+    val nb = math.max(1, if (buckets > 0) buckets
+                         else s.sessionState.conf.numShufflePartitions)
+    val bounds: Array[Double] =
+      if (nb == 1) Array.empty
+      else df.stat.approxQuantile(ord, (1 until nb).map(_.toDouble / nb).toArray, 0.01)
+        .distinct.sorted
+    // descending processing order: bucket 0 holds the LARGEST ord
+    // values so offsets accumulate from bucket 0 upward
+    val bucketCol = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(ord) <= lit(b), 1).otherwise(0)
+    }
+    val withB = df.withColumn("__bkt", bucketCol)
+    val partials: Array[Row] = withB
+      .groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__n"), sum(col(value).cast(LongType)).as("__vsum"))
+      .collect()
+    var rkAcc = 0L; var cumAcc = 0L
+    val offsets: Array[Row] = partials.sortBy(_.getInt(0)).map { r =>
+      val (ro, co) = (rkAcc, cumAcc)
+      rkAcc += r.getLong(1)
+      cumAcc += (if (r.isNullAt(2)) 0L else r.getLong(2))
+      Row(r.getInt(0), ro, co)
+    }
+    val offSchema = StructType(Seq(
+      StructField("__bkt", IntegerType, nullable = false),
+      StructField("__rkoff", LongType, nullable = false),
+      StructField("__cumoff", LongType, nullable = false)))
+    val offDf = s.createDataFrame(java.util.Arrays.asList(offsets: _*), offSchema)
+    val w = Window.partitionBy(col("__bkt")).orderBy(col(ord).desc, col(tie).asc)
+    withB
+      .join(broadcast(offDf), Seq("__bkt"), "left")
+      .withColumn(rkName, row_number().over(w).cast(LongType) + coalesce(col("__rkoff"), lit(0L)))
+      .withColumn(cumName,
+        sum(col(value).cast(LongType))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
+          coalesce(col("__cumoff"), lit(0L)))
+      .drop("__bkt", "__rkoff", "__cumoff")
+  }
 }

@@ -769,6 +769,41 @@ object TextOps {
       |    / (SELECT CAST(sum(c) AS BIGINT) FROM c) AS cum_share
       |FROM c ORDER BY rk""".stripMargin)
 
+  // The 10M-type-vocab form of t_vocab_coverage: identical output
+  // (same oracle SQL), but rank + cumulative count come from
+  // PrefixSum.rankedCumSumDesc — value-range buckets on the count,
+  // local windows with the full (c DESC, tok) tie-break, broadcast
+  // offsets — instead of the one-task global window. Parallelism =
+  // buckets instead of 1; this row EXECUTES the scale path the
+  // single-window row documents (the t_token_budget_prefix pattern).
+  spark("t_vocab_coverage_prefix",
+    (s, d) => {
+      import s.implicits._
+      val counts = Tables.t(s, d, "documents")
+        .select(col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .as[String]
+        .flatMap { text =>
+          val m = new java.util.HashMap[String, Long]()
+          text.split(" ", -1).foreach(t => m.merge(t, 1L, (a, b) => a + b))
+          scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator())
+            .asScala.map(e => (e.getKey, e.getValue))
+        }
+        .toDF("tok", "tf")
+        .groupBy("tok").agg(sum("tf").as("c"))
+      val total = counts.agg(sum("c")).as[Long].collect()(0) // one exact long
+      graft.operators.PrefixSum.rankedCumSumDesc(counts, "c", "tok", "c", "rk", "cum")
+        .withColumn("cum_share", col("cum").cast("double") / lit(total))
+        .select(col("rk"), col("tok"), col("c"), col("cum_share"))
+        .orderBy("rk")
+    },
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok)
+      |SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rk, tok, c,
+      |  CAST(CAST(sum(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+      |    / (SELECT CAST(sum(c) AS BIGINT) FROM c) AS cum_share
+      |FROM c ORDER BY rk""".stripMargin)
+
   // Percentile-clipping outlier filter (FineWeb-style): drop documents
   // whose length falls outside the exact (P1, P99) interval, report
   // per-source survivor counts and the kept length range. The bounds

@@ -60,4 +60,29 @@ class PrefixSumSpec extends AnyFunSuite {
     val df = (0L until 100L).map(i => ("g" + (i % 5), i, i)).toDF("g", "o", "v")
     compare(df, buckets = 1)
   }
+
+  private def compareRanked(df: org.apache.spark.sql.DataFrame, buckets: Int): Unit = {
+    val w = Window.orderBy(col("c").desc, col("tok").asc)
+    val want = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("rk", "tok", "c", "cum").orderBy("rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = operators.PrefixSum.rankedCumSumDesc(df, "c", "tok", "c", "rk", "cum", buckets)
+      .select("rk", "tok", "c", "cum").orderBy("rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
+  test("rankedCumSumDesc: zipfian counts with heavy ties, many buckets") {
+    import spark.implicits._
+    // zipf-ish head plus a long tail of count-1 ties (the vocab shape);
+    // every tie class must resolve identically to the global window
+    val rows = (0 until 40).map(i => (f"head$i%03d", (4000L / (i + 1)))) ++
+      (0 until 5000).map(i => (f"tail$i%05d", 1L + i % 3))
+    compareRanked(rows.toDF("tok", "c"), buckets = 32)
+    compareRanked(rows.toDF("tok", "c"), buckets = 1)
+  }
 }
