@@ -29,9 +29,17 @@ object FuzzRun {
       // original, so random predicates/projections exercise the whole
       // write → manifest → scan → pushdown stack while DuckDB still
       // reads the parquet originals — a storage-level differential.
-      // cache key = full-path hash so distinct sf dirs (or regenerated
-      // testdata at a new path) never collide on a basename
-      val key = java.lang.Integer.toHexString(new java.io.File(sfDir).getCanonicalPath.hashCode)
+      // cache key = canonical path + every table file's (size, mtime):
+      // distinct sf dirs never collide on a basename, and testdata
+      // REGENERATED IN PLACE (the driver does this each round) gets a
+      // fresh copy instead of silently diffing stale vortex data
+      // against fresh parquet
+      val sig = Tables.names.map { n =>
+        val f = new java.io.File(sfDir, s"$n.parquet")
+        s"$n:${f.length}:${f.lastModified}"
+      }.mkString("|")
+      val key = java.lang.Integer.toHexString(
+        (new java.io.File(sfDir).getCanonicalPath + "|" + sig).hashCode)
       val vroot = s"/tmp/fuzz_vortex_${new java.io.File(sfDir).getName}_$key"
       Tables.names.foreach { n =>
         val dir = new java.io.File(s"$vroot/$n")
