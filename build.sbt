@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// compact JSON. Two sbt behaviors have broken that for eight rounds:
+// (a) forked-run output routed through the sbt logger gains an "[info] "
+// prefix — StdoutOutput bypasses the logger entirely; (b) sbt prints a
+// "[success] Total time: …" epilogue AFTER the program's output —
+// showSuccess := false suppresses it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
