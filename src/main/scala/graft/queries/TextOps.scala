@@ -13,6 +13,11 @@ object TextOps {
   val set = new QuerySet
   import set._
 
+  /** Driver-state cap for the unigram-LM vocabulary broadcast
+    * (UnigramLM.build): 256k types ≈ a large BPE tokenizer vocab,
+    * a few tens of MB broadcast — far under any corpus vocabulary. */
+  val UnigramVocabCap: Int = 1 << 18
+
   // Token counting: whitespace tokens + a BPE-ish regex token count.
   // plan note: SortThroughProject pushes the ORDER BY below the
   // tokenizer-kernel projection (0.99 → 0.38 s at sf1 — the range
@@ -506,20 +511,20 @@ object TextOps {
       val freq = docs
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
-      // vocab-bounded (31 words on the synthetic corpus; real corpora:
-      // ~millions — still driver-safe, and the real pipeline would cap
-      // to top-K with an <unk> bucket exactly here)
-      val table: Map[String, Long] =
-        freq.as[(String, Long)].collect().toMap
-      val total = table.values.sum.toDouble
-      val bc = s.sparkContext.broadcast(table)
+      // Driver state is O(cap), not O(vocab): ≤cap types collect
+      // exactly (bit-identical small-vocab path — 31 on this corpus);
+      // beyond cap, top-cap by frequency + an <unk> tail bucket
+      // (UnigramLM.build — TakeOrdered, the driver never sees the
+      // full vocabulary).
+      val bc = s.sparkContext.broadcast(
+        graft.operators.UnigramLM.build(freq, UnigramVocabCap))
       docs
         .repartitionByRange(col("doc_id"))
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           val toks = text.split(" ", -1)
           var acc = 0.0
-          toks.foreach { t => acc += -math.log(bc.value(t) / total) }
+          toks.foreach { t => acc += bc.value.nll(t) }
           (id, BigDecimal(acc / toks.length)
             .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
             toks.length.toLong)
