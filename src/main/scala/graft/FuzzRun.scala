@@ -38,8 +38,11 @@ object FuzzRun {
         val f = new java.io.File(sfDir, s"$n.parquet")
         s"$n:${f.length}:${f.lastModified}"
       }.mkString("|")
-      val key = java.lang.Integer.toHexString(
-        (new java.io.File(sfDir).getCanonicalPath + "|" + sig).hashCode)
+      // collision-resistant digest — a 32-bit hashCode can collide
+      // across signature strings and silently reuse a stale copy
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest((new java.io.File(sfDir).getCanonicalPath + "|" + sig).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
       val vroot = s"/tmp/fuzz_vortex_${new java.io.File(sfDir).getName}_$key"
       Tables.names.foreach { n =>
         val dir = new java.io.File(s"$vroot/$n")

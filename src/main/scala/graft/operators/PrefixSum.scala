@@ -130,10 +130,15 @@ object PrefixSum {
       else df.stat.approxQuantile(ord, (1 until nb).map(_.toDouble / nb).toArray, 0.01)
         .distinct.sorted
     // descending processing order: bucket 0 holds the LARGEST ord
-    // values so offsets accumulate from bucket 0 upward
-    val bucketCol = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(ord) <= lit(b), 1).otherwise(0)
-    }
+    // values so offsets accumulate from bucket 0 upward. Null ord rows
+    // get their own FINAL bucket — the single-window form's `ord DESC`
+    // is NULLS LAST, so they must rank after every non-null bucket
+    // (ordered among themselves by the tie column, same as the local
+    // window does on an all-null bucket).
+    val bucketCol = when(col(ord).isNull, lit(bounds.length + 1))
+      .otherwise(bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(ord) <= lit(b), 1).otherwise(0)
+      })
     val withB = df.withColumn("__bkt", bucketCol)
     val partials: Array[Row] = withB
       .groupBy(col("__bkt"))

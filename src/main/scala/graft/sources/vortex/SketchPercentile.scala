@@ -84,8 +84,15 @@ object SketchPercentile {
     * column's own domain so the filter pushes down and chunk min/max
     * pruning applies */
   private def inRange(df: DataFrame, column: String, integral: Boolean,
-                      b: RankBounds): DataFrame =
-    if (integral) {
+                      b: RankBounds): DataFrame = {
+    // The minimal-magnitude nonzero buckets have IEEE bounds that read
+    // ±0.0 (key 0 → lo = +0.0, key -1 → hi = -0.0), but exact zeros
+    // live in the sketch's SEPARATE zero bucket — `below` already
+    // counted them. Re-admitting them here would shift every refined
+    // rank. (The pure zero bucket itself never reaches inRange: its
+    // lo == hi short-circuits upstream.)
+    val excludeZero = b.lo == 0.0 || b.hi == 0.0
+    val ranged = if (integral) {
       // exactness of the long↔double range translation requires the
       // exact-double region: beyond 2^53 a long can round INTO a
       // bucket whose back-translated long range excludes it
@@ -96,6 +103,8 @@ object SketchPercentile {
       df.where(col(column) >= lo && col(column) <= hi)
     } else
       df.where(col(column) >= b.lo && col(column) <= b.hi)
+    if (excludeZero) ranged.where(col(column) =!= 0) else ranged
+  }
 
   /** one distributed aggregate pass → merged sketch at `bits` prefix
     * bits; bounded by the number of distinct buckets present */

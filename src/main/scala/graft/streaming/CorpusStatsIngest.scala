@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   *    protocol needed (contrast DedupIngest, whose append-only
   *    signature files DO need one);
   *  - reads pay one small merge per query; `compact()` folds all
-  *    current segments into a single base segment (write-new,
-  *    swap-dirs) when the segment count grows — the Lucene trade.
+  *    current segments into a single compacted base when the segment
+  *    count grows — the Lucene trade. The fold commits via an atomic
+  *    generation-manifest (see the protocol note below), so a crash
+  *    at any point leaves a complete readable view.
   *
   * At 100 TB: segments are vocab-bounded regardless of batch size,
   * the merge is vocab-bounded regardless of corpus size, and
@@ -70,30 +72,116 @@ object CorpusStatsIngest {
         .agg(sum("df").as("df"), sum("cf").as("cf"))
   }
 
+  // ---- compaction commit protocol -------------------------------------
+  // A compacted base lives in `cseg=<gen>` — a name the seg=* listing
+  // NEVER matches, so an uncommitted base is invisible. The commit
+  // point is the atomic creation of `_manifest_<gen>` (written to a
+  // dot-tmp then renamed to its final unique name): line 1 is the base
+  // dir name, the rest are the folded segment names (tombstones).
+  // Readers take the highest-generation manifest and read base +
+  // seg=* dirs not tombstoned; folded-dir deletes are best-effort
+  // cleanup AFTER the commit, retried by the next compaction. Crash
+  // anywhere leaves either the pre-compaction view (no manifest yet —
+  // the orphan cseg dir is ignored) or the complete post-compaction
+  // view (manifest committed — leftover folded dirs are tombstoned,
+  // never double-counted). A bonus over delete-then-rename: a
+  // REPLAYED batch whose segment was folded re-creates a tombstoned
+  // name, which stays excluded instead of double-counting.
+
+  private val ManifestPrefix = "_manifest_"
+
+  private[graft] case class Snapshot(
+      gen: Long, base: Option[String], folded: Set[String])
+
+  private[graft] def latestSnapshot(spark: SparkSession, indexDir: String): Snapshot = {
+    val p = new Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Snapshot(0L, None, Set.empty)
+    val ms = fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(ManifestPrefix))
+    if (ms.isEmpty) Snapshot(0L, None, Set.empty)
+    else {
+      val best = ms.maxBy(_.getPath.getName.stripPrefix(ManifestPrefix).toLong)
+      val in = fs.open(best.getPath)
+      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+      val lines = new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+      Snapshot(best.getPath.getName.stripPrefix(ManifestPrefix).toLong,
+        lines.headOption, lines.drop(1).toSet)
+    }
+  }
+
   private def segments(spark: SparkSession, indexDir: String): Seq[String] = {
     val p = new Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+    if (!fs.exists(p)) return Seq.empty
+    val snap = latestSnapshot(spark, indexDir)
+    val segs = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg=") &&
+        !snap.folded.contains(st.getPath.getName))
       .map(_.getPath.toString)
+    val base = snap.base
+      .filter(b => fs.exists(new Path(p, b)))
+      .map(b => new Path(p, b).toString)
+    base.toSeq ++ segs
   }
 
-  /** Fold every current segment into a single base segment. Write-new
-    * then swap: the merged stats land in a temp dir first, so a crash
-    * mid-compaction leaves either the old segments or the complete
-    * new base — never a partial merge. (The swap itself — N deletes +
-    * one rename — is not atomic against a CONCURRENT reader listing
-    * mid-swap; run compaction in the ingest's own foreachBatch thread,
-    * where Structured Streaming serializes it against ingest, or
-    * behind the caller's own lock.) */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
-    val segs = segments(spark, indexDir)
-    if (segs.size <= 1) return
-    val tmp = s"$indexDir/_compact_tmp"
-    readStats(spark, indexDir).coalesce(1).write.mode("overwrite").parquet(tmp)
-    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    segs.foreach(s => fs.delete(new Path(s), true))
-    fs.rename(new Path(tmp), new Path(s"$indexDir/seg=base"))
+  /** step 1: write the merged stats into the next base dir (invisible
+    * to readers until step 2 commits). Returns the new snapshot to
+    * commit and the live dirs it folds. */
+  private[graft] def writeBase(spark: SparkSession, indexDir: String)
+      : Option[(Snapshot, Seq[String])] = {
+    val live = segments(spark, indexDir)
+    if (live.size <= 1) return None
+    val prev = latestSnapshot(spark, indexDir)
+    val gen = prev.gen + 1
+    val baseName = s"cseg=$gen"
+    readStats(spark, indexDir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/$baseName")
+    val foldedNames = live.map(s => new Path(s).getName).toSet
+    Some((Snapshot(gen, Some(baseName), foldedNames), live))
   }
+
+  /** step 2 — THE commit point: atomically create `_manifest_<gen>` */
+  private[graft] def commitManifest(
+      spark: SparkSession, indexDir: String, snap: Snapshot): Unit = {
+    val p = new Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p, s".${ManifestPrefix}${snap.gen}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((snap.base.get +: snap.folded.toSeq.sorted).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(p, ManifestPrefix + snap.gen)))
+      throw new java.io.IOException(s"compaction manifest commit failed for gen ${snap.gen}")
+  }
+
+  /** step 3: best-effort cleanup of tombstoned segments, superseded
+    * bases, and superseded manifests (a crash here is harmless —
+    * everything deleted is already invisible to readers). */
+  private[graft] def cleanup(spark: SparkSession, indexDir: String): Unit = {
+    val p = new Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = latestSnapshot(spark, indexDir)
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      val dead =
+        snap.folded.contains(n) ||
+        (n.startsWith("cseg=") && !snap.base.contains(n)) ||
+        (n.startsWith(ManifestPrefix) &&
+          n.stripPrefix(ManifestPrefix).toLong < snap.gen)
+      if (dead) fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Fold every current segment into a single compacted base. The
+    * commit is the atomic manifest creation; see the protocol note
+    * above for the crash story. (Still not safe against a CONCURRENT
+    * compactor; run compaction in the ingest's own foreachBatch
+    * thread, where Structured Streaming serializes it, or behind the
+    * caller's own lock. Concurrent READERS are fine at every step.) */
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    writeBase(spark, indexDir).foreach { case (snap, _) =>
+      commitManifest(spark, indexDir, snap)
+      cleanup(spark, indexDir)
+    }
 }

@@ -68,11 +68,72 @@ class CorpusStatsIngestSpec extends AnyFunSuite {
     assert(statsMap(dir) == before)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(_.getPath.getName.startsWith("seg="))
-    assert(segs.length == 1 && segs.head.getPath.getName == "seg=base")
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName)
+    assert(!names.exists(_.startsWith("seg=")), names.mkString(","))
+    assert(names.count(_.startsWith("cseg=")) == 1)
     // ingest continues after compaction
     body(Seq("x q q").toDF("text"), 2L)
     assert(statsMap(dir) == reference(b1 ++ b2 ++ Seq("x q q")))
+    // a SECOND compaction folds the base + the new segment
+    CorpusStatsIngest.compact(spark, dir)
+    assert(statsMap(dir) == reference(b1 ++ b2 ++ Seq("x q q")))
+  }
+
+  test("crash before the manifest commit leaves the old view intact") {
+    import spark.implicits._
+    val dir = tmp()
+    val b1 = Seq("m n n", "m o")
+    val b2 = Seq("n p")
+    val body = CorpusStatsIngest.foreachBatchBody("text", dir)
+    body(b1.toDF("text"), 0L)
+    body(b2.toDF("text"), 1L)
+    val before = statsMap(dir)
+    // step 1 only: the new base is written but never committed —
+    // readers must not see it (the crash window the old swap-dirs
+    // protocol under-counted or zeroed in)
+    val Some((snap, _)) = CorpusStatsIngest.writeBase(spark, dir)
+    assert(statsMap(dir) == before)
+    // recovery is just compacting again: generations only advance at
+    // commit, so the re-fold overwrites the orphan base in place and
+    // commits it — one base, correct stats
+    CorpusStatsIngest.compact(spark, dir)
+    assert(statsMap(dir) == before)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName)
+    assert(names.count(_.startsWith("cseg=")) == 1)
+    assert(names.contains(snap.base.get)) // the orphan name, now committed
+    assert(!names.exists(_.startsWith("seg=")))
+  }
+
+  test("crash after the manifest commit but before cleanup never double-counts") {
+    import spark.implicits._
+    val dir = tmp()
+    val b1 = Seq("u v v", "u w")
+    val b2 = Seq("v x x")
+    val body = CorpusStatsIngest.foreachBatchBody("text", dir)
+    body(b1.toDF("text"), 0L)
+    body(b2.toDF("text"), 1L)
+    val before = statsMap(dir)
+    // steps 1+2, crash before step 3: folded segment dirs still on
+    // disk but tombstoned by the committed manifest
+    val Some((snap, live)) = CorpusStatsIngest.writeBase(spark, dir)
+    CorpusStatsIngest.commitManifest(spark, dir, snap)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    live.foreach(s => assert(fs.exists(new org.apache.hadoop.fs.Path(s))))
+    assert(statsMap(dir) == before) // base + leftovers ≠ double count
+    // a replayed batch that was already folded re-creates a tombstoned
+    // segment name — still excluded, still no double count
+    body(b2.toDF("text"), 1L)
+    assert(statsMap(dir) == before)
+    // next compaction (or any later one) finishes the cleanup
+    CorpusStatsIngest.cleanup(spark, dir)
+    assert(statsMap(dir) == before)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName)
+    assert(!names.exists(_.startsWith("seg=")), names.mkString(","))
   }
 }

@@ -85,4 +85,27 @@ class PrefixSumSpec extends AnyFunSuite {
     compareRanked(rows.toDF("tok", "c"), buckets = 32)
     compareRanked(rows.toDF("tok", "c"), buckets = 1)
   }
+
+  test("rankedCumSumDesc: null ord rows rank last, like the global window") {
+    import spark.implicits._
+    // the single-window `ord DESC` is NULLS LAST: null-ord rows must
+    // come after every non-null bucket, ordered by the tie column
+    val rows: Seq[(String, Option[Long], Long)] =
+      (0 until 200).map(i => (f"t$i%04d", Some((i % 17).toLong), 1L + i % 3)) ++
+        Seq(("n_b", None, 5L), ("n_a", None, 2L), ("n_c", None, 7L))
+    val df = rows.toDF("tok", "o", "v")
+    val w = Window.orderBy(col("o").desc, col("tok").asc)
+    val want = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("rk", "tok", "cum").orderBy("rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val got = operators.PrefixSum.rankedCumSumDesc(df, "o", "tok", "v", "rk", "cum", 16)
+      .select("rk", "tok", "cum").orderBy("rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // the nulls are the last three ranks, tie-ordered
+    assert(got.takeRight(3).map(_._2) == Seq("n_a", "n_b", "n_c"))
+  }
 }

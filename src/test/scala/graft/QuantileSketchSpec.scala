@@ -98,4 +98,25 @@ class QuantileSketchSpec extends AnyFunSuite {
     // scan-built stage-0 sketch, then the same refinement
     assert(SketchPercentile.exactRankValue(spark, dir, "v", 5000L) == sorted(4999).toDouble)
   }
+
+  test("exact zeros next to subnormals: the ±0.0-bounded buckets must not re-admit zeros") {
+    // The minimal-magnitude nonzero buckets (keys 0 and -1) have IEEE
+    // bounds lo = +0.0 / hi = -0.0, but exact zeros are counted in the
+    // sketch's separate zero bucket. The refine/collect range filter
+    // must exclude them or every rank inside those buckets shifts.
+    val dir = java.nio.file.Files.createTempDirectory("sketch_zero").toString
+    import spark.implicits._
+    val sub = Seq(4.9e-324, 1.0e-320, 1.7e-315, 2.2e-311) // key-0 bucket
+    val negSub = Seq(-4.9e-324, -3.3e-318)                // key -1 bucket
+    val data = Seq.fill(50)(0.0) ++ sub ++ negSub ++
+      Seq.fill(20)(-1.5) ++ Seq.fill(20)(2.5)
+    data.toDF("v").repartition(2)
+      .write.format("vortex").option("distributionSketches", "v")
+      .mode("overwrite").save(dir)
+    val sorted = data.sorted
+    (1L to data.length.toLong).foreach { k =>
+      val got = SketchPercentile.exactRankValue(spark, dir, "v", k)
+      assert(got == sorted((k - 1).toInt), s"rank $k")
+    }
+  }
 }
