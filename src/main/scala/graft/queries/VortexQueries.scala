@@ -401,6 +401,34 @@ object VortexQueries {
       |SELECT (SELECT v FROM r, n WHERE rn = (n + 1) // 2) AS med,
       |       (SELECT v FROM r, n WHERE rn = CAST(ceiling(0.9 * n) AS BIGINT)) AS p90""".stripMargin)
 
+  // S14: row-level DELETE over a vortex dataset (VortexDelete) — the
+  // corpus-purge primitive. Every invocation stages a FRESH copy (the
+  // delete is the operation under test, and it mutates the dataset),
+  // deletes matching rows at file granularity, and reads the survivors
+  // back. The DuckDB twin is the genuinely symmetric statement
+  // sequence: stage → DELETE → read (multi-statement oracles execute
+  // fine through duckdb-python; the result is the last SELECT's).
+  spark("s14_vortex_delete",
+    (s, d) => {
+      val dir = vdir("delete_s14", d)
+      Tables.t(s, d, "orders")
+        .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+        .write.format("vortex").mode("overwrite").save(dir)
+      graft.sources.vortex.VortexDelete.delete(s, dir,
+        col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0)
+      s.read.format("vortex").load(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .orderBy("o_orderstatus")
+    },
+    """CREATE OR REPLACE TEMP TABLE graft_del AS SELECT * FROM orders;
+      |DELETE FROM graft_del WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0;
+      |SELECT o_orderstatus, count(*) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM graft_del GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+
   // ---- S3/S4 write rows (the write IS the timed operation) -----------
 
   /** oracle-side COPY target (driver-local /tmp; overwritten per rep) */

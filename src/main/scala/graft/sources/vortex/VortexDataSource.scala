@@ -195,8 +195,22 @@ object VortexDataSource {
 class VortexTable(schema: StructType, paths: Seq[String],
                   tablePartitionCols: Seq[String] = Seq.empty,
                   tableBucketSpec: Option[(String, Int)] = None)
-    extends SupportsRead with SupportsWrite {
+    extends SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"vortex ${paths.mkString(",")}"
+
+  // `DELETE FROM vtx.\`/path\` WHERE …` — Spark's DeleteFromTableExec
+  // hands us the condition as source filters; VortexDelete rewrites
+  // only the files whose stats say they can hold a match.
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    paths.length == 1 && filters.forall(VortexDelete.filterToColumn(_).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    require(canDeleteWhere(filters),
+      s"vortex delete: untranslatable condition ${filters.mkString(", ")}")
+    val cond = filters.flatMap(VortexDelete.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    VortexDelete.delete(SparkSession.active, paths.head, cond)
+  }
   override def schema(): StructType = schema
 
   /** Discovered-or-declared bucket layout (marker file wins the tie:

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.vortex.VortexDelete
+
+/** File-granularity DELETE over vortex datasets: only files whose
+  * stats admit a match are touched; untouched files (data AND their
+  * manifest entries) stay byte-identical; all-match files drop without
+  * a rewrite; SQL DELETE routes through SupportsDelete. */
+class VortexDeleteSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.vtx", "graft.sources.vortex.VortexCatalog")
+    .getOrCreate()
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("vortex_delete").toString
+
+  /** (name → (len, mtime)) for every file under dir, recursive */
+  private def snapshot(dir: String): Map[String, (Long, Long)] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s))
+    walk(root).map(s => s.getPath.toString ->
+      (s.getLen, s.getModificationTime)).toMap
+  }
+
+  private def manifestBytes(dir: String): Map[String, Seq[Byte]] = {
+    val md = new Path(dir, "_manifests")
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(md)) Map.empty
+    else fs.listStatus(md).toSeq.map { st =>
+      val in = fs.open(st.getPath)
+      val b = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
+      st.getPath.getName -> b.toSeq
+    }.toMap
+  }
+
+  test("range-clustered delete touches only the files that can match") {
+    import spark.implicits._
+    val dir = tmp()
+    // 4 files, range-clustered on id so manifest min/max localize any
+    // id predicate to one file
+    (0L until 4000L).map(i => (i, s"row$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.format("vortex").mode("overwrite").save(dir)
+    val before = snapshot(dir)
+    val beforeManifests = manifestBytes(dir)
+    assert(before.keys.count(_.endsWith(".vortex")) == 4)
+
+    val res = VortexDelete.delete(spark, dir, col("id") >= 1200L && col("id") < 1300L)
+    // stats pruning: only the file holding [1000,2000) is a candidate
+    assert(res.candidateFiles == 1, res)
+    assert(res.rewrittenFiles == 1 && res.droppedFiles == 0)
+    assert(res.rowsDeleted == 100L)
+
+    // survivors exact
+    val left = spark.read.format("vortex").load(dir)
+    assert(left.count() == 3900L)
+    assert(left.where(col("id") >= 1200L && col("id") < 1300L).count() == 0L)
+    assert(left.agg(sum("id")).head().getLong(0) ==
+      (0L until 4000L).filterNot(i => i >= 1200 && i < 1300).sum)
+
+    // untouched data files byte-identical (same path, len, mtime)
+    val after = snapshot(dir)
+    val untouchedBefore = before.filter { case (p, _) => after.contains(p) }
+    untouchedBefore.foreach { case (p, st) =>
+      if (p.endsWith(".vortex")) assert(after(p) == st, s"file $p was touched")
+    }
+    // every pre-existing manifest file byte-identical; delete only ADDS
+    val afterManifests = manifestBytes(dir)
+    beforeManifests.foreach { case (n, b) =>
+      assert(afterManifests.get(n).contains(b), s"manifest $n changed")
+    }
+    assert(afterManifests.size == beforeManifests.size + 1)
+  }
+
+  test("all-match files drop whole; null predicate rows survive") {
+    import spark.implicits._
+    val dir = tmp()
+    // file 0: category a (all match), file 1: category b + nulls
+    Seq.tabulate(100)(i => ("a", i.toLong)).toDF("cat", "v").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(dir)
+    (Seq.tabulate(100)(i => (Some("b"), i.toLong)) ++
+      Seq.tabulate(10)(i => (None: Option[String], 1000L + i)))
+      .toDF("cat", "v").coalesce(1)
+      .write.format("vortex").mode("append").save(dir)
+    assert(spark.read.format("vortex").load(dir).count() == 210L)
+
+    val res = VortexDelete.delete(spark, dir, col("cat") === "a")
+    assert(res.droppedFiles == 1 && res.rewrittenFiles == 0, res)
+    assert(res.rowsDeleted == 100L)
+    val left = spark.read.format("vortex").load(dir)
+    assert(left.count() == 110L)
+
+    // WHERE cat != 'b' is NULL for null cats → those rows SURVIVE
+    val res2 = VortexDelete.delete(spark, dir, col("cat") =!= "b")
+    assert(res2.rowsDeleted == 0L)
+    // and deleting b leaves exactly the null rows
+    val res3 = VortexDelete.delete(spark, dir, col("cat") === "b")
+    assert(res3.rowsDeleted == 100L)
+    val nulls = spark.read.format("vortex").load(dir)
+    assert(nulls.count() == 10L && nulls.where(col("cat").isNull).count() == 10L)
+  }
+
+  test("partitioned layout: partition predicate prunes to the matching directory") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 300L).map(i => (s"p${i % 3}", i)).toDF("p", "v")
+      .write.format("vortex").option("partitionBy", "p")
+      .mode("overwrite").save(dir)
+    val before = snapshot(dir)
+    val res = VortexDelete.delete(spark, dir, col("p") === "p1")
+    // only p=p1's files were candidates, and all their rows match
+    assert(res.candidateFiles == res.droppedFiles && res.rewrittenFiles == 0, res)
+    assert(res.rowsDeleted == 100L)
+    val left = spark.read.format("vortex").load(dir)
+    assert(left.count() == 200L && left.where(col("p") === "p1").count() == 0L)
+    before.filter(_._1.contains("p=p0")).foreach { case (p, st) =>
+      assert(snapshot(dir).get(p).contains(st), s"$p touched")
+    }
+  }
+
+  test("SQL DELETE FROM via the catalog (SupportsDelete)") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 1000L).map(i => (i, (i % 7).toInt)).toDF("id", "m")
+      .repartition(2).write.format("vortex").mode("overwrite").save(dir)
+    spark.sql(s"DELETE FROM vtx.`$dir` WHERE m = 3 OR id < 10")
+    val left = spark.read.format("vortex").load(dir)
+    val expect = (0L until 1000L).count(i => !(i % 7 == 3 || i < 10))
+    assert(left.count() == expect.toLong)
+    assert(left.where(col("m") === 3 || col("id") < 10).count() == 0L)
+  }
+
+  test("rewritten files re-enter the manifest with sums and inherited bloom opt-ins") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 1000L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1)
+      .write.format("vortex").option("bloomFilters", "id")
+      .mode("overwrite").save(dir)
+    val res = VortexDelete.delete(spark, dir, col("id") < 100L)
+    assert(res.rewrittenFiles == 1 && res.rowsDeleted == 100L)
+    val hconf = spark.sessionState.newHadoopConf()
+    val entries = graft.sources.vortex.StatsManifest.read(new Path(dir), hconf)
+    val fs = new Path(dir).getFileSystem(hconf)
+    val live = fs.listStatus(new Path(dir))
+      .filter(_.getPath.getName.endsWith(".vortex")).map(_.getPath.getName)
+    assert(live.length == 1 && live.head.startsWith("part-delete-"))
+    val e = entries(live.head)
+    assert(e.rows == 900L)
+    val idCol = e.cols.find(_.name == "id").get
+    assert(idCol.bloom.isDefined, "bloom opt-in not inherited")
+    assert(idCol.sum.contains((100L until 1000L).sum))
+    val vCol = e.cols.find(_.name == "v").get
+    assert(vCol.sum.contains((100L until 1000L).map(_ * 2).sum))
+  }
+}
