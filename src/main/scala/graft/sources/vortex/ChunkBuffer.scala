@@ -24,9 +24,27 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   * §ts-unit); the IPC stream always travels in µs (pass all-"us").
   */
 private[vortex] final class ChunkBuffer(fields: Array[StructField], chunkRows: Int,
-                                        tsUnits: Array[String]) {
+                                        tsUnits: Array[String],
+                                        shredStructs: Boolean = false) {
   val nCols: Int = fields.length
   val fixed: Array[Boolean] = fields.map(f => PageCodec.isFixed(f.dataType))
+
+  // top-level struct columns shred into a child-column sub-buffer
+  // (StructCodec page; nested-field pruning on read). Only the FILE
+  // writer opts in: the IPC wire format keeps the blob layout, and
+  // sub-buffers never shred again (one level — children that are
+  // themselves nested stay self-contained blobs).
+  val shredded: Array[Boolean] = fields.map(f => shredStructs && (f.dataType match {
+    case st: StructType => st.fields.nonEmpty && NestedCodec.supported(st)
+    case _ => false
+  }))
+  val subBufs: Array[ChunkBuffer] = Array.tabulate(nCols) { c =>
+    if (shredded(c)) {
+      val st = fields(c).dataType.asInstanceOf[StructType]
+      // children store µs timestamps — same domain the blob layout used
+      new ChunkBuffer(st.fields, chunkRows, st.fields.map(_ => "us"))
+    } else null
+  }
 
   var longs: Array[Array[Long]] = _
   var bins: Array[Array[Array[Byte]]] = _
@@ -38,8 +56,34 @@ private[vortex] final class ChunkBuffer(fields: Array[StructField], chunkRows: I
     bins = Array.tabulate(nCols)(i => if (!fixed(i)) new Array[Array[Byte]](chunkRows) else null)
     nulls = Array.fill(nCols)(new Array[Boolean](chunkRows))
     count = 0
+    var c = 0
+    while (c < nCols) { if (subBufs(c) != null) subBufs(c).alloc(); c += 1 }
   }
   alloc()
+
+  /** mark every column null at index i (a shredded sub-buffer row
+    * whose parent struct is null) */
+  private[vortex] def writeNullAt(i: Int): Unit = {
+    var c = 0
+    while (c < nCols) {
+      nulls(c)(i) = true
+      if (shredded(c)) subBufs(c).writeNullAt(i)
+      c += 1
+    }
+  }
+
+  /** append one row at an EXPLICIT index without advancing count (the
+    * shredded-struct child path: parent row order fixes the index) */
+  private[vortex] def writeAt(row: InternalRow, i: Int): Unit = {
+    var c = 0
+    while (c < nCols) {
+      if (row.isNullAt(c)) {
+        nulls(c)(i) = true
+        if (shredded(c)) subBufs(c).writeNullAt(i)
+      } else appenders(c).append(row, i)
+      c += 1
+    }
+  }
 
   // ---- row-at-a-time kernel ------------------------------------------
 
@@ -79,6 +123,8 @@ private[vortex] final class ChunkBuffer(fields: Array[StructField], chunkRows: I
       def append(r: InternalRow, i: Int): Unit = bins(c)(i) = r.getUTF8String(c).getBytes }
     case BinaryType => new Appender {
       def append(r: InternalRow, i: Int): Unit = bins(c)(i) = r.getBinary(c) }
+    case st: StructType if shredded(c) => new Appender {
+      def append(r: InternalRow, i: Int): Unit = subBufs(c).writeAt(r.getStruct(c, st.length), i) }
     case dt if NestedCodec.isNested(dt) && NestedCodec.supported(dt) => new Appender {
       def append(r: InternalRow, i: Int): Unit = bins(c)(i) = NestedCodec.serialize(r.get(c, dt), dt) }
     case other => throw new UnsupportedOperationException(s"vortex: unsupported type $other")
@@ -91,8 +137,10 @@ private[vortex] final class ChunkBuffer(fields: Array[StructField], chunkRows: I
   def write(row: InternalRow): Boolean = {
     var c = 0
     while (c < nCols) {
-      if (row.isNullAt(c)) nulls(c)(count) = true
-      else appenders(c).append(row, count)
+      if (row.isNullAt(c)) {
+        nulls(c)(count) = true
+        if (shredded(c)) subBufs(c).writeNullAt(count)
+      } else appenders(c).append(row, count)
       c += 1
     }
     count += 1
@@ -164,6 +212,17 @@ private[vortex] final class ChunkBuffer(fields: Array[StructField], chunkRows: I
     case BinaryType => new BatchFill { def fill(v: ColumnVector, s: Int, d: Int, n: Int): Unit = {
       val b = bins(c); var k = 0
       while (k < n) { if (!v.isNullAt(s + k)) b(d + k) = v.getBinary(s + k); k += 1 } } }
+    case st: StructType if shredded(c) => new BatchFill {
+      // row-wise through the sub-buffer's append kernels: struct
+      // columns are rare enough that the per-row virtual call doesn't
+      // move the bulk path, and the null contract (parent null ⇒ all
+      // children null) stays in ONE place (writeAt/writeNullAt)
+      def fill(v: ColumnVector, s: Int, d: Int, n: Int): Unit = {
+        var k = 0
+        while (k < n) {
+          if (v.isNullAt(s + k)) subBufs(c).writeNullAt(d + k)
+          else subBufs(c).writeAt(v.getStruct(s + k), d + k)
+          k += 1 } } }
     case dt if NestedCodec.isNested(dt) && NestedCodec.supported(dt) => new BatchFill {
       def fill(v: ColumnVector, s: Int, d: Int, n: Int): Unit = {
         val b = bins(c); var k = 0

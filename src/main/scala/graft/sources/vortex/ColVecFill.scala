@@ -40,14 +40,35 @@ object ColVecFill {
           else cv.putByteArray(i, vec.bins(i))
           i += 1
         }
+      case st: StructType if vec.kids != null =>
+        // shredded struct page: append rows from the decoded child
+        // vectors (pruned siblings never decoded); appendStruct keeps
+        // children row-aligned for nulls
+        while (i < n) {
+          if (vec.nulls(i)) appendValue(cv, st, null)
+          else {
+            cv.appendStruct(false)
+            var j = 0
+            while (j < st.fields.length) {
+              appendValue(cv.getChild(j), st.fields(j).dataType,
+                VortexFileReader.value(vec.kids(j), i, st.fields(j).dataType))
+              j += 1
+            }
+          }
+          i += 1
+        }
       case dt if NestedCodec.isNested(dt) =>
         // nested column: decode each row's self-contained bytes and
         // fill child vectors recursively via the append API (append
         // tracks its own element counts; this vector never mixes the
         // positional put API above)
+        val stored = if (vec.blobType != null) vec.blobType else dt
         while (i < n) {
           if (vec.nulls(i)) appendValue(cv, dt, null)
-          else appendValue(cv, dt, NestedCodec.deserialize(vec.bins(i), dt))
+          else {
+            val v = NestedCodec.deserialize(vec.bins(i), stored)
+            appendValue(cv, dt, if (stored == dt) v else NestedProject.project(v, stored, dt))
+          }
           i += 1
         }
       case other => throw new UnsupportedOperationException(s"vortex columnar: $other")

@@ -13,6 +13,15 @@ final class ColVec(val n: Int, val nulls: Array[Boolean],
                    val longs: Array[Long], val bins: Array[Array[Byte]]) {
   def isFixed: Boolean = longs != null
   def nullCount: Int = { var c = 0; var i = 0; while (i < n) { if (nulls(i)) c += 1; i += 1 }; c }
+  /** shredded struct page (EncStruct): decoded child vectors in the
+    * READ schema's child order, with their stored fields — longs/bins
+    * are null for such a vec (StructCodec.decode) */
+  var kids: Array[ColVec] = null
+  var kidFields: Array[org.apache.spark.sql.types.StructField] = null
+  /** for nested blob pages: the STORED type the bytes serialize —
+    * reads with a pruned nested schema deserialize with this and
+    * project (NestedProject) */
+  var blobType: org.apache.spark.sql.types.DataType = null
 }
 
 /** Per-chunk page encode/decode: adaptive encoding selection

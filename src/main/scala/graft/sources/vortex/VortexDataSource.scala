@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
@@ -98,8 +98,23 @@ object VortexDataSource {
     * and a file's footer must keep its exact type — defense in depth
     * behind the plan-time drift/evolution checks (a stale plan or a
     * file swapped after planning would otherwise decode garbage). */
+  /** required must equal the file type — or be a nested-pruned subset
+    * of it (struct children dropped by name, recursively): the read
+    * schema under nestedSchemaPruning asks for exactly the accessed
+    * children and the decode path honors that shape. */
+  private def readCompatible(file: DataType, required: DataType): Boolean =
+    (file, required) match {
+      case (f: StructType, r: StructType) =>
+        r.fields.forall(rf => f.fields.exists(ff =>
+          ff.name == rf.name && readCompatible(ff.dataType, rf.dataType)))
+      case (ArrayType(fe, _), ArrayType(re, _)) => readCompatible(fe, re)
+      case (MapType(fk, fv, _), MapType(rk, rv, _)) =>
+        readCompatible(fk, rk) && readCompatible(fv, rv)
+      case (f, r) => f == r
+    }
+
   def checkReadType(path: Path, fileField: StructField, required: StructField): Unit =
-    if (fileField.dataType != required.dataType)
+    if (!readCompatible(fileField.dataType, required.dataType))
       throw new VortexSchemaDriftException(
         s"vortex: column ${required.name} of $path is " +
         s"${fileField.dataType.simpleString}, read expects ${required.dataType.simpleString}")
@@ -400,9 +415,25 @@ class VortexScanBuilder(schema: StructType, paths: Seq[String],
   }
   override def pushedFilters(): Array[Filter] = filters
   override def pruneColumns(req: StructType): Unit = {
-    // keep file-schema field order for stable decode indices
-    val names = req.fieldNames.toSet
-    required = StructType(schema.fields.filter(f => names.contains(f.name)))
+    // keep file-schema field order for stable decode indices — at the
+    // top level AND inside structs (Spark derives req from this same
+    // schema by dropping unaccessed fields, so intersecting preserves
+    // its order too). Nested pruning: a struct field keeps only the
+    // children req asks for; the scan then decodes only those
+    // sub-pages (StructCodec) or projects blob pages (NestedProject).
+    def prune(file: DataType, r: DataType): DataType = (file, r) match {
+      case (f: StructType, rs: StructType) =>
+        StructType(f.fields.flatMap(ff => rs.fields.find(_.name == ff.name)
+          .map(rf => ff.copy(dataType = prune(ff.dataType, rf.dataType)))))
+      case (ArrayType(fe, n), ArrayType(re, _)) => ArrayType(prune(fe, re), n)
+      case (MapType(fk, fv, n), MapType(rk, rv, _)) =>
+        MapType(prune(fk, rk), prune(fv, rv), n)
+      case _ => file
+    }
+    val byName = req.fields.map(f => f.name -> f).toMap
+    required = StructType(schema.fields.flatMap { f =>
+      byName.get(f.name).map(rf => f.copy(dataType = prune(f.dataType, rf.dataType)))
+    })
   }
 
   /** COUNT(*)/COUNT(col)/MIN/MAX with no grouping, no filters: answer
@@ -910,7 +941,7 @@ class VortexColumnarReader(part: VortexInputPartition,
       vectors(c) = slots(c) match {
         case Right(fc) =>
           val vec = VortexFileReader.decodeColumn(raw(c), chunk.columns(fc), n,
-            footer.schema.fields(fc))
+            footer.schema.fields(fc), required.fields(c))
           val cv = new OnHeapColumnVector(n, dts(c))
           ColVecFill.fill(cv, vec, dts(c), n)
           cv
@@ -975,7 +1006,7 @@ class VortexPartitionReader(part: VortexInputPartition,
     vecs = slots.zipWithIndex.map {
       case (Right(c), k) =>
         VortexFileReader.decodeColumn(raw(k), chunk.columns(c), chunk.rowCount,
-          footer.schema.fields(c))
+          footer.schema.fields(c), required.fields(k))
       case (Left(_), _) => null
     }
     rowsInChunk = chunk.rowCount

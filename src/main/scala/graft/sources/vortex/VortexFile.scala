@@ -128,7 +128,7 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
   // chunk buffers + per-column append/fill kernels live in the shared
   // ChunkBuffer (also used by the IPC stream writer — one storage
   // domain, one kernel)
-  private val buf = new ChunkBuffer(fields, chunkRows, tsUnits)
+  private val buf = new ChunkBuffer(fields, chunkRows, tsUnits, shredStructs = true)
 
   /** exact sums over the buffered chunk, accumulated at flush: the
     * same per-column value sequence (rows in order) as the former
@@ -179,10 +179,16 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
     val metas = new Array[ColumnChunkMeta](nCols)
     var c = 0
     while (c < nCols) {
-      val vec =
-        if (fixed(c)) new ColVec(count, buf.nulls(c), buf.longs(c), null)
-        else new ColVec(count, buf.nulls(c), null, buf.bins(c))
-      val enc = PageCodec.encode(vec, fields(c).dataType)
+      val enc =
+        if (buf.shredded(c))
+          StructCodec.encode(count, buf.nulls(c), buf.subBufs(c),
+            fields(c).dataType.asInstanceOf[StructType])
+        else {
+          val vec =
+            if (fixed(c)) new ColVec(count, buf.nulls(c), buf.longs(c), null)
+            else new ColVec(count, buf.nulls(c), null, buf.bins(c))
+          PageCodec.encode(vec, fields(c).dataType)
+        }
       out.write(enc.bytes)
       metas(c) = ColumnChunkMeta(pos, enc.bytes.length, enc.encoding, enc.compressed,
         enc.nullCount, enc.min, enc.max)
@@ -316,10 +322,24 @@ object VortexFileReader {
 
   /** Decode one column page and normalize unit-scaled timestamp longs
     * to µs (format §ts-unit) — the single decode entry for every scan
-    * path, so unit handling can't diverge between readers. */
-  def decodeColumn(buf: Array[Byte], m: ColumnChunkMeta, rows: Int, field: StructField): ColVec = {
+    * path, so unit handling can't diverge between readers.
+    *
+    * `required` (optional) is the READ-side field under nested-schema
+    * pruning: for a shredded struct page only its children decode
+    * (StructCodec); for a legacy blob page the stored type is recorded
+    * on the vec so [[value]] can deserialize-then-project. */
+  def decodeColumn(buf: Array[Byte], m: ColumnChunkMeta, rows: Int, field: StructField,
+                   required: StructField = null): ColVec = {
     pageDecodes.incrementAndGet()
+    if (m.encoding == VortexFormat.EncStruct) {
+      val stored = field.dataType.asInstanceOf[StructType]
+      val want =
+        if (required == null) stored
+        else required.dataType.asInstanceOf[StructType]
+      return StructCodec.decode(buf, rows, stored, want)
+    }
     val vec = PageCodec.decode(buf, m.encoding, m.compressed, rows, m.nullCount, field.dataType)
+    if (NestedCodec.isNested(field.dataType)) vec.blobType = field.dataType
     val u = tsUnit(field)
     if (u != "us" && vec.longs != null) {
       var i = 0
@@ -374,7 +394,20 @@ object VortexFileReader {
           new java.math.BigDecimal(new java.math.BigInteger(vec.bins(i)), d.scale), d.precision, d.scale)
       case StringType => UTF8String.fromBytes(vec.bins(i))
       case BinaryType => vec.bins(i)
-      case dt if NestedCodec.isNested(dt) => NestedCodec.deserialize(vec.bins(i), dt)
+      case st: StructType if vec.kids != null =>
+        // shredded struct page: assemble the (pruned) row from child
+        // vectors — skipped siblings were never decoded
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(st.length)
+        var j = 0
+        while (j < st.length) {
+          row.update(j, value(vec.kids(j), i, st.fields(j).dataType))
+          j += 1
+        }
+        row
+      case dt if NestedCodec.isNested(dt) =>
+        val stored = if (vec.blobType != null) vec.blobType else dt
+        val v = NestedCodec.deserialize(vec.bins(i), stored)
+        if (stored == dt) v else NestedProject.project(v, stored, dt)
       case other => throw new UnsupportedOperationException(s"vortex: unsupported type $other")
     }
   }

@@ -63,6 +63,11 @@ object VortexFormat {
     * exception list (≙ the vortex-alp role, reference
     * Cargo.lock:3998-4014); see AlpCodec */
   val EncAlp: Byte = 7
+  /** shredded top-level struct column: struct null bitmap + one
+    * independently encoded sub-page per child, skippable for
+    * nested-field pruning (≙ the vortex struct-array layout role);
+    * see StructCodec */
+  val EncStruct: Byte = 8
 
   /** Per-column timestamp storage unit (reference parity: the format
     * round-trips TIMESTAMP_S/MS/µs/NS as distinct types —
