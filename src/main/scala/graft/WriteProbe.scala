@@ -36,6 +36,26 @@ object WriteProbe {
     variant("noubig", full.filterNot(_.contains("c_ubig")))
     variant("nostr", full.filterNot(_.contains("c_str")))
     variant("numonly", full.filterNot(e => e.contains("c_ubig") || e.contains("c_str")))
+    // where does the time go: scan+cast only (no write), and the same
+    // write with the input split across tasks
+    locally {
+      val df = base.selectExpr(full: _*)
+      (1 to 3).foreach { rep =>
+        val t0 = System.nanoTime()
+        val n = Bench.force(df)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (rep > 1) println(f"[write] scanonly rep$rep $dt%.3f s ($n rows)")
+      }
+      val df6 = df.repartition(6)
+      (1 to 3).foreach { rep =>
+        val t0 = System.nanoTime()
+        graft.sources.vortex.VortexBulkCopy.copy(df6, "/tmp/wp_par6")
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (rep > 1) println(f"[write] par6 rep$rep $dt%.3f s")
+      }
+      // task count of the plain write path
+      println(s"[write] input partitions = ${df.queryExecution.toRdd.getNumPartitions}")
+    }
     spark.stop()
   }
 }

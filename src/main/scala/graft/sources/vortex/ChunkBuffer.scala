@@ -112,15 +112,25 @@ private[vortex] final class ChunkBuffer(fields: Array[StructField], chunkRows: I
     case DoubleType => new Appender {
       def append(r: InternalRow, i: Int): Unit =
         longs(c)(i) = java.lang.Double.doubleToLongBits(r.getDouble(c)) }
+    // UnsafeRow fast paths (the DSv2 row writer's input): a compact
+    // decimal IS the field's long; a big decimal's binary IS the
+    // unscaled BigInteger bytes; a string's binary IS its UTF-8 bytes —
+    // one copy out of the reused row buffer, zero wrapper allocations
+    // (Decimal/BigDecimal/UTF8String per cell were the measured cost
+    // of the row-fallback write path).
     case d: DecimalType if d.precision <= 18 => new Appender {
-      def append(r: InternalRow, i: Int): Unit =
-        longs(c)(i) = r.getDecimal(c, d.precision, d.scale).toUnscaledLong }
+      def append(r: InternalRow, i: Int): Unit = longs(c)(i) = r match {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow => u.getLong(c)
+        case _ => r.getDecimal(c, d.precision, d.scale).toUnscaledLong } }
     case d: DecimalType => new Appender {
-      def append(r: InternalRow, i: Int): Unit =
-        bins(c)(i) = r.getDecimal(c, d.precision, d.scale)
-          .toJavaBigDecimal.unscaledValue.toByteArray }
+      def append(r: InternalRow, i: Int): Unit = bins(c)(i) = r match {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow => u.getBinary(c)
+        case _ => r.getDecimal(c, d.precision, d.scale)
+          .toJavaBigDecimal.unscaledValue.toByteArray } }
     case StringType => new Appender {
-      def append(r: InternalRow, i: Int): Unit = bins(c)(i) = r.getUTF8String(c).getBytes }
+      def append(r: InternalRow, i: Int): Unit = bins(c)(i) = r match {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow => u.getBinary(c)
+        case _ => r.getUTF8String(c).getBytes } }
     case BinaryType => new Appender {
       def append(r: InternalRow, i: Int): Unit = bins(c)(i) = r.getBinary(c) }
     case st: StructType if shredded(c) => new Appender {
