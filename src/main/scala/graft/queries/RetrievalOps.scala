@@ -178,7 +178,11 @@ object RetrievalOps {
         .select(col("doc_id").as("id"), col("r_lex"))
       val vecs = Tables.t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      val qv = vecs.filter(_._1 == 7L).head()
+      // pushed point lookup (the serving-path shape: row-group/file
+      // pruning applies) — the prior typed-lambda filter full-scanned
+      // and deserialized the whole table to fetch one row
+      val qv = Tables.t(s, d, "embeddings").where(col("vec_id") === 7L)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].head()
       val q = VecFixedPoint.quantize(qv._2)
       val qsaa = VecFixedPoint.dot(q, q)
       val bq = s.sparkContext.broadcast((q, qsaa))

@@ -36,6 +36,24 @@ object SimilarityOps {
       }
   }
 
+  /** Point-fetch of query vectors: a PUSHED Column predicate on the
+    * base table (row-group/file pruning applies — the serving-path
+    * shape), then quantize just the fetched rows. The prior
+    * typed-lambda filter could not push, so every query-set fetch ran
+    * the full scan+quantize pipeline a second time only to collect a
+    * handful of rows. */
+  private def qvecsWhere(s: SparkSession, d: String,
+                         pred: org.apache.spark.sql.Column): Array[QVec] = {
+    import s.implicits._
+    Tables.t(s, d, "embeddings").where(pred)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])].collect()
+      .map { case (id, lb, e) =>
+        val q = VecFixedPoint.quantize(e)
+        QVec(id, lb, q, VecFixedPoint.dot(q, q))
+      }
+  }
+
   private val oracleVecs =
     """v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |el AS (SELECT vec_id, i, CAST(e[CAST(i AS INTEGER) + 1] AS DECIMAL(18,8)) AS x
@@ -148,7 +166,7 @@ object SimilarityOps {
                      sameLabelOnly: Boolean): DataFrame = {
     import s.implicits._
     val ds = qvecs(s, d)
-    val queries = ds.filter(_.id < 20).collect()
+    val queries = qvecsWhere(s, d, col("vec_id") < 20)
     val bq = s.sparkContext.broadcast(queries)
     ds.flatMap { c =>
       bq.value.iterator
@@ -217,22 +235,31 @@ object SimilarityOps {
   // The normalize/quantize doubles go through the proven-equal
   // decimal→double path (VecFixedPoint.dec8ToDouble/decToDouble), so
   // floor() sees bit-identical inputs on both engines.
+  /** signed-byte code of one quantized vector: floor(127·x/‖x‖ + .5)
+    * per dimension through the proven-equal decimal→double path — ONE
+    * kernel shared by the corpus map and the driver-side query coding
+    * so the two can never diverge */
+  private def int8Code(v: QVec): Array[Int] = {
+    val c = new Array[Int](v.q.length)
+    if (v.saa != 0L) {
+      val nrm = math.sqrt(VecFixedPoint.decToDouble(v.saa))
+      var i = 0
+      while (i < v.q.length) {
+        c(i) = math.floor(127.0 * VecFixedPoint.dec8ToDouble(v.q(i)) / nrm + 0.5).toInt
+        i += 1
+      }
+    }
+    c
+  }
+
   spark("v_cos_quantized",
     (s, d) => {
       import s.implicits._
-      val codes = qvecs(s, d).map { v =>
-        val c = new Array[Int](v.q.length)
-        if (v.saa != 0L) {
-          val nrm = math.sqrt(VecFixedPoint.decToDouble(v.saa))
-          var i = 0
-          while (i < v.q.length) {
-            c(i) = math.floor(127.0 * VecFixedPoint.dec8ToDouble(v.q(i)) / nrm + 0.5).toInt
-            i += 1
-          }
-        }
-        (v.id, c)
-      }
-      val queries = codes.filter(_._1 < 20).collect()
+      val codes = qvecs(s, d).map(v => (v.id, int8Code(v)))
+      // pushed point-fetch + driver-side coding of the ≤20 query rows:
+      // same int8Code kernel as the corpus map, so the codes are
+      // bit-identical by construction
+      val queries = qvecsWhere(s, d, col("vec_id") < 20).map(v => (v.id, int8Code(v)))
       val bq = s.sparkContext.broadcast(queries)
       val scoredQ = codes.flatMap { case (cid, cc) =>
         bq.value.iterator.filter(_._1 != cid).map { case (qid, qc) =>
@@ -473,8 +500,15 @@ object SimilarityOps {
       import s.implicits._
       // 3 assignment rounds over 2 centroid refinements: the final
       // assignment uses c2, exactly the oracle's a3(c2) chain
-      val assigned = kmeansAssign(s, qvecs(s, d), K = 8, refinements = 2)
-      val queries = assigned.filter(_._1 < 20).collect()
+      val cents = kmeansCentroids(s, qvecs(s, d), K = 8, refinements = 2)
+      val bcc = s.sparkContext.broadcast(cents)
+      val assigned = qvecs(s, d)
+        .map(v => (v.id, VecFixedPoint.nearestCentroid(v.q, bcc.value), v.q, v.saa))
+      // pushed point-fetch of the ≤20 query vectors, assigned
+      // driver-side against the SAME final centroids — no second full
+      // assignment pass just to collect the query set
+      val queries = qvecsWhere(s, d, col("vec_id") < 20)
+        .map(v => (v.id, VecFixedPoint.nearestCentroid(v.q, cents), v.q, v.saa))
       val bq = s.sparkContext.broadcast(queries)
       val cand = assigned.flatMap { case (id, k, q, saa) =>
         bq.value.iterator.filter(t => t._1 != id && t._2 == k).map { t =>
@@ -569,6 +603,18 @@ object SimilarityOps {
         |       a3.vec_id NOT IN (SELECT hi FROM drp) AS kept
         |FROM a3 ORDER BY vec_id""".stripMargin)
 
+  /** 8-bit random-hyperplane bucket of one quantized vector — shared
+    * by the corpus map and the driver-side query bucketing */
+  private def lshBucket(q: Array[Long], planes: Array[Array[Long]]): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < planes.length) {
+      if (VecFixedPoint.dot(planes(p), q) >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
   // Random-hyperplane LSH bucketing (8 md5-derived planes → 8-bit
   // bucket), exact scoring within bucket. The planes are deterministic
   // (md5 parity), so the bucketing — approximation included — is
@@ -578,17 +624,14 @@ object SimilarityOps {
       import s.implicits._
       val ds = qvecs(s, d)
       val nP = 8
-      val bp = s.sparkContext.broadcast(md5Planes(nP, ""))
-      val withBuckets = ds.map { v =>
-        var bucket = 0
-        var p = 0
-        while (p < nP) {
-          if (VecFixedPoint.dot(bp.value(p), v.q) >= 0) bucket |= (1 << p)
-          p += 1
-        }
-        (v.id, v.label, v.q, v.saa, bucket)
-      }
-      val queries = withBuckets.filter(_._1 < 20).collect()
+      val planes = md5Planes(nP, "")
+      val bp = s.sparkContext.broadcast(planes)
+      val withBuckets = ds.map(v =>
+        (v.id, v.label, v.q, v.saa, lshBucket(v.q, bp.value)))
+      // pushed point-fetch + driver-side bucketing of the ≤20 query
+      // rows with the same planes/kernel as the corpus map
+      val queries = qvecsWhere(s, d, col("vec_id") < 20)
+        .map(v => (v.id, v.label, v.q, v.saa, lshBucket(v.q, planes)))
       val bq = s.sparkContext.broadcast(queries)
       val cand = withBuckets.flatMap { case (id, _, q, saa, bucket) =>
         bq.value.iterator.filter(t => t._1 != id && t._5 == bucket).map { t =>
