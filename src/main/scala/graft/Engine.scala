@@ -356,6 +356,70 @@ final case class Engine(spark: SparkSession) {
       }.toDF(idCol, "fp")
   }
 
+  // ---- corpus mixing / coverage (auto-dispatched scale forms) ---------
+
+  /** Catalyst-stats smallness gate (zero jobs) — the same probe
+    * ExactPercentile.computeMultiAuto dispatches on: planner row count
+    * when known, plan size estimate otherwise. */
+  private[graft] def statsSmall(df: DataFrame, maxRows: Long, maxBytes: Long): Boolean = {
+    val st = df.queryExecution.optimizedPlan.stats
+    st.rowCount.map(_ <= BigInt(maxRows)).getOrElse(st.sizeInBytes <= BigInt(maxBytes))
+  }
+
+  /** Per-group token-budget prefix: keep each group's `ord`-ordered
+    * prefix while the running sum of `value` stays ≤ `budget` (the
+    * source-mixing cap of a training run). ONE entry point, two
+    * execution forms, dispatched on the stats gate:
+    *  - small input → the single grouped window (fewest jobs — the
+    *    form the bench rows time);
+    *  - large input → PrefixSum.groupedCumSum (buckets×groups
+    *    parallelism; a TB-sized dominant group no longer serializes
+    *    into one window task).
+    * Both proven row-equal (same oracle SQL at the gate; PrefixSumSpec
+    * on skewed synthetics). `value` must be integral and non-null,
+    * `ord` non-null (groupedCumSum's documented contract). */
+  def tokenBudget(df: DataFrame, grp: String, ord: String, value: String,
+                  budget: Long, cumName: String = "cum_tok",
+                  maxWindowRows: Long = 8000000L,
+                  maxWindowBytes: Long = 512L << 20): DataFrame = {
+    val cum =
+      if (statsSmall(df, maxWindowRows, maxWindowBytes)) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(grp).orderBy(ord)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn(cumName, sum(col(value).cast("long")).over(w))
+      } else operators.PrefixSum.groupedCumSum(df, grp, ord, value, cumName)
+    // both forms in the INPUT's column order (groupedCumSum reorders)
+    cum.where(col(cumName) <= budget)
+      .select((df.columns :+ cumName).map(col).toIndexedSeq: _*)
+  }
+
+  /** Head-coverage curve of a `(token, count)` frequency frame:
+    * global rank (count desc, token asc), cumulative count, and
+    * cumulative share. Same dispatch: a small vocab runs the single
+    * global window; a 10M-type vocab routes through
+    * PrefixSum.rankedCumSumDesc (bucketed, no one-task window). */
+  def vocabCoverage(counts: DataFrame, tokCol: String, countCol: String,
+                    maxWindowRows: Long = 4000000L,
+                    maxWindowBytes: Long = 256L << 20): DataFrame = {
+    if (statsSmall(counts, maxWindowRows, maxWindowBytes)) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(desc(countCol), asc(tokCol))
+      counts
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum",
+          sum(countCol).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(countCol).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("cum_share", col("cum").cast("double") / col("total"))
+        .select(col("rk"), col(tokCol), col(countCol), col("cum_share"))
+    } else {
+      val total = counts.agg(sum(countCol).cast("long")).as[Long].head()
+      operators.PrefixSum.rankedCumSumDesc(counts, countCol, tokCol, countCol, "rk", "cum")
+        .withColumn("cum_share", col("cum").cast("double") / lit(total))
+        .select(col("rk"), col(tokCol), col(countCol), col("cum_share"))
+    }
+  }
+
   // ---- streaming -------------------------------------------------------
   def windowedEventCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     streaming.EventPipelines.windowedAgg(events, watermark)

@@ -214,6 +214,29 @@ object TextOps {
       |FROM cum WHERE cum_tok <= 600
       |ORDER BY doc_id""".stripMargin)
 
+  // The ONE production entry (Engine.tokenBudget): dispatches between
+  // the two forms above on the Catalyst-stats gate — at this scale the
+  // window branch — and must hash-match the same oracle either way.
+  spark("t_token_budget_auto",
+    (s, d) => {
+      val toks = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      graft.operators.TinyResult.globalSort(
+        graft.Engine(s).tokenBudget(toks, "source", "doc_id", "n_tok", budget = 600),
+        col("doc_id"))
+    },
+    """WITH toks AS (SELECT doc_id, source,
+      |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |              FROM documents),
+      |cum AS (SELECT doc_id, source, n_tok,
+      |               CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+      |        FROM toks)
+      |SELECT doc_id, source, n_tok, cum_tok
+      |FROM cum WHERE cum_tok <= 600
+      |ORDER BY doc_id""".stripMargin)
+
   // End-to-end curation pipeline — the composition a daily training-
   // data run executes: quality gate (length band + dup-word rate as
   // exact integer comparisons) -> exact dedup (min doc_id per distinct
@@ -801,6 +824,33 @@ object TextOps {
         .withColumn("cum_share", col("cum").cast("double") / lit(total))
         .select(col("rk"), col("tok"), col("c"), col("cum_share"))
         .orderBy("rk")
+    },
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok)
+      |SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rk, tok, c,
+      |  CAST(CAST(sum(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+      |    / (SELECT CAST(sum(c) AS BIGINT) FROM c) AS cum_share
+      |FROM c ORDER BY rk""".stripMargin)
+
+  // The ONE production entry (Engine.vocabCoverage): same stats-gated
+  // dispatch over the aggregated vocab frame, same oracle as both
+  // explicit forms above.
+  spark("t_vocab_coverage_auto",
+    (s, d) => {
+      import s.implicits._
+      val counts = Tables.t(s, d, "documents")
+        .select(col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .as[String]
+        .flatMap { text =>
+          val m = new java.util.HashMap[String, Long]()
+          text.split(" ", -1).foreach(t => m.merge(t, 1L, (a, b) => a + b))
+          scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator())
+            .asScala.map(e => (e.getKey, e.getValue))
+        }
+        .toDF("tok", "tf")
+        .groupBy("tok").agg(sum("tf").as("c"))
+      graft.Engine(s).vocabCoverage(counts, "tok", "c").orderBy("rk")
     },
     """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
       |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok)

@@ -116,4 +116,34 @@ class EngineSpec extends AnyFunSuite {
     assert(idx.count() == n)
     assert(idx.select("k").distinct().count() > 1)
   }
+
+  test("tokenBudget: both dispatch branches row-equal; cheap branch at bench scale") {
+    val toks = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // bench-scale input takes the window branch (the stats gate sees a
+    // small scan — this is what keeps the sf1 rows on their times)
+    assert(e.statsSmall(toks, 8000000L, 512L << 20))
+    val win = e.tokenBudget(toks, "source", "doc_id", "n_tok", budget = 600)
+    // forcing thresholds to 0 takes the PrefixSum branch on the SAME input
+    val pre = e.tokenBudget(toks, "source", "doc_id", "n_tok", budget = 600,
+      maxWindowRows = 0, maxWindowBytes = 0)
+    val a = win.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = pre.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("vocabCoverage: both dispatch branches row-equal; cheap branch at bench scale") {
+    import spark.implicits._
+    val counts = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val win = e.vocabCoverage(counts, "tok", "c")
+    val pre = e.vocabCoverage(counts, "tok", "c", maxWindowRows = 0, maxWindowBytes = 0)
+    val a = win.orderBy("rk").collect().map(_.toSeq).toSeq
+    val b = pre.orderBy("rk").collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+    // the share curve ends at exactly 1.0
+    assert(math.abs(a.last.last.asInstanceOf[Double] - 1.0) < 1e-12)
+  }
 }
