@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{CorpusStatsIngest, DedupIngest, IngestPipeline}
+
+/** End-to-end composed ingest: ONE micro-batch stream (the vortex
+  * streaming source over a landing directory) fans each batch into the
+  * standing corpus (vortex, epoch-keyed), the dedup index + match log,
+  * and the corpus-stats index — and a batch replay leaves all three
+  * byte-consistent. The pieces are individually spec-proven elsewhere;
+  * this drives the composition a real ingest runs. */
+class IngestPipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("ingest_pipeline").toString
+
+  test("vortex source -> corpus + dedup + stats, consistent per batch and under replay") {
+    import spark.implicits._
+    val e = Engine(spark)
+    val root = tmp()
+    val landing = s"$root/landing"   // upstream drops vortex files here
+    val corpus = s"$root/corpus"
+    val indexDir = s"$root/dedup_index"
+    val matchDir = s"$root/matches"
+    val statsDir = s"$root/stats"
+    val ckpt = s"$root/ckpt"
+
+    // standing corpus before the stream starts: one seed doc
+    val seed = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    e.buildDedupIndex(seed, "doc_id", "text", indexDir)
+    CorpusStatsIngest.foreachBatchBody("text", statsDir)(seed, -1L)
+    seed.write.format("vortex").mode("overwrite").save(s"$corpus/epoch=-1")
+
+    // wave 1 lands BEFORE the stream starts (schema inference needs a file)
+    val wave1 = Seq(
+      (10L, "alpha beta gamma delta epsilon"),        // near-dup of seed 1
+      (11L, "red orange yellow green blue"))          // brand new
+    wave1.toDF("doc_id", "text")
+      .write.format("vortex").mode("append").save(landing)
+
+    val q = spark.readStream.format("vortex").load(landing)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(IngestPipeline.foreachBatchBody(
+        e, "doc_id", "text", corpus, indexDir, matchDir, statsDir, tau = 0.8))
+      .start()
+    q.processAllAvailable()
+
+    // wave 2: a dup of wave 1's NEW doc — found only if batch 0's
+    // signatures were appended before batch 1 probed
+    val wave2 = Seq((20L, "red orange yellow green blue"))
+    wave2.toDF("doc_id", "text")
+      .write.format("vortex").mode("append").save(landing)
+    q.processAllAvailable(); q.stop()
+
+    def matchSet = spark.read.option("basePath", matchDir)
+      .parquet(s"$matchDir/batch_id=*")
+      .select("bid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matchSet == Set((10L, 1L), (20L, 11L)), s"got $matchSet")
+
+    // corpus holds every ingested doc, epoch-keyed
+    def corpusRows = spark.read.format("vortex").load(corpus)
+      .select(col("doc_id").cast("long"), col("epoch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(corpusRows == Set((1L, -1L), (10L, 0L), (11L, 0L), (20L, 1L)))
+
+    // stats equal the batch recompute over ALL landed docs
+    val allTexts = Seq("alpha beta gamma delta epsilon") ++ wave1.map(_._2) ++ wave2.map(_._2)
+    def statsMap = CorpusStatsIngest.readStats(spark, statsDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expect = {
+      val m = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      allTexts.foreach(_.split(" ", -1).groupBy(identity).foreach { case (t, xs) =>
+        val (df, cf) = m.getOrElse(t, (0L, 0L)); m(t) = (df + 1, cf + xs.length)
+      })
+      m.toMap
+    }
+    assert(statsMap == expect)
+
+    // REPLAY batch 1 (Structured Streaming redelivery contract: same
+    // id, same data): every consumer lands its own batch-keyed output
+    // again — matches, corpus, and stats all unchanged
+    val bandsDir = new java.io.File(s"$indexDir/bands")
+    val bandsBefore = bandsDir.listFiles().map(_.getName).toSet
+    IngestPipeline.foreachBatchBody(
+      e, "doc_id", "text", corpus, indexDir, matchDir, statsDir, tau = 0.8)(
+      wave2.toDF("doc_id", "text"), 1L)
+    assert(matchSet == Set((10L, 1L), (20L, 11L)))
+    assert(corpusRows == Set((1L, -1L), (10L, 0L), (11L, 0L), (20L, 1L)))
+    assert(statsMap == expect)
+    assert(bandsDir.listFiles().map(_.getName).toSet == bandsBefore,
+      "replay re-appended the dedup index")
+  }
+}
