@@ -24,6 +24,12 @@ object FuzzRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // extra generator-built tables (nested/decimal coverage):
+    // GRAFT_FUZZ_EXTRA = "name=/abs/file.parquet,name2=..." — registered
+    // like the standard tables in both modes
+    val extras: Seq[(String, String)] = sys.env.get("GRAFT_FUZZ_EXTRA").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map { kv => val Array(n, p) = kv.split("=", 2); (n, p) }
     if (sys.env.get("GRAFT_FUZZ_VORTEX").contains("1")) {
       // vortex-mode: every table view is a vortex COPY of the parquet
       // original, so random predicates/projections exercise the whole
@@ -34,17 +40,23 @@ object FuzzRun {
       // REGENERATED IN PLACE (the driver does this each round) gets a
       // fresh copy instead of silently diffing stale vortex data
       // against fresh parquet
-      val sig = Tables.names.map { n =>
+      val sig = (Tables.names.map { n =>
         val f = new java.io.File(sfDir, s"$n.parquet")
         s"$n:${f.length}:${f.lastModified}"
-      }.mkString("|")
+      } ++ extras.map { case (n, p) =>
+        val f = new java.io.File(p)
+        s"$n:${f.length}:${f.lastModified}"
+      }).mkString("|")
       // collision-resistant digest — a 32-bit hashCode can collide
       // across signature strings and silently reuse a stale copy
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest((new java.io.File(sfDir).getCanonicalPath + "|" + sig).getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       val vroot = s"/tmp/fuzz_vortex_${new java.io.File(sfDir).getName}_$key"
-      Tables.names.foreach { n =>
+      val srcs: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+        Tables.names.map(n => (n, () => Tables.t(spark, sfDir, n))) ++
+          extras.map { case (n, p) => (n, () => spark.read.parquet(p)) }
+      srcs.foreach { case (n, src) =>
         val dir = new java.io.File(s"$vroot/$n")
         // a crashed first copy leaves the dir without a committed
         // manifest — repair by recopying instead of failing every
@@ -58,11 +70,15 @@ object FuzzRun {
             }
             rm(dir)
           }
-          sources.vortex.VortexBulkCopy.copy(Tables.t(spark, sfDir, n), dir.getPath)
+          sources.vortex.VortexBulkCopy.copy(src(), dir.getPath)
         }
         spark.read.format("vortex").load(dir.getPath).createOrReplaceTempView(n)
       }
-    } else Tables.registerAll(spark, sfDir)
+    } else {
+      Tables.registerAll(spark, sfDir)
+      extras.foreach { case (n, p) =>
+        spark.read.parquet(p).createOrReplaceTempView(n) }
+    }
     // tiny flat-JSON reader ({"k":"v",...}, values escaped by the
     // generator with json.dumps): no JSON library on the classpath
     val raw = Files.readString(Paths.get(qfile))

@@ -15,6 +15,24 @@ documented semantic difference, not a bug in either engine):
   - no round() (HALF_UP vs half-away ties), no division that can hit 0;
   - ORDER BY covers every output column with explicit NULLS FIRST
     (engine defaults differ), so LIMIT is deterministic.
+
+Nested + DECIMAL coverage (round 9) rides a generator-built table
+`nestedx` (array/struct/decimal columns derived from `documents`,
+materialized to /tmp parquet once per testdata generation; the Spark
+side registers it via GRAFT_FUZZ_EXTRA — a vortex COPY in --vortex
+mode, exercising the shredded-struct pages and both decimal storage
+paths). Its grammar keeps to the name-and-semantics-shared surface;
+excluded by construction (all probed empirically, divergent):
+  - bare list indexing arr[i] (DuckDB 1-based, Spark 0-based);
+  - array_distinct order (Spark keeps first occurrence, DuckDB sorts)
+    -> always wrapped in array_sort;
+  - concat_ws over an array (DuckDB stringifies the list, Spark joins);
+  - array length (len vs size — no shared name), unnest vs explode,
+    element_at-on-map (DuckDB returns a list, Spark the value),
+    map-typed output columns (python reprs differ);
+  - DECIMAL arithmetic always CAST to an explicit result type wide
+    enough that no rounding occurs (engine scale-inference differs),
+    divisions excluded entirely.
 """
 import sys, os, json, glob, hashlib, random, shutil, subprocess
 import duckdb, pyarrow.parquet as pq
@@ -69,6 +87,31 @@ con = duckdb.connect()
 con.execute("SET TimeZone='UTC'")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+# ---- nested/decimal extra table (see module docstring) ---------------
+SFNAME = os.path.basename(os.path.normpath(SF))
+_doc = f'{SF}/documents.parquet'
+NESTEDX = (f"/tmp/fuzz_nestedx_{SFNAME}_"
+           f"{os.path.getsize(_doc)}_{int(os.path.getmtime(_doc))}.parquet")
+if not os.path.exists(NESTEDX):
+    con.execute(
+        "COPY (SELECT doc_id, source, "
+        "  list_slice(string_split(text, ' '), 1, 8) AS words, "
+        "  {'mime': 'text/' || lang, 'n': n_chars, 'tags': [source, lang]} AS meta, "
+        "  CAST(n_chars * 1.37 AS DECIMAL(12,2)) AS dec1, "
+        "  CAST(n_chars * 0.0123 AS DECIMAL(18,4)) AS dec2, "
+        "  CAST(doc_id * 123456789.12345678 AS DECIMAL(30,8)) AS dec3 "
+        f"FROM documents) TO '{NESTEDX}' (FORMAT PARQUET)")
+con.execute(f"CREATE VIEW nestedx AS SELECT * FROM read_parquet('{NESTEDX}')")
+NX_WORDS = [r[0] for r in con.execute(
+    "SELECT DISTINCT unnest(words) AS w FROM nestedx ORDER BY w LIMIT 40").fetchall()]
+NX_MIMES = [r[0] for r in con.execute(
+    "SELECT DISTINCT meta.mime FROM nestedx").fetchall()]
+NX_SRC = [r[0] for r in con.execute("SELECT DISTINCT source FROM nestedx").fetchall()]
+NX_N = list(con.execute(
+    "SELECT quantile_disc(meta.n, 0.25), quantile_disc(meta.n, 0.75) FROM nestedx").fetchone())
+NX_DEC1 = list(con.execute(
+    "SELECT quantile_disc(dec1, 0.3), quantile_disc(dec1, 0.7) FROM nestedx").fetchone())
 
 # constants sampled from the real data → predicates with real selectivity
 CONST = {}
@@ -263,7 +306,89 @@ def q_window():
     return (f"SELECT {s['pk'][0]} AS c0, {g} AS c1, {fn} AS c2 FROM {t} "
             f"WHERE {pred(t)} {order_by(names)} LIMIT 500")
 
-GENS = [q_scan, q_agg, q_join, q_setop, q_subquery, q_window]
+def nx_pred():
+    w = str(rng.choice(NX_WORDS)).replace("'", "''")
+    return rng.choice([
+        f"array_contains(words, '{w}')",
+        f"meta.n {rng.choice(['<', '<=', '>', '>='])} {rng.choice(NX_N)}",
+        f"meta.mime = '{rng.choice(NX_MIMES)}'",
+        f"source {rng.choice(['=', '<>'])} '{rng.choice(NX_SRC)}'",
+        f"dec1 {rng.choice(['<', '>='])} {rng.choice(NX_DEC1)}",
+        f"array_position(words, '{w}') {rng.choice(['=', '>'])} {rng.randint(0, 3)}",
+    ])
+
+def q_nested():
+    """array/struct projections over the shared function surface."""
+    w = str(rng.choice(NX_WORDS)).replace("'", "''")
+    opts = [
+        f"array_contains(words, '{w}')",
+        f"array_position(words, '{w}')",
+        "array_sort(array_distinct(words))",
+        # no array literal: bracket syntax is DuckDB-only, array() is
+        # Spark-only — intersect two existing array columns instead
+        "array_sort(array_intersect(words, meta.tags))",
+        "meta.n",
+        "meta.mime",
+        "array_sort(meta.tags)",
+        f"CASE WHEN {nx_pred()} THEN meta.mime ELSE source END",
+    ]
+    sel = ["doc_id AS c0"] + [
+        f"{e} AS c{i+1}" for i, e in enumerate(rng.sample(opts, rng.randint(1, 3)))]
+    limit = f" LIMIT {rng.randint(10, 300)}" if rng.random() < 0.5 else ""
+    return (f"SELECT {', '.join(sel)} FROM nestedx WHERE {nx_pred()} "
+            f"ORDER BY c0 ASC NULLS FIRST{limit}")
+
+def q_nested_agg():
+    """aggregates grouped by struct fields / array predicates."""
+    g = rng.choice(["meta.mime", "source",
+                    f"array_contains(words, '{str(rng.choice(NX_WORDS))}')"])
+    aggs = rng.sample([
+        "CAST(count(*) AS BIGINT)",
+        "CAST(sum(meta.n) AS BIGINT)",
+        "CAST(count(DISTINCT meta.mime) AS BIGINT)",
+        "min(meta.mime)",
+        "CAST(max(meta.n) AS BIGINT)",
+    ], rng.randint(1, 3))
+    sel = [f"{g} AS g0"] + [f"{a} AS a{i}" for i, a in enumerate(aggs)]
+    names = ["g0"] + [f"a{i}" for i in range(len(aggs))]
+    where = f"WHERE {nx_pred()} " if rng.random() < 0.6 else ""
+    return (f"SELECT {', '.join(sel)} FROM nestedx {where}"
+            f"GROUP BY g0 {order_by(names)}")
+
+def q_decimal():
+    """DECIMAL storage + arithmetic: every result CAST to an explicit
+    type wide enough that no rounding occurs (scale-inference rules
+    differ across engines; values then agree exactly)."""
+    if rng.random() < 0.5:
+        exprs = rng.sample([
+            "CAST(dec1 + dec2 AS DECIMAL(38,4))",
+            "CAST(dec1 * dec2 AS DECIMAL(38,6))",
+            "CAST(dec3 - dec1 AS DECIMAL(38,8))",
+            "CAST(dec1 AS DECIMAL(38,2))",
+            "dec3",
+            "CAST(dec2 * 3 AS DECIMAL(38,4))",
+        ], rng.randint(1, 3))
+        sel = ["doc_id AS c0"] + [f"{e} AS c{i+1}" for i, e in enumerate(exprs)]
+        limit = f" LIMIT {rng.randint(10, 300)}" if rng.random() < 0.5 else ""
+        return (f"SELECT {', '.join(sel)} FROM nestedx WHERE {nx_pred()} "
+                f"ORDER BY c0 ASC NULLS FIRST{limit}")
+    aggs = rng.sample([
+        "CAST(sum(dec1) AS DECIMAL(38,2))",
+        "CAST(sum(dec2) AS DECIMAL(38,4))",
+        "CAST(sum(dec3) AS DECIMAL(38,8))",
+        "min(dec1)", "max(dec3)",
+        "CAST(count(DISTINCT dec1) AS BIGINT)",
+    ], rng.randint(1, 3))
+    sel = ["source AS g0"] + [f"{a} AS a{i}" for i, a in enumerate(aggs)]
+    names = ["g0"] + [f"a{i}" for i in range(len(aggs))]
+    where = f"WHERE {nx_pred()} " if rng.random() < 0.5 else ""
+    return (f"SELECT {', '.join(sel)} FROM nestedx {where}"
+            f"GROUP BY g0 {order_by(names)}")
+
+GENS = [q_scan, q_agg, q_join, q_setop, q_subquery, q_window,
+        q_nested, q_nested_agg, q_decimal]
+if '--nested' in sys.argv:   # focused nested/decimal-only batch
+    GENS = [q_nested, q_nested_agg, q_decimal]
 
 queries = {}
 for i in range(N):
@@ -274,7 +399,8 @@ print(f"[fuzz] generated {len(queries)} queries (seed={SEED}) -> {QFILE}")
 
 if not SKIP_SPARK:
     shutil.rmtree(OUT, ignore_errors=True)
-    env = dict(os.environ, GRAFT_FUZZ_VORTEX='1') if VORTEX else os.environ
+    env = dict(os.environ, GRAFT_FUZZ_EXTRA=f'nestedx={NESTEDX}')
+    if VORTEX: env['GRAFT_FUZZ_VORTEX'] = '1'
     r = subprocess.run(['sbt', '-batch', f'runMain graft.FuzzRun {SF} {OUT} {QFILE}'],
                        cwd='/root/repo', capture_output=True, text=True, timeout=3600, env=env)
     for line in (r.stdout + r.stderr).splitlines():
