@@ -64,6 +64,15 @@ final case class Engine(spark: SparkSession) {
     fs.delete(bak, true)
   }
 
+  /** Row-level `DELETE FROM <dataset> WHERE predicate` — the
+    * corpus-purge / GDPR-delete primitive: only files whose stats
+    * admit a match are opened, all-match files drop whole, partial
+    * files rewrite their survivors through the exactly-once commit
+    * (see [[sources.vortex.VortexDelete]]; SQL surface:
+    * `DELETE FROM vtx.\`/path\` WHERE …` via the catalog). */
+  def deleteVortex(path: String, predicate: Column): sources.vortex.VortexDelete.DeleteResult =
+    sources.vortex.VortexDelete.delete(spark, path, predicate)
+
   /** Delete stale `.…inprogress` tmp files older than `ttlMs` (crashed
     * writers, zombie speculative attempts) — invisible to reads but
     * storage-accumulating. Returns files deleted. */
