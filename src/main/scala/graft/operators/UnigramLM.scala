@@ -56,16 +56,22 @@ object UnigramLM {
     import spark.implicits._
     val typed = freq.select(col("tok").cast("string"), col("c").cast("long"))
       .as[(String, Long)]
-    val vocabSize = typed.count()
-    if (vocabSize <= cap) {
-      val m = typed.collect().toMap
-      VocabTable(m, m.values.sum, 0L, 0L)
-    } else {
-      val top = typed.orderBy(col("c").desc, col("tok").asc)
-        .limit(cap).collect()
-      val total = freq.agg(sum(col("c")).cast("long")).as[Long].head()
-      val kept = top.map(_._2).sum
-      VocabTable(top.toMap, total, total - kept, vocabSize - cap)
-    }
+      // the frequency frame is vocab-bounded (small by definition) and
+      // feeds 2-3 actions here — persist it so the corpus tokenize
+      // pass behind it runs ONCE, not once per action
+      .persist()
+    try {
+      val vocabSize = typed.count()
+      if (vocabSize <= cap) {
+        val m = typed.collect().toMap
+        VocabTable(m, m.values.sum, 0L, 0L)
+      } else {
+        val top = typed.orderBy(col("c").desc, col("tok").asc)
+          .limit(cap).collect()
+        val total = typed.toDF().agg(sum(col("c")).cast("long")).as[Long].head()
+        val kept = top.map(_._2).sum
+        VocabTable(top.toMap, total, total - kept, vocabSize - cap)
+      }
+    } finally typed.unpersist()
   }
 }
