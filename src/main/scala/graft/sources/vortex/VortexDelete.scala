@@ -81,6 +81,14 @@ object VortexDelete {
     val bound: Expression = BindReferences.bindReference(cond, AttributeSeq(output))
     val tableSchema: StructType = StructType(output.map(a =>
       org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable, a.metadata)))
+    // classification (pass 1) reads ONLY the predicate's columns — on a
+    // wide corpus table that is the difference between counting matches
+    // over one column and decoding every page of every candidate
+    val refNames = cond.references.map(_.name).toSet
+    val predOutput = output.filter(a => refNames.contains(a.name))
+    val predBound: Expression = BindReferences.bindReference(cond, AttributeSeq(predOutput))
+    val predSchema: StructType = StructType(predOutput.map(a =>
+      org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable, a.metadata)))
 
     // candidate files = what the pushed-down scan would read
     val parts = filtered.queryExecution.sparkPlan.collect {
@@ -108,7 +116,7 @@ object VortexDelete {
     val sconf = new SerializableConfiguration(hconf)
     val outcomes: Array[FileOutcome] = spark.sparkContext
       .parallelize(cands, cands.length)
-      .map(c => processFile(c, tableSchema, bound, sconf.value))
+      .map(c => processFile(c, tableSchema, bound, predSchema, predBound, sconf.value))
       .collect()
 
     // one manifest commit per replacement-file schema (compact's rule:
@@ -142,20 +150,26 @@ object VortexDelete {
       outcomes.map(_.rowsDeleted).sum)
   }
 
-  /** Runs on an executor: classify one file, rewrite if needed. */
+  /** Runs on an executor: classify one file, rewrite if needed.
+    * Pass 1 (classification) reads only `predSchema`/`predBound` —
+    * the predicate's columns; pass 2 (rewrite) reads the full
+    * `tableSchema`/`bound`. */
   private def processFile(c: Candidate, tableSchema: StructType, bound: Expression,
+                          predSchema: StructType, predBound: Expression,
                           conf: org.apache.hadoop.conf.Configuration): FileOutcome = {
     val path = new Path(c.file)
     val footer = VortexFileReader.readFooter(path, conf)
     val totalRows = footer.chunks.map(_.rowCount.toLong).sum
     val pred = CatalystPredicate.create(bound)
     pred.initialize(0)
+    val predNarrow = CatalystPredicate.create(predBound)
+    predNarrow.initialize(0)
 
     def countMatches(chunkIdxs: Array[Int]): Long = {
       val part = VortexInputPartition(c.file, chunkIdxs, c.partCols, c.partValues)
-      val r = new VortexPartitionReader(part, conf, tableSchema, evolution = true)
+      val r = new VortexPartitionReader(part, conf, predSchema, evolution = true)
       var n = 0L
-      try while (r.next()) { if (pred.eval(r.get())) n += 1 } finally r.close()
+      try while (r.next()) { if (predNarrow.eval(r.get())) n += 1 } finally r.close()
       n
     }
 
