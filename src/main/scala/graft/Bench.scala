@@ -32,13 +32,53 @@ object Bench {
     // pools (build.sbt) keep the whole JVM under the cliff, which is
     // strictly faster end-to-end than local[32]: the same focused
     // query set measured 147 s at 32 threads vs 21 s at 6.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "6")
+    // The requested thread count is CAPPED at that sustained ceiling:
+    // the per-round driver invokes Bench on a 32-vCPU box, and r9's
+    // driver artifact (113 s total vs 73.7 s same-day paced — uniform
+    // ~4.5× on unrelated sub-second rows) was exactly this throttle
+    // landing mid-suite. tools/baseline.py sizes DuckDB to the same 6
+    // threads, so the cap also keeps the comparison symmetric.
+    // SPARK_GRAFT_CPUS_FORCE=1 restores the raw request for thread-
+    // count A/Bs.
+    val cpusReq = sys.env.getOrElse("SPARK_GRAFT_CPUS", "6").toInt
+    val cpus =
+      if (sys.env.contains("SPARK_GRAFT_CPUS_FORCE")) cpusReq
+      else math.min(cpusReq, 6)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     // Pause between timed runs so the host's burst bucket refills and a
     // heavy query doesn't throttle the NEXT measurement (sleep ≈ the
     // previous run's wall time, capped); pacing time is not counted
     // anywhere. 0 disables.
     val paceMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PACE_MS", "10000").toInt
+    // Throttle-settle gate: the driver runs Bench right after its own
+    // 32-thread correctness pass, which can leave the host's burst
+    // bucket drained — the FIRST measurements then time the penalty,
+    // not the queries. A single-thread spin probe (~16M xorshift
+    // steps, ~25 ms unthrottled, ~70× that when punished) detects the
+    // state; we wait, bounded, until it clears. Also reused before the
+    // slow-row retry so the retry happens on a recovered host.
+    def probeMs(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < (1 << 24)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) print("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }
+    val settleMaxMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "120000").toLong
+    val probeThresholdMs = 400.0
+    def settle(): Long = {
+      val t0 = System.currentTimeMillis()
+      var p = probeMs()
+      while (p > probeThresholdMs && System.currentTimeMillis() - t0 < settleMaxMs) {
+        Thread.sleep(5000)
+        p = probeMs()
+      }
+      System.currentTimeMillis() - t0
+    }
+    val settledMs = settle()
+    if (settledMs > 1000)
+      System.err.println(s"[bench] host throttle detected at startup; settled ${settledMs} ms")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -95,6 +135,7 @@ object Bench {
       // retry never clobbers the valid measurements already taken.
       if (err.isEmpty && paceMs > 0 && times.min > 1.0) {
         Thread.sleep(paceMs.toLong)
+        settle() // don't retry INTO a still-throttled window
         val t = rep()
         if (err.isEmpty) times = times :+ t else err = None
       }
@@ -125,7 +166,7 @@ object Bench {
     val errs = bad.map { case (k, e) => s"\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpus,"settled_ms":$settledMs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // durability, three channels: stdout (the driver's primary
     // capture), stderr (survives stdout-only truncation), and a file
     // (survives any tail capture). Flush stdout so the line isn't

@@ -27,9 +27,21 @@ object FuzzRun {
     // extra generator-built tables (nested/decimal coverage):
     // GRAFT_FUZZ_EXTRA = "name=/abs/file.parquet,name2=..." — registered
     // like the standard tables in both modes
+    // fail fast on malformed entries: a missing '=' or a dangling path
+    // would otherwise surface as a bare MatchError / a silent
+    // length-0-mtime-0 cache-key contribution (stale vortex copy)
     val extras: Seq[(String, String)] = sys.env.get("GRAFT_FUZZ_EXTRA").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      .map { kv => val Array(n, p) = kv.split("=", 2); (n, p) }
+      .map { kv =>
+        kv.split("=", 2) match {
+          case Array(n, p) if n.nonEmpty && p.nonEmpty =>
+            require(new java.io.File(p).isFile,
+              s"GRAFT_FUZZ_EXTRA entry '$kv': file does not exist: $p")
+            (n, p)
+          case _ => throw new IllegalArgumentException(
+            s"GRAFT_FUZZ_EXTRA entry '$kv' is not of the form name=/abs/file.parquet")
+        }
+      }
     if (sys.env.get("GRAFT_FUZZ_VORTEX").contains("1")) {
       // vortex-mode: every table view is a vortex COPY of the parquet
       // original, so random predicates/projections exercise the whole

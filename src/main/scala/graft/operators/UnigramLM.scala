@@ -43,7 +43,15 @@ object UnigramLM {
       case None =>
         // per-type uniform share of the <unk> bucket; tailTypes > 0
         // whenever an out-of-table token can exist (the exact path
-        // has tailTypes == 0 AND a complete table).
+        // has tailTypes == 0 AND a complete table). Enforced: scoring
+        // a token outside the build corpus against an exact table
+        // must fail loudly, never return NaN (-log(0/0)).
+        if (tailTypes == 0L)
+          throw new IllegalStateException(
+            s"UnigramLM: token '$tok' not in the exact vocabulary table " +
+            "(tailTypes == 0): the scored corpus contains tokens absent " +
+            "from the build corpus — build the table over a superset, or " +
+            "raise the cap so the <unk> tail bucket exists")
         -math.log(tailMass.toDouble / tailTypes.toDouble / total.toDouble)
     }
   }

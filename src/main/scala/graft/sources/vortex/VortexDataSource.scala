@@ -217,7 +217,9 @@ class VortexTable(schema: StructType, paths: Seq[String],
   // hands us the condition as source filters; VortexDelete rewrites
   // only the files whose stats say they can hold a match.
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    paths.length == 1 && filters.forall(VortexDelete.filterToColumn(_).isDefined)
+    paths.length == 1 && filters.forall(f =>
+      VortexDelete.filterToColumn(f).isDefined &&
+      VortexDelete.filterRefsTopLevel(f, schema))
   override def deleteWhere(filters: Array[Filter]): Unit = {
     import org.apache.spark.sql.functions.lit
     require(canDeleteWhere(filters),

@@ -182,6 +182,64 @@ class VortexDeleteSpec extends AnyFunSuite {
     assert(left.where(col("id") % 2L === 0L).count() == 0L)
   }
 
+  test("crash mid-commit: re-running the same DELETE converges (no dup, no loss)") {
+    import spark.implicits._
+    // 4 range-clustered files, every one holds matches → 4 rewrites
+    val expect = (0L until 4000L).filterNot(_ % 10 == 3)
+    for (failAt <- Seq(0, 1, 2, 3)) {
+      val dir = tmp()
+      (0L until 4000L).map(i => (i, s"row$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+        .write.format("vortex").mode("overwrite").save(dir)
+      val crashed = intercept[Exception] {
+        VortexDelete.delete(spark, dir, col("id") % 10L === 3L, failAfterCommits = failAt)
+      }
+      assert(crashed.getMessage.contains("injected crash"), crashed.getMessage)
+      // re-run the SAME delete, no seam: must converge to the exact
+      // survivor set — already-committed files untouched, the
+      // interrupted file's stale replacement overwritten, the rest done
+      val res = VortexDelete.delete(spark, dir, col("id") % 10L === 3L)
+      assert(res.rowsDeleted <= 400L, res) // never re-deletes committed work
+      val left = spark.read.format("vortex").load(dir)
+      assert(left.count() == expect.length.toLong, s"failAt=$failAt")
+      assert(left.agg(sum("id")).head().getLong(0) == expect.sum, s"failAt=$failAt")
+      assert(left.where(col("id") % 10L === 3L).count() == 0L)
+      // and a third run is a no-op
+      val res2 = VortexDelete.delete(spark, dir, col("id") % 10L === 3L)
+      assert(res2.rowsDeleted == 0L && res2.rewrittenFiles == 0 && res2.droppedFiles == 0)
+    }
+  }
+
+  test("crash between rename-in and source delete: re-run removes the dup window") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 1000L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(hconf)
+    val src = fs.listStatus(new Path(dir))
+      .map(_.getPath).find(_.getName.endsWith(".vortex")).get
+    // simulate the narrowest crash window by hand: the replacement is
+    // renamed in but the source delete was lost — the dataset briefly
+    // holds every survivor twice
+    val dstName = VortexDelete.replacementName(src.getName)
+    val survivors = spark.read.format("vortex").load(dir).where(col("id") >= 100L)
+    survivors.coalesce(1).write.format("vortex")
+      .mode("overwrite").save(dir + "_stage")
+    val staged = fs.listStatus(new Path(dir + "_stage"))
+      .map(_.getPath).find(_.getName.endsWith(".vortex")).get
+    fs.rename(staged, new Path(new Path(dir), dstName))
+    assert(spark.read.format("vortex").load(dir).count() == 1900L) // dup window visible
+    // re-running the delete converges: src still matches → rewritten to
+    // the SAME deterministic name (stale replacement overwritten), src
+    // deleted
+    val res = VortexDelete.delete(spark, dir, col("id") < 100L)
+    assert(res.rowsDeleted == 100L, res)
+    val left = spark.read.format("vortex").load(dir)
+    assert(left.count() == 900L)
+    assert(left.agg(sum("id")).head().getLong(0) == (100L until 1000L).sum)
+  }
+
   test("rewritten files re-enter the manifest with sums and inherited bloom opt-ins") {
     import spark.implicits._
     val dir = tmp()
