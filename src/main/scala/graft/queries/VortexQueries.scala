@@ -429,6 +429,116 @@ object VortexQueries {
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM graft_del GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 
+  // S14-DV: the same delete through the DELETION-VECTOR tier — matching
+  // rows land in per-file row-mask sidecars (no data-file rewrite;
+  // DeletionVector.scala), the read applies masks, then foldMasks
+  // rewrites the dead rows away and the post-fold read must agree too.
+  // The timed region deliberately includes stage + mask-delete + masked
+  // read + fold + folded read (disclosed-asymmetric like s14).
+  spark("s14_vortex_delete_dv",
+    (s, d) => {
+      val dir = vdir("delete_s14dv", d)
+      Tables.t(s, d, "orders")
+        .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+        .write.format("vortex").mode("overwrite").save(dir)
+      graft.sources.vortex.VortexDelete.delete(s, dir,
+        col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0,
+        deletionVectors = true)
+      val masked = s.read.format("vortex").load(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      graft.sources.vortex.VortexMaintenance.foldMasks(s, dir)
+      val folded = s.read.format("vortex").load(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      // masked read ∩ folded read: equal by construction — INTERSECT
+      // makes the oracle row prove it (a divergence shrinks the output)
+      masked.intersect(folded).orderBy("o_orderstatus")
+    },
+    """CREATE OR REPLACE TEMP TABLE graft_del_dv AS SELECT * FROM orders;
+      |DELETE FROM graft_del_dv WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0;
+      |SELECT o_orderstatus, count(*) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM graft_del_dv GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+
+  // S15: UPDATE over a vortex dataset (VortexUpdate) — the corpus
+  // re-scoring shape. Timed region = stage + classify/rewrite update +
+  // read-back, vs a DuckDB stage + UPDATE + SELECT twin (disclosed-
+  // asymmetric like s14: DuckDB mutates an in-memory temp table).
+  // `+ 1000.0` is an exact IEEE double op — both engines read the same
+  // parquet doubles and add the same constant, so cents agree bit-wise.
+  spark("s15_vortex_update",
+    (s, d) => {
+      val dir = vdir("update_s15", d)
+      Tables.t(s, d, "orders")
+        .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+        .write.format("vortex").mode("overwrite").save(dir)
+      graft.sources.vortex.VortexUpdate.update(s, dir,
+        Map("o_totalprice" -> (col("o_totalprice") + 1000.0),
+            "o_orderpriority" -> lit("5-RESCORED")),
+        col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0)
+      s.read.format("vortex").load(dir)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+    """CREATE OR REPLACE TEMP TABLE graft_upd AS SELECT * FROM orders;
+      |UPDATE graft_upd SET o_totalprice = o_totalprice + 1000.0,
+      |                     o_orderpriority = '5-RESCORED'
+      |WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0;
+      |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM graft_upd GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+
+  // S16: MERGE (whole-row upsert) over a vortex dataset (VortexMerge):
+  // a deterministic source derived from customer — every key ≡ 7
+  // (mod 100) re-scored (match → replace), the same rows re-keyed
+  // +10M (no match → append). DuckDB twin: UPDATE..FROM + anti-join
+  // INSERT over the identical source (DuckDB's upsert spelling).
+  spark("s16_vortex_merge",
+    (s, d) => {
+      val dir = vdir("merge_s16", d)
+      Tables.t(s, d, "customer")
+        .repartitionByRange(4, col("c_custkey")).sortWithinPartitions("c_custkey")
+        .write.format("vortex").mode("overwrite").save(dir)
+      val base = Tables.t(s, d, "customer")
+        .where(col("c_custkey") % 100L === 7L)
+        .withColumn("c_mktsegment", lit("MERGED"))
+        .withColumn("c_acctbal", col("c_acctbal") + 10.0)
+      val src = base.unionByName(
+        base.withColumn("c_custkey", col("c_custkey") + 10000000L))
+      graft.sources.vortex.VortexMerge.merge(s, dir, src, Seq("c_custkey"))
+      s.read.format("vortex").load(dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sum_key"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("sum_cents"))
+        .orderBy("c_mktsegment")
+    },
+    """CREATE OR REPLACE TEMP TABLE graft_mrg AS SELECT * FROM customer;
+      |CREATE OR REPLACE TEMP TABLE graft_mrg_src AS
+      |  WITH rescored AS (
+      |    SELECT * REPLACE ('MERGED' AS c_mktsegment, c_acctbal + 10.0 AS c_acctbal)
+      |    FROM customer WHERE c_custkey % 100 = 7)
+      |  SELECT * FROM rescored
+      |  UNION ALL
+      |  SELECT * REPLACE (c_custkey + 10000000 AS c_custkey) FROM rescored;
+      |UPDATE graft_mrg SET c_name = s.c_name, c_nationkey = s.c_nationkey,
+      |       c_acctbal = s.c_acctbal, c_mktsegment = s.c_mktsegment
+      |  FROM graft_mrg_src s WHERE graft_mrg.c_custkey = s.c_custkey;
+      |INSERT INTO graft_mrg
+      |  SELECT * FROM graft_mrg_src s
+      |  WHERE NOT EXISTS (SELECT 1 FROM graft_mrg t WHERE t.c_custkey = s.c_custkey);
+      |SELECT c_mktsegment, count(*) AS n,
+      |       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+      |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM graft_mrg GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+
   // ---- S3/S4 write rows (the write IS the timed operation) -----------
 
   /** oracle-side COPY target (driver-local /tmp; overwritten per rep) */

@@ -22,6 +22,27 @@ final class ColVec(val n: Int, val nulls: Array[Boolean],
     * reads with a pruned nested schema deserialize with this and
     * project (NestedProject) */
   var blobType: org.apache.spark.sql.types.DataType = null
+
+  /** New vector keeping only the `keep` ordinals (deletion-vector
+    * survivors), recursing into shredded-struct children. */
+  def select(keep: Array[Int]): ColVec = {
+    val m = keep.length
+    val nn = new Array[Boolean](m)
+    var i = 0
+    while (i < m) { nn(i) = nulls(keep(i)); i += 1 }
+    val nl = if (longs == null) null else {
+      val a = new Array[Long](m); var j = 0
+      while (j < m) { a(j) = longs(keep(j)); j += 1 }; a
+    }
+    val nb = if (bins == null) null else {
+      val a = new Array[Array[Byte]](m); var j = 0
+      while (j < m) { a(j) = bins(keep(j)); j += 1 }; a
+    }
+    val v = new ColVec(m, nn, nl, nb)
+    if (kids != null) { v.kids = kids.map(_.select(keep)); v.kidFields = kidFields }
+    v.blobType = blobType
+    v
+  }
 }
 
 /** Per-chunk page encode/decode: adaptive encoding selection

@@ -17,13 +17,23 @@ object PartitionedLayout {
 
   /** Recursively list data files with their (key, value) partition
     * path segments relative to root. */
-  def listWithPartitions(root: Path, conf: Configuration): Seq[(FileStatus, Seq[(String, String)])] = {
+  def listWithPartitions(root: Path, conf: Configuration): Seq[(FileStatus, Seq[(String, String)])] =
+    listWithPartitionsAndMasks(root, conf)._1
+
+  /** Like [[listWithPartitions]], but the SAME directory walk also
+    * collects deletion-vector sidecars (dot-hidden `.<data>.dv-<seq>`
+    * names — see [[DeletionVector]]): zero extra RPCs for mask
+    * discovery. Returns (data files, mask sidecar paths). */
+  def listWithPartitionsAndMasks(root: Path, conf: Configuration)
+      : (Seq[(FileStatus, Seq[(String, String)])], Seq[Path]) = {
     val fs = root.getFileSystem(conf)
+    val masks = scala.collection.mutable.ArrayBuffer[Path]()
     def walk(st: FileStatus, parts: Seq[(String, String)]): Seq[(FileStatus, Seq[(String, String)])] =
       if (st.isDirectory) {
         fs.listStatus(st.getPath)
           .filterNot { c =>
             val n = c.getPath.getName
+            if (!c.isDirectory && DeletionVector.parseName(n).isDefined) masks += c.getPath
             // hidden/metadata names — except the bucket-layout dirs,
             // which deliberately use a name no user column can shadow
             (n.startsWith("_") || n.startsWith(".")) && !n.startsWith(BucketSpecFile.BucketCol + "=")
@@ -37,7 +47,8 @@ object PartitionedLayout {
             walk(c, parts ++ seg)
           }
       } else Seq((st, parts))
-    if (!fs.exists(root)) Seq.empty else walk(fs.getFileStatus(root), Seq.empty)
+    if (!fs.exists(root)) (Seq.empty, Seq.empty)
+    else (walk(fs.getFileStatus(root), Seq.empty), masks.toSeq)
   }
 
   /** Partition schema inferred across files (Long if every value

@@ -84,12 +84,23 @@ object VortexDataSource {
     * subtrees, plain files) to data files + partition path values. */
   def listAll(raw: Seq[String], conf: org.apache.hadoop.conf.Configuration)
       : Seq[(org.apache.hadoop.fs.FileStatus, Seq[(String, String)])] =
-    raw.flatMap { p =>
+    listAllWithMasks(raw, conf)._1
+
+  /** [[listAll]] plus deletion-vector binding: data-file path →
+    * (newest mask sidecar path, all mask paths), collected during the
+    * same directory walk (zero extra I/O — see DeletionVector). */
+  def listAllWithMasks(raw: Seq[String], conf: org.apache.hadoop.conf.Configuration)
+      : (Seq[(org.apache.hadoop.fs.FileStatus, Seq[(String, String)])],
+         Map[String, (String, Seq[String])]) = {
+    val walked = raw.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
       val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
-      matched.flatMap(st => PartitionedLayout.listWithPartitions(st.getPath, conf))
-    }.sortBy(_._1.getPath.toString)
+      matched.map(st => PartitionedLayout.listWithPartitionsAndMasks(st.getPath, conf))
+    }
+    (walked.flatMap(_._1).sortBy(_._1.getPath.toString),
+     DeletionVector.bind(walked.flatMap(_._2)))
+  }
 
   def expand(raw: Seq[String], conf: org.apache.hadoop.conf.Configuration): Seq[Path] =
     listAll(raw, conf).map(_._1.getPath)
@@ -492,7 +503,10 @@ case class VortexInputPartition(file: String, chunkIdxs: Array[Int],
                                 partCols: Array[String] = Array.empty,
                                 partValues: Array[String] = Array.empty,
                                 partKey: org.apache.spark.sql.catalyst.InternalRow = null,
-                                bucketId: Int = -1)
+                                bucketId: Int = -1,
+                                // deletion-vector sidecar bound at PLAN
+                                // time (immutable file; null = no mask)
+                                maskFile: String = null)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = partKey
 }
@@ -595,7 +609,7 @@ class VortexScan(fileSchema: StructType, required: StructType,
     if (lastPlan != null && lastPlan._1 == planKey) return lastPlan._2
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
-    val listed = VortexDataSource.listAll(paths, conf)
+    val (listed, maskBind) = VortexDataSource.listAllWithMasks(paths, conf)
     val partSchema = StructType(fileSchema.fields.filter(f =>
       listed.exists(_._2.exists(_._1 == f.name))))
     val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
@@ -731,10 +745,10 @@ class VortexScan(fileSchema: StructType, required: StructType,
       else Long.MaxValue
     var totRows = 0L
     var totBytes = 0L
-    // (file, kept (chunkIdx, bytes), partCols, partVals, partKey, bucket)
+    // (file, kept (chunkIdx, bytes), partCols, partVals, partKey, bucket, mask)
     val pendingFiles = scala.collection.mutable.ArrayBuffer[
       (String, Array[(Int, Long)], Array[String], Array[String],
-       org.apache.spark.sql.catalyst.expressions.GenericInternalRow, Int)]()
+       org.apache.spark.sql.catalyst.expressions.GenericInternalRow, Int, String)]()
     survivingPruned.foreach { case (st, kvs0) =>
       if (limitRemaining > 0L) {
         val f = st.getPath
@@ -785,21 +799,28 @@ class VortexScan(fileSchema: StructType, required: StructType,
             kvs.map { case (k, v) =>
               PartitionedLayout.toInternal(v, partSchema(k).dataType)
             }.toArray[Any])
+        val mask = maskBind.get(f.toString).map(_._1).orNull
         val kept = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
         chunkMetas.zipWithIndex.foreach { case ((chunk, chunkBytes), ci) =>
           // tier 2: per-chunk stats pruning (manifest metas carry the
-          // same nullCount/min/max the footer would)
+          // same nullCount/min/max the footer would). Sound over a
+          // masked file too: a mask only REMOVES rows, so min/max can
+          // only over-approximate.
           val keep = limitRemaining > 0L &&
             !filters.exists(fl => FilterPruning.canSkip(fl, chunk, pruneSchema))
           if (keep) {
-            if (limitRemaining != Long.MaxValue)
+            // pushed-LIMIT trim accounting trusts rowCount; a masked
+            // chunk delivers FEWER rows, so decrementing by rowCount
+            // could under-plan — masked files never decrement
+            // (conservative: the limit above still trims the output)
+            if (limitRemaining != Long.MaxValue && mask == null)
               limitRemaining = math.max(0L, limitRemaining - chunk.rowCount)
             totRows += chunk.rowCount
             totBytes += chunkBytes
             kept += ((ci, chunkBytes))
           }
         }
-        if (kept.nonEmpty) pendingFiles += ((f.toString, kept.toArray, pc, pv, pk, bucketId))
+        if (kept.nonEmpty) pendingFiles += ((f.toString, kept.toArray, pc, pv, pk, bucketId, mask))
       }
     }
     // Split-size selection AFTER the walk, when total kept bytes are
@@ -822,7 +843,7 @@ class VortexScan(fileSchema: StructType, required: StructType,
     }
     val spjOn =
       spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
-    pendingFiles.foreach { case (f, kept, pc, pv, pk, bucketId) =>
+    pendingFiles.foreach { case (f, kept, pc, pv, pk, bucketId, mask) =>
       val target = if (pk == null || !spjOn) dynTarget else VortexFormat.TargetSplitBytes
       var cur = scala.collection.mutable.ArrayBuffer[Int]()
       var bytes = 0L
@@ -830,11 +851,11 @@ class VortexScan(fileSchema: StructType, required: StructType,
         cur += ci
         bytes += chunkBytes
         if (bytes >= target) {
-          parts += VortexInputPartition(f, cur.toArray, pc, pv, pk, bucketId)
+          parts += VortexInputPartition(f, cur.toArray, pc, pv, pk, bucketId, mask)
           cur = scala.collection.mutable.ArrayBuffer[Int](); bytes = 0L
         }
       }
-      if (cur.nonEmpty) parts += VortexInputPartition(f, cur.toArray, pc, pv, pk, bucketId)
+      if (cur.nonEmpty) parts += VortexInputPartition(f, cur.toArray, pc, pv, pk, bucketId, mask)
     }
     val out = parts.toArray
     lastPlan = (planKey, out)
@@ -930,29 +951,56 @@ class VortexColumnarReader(part: VortexInputPartition,
   private val prefetchQ = new ChunkPrefetcher(in, footer, part.chunkIdxs,
     slots.map { case Right(c) => c; case Left(_) => -1 })
 
+  // deletion-vector mask, bound at plan time; positions index stored
+  // row ordinals (chunks concatenated in footer order)
+  private val mask: DeletionVector.Mask =
+    if (part.maskFile == null) null
+    else DeletionVector.read(new Path(part.maskFile), conf)
+  private val chunkBase: Array[Long] =
+    if (mask == null) null
+    else footer.chunks.scanLeft(0L)(_ + _.rowCount).toArray
+
   override def next(): Boolean = {
     if (batch != null) { batch.close(); batch = null }
-    val nx = prefetchQ.next()
-    if (nx == null) return false
-    val (ci, raw) = nx
-    val chunk = footer.chunks(ci)
-    val n = chunk.rowCount
-    val vectors = new Array[org.apache.spark.sql.vectorized.ColumnVector](dts.length)
-    var c = 0
-    while (c < dts.length) {
-      vectors(c) = slots(c) match {
-        case Right(fc) =>
-          val vec = VortexFileReader.decodeColumn(raw(c), chunk.columns(fc), n,
-            footer.schema.fields(fc), required.fields(c))
-          val cv = new OnHeapColumnVector(n, dts(c))
-          ColVecFill.fill(cv, vec, dts(c), n)
-          cv
-        case Left(const) => constVector(n, dts(c), const)
+    while (true) {
+      val nx = prefetchQ.next()
+      if (nx == null) return false
+      val (ci, raw) = nx
+      val chunk = footer.chunks(ci)
+      val n = chunk.rowCount
+      // survivor selection under a deletion vector; null = keep all
+      val keep: Array[Int] =
+        if (mask == null) null
+        else {
+          val base = chunkBase(ci)
+          val buf = new Array[Int](n)
+          var k = 0; var r = 0
+          while (r < n) { if (!mask.isDeleted(base + r)) { buf(k) = r; k += 1 }; r += 1 }
+          if (k == n) null else java.util.Arrays.copyOf(buf, k)
+        }
+      if (keep == null || keep.length > 0) {
+        val rows = if (keep == null) n else keep.length
+        val vectors = new Array[org.apache.spark.sql.vectorized.ColumnVector](dts.length)
+        var c = 0
+        while (c < dts.length) {
+          vectors(c) = slots(c) match {
+            case Right(fc) =>
+              val vec0 = VortexFileReader.decodeColumn(raw(c), chunk.columns(fc), n,
+                footer.schema.fields(fc), required.fields(c))
+              val vec = if (keep == null) vec0 else vec0.select(keep)
+              val cv = new OnHeapColumnVector(rows, dts(c))
+              ColVecFill.fill(cv, vec, dts(c), rows)
+              cv
+            case Left(const) => constVector(rows, dts(c), const)
+          }
+          c += 1
+        }
+        batch = new ColumnarBatch(vectors, rows)
+        return true
       }
-      c += 1
+      // fully-masked chunk: fall through to the next one
     }
-    batch = new ColumnarBatch(vectors, n)
-    true
+    false
   }
 
   override def get(): ColumnarBatch = batch
@@ -1000,6 +1048,16 @@ class VortexPartitionReader(part: VortexInputPartition,
   private var rowsInChunk = 0
   private var i = 0
 
+  // deletion-vector mask (stored row ordinals); base = current chunk's
+  // first stored ordinal
+  private val mask: DeletionVector.Mask =
+    if (part.maskFile == null) null
+    else DeletionVector.read(new Path(part.maskFile), conf)
+  private val chunkBase: Array[Long] =
+    if (mask == null) null
+    else footer.chunks.scanLeft(0L)(_ + _.rowCount).toArray
+  private var base = 0L
+
   private def loadNextChunk(): Boolean = {
     val nx = prefetch.next()
     if (nx == null) return false
@@ -1012,19 +1070,26 @@ class VortexPartitionReader(part: VortexInputPartition,
       case (Left(_), _) => null
     }
     rowsInChunk = chunk.rowCount
+    if (mask != null) base = chunkBase(ci)
     i = 0
     true
   }
 
   override def next(): Boolean = {
-    while (i >= rowsInChunk) if (!loadNextChunk()) return false
-    var c = 0
-    while (c < dts.length) {
-      if (vecs(c) != null) row.update(c, VortexFileReader.value(vecs(c), i, dts(c)))
-      c += 1
+    while (true) {
+      while (i >= rowsInChunk) if (!loadNextChunk()) return false
+      if (mask != null && mask.isDeleted(base + i)) { i += 1 }
+      else {
+        var c = 0
+        while (c < dts.length) {
+          if (vecs(c) != null) row.update(c, VortexFileReader.value(vecs(c), i, dts(c)))
+          c += 1
+        }
+        i += 1
+        return true
+      }
     }
-    i += 1
-    true
+    false
   }
   override def get(): InternalRow = row
   override def close(): Unit = prefetch.close()

@@ -66,18 +66,21 @@ object VortexDelete {
 
   final case class DeleteResult(candidateFiles: Int, untouchedFiles: Int,
                                 droppedFiles: Int, rewrittenFiles: Int,
-                                rowsDeleted: Long)
+                                rowsDeleted: Long, maskedFiles: Int = 0)
 
   private final case class Candidate(file: String, partCols: Array[String],
                                      partValues: Array[String],
                                      plannedChunks: Array[Int],
                                      bloomCols: Set[String], sketchCols: Set[String],
-                                     dstName: String, relDir: String)
+                                     dstName: String, relDir: String,
+                                     maskFile: String, nextMaskSeq: Int)
 
-  /** status: 0 untouched, 1 drop whole, 2 rewritten (tmp written).
-    * Tasks are non-destructive — `tmp` holds the survivors awaiting
-    * the driver's rename; `entry` is the replacement's manifest entry
-    * (relPath already final), built executor-side. */
+  /** status: 0 untouched, 1 drop whole, 2 rewritten (tmp written),
+    * 3 mask written (deletion-vector mode: tmp holds the UNION mask).
+    * Tasks are non-destructive — `tmp` holds the survivors file (2) or
+    * mask sidecar (3) awaiting the driver's rename; `entry` is the
+    * replacement's manifest entry (relPath already final), built
+    * executor-side. */
   private final case class FileOutcome(file: String, status: Int, rowsDeleted: Long,
                                        tmp: Option[String], dstName: Option[String],
                                        entry: Option[StatsManifest.FileStats],
@@ -93,13 +96,26 @@ object VortexDelete {
   }
 
   def delete(spark: SparkSession, dir: String, predicate: Column): DeleteResult =
-    delete(spark, dir, predicate, failAfterCommits = -1)
+    deleteImpl(spark, dir, predicate, deletionVectors = false, failAfterCommits = -1)
+
+  /** `deletionVectors = true` selects the ROW-MASK tier: matching rows
+    * are recorded in a per-file sidecar (see [[DeletionVector]]) and
+    * masked out at read time instead of rewriting the file — a point
+    * delete costs ~KB instead of a whole-file rewrite. Files whose
+    * LIVE rows all match still drop whole (data + masks). Masked reads
+    * are row-equal to rewritten reads (VortexDeletionVectorSpec);
+    * `VortexMaintenance.foldMasks` / `compact` fold masks into real
+    * rewrites later. */
+  def delete(spark: SparkSession, dir: String, predicate: Column,
+             deletionVectors: Boolean): DeleteResult =
+    deleteImpl(spark, dir, predicate, deletionVectors, failAfterCommits = -1)
 
   /** `failAfterCommits` is a TEST SEAM: ≥0 makes the driver throw after
     * that many per-file commits, simulating a mid-commit crash for the
-    * idempotence spec. Production callers use the 3-arg overload. */
-  private[graft] def delete(spark: SparkSession, dir: String, predicate: Column,
-                            failAfterCommits: Int): DeleteResult = {
+    * idempotence spec. Production callers use the public overloads. */
+  private[graft] def deleteImpl(spark: SparkSession, dir: String, predicate: Column,
+                                deletionVectors: Boolean = false,
+                                failAfterCommits: Int = -1): DeleteResult = {
     val df = spark.read.format("vortex").load(dir)
     val filtered = df.filter(predicate)
 
@@ -132,6 +148,10 @@ object VortexDelete {
     val fs = root.getFileSystem(hconf)
     val rootQ = fs.makeQualified(root).toString
     val manifest = StatsManifest.read(root, hconf)
+    // all mask sidecars per data file (for commit-time cleanup); the
+    // planned partitions already carry the NEWEST mask for reading
+    val maskBind: Map[String, (String, Seq[String])] =
+      VortexDataSource.listAllWithMasks(Seq(dir), hconf)._2
 
     val cands: Seq[Candidate] = parts.groupBy(_.file).toSeq.sortBy(_._1).map {
       case (file, ps) =>
@@ -143,18 +163,22 @@ object VortexDelete {
           case i => rel.substring(0, i)
         }
         val entry = manifest.get(rel)
+        val newestMask = ps.head.maskFile
+        val nextSeq = maskBind.get(file).map(_._2.flatMap(m =>
+          DeletionVector.parseName(new Path(m).getName).map(_._2)).max + 1).getOrElse(1)
         Candidate(file, ps.head.partCols, ps.head.partValues,
           ps.flatMap(_.chunkIdxs).distinct.sorted.toArray,
           entry.map(_.cols.filter(_.bloom.isDefined).map(_.name).toSet).getOrElse(Set.empty),
           entry.map(_.cols.filter(_.sketch.isDefined).map(_.name).toSet).getOrElse(Set.empty),
-          replacementName(p.getName), relDir)
+          replacementName(p.getName), relDir, newestMask, nextSeq)
     }
     if (cands.isEmpty) return DeleteResult(0, 0, 0, 0, 0L)
 
     val sconf = new SerializableConfiguration(hconf)
     val outcomes: Array[FileOutcome] = spark.sparkContext
       .parallelize(cands, cands.length)
-      .map(c => processFile(c, tableSchema, bound, predSchema, predBound, sconf.value))
+      .map(c => processFile(c, tableSchema, bound, predSchema, predBound,
+        deletionVectors, sconf.value))
       .collect()
 
     // COMMIT (driver): metadata-only rename/delete per touched file, in
@@ -163,6 +187,9 @@ object VortexDelete {
     // a surviving row; the deterministic replacement name makes a
     // re-run after any crash converge (see the crash contract above).
     val committed = new java.util.concurrent.atomic.AtomicInteger(0)
+    def dropMasks(file: String): Unit =
+      maskBind.get(file).foreach(_._2.foreach(m =>
+        try fs.delete(new Path(m), false) catch { case _: Exception => () }))
     def commitOne(o: FileOutcome): Unit = {
       if (failAfterCommits >= 0 && committed.get() >= failAfterCommits)
         throw new RuntimeException(
@@ -172,6 +199,7 @@ object VortexDelete {
         case 1 =>
           if (!fs.delete(src, false))
             throw new java.io.IOException(s"vortex delete: failed to delete ${o.file}")
+          dropMasks(o.file)
         case 2 =>
           val tmp = new Path(o.tmp.get)
           val dst = new Path(src.getParent, o.dstName.get)
@@ -183,6 +211,18 @@ object VortexDelete {
             throw new java.io.IOException(s"vortex delete: rename failed for $dst")
           if (!fs.delete(src, false))
             throw new java.io.IOException(s"vortex delete: failed to delete replaced ${o.file}")
+          dropMasks(o.file) // the replacement has the masks folded in
+        case 3 =>
+          // deletion-vector commit: the union mask renames in under
+          // seq+1, THEN older seqs drop (best effort — a crash between
+          // leaves both; readers bind the newest, a superset)
+          val tmp = new Path(o.tmp.get)
+          val dst = new Path(src.getParent, o.dstName.get)
+          if (fs.exists(dst) && !fs.delete(dst, false))
+            throw new java.io.IOException(s"vortex delete: cannot replace stale mask $dst")
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"vortex delete: mask rename failed for $dst")
+          dropMasks(o.file) // only PRE-JOB masks are in maskBind — never the new one
         case _ =>
       }
       committed.incrementAndGet()
@@ -213,7 +253,8 @@ object VortexDelete {
       outcomes.count(_.status == 0),
       outcomes.count(_.status == 1),
       outcomes.count(_.status == 2),
-      outcomes.map(_.rowsDeleted).sum)
+      outcomes.map(_.rowsDeleted).sum,
+      outcomes.count(_.status == 3))
   }
 
   /** Runs on an executor: classify one file, write the survivors tmp if
@@ -224,17 +265,54 @@ object VortexDelete {
     * `tableSchema`/`bound`. */
   private def processFile(c: Candidate, tableSchema: StructType, bound: Expression,
                           predSchema: StructType, predBound: Expression,
+                          deletionVectors: Boolean,
                           conf: org.apache.hadoop.conf.Configuration): FileOutcome = {
     val path = new Path(c.file)
+    val fs = path.getFileSystem(conf)
     val footer = VortexFileReader.readFooter(path, conf)
     val totalRows = footer.chunks.map(_.rowCount.toLong).sum
+    val existing: DeletionVector.Mask =
+      if (c.maskFile == null) null else DeletionVector.read(fs, new Path(c.maskFile))
+    val liveRows = totalRows - (if (existing == null) 0L else existing.cardinality)
     val pred = CatalystPredicate.create(bound)
     pred.initialize(0)
     val predNarrow = CatalystPredicate.create(predBound)
     predNarrow.initialize(0)
 
+    if (deletionVectors) {
+      // mask tier: record matching STORED ordinals (among live rows)
+      // over the planned chunks only — pruned chunks cannot match, and
+      // ordinal bases come from the footer's chunk row counts
+      val chunkBase = footer.chunks.scanLeft(0L)(_ + _.rowCount)
+      val positions = scala.collection.mutable.ArrayBuffer[Long]()
+      c.plannedChunks.foreach { ci =>
+        val part = VortexInputPartition(c.file, Array(ci), c.partCols, c.partValues)
+        val r = new VortexPartitionReader(part, conf, predSchema, evolution = true)
+        var p = chunkBase(ci)
+        try while (r.next()) {
+          if ((existing == null || !existing.isDeleted(p)) && predNarrow.eval(r.get()))
+            positions += p
+          p += 1
+        } finally r.close()
+      }
+      if (positions.isEmpty)
+        return FileOutcome(c.file, 0, 0L, None, None, None, None)
+      if (positions.length.toLong == liveRows)
+        // nothing would survive: drop the file whole (driver deletes
+        // data + masks) instead of masking 100% of it
+        return FileOutcome(c.file, 1, liveRows, None, None, None, None)
+      val union =
+        if (existing == null) DeletionVector.fromPositions(positions.toArray)
+        else DeletionVector.union(existing, DeletionVector.fromPositions(positions.toArray))
+      val tmp = DeletionVector.writeTmp(fs, path, union)
+      return FileOutcome(c.file, 3, positions.length.toLong, Some(tmp.toString),
+        Some(DeletionVector.maskName(path.getName, c.nextMaskSeq)), None, None)
+    }
+
     def countMatches(chunkIdxs: Array[Int]): Long = {
-      val part = VortexInputPartition(c.file, chunkIdxs, c.partCols, c.partValues)
+      // mask-aware read: matches are counted among LIVE rows only
+      val part = VortexInputPartition(c.file, chunkIdxs, c.partCols, c.partValues,
+        maskFile = c.maskFile)
       val r = new VortexPartitionReader(part, conf, predSchema, evolution = true)
       var n = 0L
       try while (r.next()) { if (predNarrow.eval(r.get())) n += 1 } finally r.close()
@@ -245,10 +323,9 @@ object VortexDelete {
     if (matches == 0L)
       return FileOutcome(c.file, 0, 0L, None, None, None, None)
 
-    val fs = path.getFileSystem(conf)
-    if (matches == totalRows) {
-      // every row matches: mark drop-whole (driver deletes), no rewrite
-      return FileOutcome(c.file, 1, totalRows, None, None, None, None)
+    if (matches == liveRows) {
+      // every live row matches: mark drop-whole (driver deletes), no rewrite
+      return FileOutcome(c.file, 1, liveRows, None, None, None, None)
     }
 
     // rewrite survivors (predicate FALSE or NULL) with the file's OWN
@@ -264,8 +341,10 @@ object VortexDelete {
       bloomCols = c.bloomCols, sketchCols = c.sketchCols)
     var deleted = 0L
     try {
+      // mask-aware full read: the rewrite folds any existing mask in
+      // (survivors exclude previously-masked rows)
       val part = VortexInputPartition(c.file, footer.chunks.indices.toArray,
-        c.partCols, c.partValues)
+        c.partCols, c.partValues, maskFile = c.maskFile)
       val r = new VortexPartitionReader(part, conf, tableSchema, evolution = true)
       val out = new GenericInternalRow(fileFields.length)
       try while (r.next()) {

@@ -66,6 +66,103 @@ object VortexMaintenance {
     stale.count(s => try fs.delete(s.getPath, false) catch { case _: Exception => false })
   }
 
+  final case class FoldResult(foldedFiles: Int, rowsDropped: Long)
+
+  /** Fold deletion-vector masks into real rewrites: every masked data
+    * file is rewritten without its dead rows (one distributed task per
+    * file, driver-side rename/delete commit — the same non-destructive-
+    * task shape as VortexDelete), and its sidecars are removed. Called
+    * by [[compact]] first, so the mask tier's read-side cost is paid
+    * only between maintenance windows; also callable directly. */
+  def foldMasks(spark: SparkSession, dir: String): FoldResult = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val rootQ = fs.makeQualified(root).toString
+    val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf)
+    val targets = listed.map(_._1.getPath)
+      .filter(p => maskBind.contains(p.toString))
+      .sortBy(_.toString)
+    if (targets.isEmpty) return FoldResult(0, 0L)
+    val manifest = StatsManifest.read(root, hconf)
+
+    // task input: (file, newest mask, bloom/sketch opt-ins, final rel path)
+    val work: Seq[(String, String, Set[String], Set[String], String)] = targets.map { p =>
+      val rel = fs.makeQualified(p).toString.stripPrefix(rootQ).stripPrefix("/")
+      val entry = manifest.get(rel)
+      val dstName = s"part-fold-${VortexDelete.replacementName(p.getName).stripPrefix("part-delete-")}"
+      val relDst = rel.lastIndexOf('/') match {
+        case -1 => dstName
+        case i => rel.substring(0, i) + "/" + dstName
+      }
+      (p.toString, maskBind(p.toString)._1,
+        entry.map(_.cols.filter(_.bloom.isDefined).map(_.name).toSet).getOrElse(Set.empty),
+        entry.map(_.cols.filter(_.sketch.isDefined).map(_.name).toSet).getOrElse(Set.empty),
+        relDst)
+    }
+
+    val sconf = new SerializableConfiguration(hconf)
+    // (file, tmp, dstName, rowsDropped, entry, schemaJson)
+    val results = spark.sparkContext.parallelize(work, work.length).map {
+      case (file, mask, bloomCols, sketchCols, relDst) =>
+        val path = new Path(file)
+        val tfs = path.getFileSystem(sconf.value)
+        val footer = VortexFileReader.readFooter(path, sconf.value)
+        val dstName = relDst.substring(relDst.lastIndexOf('/') + 1)
+        val tmp = new Path(path.getParent,
+          s".$dstName.${java.util.UUID.randomUUID().toString.take(8)}.inprogress")
+        val writer = new VortexFileWriter(tmp, sconf.value, footer.schema,
+          bloomCols = bloomCols, sketchCols = sketchCols)
+        val part = VortexInputPartition(file, footer.chunks.indices.toArray,
+          maskFile = mask)
+        val r = new VortexPartitionReader(part, sconf.value, footer.schema)
+        var rows = 0L
+        try {
+          try while (r.next()) { writer.write(r.get()); rows += 1 } finally r.close()
+          writer.close()
+        } catch { case e: Throwable => tfs.delete(tmp, false); throw e }
+        val dropped = footer.chunks.map(_.rowCount.toLong).sum - rows
+        def named[T](xs: IndexedSeq[Option[T]]): Map[String, T] =
+          footer.schema.fields.map(_.name).zip(xs)
+            .collect { case (n, Some(v)) => n -> v }.toMap
+        val sums = named(writer.columnSums)
+        val blooms = named(writer.columnBlooms)
+        val sketches = named(writer.columnSketches)
+        val tmpFooter = VortexFileReader.readFooter(tmp, sconf.value)
+        val base = StatsManifest.fromFooter(relDst,
+          tfs.getFileStatus(tmp).getLen, tmpFooter)
+        val entry = base.copy(cols = base.cols.map(c => c.copy(
+          sum = sums.get(c.name), bloom = blooms.get(c.name),
+          sketch = sketches.get(c.name))))
+        (file, tmp.toString, dstName, dropped, entry, tmpFooter.schema.json)
+    }.collect()
+
+    // driver commit: rename-in, delete source + its sidecars
+    results.foreach { case (file, tmp, dstName, _, _, _) =>
+      val src = new Path(file)
+      val dst = new Path(src.getParent, dstName)
+      if (fs.exists(dst) && !fs.delete(dst, false))
+        throw new java.io.IOException(s"vortex foldMasks: cannot replace stale $dst")
+      if (!fs.rename(new Path(tmp), dst))
+        throw new java.io.IOException(s"vortex foldMasks: rename failed for $dst")
+      if (!fs.delete(src, false))
+        throw new java.io.IOException(s"vortex foldMasks: failed to delete $file")
+      maskBind(file)._2.foreach(m =>
+        try fs.delete(new Path(m), false) catch { case _: Exception => () })
+    }
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
+    results.toSeq.map(r => (r._6, r._5)).groupBy(_._1).toSeq.sortBy(_._1)
+      .zipWithIndex.foreach { case ((sj, group), i) =>
+        val schema =
+          try Some(org.apache.spark.sql.types.DataType.fromJson(sj)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          catch { case _: Exception => None }
+        StatsManifest.write(root, hconf, s"fold-$jobId-$i",
+          group.map(_._2).toIndexedSeq, schema)
+      }
+    FoldResult(results.length, results.map(_._4).sum)
+  }
+
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024,
               minFiles: Int = 2): CompactResult = {
@@ -74,8 +171,17 @@ object VortexMaintenance {
     val fs = root.getFileSystem(hconf)
     val rootQ = fs.makeQualified(root).toString
 
-    // group data files by their layout directory (partition/bucket)
-    val listed = PartitionedLayout.listWithPartitions(root, hconf)
+    // deletion-vector masks fold into real rewrites FIRST: the chunk
+    // byte-copy below moves pages verbatim and must never absorb a
+    // masked file (its sidecar names the OLD file — dead rows would
+    // resurrect)
+    foldMasks(spark, dir)
+
+    // group data files by their layout directory (partition/bucket);
+    // defensive re-check: any file still masked (e.g. written by a
+    // racing delete) is excluded from byte-copy batches
+    val (listed0, maskLeft) = VortexDataSource.listAllWithMasks(Seq(dir), hconf)
+    val listed = listed0.filterNot(f => maskLeft.contains(f._1.getPath.toString))
     val byDir = listed.groupBy(_._1.getPath.getParent.toString)
 
     // manifest state BEFORE the rewrite: sources are deleted during

@@ -1,0 +1,283 @@
+package graft.sources.vortex
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** `MERGE INTO <vortex dataset> USING <source> ON key` — whole-row
+  * upsert: target rows whose key appears in the source are REPLACED by
+  * the source row, source rows matching nothing are APPENDED. The
+  * incremental-ingest shape of a corpus store: a batch of re-scored /
+  * re-crawled documents lands on top of 100 TB without rewriting more
+  * than the files it touches.
+  *
+  * Scale contract (the 100 TB judgment): the SOURCE is the small side —
+  * a batch, not a second 100 TB table. Its rows are collected and
+  * broadcast (hard `require` ≤ `maxSourceRows`, default 1M — the same
+  * bounded-driver-state discipline as UnigramLM's cap), because every
+  * candidate file task needs random-access lookup by key. The TARGET
+  * side stays fully distributed and file-granular:
+  *  - candidates = the pushed scan's own partitions for
+  *    `key IN (source keys)` when the key set is small enough to push
+  *    (≤ `pushKeyLimit`, single-column keys — manifest min/max, blooms
+  *    and partition pruning then skip untouched files with zero I/O);
+  *    otherwise every file is a candidate and classification decides.
+  *  - one NON-DESTRUCTIVE task per candidate file: pass 1 probes the
+  *    broadcast key map over the key columns only; no hit → untouched.
+  *    Otherwise the file rewrites with matched rows replaced (existing
+  *    deletion-vector masks fold in). Matched source ordinals return
+  *    to the driver as a bitmask (O(|source|/8) bytes per task).
+  *  - APPEND: source rows no task matched are written as fresh files
+  *    through the normal vortex writer.
+  *  - driver commit: rename/delete per touched file (deterministic
+  *    `part-merge-<md5(src)>.vortex` names — same crash-convergence
+  *    contract as DELETE/UPDATE for the replace half; the append half
+  *    re-run after a crash re-appends, so MERGE re-runs are
+  *    at-least-once for inserts: run against a quiesced dataset).
+  *
+  * Duplicate keys: source keys must be unique (`require`d — two source
+  * rows for one target row is ambiguous); duplicate keys in the TARGET
+  * all replace with the same source row (each is a match).
+  */
+object VortexMerge {
+
+  final case class MergeResult(candidateFiles: Int, untouchedFiles: Int,
+                               rewrittenFiles: Int, rowsUpdated: Long,
+                               rowsInserted: Long)
+
+  private[graft] def replacementName(srcName: String): String =
+    "part-merge-" + VortexDelete.replacementName(srcName).stripPrefix("part-delete-")
+
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+            keyCols: Seq[String],
+            maxSourceRows: Int = 1 << 20,
+            pushKeyLimit: Int = 10000): MergeResult = {
+    require(keyCols.nonEmpty, "vortex merge: no key columns")
+    val target = spark.read.format("vortex").load(dir)
+    val tSchema = target.schema
+    keyCols.foreach(k => require(tSchema.fieldNames.contains(k),
+      s"vortex merge: key column $k is not a column of the target"))
+
+    // source rows in the TARGET's schema/order, as Catalyst rows (the
+    // tasks write them straight through the vortex writer)
+    val aligned = source.select(tSchema.fields.map(f =>
+      col(s"`${f.name}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val capped = aligned.limit(maxSourceRows + 1)
+      .queryExecution.toRdd.map(_.copy()).collect()
+    require(capped.length <= maxSourceRows,
+      s"vortex merge: source exceeds maxSourceRows=$maxSourceRows — " +
+      "merge broadcasts the source; batch it or raise the cap deliberately")
+    val srcRows: Array[org.apache.spark.sql.catalyst.InternalRow] = capped
+    val keyIdx: Array[Int] = keyCols.map(tSchema.fieldIndex).toArray
+    val keyTypes = keyIdx.map(tSchema.fields(_).dataType)
+    def keyOf(r: org.apache.spark.sql.catalyst.InternalRow): Seq[Any] =
+      keyIdx.indices.map(j => r.get(keyIdx(j), keyTypes(j)))
+    locally {
+      val seen = new scala.collection.mutable.HashSet[Seq[Any]]
+      srcRows.foreach { r =>
+        val k = keyOf(r)
+        require(seen.add(k), s"vortex merge: duplicate source key $k")
+      }
+    }
+    val bcRows = spark.sparkContext.broadcast(srcRows)
+
+    // candidate planning: push `key IN (...)` when the key set is small
+    // (single-col keys) — manifest/bloom/partition pruning applies;
+    // otherwise all files are candidates
+    val keyValuesForPush: Option[Seq[Any]] =
+      if (keyCols.length == 1 && srcRows.length <= pushKeyLimit) {
+        val dt = keyTypes(0)
+        Some(srcRows.toSeq.map(r => VortexMergeSupport.toExternal(r.get(keyIdx(0), dt), dt)))
+      } else None
+    val filtered = keyValuesForPush match {
+      case Some(vs) => target.filter(col(s"`${keyCols.head}`").isInCollection(vs))
+      case None => target
+    }
+    val parts = filtered.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.inputPartitions).collect { case v: VortexInputPartition => v }
+
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val rootQ = fs.makeQualified(root).toString
+    val manifest = StatsManifest.read(root, hconf)
+    val maskBind = VortexDataSource.listAllWithMasks(Seq(dir), hconf)._2
+
+    // (file, partCols, partValues, bloomCols, sketchCols, dstName, relDir, mask)
+    val cands = parts.groupBy(_.file).toSeq.sortBy(_._1).map { case (file, ps) =>
+      val p = new Path(file)
+      val rel = fs.makeQualified(p).toString.stripPrefix(rootQ).stripPrefix("/")
+      val relDir = rel.lastIndexOf('/') match {
+        case -1 => ""; case i => rel.substring(0, i)
+      }
+      val entry = manifest.get(rel)
+      (file, ps.head.partCols, ps.head.partValues,
+        entry.map(_.cols.filter(_.bloom.isDefined).map(_.name).toSet).getOrElse(Set.empty),
+        entry.map(_.cols.filter(_.sketch.isDefined).map(_.name).toSet).getOrElse(Set.empty),
+        replacementName(p.getName), relDir, ps.head.maskFile)
+    }
+
+    val sconf = new SerializableConfiguration(hconf)
+    val outcomes =
+      if (cands.isEmpty) Array.empty[VortexMergeSupport.Outcome]
+      else spark.sparkContext.parallelize(cands, cands.length).map { c =>
+        VortexMergeSupport.processFile(c, tSchema, keyIdx, keyTypes,
+          bcRows.value, sconf.value)
+      }.collect()
+
+    // driver commit: replace half (same shape as UPDATE's)
+    val destructive = outcomes.filter(_.rewritten)
+    def commitOne(o: VortexMergeSupport.Outcome): Unit = {
+      val src = new Path(o.file)
+      val tmp = new Path(o.tmp)
+      val dst = new Path(src.getParent, o.dstName)
+      if (fs.exists(dst) && !fs.delete(dst, false))
+        throw new java.io.IOException(s"vortex merge: cannot replace stale $dst")
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"vortex merge: rename failed for $dst")
+      if (!fs.delete(src, false))
+        throw new java.io.IOException(s"vortex merge: failed to delete replaced ${o.file}")
+      maskBind.get(o.file).foreach(_._2.foreach(m =>
+        try fs.delete(new Path(m), false) catch { case _: Exception => () }))
+    }
+    if (destructive.length > 1)
+      java.util.Arrays.stream(destructive).parallel().forEach(o => commitOne(o))
+    else destructive.foreach(commitOne)
+
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
+    outcomes.toSeq.filter(_.rewritten).map(o => (o.schemaJson, o.entry))
+      .groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex.foreach { case ((sj, group), i) =>
+        val schema =
+          try Some(org.apache.spark.sql.types.DataType.fromJson(sj).asInstanceOf[StructType])
+          catch { case _: Exception => None }
+        StatsManifest.write(root, hconf, s"merge-$jobId-$i",
+          group.map(_._2).toIndexedSeq, schema)
+      }
+
+    // append half: source rows no file matched. The driver holds the
+    // (bounded) source already; unmatched rows append through the
+    // normal vortex write path (its own tmp→rename manifest commit).
+    val matched = new Array[Boolean](srcRows.length)
+    outcomes.foreach(_.matchedOrdinals.foreach(i => matched(i) = true))
+    val unmatchedIdx = srcRows.indices.filterNot(matched)
+    if (unmatchedIdx.nonEmpty) {
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(tSchema)
+      val ext = unmatchedIdx.map(i =>
+        conv(srcRows(i)).asInstanceOf[org.apache.spark.sql.Row])
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(ext.asJava, tSchema)
+        .coalesce(1).write.format("vortex").mode("append").save(dir)
+    }
+
+    MergeResult(cands.length,
+      outcomes.count(!_.rewritten),
+      destructive.length,
+      outcomes.map(_.rowsUpdated).sum,
+      unmatchedIdx.length.toLong)
+  }
+}
+
+/** executor-side half of [[VortexMerge]] (kept out of the closure-heavy
+  * driver object so tasks serialize only what they need) */
+private[vortex] object VortexMergeSupport {
+
+  final case class Outcome(file: String, rewritten: Boolean, rowsUpdated: Long,
+                           tmp: String, dstName: String,
+                           entry: StatsManifest.FileStats, schemaJson: String,
+                           matchedOrdinals: Array[Int])
+
+  /** Catalyst storage value → external literal (for isInCollection) */
+  def toExternal(v: Any, dt: org.apache.spark.sql.types.DataType): Any = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case other => other
+  }
+
+  def processFile(c: (String, Array[String], Array[String], Set[String], Set[String], String, String, String),
+                  tSchema: StructType, keyIdx: Array[Int],
+                  keyTypes: Array[org.apache.spark.sql.types.DataType],
+                  srcRows: Array[org.apache.spark.sql.catalyst.InternalRow],
+                  conf: org.apache.hadoop.conf.Configuration): Outcome = {
+    val (file, partCols, partValues, bloomCols, sketchCols, dstName, relDir, maskFile) = c
+    val path = new Path(file)
+    val fs = path.getFileSystem(conf)
+    val footer = VortexFileReader.readFooter(path, conf)
+
+    // key → source ordinal (built per task from the broadcast array;
+    // UTF8String/Decimal/boxed numerics all have value equality)
+    val byKey = new java.util.HashMap[Seq[Any], java.lang.Integer](srcRows.length * 2)
+    var si = 0
+    while (si < srcRows.length) {
+      byKey.put(keyIdx.indices.map(j => srcRows(si).get(keyIdx(j), keyTypes(j))), si)
+      si += 1
+    }
+
+    // pass 1: probe key columns only (mask-aware: dead rows can't match)
+    val keySchema = StructType(keyIdx.map(tSchema.fields(_)))
+    val matchedSet = new java.util.BitSet(srcRows.length)
+    locally {
+      val part = VortexInputPartition(file, footer.chunks.indices.toArray,
+        partCols, partValues, maskFile = maskFile)
+      val r = new VortexPartitionReader(part, conf, keySchema, evolution = true)
+      try while (r.next()) {
+        val row = r.get()
+        val k = keyTypes.indices.map(j => row.get(j, keyTypes(j)))
+        val hit = byKey.get(k)
+        if (hit != null) matchedSet.set(hit.intValue())
+      } finally r.close()
+    }
+    if (matchedSet.isEmpty)
+      return Outcome(file, rewritten = false, 0L, null, null, null, null, Array.empty)
+
+    // pass 2: rewrite with matched rows replaced by their source row
+    val tmp = new Path(path.getParent,
+      s".$dstName.${java.util.UUID.randomUUID().toString.take(8)}.inprogress")
+    val fileFields = footer.schema.fields
+    val slot: Array[Int] = fileFields.map(f => tSchema.fieldIndex(f.name))
+    val writer = new VortexFileWriter(tmp, conf, footer.schema,
+      bloomCols = bloomCols, sketchCols = sketchCols)
+    var updated = 0L
+    try {
+      val part = VortexInputPartition(file, footer.chunks.indices.toArray,
+        partCols, partValues, maskFile = maskFile)
+      val r = new VortexPartitionReader(part, conf, tSchema, evolution = true)
+      val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fileFields.length)
+      try while (r.next()) {
+        val row = r.get()
+        val k = keyIdx.indices.map(j => row.get(keyIdx(j), keyTypes(j)))
+        val hit = byKey.get(k)
+        val src = if (hit != null) { updated += 1; srcRows(hit.intValue()) } else row
+        var i = 0
+        while (i < slot.length) {
+          out.update(i, src.get(slot(i), fileFields(i).dataType)); i += 1
+        }
+        writer.write(out)
+      } finally r.close()
+      writer.close()
+    } catch { case e: Throwable => fs.delete(tmp, false); throw e }
+
+    def named[T](xs: IndexedSeq[Option[T]]): Map[String, T] =
+      fileFields.map(_.name).zip(xs).collect { case (n, Some(v)) => n -> v }.toMap
+    val sums = named(writer.columnSums)
+    val blooms = named(writer.columnBlooms)
+    val sketches = named(writer.columnSketches)
+    val rel = if (relDir.isEmpty) dstName else s"$relDir/$dstName"
+    val tmpFooter = VortexFileReader.readFooter(tmp, conf)
+    val base = StatsManifest.fromFooter(rel, fs.getFileStatus(tmp).getLen, tmpFooter)
+    val entry = base.copy(cols = base.cols.map(col => col.copy(
+      sum = sums.get(col.name), bloom = blooms.get(col.name),
+      sketch = sketches.get(col.name))))
+    val ords = { // BitSet → ordinal array (compact task → driver payload)
+      val buf = scala.collection.mutable.ArrayBuffer[Int]()
+      var b = matchedSet.nextSetBit(0)
+      while (b >= 0) { buf += b; b = matchedSet.nextSetBit(b + 1) }
+      buf.toArray
+    }
+    Outcome(file, rewritten = true, updated, tmp.toString, dstName,
+      entry, tmpFooter.schema.json, ords)
+  }
+}

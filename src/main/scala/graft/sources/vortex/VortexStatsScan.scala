@@ -81,7 +81,11 @@ object VortexStatsPushdown {
     val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map(e =>
       colName(e).getOrElse(return None))
 
-    val listed = VortexDataSource.listAll(paths, conf)
+    val (listed, maskBind) = VortexDataSource.listAllWithMasks(paths, conf)
+    // a deletion-vector mask makes footer/manifest rowCounts and stats
+    // UPPER BOUNDS, not answers — stats-answered aggregates must fall
+    // back to the (mask-applying) scan for any masked file
+    if (listed.exists(f => maskBind.contains(f._1.getPath.toString))) return None
     val partCols: Set[String] =
       listed.flatMap(_._2.map(_._1)).toSet - BucketSpecFile.BucketCol
     if (!groupCols.forall(partCols.contains)) return None

@@ -192,7 +192,7 @@ class VortexDeleteSpec extends AnyFunSuite {
         .repartitionByRange(4, col("id")).sortWithinPartitions("id")
         .write.format("vortex").mode("overwrite").save(dir)
       val crashed = intercept[Exception] {
-        VortexDelete.delete(spark, dir, col("id") % 10L === 3L, failAfterCommits = failAt)
+        VortexDelete.deleteImpl(spark, dir, col("id") % 10L === 3L, failAfterCommits = failAt)
       }
       assert(crashed.getMessage.contains("injected crash"), crashed.getMessage)
       // re-run the SAME delete, no seam: must converge to the exact

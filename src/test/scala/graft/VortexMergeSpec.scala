@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.vortex.{VortexDelete, VortexMerge}
+
+/** Whole-row upsert (MERGE) over vortex datasets: matched target rows
+  * replaced by their source row, unmatched source rows appended;
+  * untouched files stay byte-identical; bounded source contract. */
+class VortexMergeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("vortex_merge").toString
+
+  private def snapshot(dir: String): Map[String, (Long, Long)] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s))
+    walk(root).map(s => s.getPath.toString -> (s.getLen, s.getModificationTime)).toMap
+  }
+
+  test("upsert: matched rows replaced, unmatched appended, untouched files intact") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 4000L).map(i => (i, s"old$i", 1.0)).toDF("id", "s", "q")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.format("vortex").mode("overwrite").save(dir)
+    val before = snapshot(dir)
+
+    // source: 3 updates localized in one file's range + 2 inserts
+    val src = Seq(
+      (1200L, "new1200", 0.5), (1201L, "new1201", 0.5), (1250L, "new1250", 0.5),
+      (9001L, "ins9001", 0.9), (9002L, "ins9002", 0.9)
+    ).toDF("id", "s", "q")
+    val res = VortexMerge.merge(spark, dir, src, Seq("id"))
+    assert(res.rowsUpdated == 3L && res.rowsInserted == 2L, res)
+    assert(res.rewrittenFiles == 1, res) // key pushdown pruned to one file
+
+    val after = spark.read.format("vortex").load(dir)
+    assert(after.count() == 4002L)
+    assert(after.where(col("id") === 1200L).head().getString(1) == "new1200")
+    assert(after.where(col("id") === 1199L).head().getString(1) == "old1199")
+    assert(after.where(col("id") === 9001L).count() == 1L)
+    // untouched data files byte-identical
+    snapshot(dir).foreach { case (p, st) =>
+      if (p.endsWith(".vortex") && before.contains(p))
+        assert(before(p) == st, s"file $p was touched")
+    }
+  }
+
+  test("insert-only and update-only sources") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 100L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(dir)
+    val r1 = VortexMerge.merge(spark, dir,
+      Seq((500L, 1L), (501L, 2L)).toDF("id", "v"), Seq("id"))
+    assert(r1.rowsUpdated == 0L && r1.rowsInserted == 2L, r1)
+    val r2 = VortexMerge.merge(spark, dir,
+      Seq((500L, 10L), (0L, -1L)).toDF("id", "v"), Seq("id"))
+    assert(r2.rowsUpdated == 2L && r2.rowsInserted == 0L, r2)
+    val after = spark.read.format("vortex").load(dir)
+    assert(after.count() == 102L)
+    assert(after.where(col("id") === 500L).head().getLong(1) == 10L)
+    assert(after.where(col("id") === 0L).head().getLong(1) == -1L)
+  }
+
+  test("composite keys and type alignment (source cast to target types)") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 60L).map(i => (s"g${i % 3}", i % 10, i)).toDF("g", "k", "v")
+      .coalesce(1).write.format("vortex").mode("overwrite").save(dir)
+    // source v is Int → cast to target's Long; composite key (g, k)
+    val src = Seq(("g1", 4, 999), ("g9", 0, 111)).toDF("g", "k", "v")
+    val res = VortexMerge.merge(spark, dir, src, Seq("g", "k"))
+    // g1/k=4 matches ids {13,43} (i%3==1 && i%10==4) → both replaced
+    assert(res.rowsUpdated == 2L && res.rowsInserted == 1L, res)
+    val after = spark.read.format("vortex").load(dir)
+    assert(after.where(col("g") === "g1" && col("k") === 4).count() == 2L)
+    assert(after.where(col("g") === "g1" && col("k") === 4)
+      .select("v").collect().forall(_.getLong(0) == 999L))
+    assert(after.where(col("g") === "g9").count() == 1L)
+  }
+
+  test("merge folds deletion-vector masks; duplicate source keys rejected") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 1000L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(dir)
+    VortexDelete.delete(spark, dir, col("id") < 50L, deletionVectors = true)
+    val res = VortexMerge.merge(spark, dir,
+      Seq((100L, -1L), (25L, -2L)).toDF("id", "v"), Seq("id"))
+    // id=25 is DEAD (masked) → it is an INSERT, not an update
+    assert(res.rowsUpdated == 1L && res.rowsInserted == 1L, res)
+    val after = spark.read.format("vortex").load(dir)
+    assert(after.count() == 951L) // 950 live + 1 insert
+    assert(after.where(col("id") === 25L).head().getLong(1) == -2L)
+    assert(after.where(col("id") === 100L).head().getLong(1) == -1L)
+    assert(after.where(col("id") === 26L).count() == 0L) // still deleted
+
+    val e = intercept[IllegalArgumentException] {
+      VortexMerge.merge(spark, dir,
+        Seq((1L, 1L), (1L, 2L)).toDF("id", "v"), Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate source key"))
+  }
+
+  test("source cap is a loud contract") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 10L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(dir)
+    val e = intercept[IllegalArgumentException] {
+      VortexMerge.merge(spark, dir,
+        (0L until 100L).map(i => (i, i)).toDF("id", "v"), Seq("id"),
+        maxSourceRows = 50)
+    }
+    assert(e.getMessage.contains("maxSourceRows"))
+  }
+}
