@@ -26,6 +26,13 @@ object SplitBucket {
     when(b < TrainUpper, "train").when(b < ValUpper, "val").otherwise("test")
   }
 
+  /** the same function for typed kernels: 0=train, 1=val, 2=test */
+  val SplitNames: Array[String] = Array("train", "val", "test")
+  def splitIdx(id: Long): Int = {
+    val b = (id % 2147483647L) * 2654435761L % 4294967296L
+    if (b < TrainUpper) 0 else if (b < ValUpper) 1 else 2
+  }
+
   /** the same function as DuckDB SQL over a column reference */
   def splitSql(idExpr: String): String =
     s"""CASE WHEN (($idExpr % 2147483647) * 2654435761) % 4294967296 < $TrainUpper THEN 'train'
