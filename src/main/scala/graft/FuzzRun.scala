@@ -113,13 +113,83 @@ object FuzzRun {
     }
     entry.findAllMatchIn(raw).foreach { m =>
       val (name, sql) = (unesc(m.group(1)), unesc(m.group(2)))
-      try spark.sql(sql).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      catch { case scala.util.control.NonFatal(e) =>
+      try {
+        val df =
+          if (sql.startsWith(MaintPrefix)) runMaintenance(spark, sfDir, extras, sql)
+          else spark.sql(sql)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case scala.util.control.NonFatal(e) =>
         // fatal JVM errors (OOM, linkage) must kill the run — a JVM in
         // an undefined state would misattribute every later query
         System.err.println(s"[fuzz] $name failed: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
       }
     }
     spark.stop()
+  }
+
+  /** Maintenance-mode differential (tools/fuzz_diff.py --maintenance):
+    * the query text is a tiny line-oriented DSL instead of one SELECT —
+    * stage a FRESH vortex copy of a table, apply a random sequence of
+    * DELETE (rewrite or deletion-vector tier) / UPDATE / foldMasks /
+    * compact, then read the mutated dataset back. DuckDB runs the
+    * logical twin (temp table + DELETE/UPDATE + SELECT), so the hash
+    * compare proves the whole mutate→manifest→mask→scan stack
+    * preserves SQL semantics under random predicates.
+    *
+    * Format (lines):  --GRAFT-MAINT--
+    *                  table=<name>
+    *                  op=del|dvdel|update  <predicate sql> [ col:=expr;col2:=expr2]
+    *                  op=fold | op=compact
+    *                  select=<sql over view maintv>
+    */
+  private val MaintPrefix = "--GRAFT-MAINT--"
+  private val MaintSep = "\u0001"
+
+  private def runMaintenance(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                             extras: Seq[(String, String)], dsl: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val lines = dsl.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).drop(1)
+    val table = lines.collectFirst { case l if l.startsWith("table=") => l.stripPrefix("table=") }.get
+    val select = lines.collectFirst { case l if l.startsWith("select=") => l.stripPrefix("select=") }.get
+    val src = extras.collectFirst { case (n, p) if n == table => spark.read.parquet(p) }
+      .getOrElse(Tables.t(spark, sfDir, table))
+    val dir = java.nio.file.Files.createTempDirectory("fuzz_maint").toString
+    try {
+      sources.vortex.VortexBulkCopy.copy(src, dir)
+      lines.filter(_.startsWith("op=")).foreach { l =>
+        val parts = l.stripPrefix("op=").split(MaintSep).map(_.trim)
+        parts(0) match {
+          case "del" =>
+            sources.vortex.VortexDelete.delete(spark, dir, expr(parts(1)))
+          case "dvdel" =>
+            sources.vortex.VortexDelete.delete(spark, dir, expr(parts(1)),
+              deletionVectors = true)
+          case "update" =>
+            val sets = parts(2).split(";").map { kv =>
+              val Array(c, e) = kv.split(":=", 2); c.trim -> expr(e.trim)
+            }.toMap
+            sources.vortex.VortexUpdate.update(spark, dir, sets, expr(parts(1)))
+          case "fold" =>
+            sources.vortex.VortexMaintenance.foldMasks(spark, dir)
+          case "compact" =>
+            sources.vortex.VortexMaintenance.compact(spark, dir, minFiles = 2)
+          case other => sys.error(s"fuzz maintenance: unknown op $other")
+        }
+      }
+      // explicit schema: a delete can legitimately empty the dataset,
+      // and schema inference over zero files has nothing to infer
+      spark.read.format("vortex").schema(src.schema).load(dir)
+        .createOrReplaceTempView("maintv")
+      // materialize BEFORE the staging dir is deleted
+      val rows = spark.sql(select).collect()
+      val schema = spark.sql(select).schema
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
   }
 }

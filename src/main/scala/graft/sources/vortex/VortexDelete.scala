@@ -116,15 +116,24 @@ object VortexDelete {
   private[graft] def deleteImpl(spark: SparkSession, dir: String, predicate: Column,
                                 deletionVectors: Boolean = false,
                                 failAfterCommits: Int = -1): DeleteResult = {
+    // a dataset a prior delete emptied has no schema to infer — the
+    // delete is a no-op, not an error (matches DELETE on an empty table)
+    if (VortexDataSource.expand(Seq(dir), spark.sessionState.newHadoopConf()).isEmpty)
+      return DeleteResult(0, 0, 0, 0, 0L)
     val df = spark.read.format("vortex").load(dir)
     val filtered = df.filter(predicate)
 
     // resolved predicate over the table's output, bound to ordinal
     // references so executors can evaluate it without an analyzer
-    val (cond, output) = filtered.queryExecution.analyzed.collectFirst {
+    val (cond0, output) = filtered.queryExecution.analyzed.collectFirst {
       case f: logical.Filter => (f.condition, f.child.output)
     }.getOrElse(throw new IllegalArgumentException(
       s"vortex delete: cannot resolve predicate $predicate"))
+    // the ANALYZED condition can hold RuntimeReplaceable nodes (BETWEEN,
+    // nvl, ilike, …) whose eval() asserts — normally the optimizer's
+    // ReplaceExpressions rewrites them; we bind pre-optimizer, so apply
+    // the same rewrite here (to fixpoint: a replacement may nest more)
+    val cond = replaceRuntime(cond0)
     require(cond.deterministic, "vortex delete: predicate must be deterministic")
     val bound: Expression = BindReferences.bindReference(cond, AttributeSeq(output))
     val tableSchema: StructType = StructType(output.map(a =>
@@ -412,6 +421,25 @@ object VortexDelete {
       case _ => None
     }
   }
+
+  /** The optimizer's ReplaceExpressions + RewriteWithExpression, applied
+    * to one standalone expression: interpreted eval of a
+    * RuntimeReplaceable asserts, its replacement can be a `With` whose
+    * CommonExpressionRef nodes can't eval either (BETWEEN is both), and
+    * delete/update bind conditions from the ANALYZED plan (pre-rule).
+    * Inlining the refs duplicates the common subexpression — fine for
+    * interpreted per-row eval. */
+  private[vortex] def replaceRuntime(e: Expression): Expression =
+    e.transformUp {
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+        replaceRuntime(r.replacement)
+      case w: org.apache.spark.sql.catalyst.expressions.With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        replaceRuntime(w.child.transformUp {
+          case ref: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+            defs(ref.id)
+        })
+    }
 
   /** Every attribute the filter references must be a TOP-LEVEL column
     * of the table: a pushed filter on a nested field arrives with a

@@ -65,6 +65,9 @@ object VortexUpdate {
   def update(spark: SparkSession, dir: String,
              assignments: Map[String, Column], predicate: Column): UpdateResult = {
     require(assignments.nonEmpty, "vortex update: no SET assignments")
+    // UPDATE over a dataset a delete emptied is a no-op, not an error
+    if (VortexDataSource.expand(Seq(dir), spark.sessionState.newHadoopConf()).isEmpty)
+      return UpdateResult(0, 0, 0, 0L)
     val df = spark.read.format("vortex").load(dir)
     val tableCols = df.schema.fieldNames.toSet
     assignments.keys.foreach(k => require(tableCols.contains(k),
@@ -72,10 +75,13 @@ object VortexUpdate {
 
     // predicate, resolved + bound like DELETE's
     val filtered = df.filter(predicate)
-    val (cond, output) = filtered.queryExecution.analyzed.collectFirst {
+    val (cond0, output) = filtered.queryExecution.analyzed.collectFirst {
       case f: logical.Filter => (f.condition, f.child.output)
     }.getOrElse(throw new IllegalArgumentException(
       s"vortex update: cannot resolve predicate $predicate"))
+    // RuntimeReplaceable (BETWEEN, nvl, …) must rewrite before
+    // interpreted eval — see VortexDelete.replaceRuntime
+    val cond = VortexDelete.replaceRuntime(cond0)
     require(cond.deterministic, "vortex update: predicate must be deterministic")
     val bound: Expression = BindReferences.bindReference(cond, AttributeSeq(output))
     val tableSchema: StructType = StructType(output.map(a =>
@@ -101,8 +107,8 @@ object VortexUpdate {
     }.getOrElse(throw new IllegalArgumentException("vortex update: cannot resolve SET expressions"))
     require(projList.forall(_.deterministic),
       "vortex update: SET expressions must be deterministic")
-    val boundProj: Seq[Expression] =
-      projList.map(e => BindReferences.bindReference(e: Expression, AttributeSeq(projChild)))
+    val boundProj: Seq[Expression] = projList.map(e => BindReferences.bindReference(
+      VortexDelete.replaceRuntime(e), AttributeSeq(projChild)))
 
     // candidates = the pushed scan's own partitions
     val parts = filtered.queryExecution.sparkPlan.collect {

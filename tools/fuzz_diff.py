@@ -385,16 +385,158 @@ def q_decimal():
     return (f"SELECT {', '.join(sel)} FROM nestedx {where}"
             f"GROUP BY g0 {order_by(names)}")
 
+
+def q_nested_window():
+    """Window frames over the nested/DECIMAL surface (round 10).
+    Exclusions by construction: integer sum/count OVER always CAST to
+    BIGINT (DuckDB widens to HUGEINT); decimal sums CAST to an explicit
+    wide decimal (scale inference differs); avg-over-decimal excluded
+    entirely (Spark divides in decimal, DuckDB in double — last-ulp
+    drift); lag/lead get a frameless window (Spark rejects offset
+    functions inside an explicit frame). ORDER BY doc_id is unique, so
+    every frame is deterministic."""
+    part = rng.choice(["source", "meta.mime"])
+    frame = rng.choice([
+        f"ROWS BETWEEN {rng.randint(1, 3)} PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    ])
+    framed = rng.choice([
+        "CAST(sum(dec1) OVER w AS DECIMAL(38,2))",
+        "CAST(sum(dec2) OVER w AS DECIMAL(38,4))",
+        "CAST(sum(meta.n) OVER w AS BIGINT)",
+        "CAST(count(*) OVER w AS BIGINT)",
+        "min(meta.mime) OVER w",
+        "CAST(max(dec2) OVER w AS DECIMAL(38,4))",
+        "CAST(min(dec3) OVER w AS DECIMAL(38,8))",
+    ])
+    frameless = rng.choice([
+        f"lag(dec1, {rng.randint(1, 2)}) OVER (PARTITION BY {part} ORDER BY doc_id)",
+        f"lead(meta.n, 1) OVER (PARTITION BY {part} ORDER BY doc_id)",
+        f"CAST(row_number() OVER (PARTITION BY {part} ORDER BY doc_id) AS BIGINT)",
+    ])
+    where = f"WHERE {nx_pred()} " if rng.random() < 0.5 else ""
+    return (f"SELECT doc_id AS c0, {framed} AS c1, {frameless} AS c2 "
+            f"FROM nestedx {where}"
+            f"WINDOW w AS (PARTITION BY {part} ORDER BY doc_id {frame}) "
+            f"ORDER BY c0 ASC NULLS FIRST")
+
+# ---- maintenance mode (round 10): DELETE/UPDATE/fold/compact over a
+# staged vortex copy vs a DuckDB temp-table twin -----------------------
+MAINT_TABLES = ['orders', 'customer', 'events', 'supplier', 'part', 'nestedx']
+
+def maint_pred(t):
+    return nx_pred() if t == 'nestedx' else pred(t)
+
+def maint_sets(t):
+    """col:=expr assignments valid (and identical) in both engines."""
+    if t == 'nestedx':
+        opts = [("source", "'src_upd'"),
+                ("dec1", "CAST(dec1 + 1 AS DECIMAL(12,2))"),
+                ("dec2", "CAST(0.5 AS DECIMAL(18,4))")]
+    else:
+        s = T[t]
+        opts = []
+        for c in s['ints'][:2]:
+            opts.append((c, f"{c} + {rng.randint(1, 9)}"))
+        for c in s['strs'][:2]:
+            opts.append((c, lit(t, c, 'str')))
+        for c in s['dbls'][:1]:
+            opts.append((c, f"{c} + 1000.0"))  # exact IEEE add, both engines
+    return rng.sample(opts, rng.randint(1, min(2, len(opts))))
+
+def maint_select(t):
+    """read-back over the mutated table (view/temp table `maintv`)."""
+    if t == 'nestedx':
+        if rng.random() < 0.5:
+            extra = rng.sample(["source", "meta.n", "dec1", "dec2",
+                                "array_sort(array_distinct(words))",
+                                "meta.mime"], rng.randint(1, 3))
+            sel = ["doc_id AS c0"] + [f"{e} AS c{i+1}" for i, e in enumerate(extra)]
+            return (f"SELECT {', '.join(sel)} FROM maintv "
+                    f"ORDER BY c0 ASC NULLS FIRST")
+        return ("SELECT source AS g0, CAST(count(*) AS BIGINT) AS a0, "
+                "CAST(sum(dec1) AS DECIMAL(38,2)) AS a1, "
+                "CAST(sum(meta.n) AS BIGINT) AS a2 "
+                "FROM maintv GROUP BY g0 "
+                "ORDER BY g0 ASC NULLS FIRST")
+    s = T[t]
+    if rng.random() < 0.5:
+        cols = s['pk'] + rng.sample(s['ints'] + s['strs'] + s['dbls'] + s['tss'],
+                                    rng.randint(1, 3))
+        seen, sel = set(), []
+        for c in cols:
+            if c not in seen:
+                seen.add(c); sel.append(f"{c} AS c{len(sel)}")
+        names = [f"c{i}" for i in range(len(sel))]
+        return (f"SELECT {', '.join(sel)} FROM maintv "
+                f"{order_by(names)}")
+    g = rng.choice(s['strs'] + s['ints'])
+    aggs = ["CAST(count(*) AS BIGINT) AS a0",
+            f"CAST(sum({rng.choice(s['ints'])}) AS BIGINT) AS a1"]
+    if s['dbls']:
+        aggs.append(f"CAST(sum(CAST({rng.choice(s['dbls'])} AS DECIMAL(18,2))) AS DOUBLE) AS a2")
+    names = ["g0"] + [a.split(" AS ")[-1] for a in aggs]
+    return (f"SELECT {g} AS g0, {', '.join(aggs)} FROM maintv "
+            f"GROUP BY g0 {order_by(names)}")
+
+SEP = "\u0001"
+SEP = SEP.encode().decode('unicode_escape')
+
+def q_maint():
+    """returns (spark maintenance DSL, duckdb multi-statement twin)."""
+    t = rng.choice(MAINT_TABLES)
+    kind = rng.choice(['del', 'dvdel', 'dvdel_fold', 'dvdel_dvdel',
+                       'update', 'dvdel_update', 'del_compact',
+                       'dvdel_dvdel_fold'])
+    ops_spark, ops_duck = [], []
+    def add_del(mode):
+        pr = maint_pred(t)
+        ops_spark.append(f"op={mode}{SEP}{pr}")
+        ops_duck.append(f"DELETE FROM maintv WHERE {pr};")
+    def add_update():
+        pr = maint_pred(t)
+        sets = maint_sets(t)
+        ops_spark.append("op=update" + SEP + pr + SEP +
+                         ";".join(f"{c}:={e}" for c, e in sets))
+        ops_duck.append("UPDATE maintv SET " +
+                        ", ".join(f"{c} = {e}" for c, e in sets) +
+                        f" WHERE {pr};")
+    if kind == 'del': add_del('del')
+    elif kind == 'dvdel': add_del('dvdel')
+    elif kind == 'dvdel_fold': add_del('dvdel'); ops_spark.append("op=fold")
+    elif kind == 'dvdel_dvdel': add_del('dvdel'); add_del('dvdel')
+    elif kind == 'update': add_update()
+    elif kind == 'dvdel_update': add_del('dvdel'); add_update()
+    elif kind == 'del_compact': add_del('del'); ops_spark.append("op=compact")
+    else: add_del('dvdel'); add_del('dvdel'); ops_spark.append("op=fold")
+    sel = maint_select(t)
+    spark_dsl = "\n".join(["--GRAFT-MAINT--", f"table={t}"] + ops_spark +
+                           [f"select={sel}"])
+    spark_dsl = spark_dsl.replace("\\n", "\n")
+    duck_sql = (f"CREATE OR REPLACE TEMP TABLE maintv AS SELECT * FROM {t};\n" +
+                "\n".join(ops_duck) + f"\n{sel}")
+    return spark_dsl, duck_sql
+
 GENS = [q_scan, q_agg, q_join, q_setop, q_subquery, q_window,
-        q_nested, q_nested_agg, q_decimal]
+        q_nested, q_nested_agg, q_decimal, q_nested_window]
 if '--nested' in sys.argv:   # focused nested/decimal-only batch
-    GENS = [q_nested, q_nested_agg, q_decimal]
+    GENS = [q_nested, q_nested_agg, q_decimal, q_nested_window]
 
-queries = {}
-for i in range(N):
-    queries[f"fz{i:04d}"] = GENS[i % len(GENS)]()
+queries = {}       # what DuckDB executes (and the printed sql on mismatch)
+spark_queries = {}  # what graft.FuzzRun executes (same unless --maintenance)
+if '--maintenance' in sys.argv:
+    for i in range(N):
+        sp, du = q_maint()
+        spark_queries[f"fz{i:04d}"] = sp
+        queries[f"fz{i:04d}"] = du
+else:
+    for i in range(N):
+        queries[f"fz{i:04d}"] = GENS[i % len(GENS)]()
+    spark_queries = queries
 
-json.dump(queries, open(QFILE, 'w'))
+json.dump(spark_queries, open(QFILE, 'w'))
 print(f"[fuzz] generated {len(queries)} queries (seed={SEED}) -> {QFILE}")
 
 if not SKIP_SPARK:
