@@ -31,6 +31,12 @@ class UnigramLMSpec extends AnyFunSuite {
     assert(vt.nll("t_000000") == -math.log(31.0 / vt.total))
   }
 
+  test("out-of-table token against an EXACT table fails loudly, never NaN") {
+    val vt = operators.UnigramLM.build(freqFrame(31), cap = 1000)
+    val e = intercept[IllegalStateException] { vt.nll("never_seen") }
+    assert(e.getMessage.contains("never_seen"))
+  }
+
   test("vocab > cap: driver state is exactly cap entries + unk bucket") {
     val types = 5000
     val cap = 64

@@ -240,6 +240,42 @@ class VortexDeleteSpec extends AnyFunSuite {
     assert(left.agg(sum("id")).head().getLong(0) == (100L until 1000L).sum)
   }
 
+  test("RuntimeReplaceable predicates (BETWEEN/nvl) evaluate correctly") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 1000L).map(i => (i, if (i % 10 == 0) None else Some(i * 2)))
+      .toDF("id", "v").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(dir)
+    // BETWEEN is RuntimeReplaceable (replacement = With/CommonExpressionRef
+    // in Spark 4): interpreted eval asserts unless rewritten first
+    val res = VortexDelete.delete(spark, dir,
+      col("id").between(100L, 199L) && expr("nvl(v, 0) >= 0"))
+    assert(res.rowsDeleted == 100L, res)
+    val left = spark.read.format("vortex").load(dir)
+    assert(left.count() == 900L)
+    assert(left.where(col("id").between(100L, 199L)).count() == 0L)
+    // update path too (predicate AND a RuntimeReplaceable SET expression)
+    graft.sources.vortex.VortexUpdate.update(spark, dir,
+      Map("v" -> expr("nvl(v, -1)")), col("id").between(200L, 209L))
+    val after = spark.read.format("vortex").load(dir)
+    assert(after.where(col("id") === 200L).head().getLong(1) == -1L) // was null
+    assert(after.where(col("id") === 201L).head().getLong(1) == 402L)
+  }
+
+  test("DELETE/UPDATE over an emptied dataset are no-ops, not errors") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 100L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(dir)
+    val r1 = VortexDelete.delete(spark, dir, lit(true))
+    assert(r1.droppedFiles == 1 && r1.rowsDeleted == 100L, r1)
+    val r2 = VortexDelete.delete(spark, dir, col("id") < 10L)
+    assert(r2 == VortexDelete.DeleteResult(0, 0, 0, 0, 0L))
+    val r3 = graft.sources.vortex.VortexUpdate.update(spark, dir,
+      Map("v" -> lit(0L)), col("id") < 10L)
+    assert(r3.rewrittenFiles == 0 && r3.rowsUpdated == 0L, r3)
+  }
+
   test("rewritten files re-enter the manifest with sums and inherited bloom opt-ins") {
     import spark.implicits._
     val dir = tmp()
