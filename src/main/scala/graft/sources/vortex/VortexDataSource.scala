@@ -237,7 +237,13 @@ class VortexTable(schema: StructType, paths: Seq[String],
       s"vortex delete: untranslatable condition ${filters.mkString(", ")}")
     val cond = filters.flatMap(VortexDelete.filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    VortexDelete.delete(SparkSession.active, paths.head, cond)
+    val spark = SparkSession.active
+    // session-level tier switch for the SQL path: point deletes from
+    // pure SQL can take the row-mask sidecar tier (DeletionVector)
+    // instead of whole-file rewrites
+    val dv = spark.conf
+      .getOption("spark.graft.vortex.deletionVectors").exists(_.toBoolean)
+    VortexDelete.delete(spark, paths.head, cond, deletionVectors = dv)
   }
   override def schema(): StructType = schema
 

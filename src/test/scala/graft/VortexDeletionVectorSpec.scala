@@ -159,6 +159,20 @@ class VortexDeletionVectorSpec extends AnyFunSuite {
     assert(c.agg(sum("id")).head().getLong(0) == expect.sum)
   }
 
+  test("SQL DELETE FROM takes the mask tier under the session conf") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.vtx", "graft.sources.vortex.VortexCatalog")
+    s2.conf.set("spark.graft.vortex.deletionVectors", "true")
+    import s2.implicits._
+    val dir = tmp()
+    (0L until 1000L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(dir)
+    s2.sql(s"DELETE FROM vtx.`$dir` WHERE id = 77")
+    assert(dvFiles(dir).size == 1, "SQL delete did not write a mask sidecar")
+    val left = s2.read.format("vortex").load(dir)
+    assert(left.count() == 999L && left.where(col("id") === 77L).count() == 0L)
+  }
+
   test("partitioned layout: DV delete masks only inside the matching directory") {
     import spark.implicits._
     val dir = tmp()
