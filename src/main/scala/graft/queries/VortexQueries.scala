@@ -444,10 +444,14 @@ object VortexQueries {
       graft.sources.vortex.VortexDelete.delete(s, dir,
         col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0,
         deletionVectors = true)
+      // localCheckpoint(eager): the masked aggregate must MATERIALIZE
+      // before foldMasks removes the sidecars — a lazy frame would list
+      // the folded directory and silently compare folded-vs-folded
       val masked = s.read.format("vortex").load(dir)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .localCheckpoint(true)
       graft.sources.vortex.VortexMaintenance.foldMasks(s, dir)
       val folded = s.read.format("vortex").load(dir)
         .groupBy("o_orderstatus")

@@ -166,6 +166,11 @@ object DeletionVector {
   // ---- I/O (masks are immutable → cache by exact path) ------------------
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Mask]()
+  // bound the per-JVM cache: masks of folded/deleted files would
+  // otherwise accumulate for the executor's lifetime. The reset is
+  // crude (full clear past the cap) but keeps heap O(cap × mask size);
+  // re-reads after a clear are one small sequential GET each.
+  private val CacheCap = 4096
 
   /** test hook */
   def clearCache(): Unit = cache.clear()
@@ -179,6 +184,7 @@ object DeletionVector {
     val in = fs.open(maskPath)
     try in.readFully(0, buf) finally in.close()
     val m = fromBytes(buf)
+    if (cache.size >= CacheCap) cache.clear()
     cache.put(key, m)
     m
   }

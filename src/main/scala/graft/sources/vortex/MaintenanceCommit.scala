@@ -1,0 +1,108 @@
+package graft.sources.vortex
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.types.StructType
+
+/** The shared driver-side commit machinery of the row-level maintenance
+  * ops (DELETE / UPDATE / MERGE / foldMasks): per-file rename-in →
+  * delete-source → drop-sidecars, parallel dispatch, the per-schema
+  * stats-manifest write, and the stale-replacement repair that keeps
+  * the deterministic-name crash contract safe across DIFFERENT
+  * statements (one implementation — the four ops previously each
+  * carried a drifting copy). */
+private[vortex] object MaintenanceCommit {
+
+  /** One replacement to commit: rename `tmp` to `dstName` beside `src`,
+    * then delete `src` and all its mask sidecars. */
+  final case class Replacement(src: String, tmp: String, dstName: String)
+
+  def dropMasks(fs: FileSystem, maskBind: Map[String, (String, Seq[String])],
+                file: String): Unit =
+    maskBind.get(file).foreach(_._2.foreach(m =>
+      try fs.delete(new Path(m), false) catch { case _: Exception => () }))
+
+  /** Per-file commit order is rename-in THEN delete-source, so no
+    * committed state ever loses a surviving row. `op` names the
+    * statement in error messages. */
+  def commitOne(fs: FileSystem, op: String,
+                maskBind: Map[String, (String, Seq[String])],
+                r: Replacement): Unit = {
+    val src = new Path(r.src)
+    val tmp = new Path(r.tmp)
+    val dst = new Path(src.getParent, r.dstName)
+    // a stale replacement from a crashed prior run of this same
+    // statement: overwrite it (content identical by construction)
+    if (fs.exists(dst) && !fs.delete(dst, false))
+      throw new java.io.IOException(s"vortex $op: cannot replace stale $dst")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"vortex $op: rename failed for $dst")
+    if (!fs.delete(src, false))
+      throw new java.io.IOException(s"vortex $op: failed to delete replaced ${r.src}")
+    dropMasks(fs, maskBind, r.src)
+  }
+
+  /** Commit every replacement (parallel when >1 — metadata-only RPCs). */
+  def commitAll(fs: FileSystem, op: String,
+                maskBind: Map[String, (String, Seq[String])],
+                rs: Seq[Replacement]): Unit =
+    if (rs.length > 1)
+      java.util.Arrays.stream(rs.toArray).parallel()
+        .forEach(r => commitOne(fs, op, maskBind, r))
+    else rs.foreach(r => commitOne(fs, op, maskBind, r))
+
+  /** One stats-manifest write per replacement-file schema version (the
+    * manifest envelope records a single schema). */
+  def writeManifests(root: Path, conf: Configuration, opPrefix: String,
+                     entries: Seq[(String, StatsManifest.FileStats)]): Unit = {
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
+    entries.groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex.foreach {
+      case ((sj, group), i) =>
+        val schema =
+          try Some(org.apache.spark.sql.types.DataType.fromJson(sj)
+            .asInstanceOf[StructType])
+          catch { case _: Exception => None }
+        StatsManifest.write(root, conf, s"$opPrefix-$jobId-$i",
+          group.map(_._2).toIndexedSeq, schema)
+    }
+  }
+
+  /** Crash repair across DIFFERENT statements: the deterministic
+    * replacement names make a re-run of the SAME statement converge,
+    * but a crash that left a source F and its committed replacement
+    * (part-{delete|update|merge}-md5(F)) COEXISTING would let a later
+    * statement with a different predicate interleave against the pair
+    * and double-commit survivors. Every maintenance op calls this
+    * before planning: a replacement whose SOURCE still exists is
+    * provably the rename-in half of an uncommitted (failed) statement —
+    * drop it, restoring the pre-crash source as the single truth (the
+    * failed statement's contract is already "re-run to converge").
+    * Returns the number of stale replacements removed. */
+  def repairStaleReplacements(
+      fs: FileSystem,
+      listed: Seq[FileStatus]): Int = {
+    val names: Map[String, Seq[Path]] =
+      listed.map(_.getPath).groupBy(_.getParent.toString)
+        .flatMap { case (_, ps) =>
+          val present = ps.map(_.getName).toSet
+          ps.flatMap { p =>
+            val n = p.getName
+            Seq("part-delete-", "part-update-", "part-merge-").flatMap { pre =>
+              val repl = pre + VortexDelete.replacementName(n).stripPrefix("part-delete-")
+              if (present.contains(repl)) Some(repl -> Seq(new Path(p.getParent, repl)))
+              else None
+            }
+          }
+        }
+    var dropped = 0
+    names.values.flatten.foreach { stale =>
+      if (try fs.delete(stale, false) catch { case _: Exception => false }) {
+        dropped += 1
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"vortex maintenance: dropped stale replacement $stale " +
+          "(its source file still exists — a prior statement crashed mid-commit)")
+      }
+    }
+    dropped
+  }
+}

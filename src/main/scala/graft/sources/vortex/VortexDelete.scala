@@ -116,10 +116,18 @@ object VortexDelete {
   private[graft] def deleteImpl(spark: SparkSession, dir: String, predicate: Column,
                                 deletionVectors: Boolean = false,
                                 failAfterCommits: Int = -1): DeleteResult = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
+    // ONE listing walk serves the empty-check, the mask binding for
+    // commit-time cleanup, and the cross-statement stale-replacement
+    // repair (the plan below does its own listing — that one is
+    // inherent to the scan)
+    val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf)
     // a dataset a prior delete emptied has no schema to infer — the
     // delete is a no-op, not an error (matches DELETE on an empty table)
-    if (VortexDataSource.expand(Seq(dir), spark.sessionState.newHadoopConf()).isEmpty)
-      return DeleteResult(0, 0, 0, 0, 0L)
+    if (listed.isEmpty) return DeleteResult(0, 0, 0, 0, 0L)
+    MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
     val df = spark.read.format("vortex").load(dir)
     val filtered = df.filter(predicate)
 
@@ -152,15 +160,8 @@ object VortexDelete {
       case b: BatchScanExec => b
     }.flatMap(_.inputPartitions).collect { case v: VortexInputPartition => v }
 
-    val hconf = spark.sessionState.newHadoopConf()
-    val root = new Path(dir)
-    val fs = root.getFileSystem(hconf)
     val rootQ = fs.makeQualified(root).toString
     val manifest = StatsManifest.read(root, hconf)
-    // all mask sidecars per data file (for commit-time cleanup); the
-    // planned partitions already carry the NEWEST mask for reading
-    val maskBind: Map[String, (String, Seq[String])] =
-      VortexDataSource.listAllWithMasks(Seq(dir), hconf)._2
 
     val cands: Seq[Candidate] = parts.groupBy(_.file).toSeq.sortBy(_._1).map {
       case (file, ps) =>
@@ -196,9 +197,6 @@ object VortexDelete {
     // a surviving row; the deterministic replacement name makes a
     // re-run after any crash converge (see the crash contract above).
     val committed = new java.util.concurrent.atomic.AtomicInteger(0)
-    def dropMasks(file: String): Unit =
-      maskBind.get(file).foreach(_._2.foreach(m =>
-        try fs.delete(new Path(m), false) catch { case _: Exception => () }))
     def commitOne(o: FileOutcome): Unit = {
       if (failAfterCommits >= 0 && committed.get() >= failAfterCommits)
         throw new RuntimeException(
@@ -208,30 +206,22 @@ object VortexDelete {
         case 1 =>
           if (!fs.delete(src, false))
             throw new java.io.IOException(s"vortex delete: failed to delete ${o.file}")
-          dropMasks(o.file)
+          MaintenanceCommit.dropMasks(fs, maskBind, o.file)
         case 2 =>
-          val tmp = new Path(o.tmp.get)
-          val dst = new Path(src.getParent, o.dstName.get)
-          // a stale replacement from a crashed prior run of this same
-          // delete: overwrite it (content is identical by construction)
-          if (fs.exists(dst) && !fs.delete(dst, false))
-            throw new java.io.IOException(s"vortex delete: cannot replace stale $dst")
-          if (!fs.rename(tmp, dst))
-            throw new java.io.IOException(s"vortex delete: rename failed for $dst")
-          if (!fs.delete(src, false))
-            throw new java.io.IOException(s"vortex delete: failed to delete replaced ${o.file}")
-          dropMasks(o.file) // the replacement has the masks folded in
+          MaintenanceCommit.commitOne(fs, "delete", maskBind,
+            MaintenanceCommit.Replacement(o.file, o.tmp.get, o.dstName.get))
         case 3 =>
           // deletion-vector commit: the union mask renames in under
           // seq+1, THEN older seqs drop (best effort — a crash between
-          // leaves both; readers bind the newest, a superset)
+          // leaves both; readers bind the newest, a superset). Only
+          // PRE-JOB masks are in maskBind — never the new one.
           val tmp = new Path(o.tmp.get)
           val dst = new Path(src.getParent, o.dstName.get)
           if (fs.exists(dst) && !fs.delete(dst, false))
             throw new java.io.IOException(s"vortex delete: cannot replace stale mask $dst")
           if (!fs.rename(tmp, dst))
             throw new java.io.IOException(s"vortex delete: mask rename failed for $dst")
-          dropMasks(o.file) // only PRE-JOB masks are in maskBind — never the new one
+          MaintenanceCommit.dropMasks(fs, maskBind, o.file)
         case _ =>
       }
       committed.incrementAndGet()
@@ -246,17 +236,8 @@ object VortexDelete {
     // one manifest commit per replacement-file schema (compact's rule:
     // the manifest envelope records a single schema). Entries were
     // built on the executors; the driver only groups and writes.
-    val jobId = java.util.UUID.randomUUID().toString.take(8)
-    outcomes.toSeq.flatMap(o => o.entry.map(e => (o.schemaJson.get, e)))
-      .groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex.foreach {
-        case ((sj, group), i) =>
-          val schema =
-            try Some(org.apache.spark.sql.types.DataType.fromJson(sj)
-              .asInstanceOf[StructType])
-            catch { case _: Exception => None }
-          StatsManifest.write(root, hconf, s"delete-$jobId-$i",
-            group.map(_._2).toIndexedSeq, schema)
-      }
+    MaintenanceCommit.writeManifests(root, hconf, "delete",
+      outcomes.toSeq.flatMap(o => o.entry.map(e => (o.schemaJson.get, e))))
 
     DeleteResult(cands.length,
       outcomes.count(_.status == 0),
@@ -437,7 +418,9 @@ object VortexDelete {
         val defs = w.defs.map(d => d.id -> d.child).toMap
         replaceRuntime(w.child.transformUp {
           case ref: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
-            defs(ref.id)
+            // a ref bound to an OUTER With's def is legal — leave it
+            // for the outer pass instead of throwing
+            defs.getOrElse(ref.id, ref)
         })
     }
 

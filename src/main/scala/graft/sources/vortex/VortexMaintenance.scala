@@ -137,29 +137,11 @@ object VortexMaintenance {
         (file, tmp.toString, dstName, dropped, entry, tmpFooter.schema.json)
     }.collect()
 
-    // driver commit: rename-in, delete source + its sidecars
-    results.foreach { case (file, tmp, dstName, _, _, _) =>
-      val src = new Path(file)
-      val dst = new Path(src.getParent, dstName)
-      if (fs.exists(dst) && !fs.delete(dst, false))
-        throw new java.io.IOException(s"vortex foldMasks: cannot replace stale $dst")
-      if (!fs.rename(new Path(tmp), dst))
-        throw new java.io.IOException(s"vortex foldMasks: rename failed for $dst")
-      if (!fs.delete(src, false))
-        throw new java.io.IOException(s"vortex foldMasks: failed to delete $file")
-      maskBind(file)._2.foreach(m =>
-        try fs.delete(new Path(m), false) catch { case _: Exception => () })
-    }
-    val jobId = java.util.UUID.randomUUID().toString.take(8)
-    results.toSeq.map(r => (r._6, r._5)).groupBy(_._1).toSeq.sortBy(_._1)
-      .zipWithIndex.foreach { case ((sj, group), i) =>
-        val schema =
-          try Some(org.apache.spark.sql.types.DataType.fromJson(sj)
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
-          catch { case _: Exception => None }
-        StatsManifest.write(root, hconf, s"fold-$jobId-$i",
-          group.map(_._2).toIndexedSeq, schema)
-      }
+    // driver commit + manifest write: the shared machinery (VortexCommit)
+    MaintenanceCommit.commitAll(fs, "foldMasks", maskBind,
+      results.toSeq.map(r => MaintenanceCommit.Replacement(r._1, r._2, r._3)))
+    MaintenanceCommit.writeManifests(root, hconf, "fold",
+      results.toSeq.map(r => (r._6, r._5)))
     FoldResult(results.length, results.map(_._4).sum)
   }
 

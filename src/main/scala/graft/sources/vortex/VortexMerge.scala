@@ -55,6 +55,14 @@ object VortexMerge {
             maxSourceRows: Int = 1 << 20,
             pushKeyLimit: Int = 10000): MergeResult = {
     require(keyCols.nonEmpty, "vortex merge: no key columns")
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
+    // one listing walk (mask binding + stale-replacement repair), BEFORE
+    // the target loads: planning must never see a stale replacement the
+    // repair is about to drop
+    val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf)
+    MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
     val target = spark.read.format("vortex").load(dir)
     val tSchema = target.schema
     keyCols.foreach(k => require(tSchema.fieldNames.contains(k),
@@ -72,24 +80,38 @@ object VortexMerge {
     val srcRows: Array[org.apache.spark.sql.catalyst.InternalRow] = capped
     val keyIdx: Array[Int] = keyCols.map(tSchema.fieldIndex).toArray
     val keyTypes = keyIdx.map(tSchema.fields(_).dataType)
+    // NULL-key contract (ANSI MERGE: NULL matches nothing): source rows
+    // with any NULL key component never match — they are pure inserts —
+    // and null-key TARGET rows are never replaced. Keys normalize
+    // through VortexMergeSupport.keyOf (binary keys wrap to value-
+    // equality Seqs; Array[Byte] compares by reference otherwise).
     def keyOf(r: org.apache.spark.sql.catalyst.InternalRow): Seq[Any] =
-      keyIdx.indices.map(j => r.get(keyIdx(j), keyTypes(j)))
+      VortexMergeSupport.keyOf(r, keyIdx, keyTypes)
     locally {
       val seen = new scala.collection.mutable.HashSet[Seq[Any]]
       srcRows.foreach { r =>
         val k = keyOf(r)
-        require(seen.add(k), s"vortex merge: duplicate source key $k")
+        if (k != null) // null-key rows are inserts; duplicates among them allowed
+          require(seen.add(k), s"vortex merge: duplicate source key $k")
       }
     }
     val bcRows = spark.sparkContext.broadcast(srcRows)
 
     // candidate planning: push `key IN (...)` when the key set is small
     // (single-col keys) — manifest/bloom/partition pruning applies;
-    // otherwise all files are candidates
+    // otherwise all files are candidates. Pushed only for key types
+    // whose storage→literal conversion is defined (integral / string /
+    // boolean / decimal); timestamp/date/binary keys skip the push
+    // (correct, just unpruned). NULL keys are dropped from the IN list
+    // (they match nothing — see the contract above), which stays sound
+    // because null-key target rows can never be replaced anyway.
     val keyValuesForPush: Option[Seq[Any]] =
-      if (keyCols.length == 1 && srcRows.length <= pushKeyLimit) {
+      if (keyCols.length == 1 && srcRows.length <= pushKeyLimit &&
+          VortexMergeSupport.pushableKeyType(keyTypes(0))) {
         val dt = keyTypes(0)
-        Some(srcRows.toSeq.map(r => VortexMergeSupport.toExternal(r.get(keyIdx(0), dt), dt)))
+        val vs = srcRows.toSeq.map(_.get(keyIdx(0), dt)).filter(_ != null)
+          .map(VortexMergeSupport.toExternal(_, dt))
+        if (vs.nonEmpty) Some(vs) else None
       } else None
     val filtered = keyValuesForPush match {
       case Some(vs) => target.filter(col(s"`${keyCols.head}`").isInCollection(vs))
@@ -99,12 +121,8 @@ object VortexMerge {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }.flatMap(_.inputPartitions).collect { case v: VortexInputPartition => v }
 
-    val hconf = spark.sessionState.newHadoopConf()
-    val root = new Path(dir)
-    val fs = root.getFileSystem(hconf)
     val rootQ = fs.makeQualified(root).toString
     val manifest = StatsManifest.read(root, hconf)
-    val maskBind = VortexDataSource.listAllWithMasks(Seq(dir), hconf)._2
 
     // (file, partCols, partValues, bloomCols, sketchCols, dstName, relDir, mask)
     val cands = parts.groupBy(_.file).toSeq.sortBy(_._1).map { case (file, ps) =>
@@ -128,34 +146,12 @@ object VortexMerge {
           bcRows.value, sconf.value)
       }.collect()
 
-    // driver commit: replace half (same shape as UPDATE's)
+    // driver commit + manifest write: the shared machinery (VortexCommit)
     val destructive = outcomes.filter(_.rewritten)
-    def commitOne(o: VortexMergeSupport.Outcome): Unit = {
-      val src = new Path(o.file)
-      val tmp = new Path(o.tmp)
-      val dst = new Path(src.getParent, o.dstName)
-      if (fs.exists(dst) && !fs.delete(dst, false))
-        throw new java.io.IOException(s"vortex merge: cannot replace stale $dst")
-      if (!fs.rename(tmp, dst))
-        throw new java.io.IOException(s"vortex merge: rename failed for $dst")
-      if (!fs.delete(src, false))
-        throw new java.io.IOException(s"vortex merge: failed to delete replaced ${o.file}")
-      maskBind.get(o.file).foreach(_._2.foreach(m =>
-        try fs.delete(new Path(m), false) catch { case _: Exception => () }))
-    }
-    if (destructive.length > 1)
-      java.util.Arrays.stream(destructive).parallel().forEach(o => commitOne(o))
-    else destructive.foreach(commitOne)
-
-    val jobId = java.util.UUID.randomUUID().toString.take(8)
-    outcomes.toSeq.filter(_.rewritten).map(o => (o.schemaJson, o.entry))
-      .groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex.foreach { case ((sj, group), i) =>
-        val schema =
-          try Some(org.apache.spark.sql.types.DataType.fromJson(sj).asInstanceOf[StructType])
-          catch { case _: Exception => None }
-        StatsManifest.write(root, hconf, s"merge-$jobId-$i",
-          group.map(_._2).toIndexedSeq, schema)
-      }
+    MaintenanceCommit.commitAll(fs, "merge", maskBind,
+      destructive.toSeq.map(o => MaintenanceCommit.Replacement(o.file, o.tmp, o.dstName)))
+    MaintenanceCommit.writeManifests(root, hconf, "merge",
+      destructive.toSeq.map(o => (o.schemaJson, o.entry)))
 
     // append half: source rows no file matched. The driver holds the
     // (bounded) source already; unmatched rows append through the
@@ -197,6 +193,39 @@ private[vortex] object VortexMergeSupport {
     case other => other
   }
 
+  /** key types whose storage value converts to a pushable literal via
+    * [[toExternal]] — timestamp/date (micros/days longs would build
+    * a type-mismatched IN) and binary are excluded */
+  def pushableKeyType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           BooleanType | StringType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** normalized key of a row, or null when ANY component is NULL
+    * (ANSI MERGE: NULL matches nothing). Array[Byte] components wrap
+    * to Seqs so binary keys get value equality. */
+  def keyOf(r: org.apache.spark.sql.catalyst.InternalRow,
+            keyIdx: Array[Int],
+            keyTypes: Array[org.apache.spark.sql.types.DataType]): Seq[Any] = {
+    val out = new Array[Any](keyIdx.length)
+    var j = 0
+    while (j < keyIdx.length) {
+      val v = r.get(keyIdx(j), keyTypes(j))
+      if (v == null) return null
+      out(j) = v match {
+        case a: Array[Byte] => a.toSeq
+        case o => o
+      }
+      j += 1
+    }
+    out.toSeq
+  }
+
   def processFile(c: (String, Array[String], Array[String], Set[String], Set[String], String, String, String),
                   tSchema: StructType, keyIdx: Array[Int],
                   keyTypes: Array[org.apache.spark.sql.types.DataType],
@@ -208,25 +237,27 @@ private[vortex] object VortexMergeSupport {
     val footer = VortexFileReader.readFooter(path, conf)
 
     // key → source ordinal (built per task from the broadcast array;
-    // UTF8String/Decimal/boxed numerics all have value equality)
+    // normalized via keyOf: value equality incl. binary, NULL keys
+    // excluded — they match nothing)
     val byKey = new java.util.HashMap[Seq[Any], java.lang.Integer](srcRows.length * 2)
     var si = 0
     while (si < srcRows.length) {
-      byKey.put(keyIdx.indices.map(j => srcRows(si).get(keyIdx(j), keyTypes(j))), si)
+      val k = keyOf(srcRows(si), keyIdx, keyTypes)
+      if (k != null) byKey.put(k, si)
       si += 1
     }
 
     // pass 1: probe key columns only (mask-aware: dead rows can't match)
     val keySchema = StructType(keyIdx.map(tSchema.fields(_)))
+    val probeIdx = keyIdx.indices.toArray // key cols are 0..n-1 in keySchema
     val matchedSet = new java.util.BitSet(srcRows.length)
     locally {
       val part = VortexInputPartition(file, footer.chunks.indices.toArray,
         partCols, partValues, maskFile = maskFile)
       val r = new VortexPartitionReader(part, conf, keySchema, evolution = true)
       try while (r.next()) {
-        val row = r.get()
-        val k = keyTypes.indices.map(j => row.get(j, keyTypes(j)))
-        val hit = byKey.get(k)
+        val k = keyOf(r.get(), probeIdx, keyTypes)
+        val hit = if (k == null) null else byKey.get(k)
         if (hit != null) matchedSet.set(hit.intValue())
       } finally r.close()
     }
@@ -248,8 +279,8 @@ private[vortex] object VortexMergeSupport {
       val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fileFields.length)
       try while (r.next()) {
         val row = r.get()
-        val k = keyIdx.indices.map(j => row.get(keyIdx(j), keyTypes(j)))
-        val hit = byKey.get(k)
+        val k = keyOf(row, keyIdx, keyTypes)
+        val hit = if (k == null) null else byKey.get(k)
         val src = if (hit != null) { updated += 1; srcRows(hit.intValue()) } else row
         var i = 0
         while (i < slot.length) {

@@ -65,9 +65,15 @@ object VortexUpdate {
   def update(spark: SparkSession, dir: String,
              assignments: Map[String, Column], predicate: Column): UpdateResult = {
     require(assignments.nonEmpty, "vortex update: no SET assignments")
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
+    // one listing walk: empty-check + mask binding + stale-replacement
+    // repair (see VortexDelete — identical discipline)
+    val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf)
     // UPDATE over a dataset a delete emptied is a no-op, not an error
-    if (VortexDataSource.expand(Seq(dir), spark.sessionState.newHadoopConf()).isEmpty)
-      return UpdateResult(0, 0, 0, 0L)
+    if (listed.isEmpty) return UpdateResult(0, 0, 0, 0L)
+    MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
     val df = spark.read.format("vortex").load(dir)
     val tableCols = df.schema.fieldNames.toSet
     assignments.keys.foreach(k => require(tableCols.contains(k),
@@ -115,13 +121,8 @@ object VortexUpdate {
       case b: BatchScanExec => b
     }.flatMap(_.inputPartitions).collect { case v: VortexInputPartition => v }
 
-    val hconf = spark.sessionState.newHadoopConf()
-    val root = new Path(dir)
-    val fs = root.getFileSystem(hconf)
     val rootQ = fs.makeQualified(root).toString
     val manifest = StatsManifest.read(root, hconf)
-    val maskBind: Map[String, (String, Seq[String])] =
-      VortexDataSource.listAllWithMasks(Seq(dir), hconf)._2
 
     val cands: Seq[Candidate] = parts.groupBy(_.file).toSeq.sortBy(_._1).map {
       case (file, ps) =>
@@ -147,36 +148,12 @@ object VortexUpdate {
         boundProj, sconf.value))
       .collect()
 
-    // driver commit (metadata-only; parallel), same shape as DELETE's
-    def commitOne(o: FileOutcome): Unit = if (o.rewritten) {
-      val src = new Path(o.file)
-      val tmp = new Path(o.tmp.get)
-      val dst = new Path(src.getParent, o.dstName.get)
-      if (fs.exists(dst) && !fs.delete(dst, false))
-        throw new java.io.IOException(s"vortex update: cannot replace stale $dst")
-      if (!fs.rename(tmp, dst))
-        throw new java.io.IOException(s"vortex update: rename failed for $dst")
-      if (!fs.delete(src, false))
-        throw new java.io.IOException(s"vortex update: failed to delete replaced ${o.file}")
-      maskBind.get(o.file).foreach(_._2.foreach(m =>
-        try fs.delete(new Path(m), false) catch { case _: Exception => () }))
-    }
-    val destructive = outcomes.filter(_.rewritten)
-    if (destructive.length > 1)
-      java.util.Arrays.stream(destructive).parallel().forEach(o => commitOne(o))
-    else destructive.foreach(commitOne)
-
-    val jobId = java.util.UUID.randomUUID().toString.take(8)
-    outcomes.toSeq.flatMap(o => o.entry.map(e => (o.schemaJson.get, e)))
-      .groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex.foreach {
-        case ((sj, group), i) =>
-          val schema =
-            try Some(org.apache.spark.sql.types.DataType.fromJson(sj)
-              .asInstanceOf[StructType])
-            catch { case _: Exception => None }
-          StatsManifest.write(root, hconf, s"update-$jobId-$i",
-            group.map(_._2).toIndexedSeq, schema)
-      }
+    // driver commit + manifest write: the shared machinery (VortexCommit)
+    MaintenanceCommit.commitAll(fs, "update", maskBind,
+      outcomes.toSeq.filter(_.rewritten).map(o =>
+        MaintenanceCommit.Replacement(o.file, o.tmp.get, o.dstName.get)))
+    MaintenanceCommit.writeManifests(root, hconf, "update",
+      outcomes.toSeq.flatMap(o => o.entry.map(e => (o.schemaJson.get, e))))
 
     UpdateResult(cands.length,
       outcomes.count(!_.rewritten),

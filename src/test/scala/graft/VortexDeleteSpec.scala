@@ -240,6 +240,37 @@ class VortexDeleteSpec extends AnyFunSuite {
     assert(left.agg(sum("id")).head().getLong(0) == (100L until 1000L).sum)
   }
 
+  test("crash-window pair + a DIFFERENT statement: stale replacement repaired, no dup") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 1000L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(hconf)
+    val src = fs.listStatus(new Path(dir))
+      .map(_.getPath).find(_.getName.endsWith(".vortex")).get
+    // stage the narrowest crash window (replacement renamed in, source
+    // delete lost) for a delete of id < 100
+    val dstName = VortexDelete.replacementName(src.getName)
+    spark.read.format("vortex").load(dir).where(col("id") >= 100L)
+      .coalesce(1).write.format("vortex").mode("overwrite").save(dir + "_st")
+    val staged = fs.listStatus(new Path(dir + "_st"))
+      .map(_.getPath).find(_.getName.endsWith(".vortex")).get
+    fs.rename(staged, new Path(new Path(dir), dstName))
+    assert(spark.read.format("vortex").load(dir).count() == 1900L) // dup window
+    // now a DIFFERENT delete runs: the stale replacement must be
+    // repaired away first, or survivors outside both predicates would
+    // commit twice
+    val res = VortexDelete.delete(spark, dir, col("id") >= 900L)
+    assert(res.rowsDeleted == 100L, res)
+    val left = spark.read.format("vortex").load(dir)
+    assert(left.count() == 900L) // ids 0..899 exactly once
+    assert(left.agg(sum("id")).head().getLong(0) == (0L until 900L).sum)
+    // note: the repaired state resurrects id<100 (the crashed statement
+    // FAILED; its contract is re-run-to-converge) — prove they're back
+    assert(left.where(col("id") < 100L).count() == 100L)
+  }
+
   test("RuntimeReplaceable predicates (BETWEEN/nvl) evaluate correctly") {
     import spark.implicits._
     val dir = tmp()

@@ -114,6 +114,40 @@ class VortexMergeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate source key"))
   }
 
+  test("timestamp keys merge correctly (pushdown skipped, not mis-typed)") {
+    import spark.implicits._
+    val dir = tmp()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600L * 1000)
+    (0 until 50).map(i => (ts(i), i.toLong)).toDF("k", "v").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(dir)
+    val res = VortexMerge.merge(spark, dir,
+      Seq((ts(7), -7L), (ts(999), -999L)).toDF("k", "v"), Seq("k"))
+    assert(res.rowsUpdated == 1L && res.rowsInserted == 1L, res)
+    val after = spark.read.format("vortex").load(dir)
+    assert(after.count() == 51L)
+    assert(after.where(col("v") === -7L).count() == 1L)
+  }
+
+  test("binary keys use value equality; NULL keys never match (ANSI)") {
+    import spark.implicits._
+    val dir = tmp()
+    (Seq((Array[Byte](1, 2, 3), 1L), (Array[Byte](4, 5), 2L)) :+
+      ((null: Array[Byte], 3L)))
+      .toDF("k", "v").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(dir)
+    val src = Seq((Array[Byte](1, 2, 3), 10L), // matches by VALUE
+                  (null: Array[Byte], 30L))    // NULL: never matches → insert
+      .toDF("k", "v")
+    val res = VortexMerge.merge(spark, dir, src, Seq("k"))
+    assert(res.rowsUpdated == 1L && res.rowsInserted == 1L, res)
+    val after = spark.read.format("vortex").load(dir)
+    assert(after.count() == 4L)
+    assert(after.where(col("v") === 10L).count() == 1L) // replaced
+    assert(after.where(col("v") === 3L).count() == 1L)  // null-key target kept
+    assert(after.where(col("v") === 30L).count() == 1L) // null-key source inserted
+  }
+
   test("source cap is a loud contract") {
     import spark.implicits._
     val dir = tmp()

@@ -481,8 +481,7 @@ def maint_select(t):
     return (f"SELECT {g} AS g0, {', '.join(aggs)} FROM maintv "
             f"GROUP BY g0 {order_by(names)}")
 
-SEP = "\u0001"
-SEP = SEP.encode().decode('unicode_escape')
+SEP = '\x01'  # FuzzRun's MaintSep (U+0001 field separator)
 
 def q_maint():
     """returns (spark maintenance DSL, duckdb multi-statement twin)."""
@@ -514,7 +513,6 @@ def q_maint():
     sel = maint_select(t)
     spark_dsl = "\n".join(["--GRAFT-MAINT--", f"table={t}"] + ops_spark +
                            [f"select={sel}"])
-    spark_dsl = spark_dsl.replace("\\n", "\n")
     duck_sql = (f"CREATE OR REPLACE TEMP TABLE maintv AS SELECT * FROM {t};\n" +
                 "\n".join(ops_duck) + f"\n{sel}")
     return spark_dsl, duck_sql
