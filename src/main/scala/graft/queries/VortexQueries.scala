@@ -500,6 +500,47 @@ object VortexQueries {
       |FROM graft_upd GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
 
+  // S15-DV: the same update through the MERGE-ON-READ tier — matching
+  // rows are masked dead in their file's sidecar and their updated
+  // images are appended as a fresh file (VortexUpdate deletionVectors;
+  // a point update costs O(updated rows), not a whole-file rewrite).
+  // The masked read must agree with the post-fold read (INTERSECT
+  // proves it, like s14_vortex_delete_dv).
+  spark("s15_vortex_update_dv",
+    (s, d) => {
+      val dir = vdir("update_s15dv", d)
+      Tables.t(s, d, "orders")
+        .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+        .write.format("vortex").mode("overwrite").save(dir)
+      graft.sources.vortex.VortexUpdate.update(s, dir,
+        Map("o_totalprice" -> (col("o_totalprice") + 1000.0),
+            "o_orderpriority" -> lit("5-RESCORED")),
+        col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0,
+        deletionVectors = true)
+      // localCheckpoint(eager): materialize the masked read BEFORE
+      // foldMasks removes the sidecars (the s14dv lesson)
+      val masked = s.read.format("vortex").load(dir)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .localCheckpoint(true)
+      graft.sources.vortex.VortexMaintenance.foldMasks(s, dir)
+      val folded = s.read.format("vortex").load(dir)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      masked.intersect(folded).orderBy("o_orderstatus", "o_orderpriority")
+    },
+    """CREATE OR REPLACE TEMP TABLE graft_upd_dv AS SELECT * FROM orders;
+      |UPDATE graft_upd_dv SET o_totalprice = o_totalprice + 1000.0,
+      |                        o_orderpriority = '5-RESCORED'
+      |WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0;
+      |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM graft_upd_dv GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+
   // S16: MERGE (whole-row upsert) over a vortex dataset (VortexMerge):
   // a deterministic source derived from customer — every key ≡ 7
   // (mod 100) re-scored (match → replace), the same rows re-keyed

@@ -46,8 +46,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * over a masked file — min/max/bloom pruning stays sound (a mask only
   * removes rows) but stats-ANSWERED aggregates and pushed-LIMIT
   * row accounting must not trust rowCount, so both disable for masked
-  * datasets. The streaming micro-batch source is append-only corpus
-  * ingest and does not apply masks (documented contract).
+  * datasets. The streaming micro-batch source binds the newest sidecar
+  * at micro-batch planning (VortexMicroBatchStream): a file masked
+  * BEFORE it streams serves live rows only; rows masked AFTER their
+  * file already streamed are not retracted (append-only stream
+  * contract), and a crash-replayed batch re-reads with the newest
+  * mask — fewer rows possible on replay, resurrected rows never.
   */
 object DeletionVector {
 

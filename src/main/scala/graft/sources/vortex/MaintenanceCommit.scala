@@ -81,26 +81,76 @@ private[vortex] object MaintenanceCommit {
   def repairStaleReplacements(
       fs: FileSystem,
       listed: Seq[FileStatus]): Int = {
-    val names: Map[String, Seq[Path]] =
-      listed.map(_.getPath).groupBy(_.getParent.toString)
+    // a Seq, NOT a basename-keyed Map: the partitioned writer reuses one
+    // basename across every partition directory a task writes, so a
+    // crash can leave stale pairs in SEVERAL directories at once — all
+    // of them must repair, not just one per name
+    val stalePaths: Seq[Path] =
+      listed.map(_.getPath).groupBy(_.getParent.toString).toSeq
         .flatMap { case (_, ps) =>
           val present = ps.map(_.getName).toSet
           ps.flatMap { p =>
-            val n = p.getName
-            Seq("part-delete-", "part-update-", "part-merge-").flatMap { pre =>
-              val repl = pre + VortexDelete.replacementName(n).stripPrefix("part-delete-")
-              if (present.contains(repl)) Some(repl -> Seq(new Path(p.getParent, repl)))
-              else None
-            }
+            val hash = VortexDelete.replacementName(p.getName)
+              .stripPrefix("part-delete-")
+            Seq("part-delete-", "part-update-", "part-merge-", "part-fold-")
+              .collect { case pre if present.contains(pre + hash) =>
+                new Path(p.getParent, pre + hash) }
           }
         }
     var dropped = 0
-    names.values.flatten.foreach { stale =>
+    stalePaths.foreach { stale =>
       if (try fs.delete(stale, false) catch { case _: Exception => false }) {
         dropped += 1
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"vortex maintenance: dropped stale replacement $stale " +
           "(its source file still exists — a prior statement crashed mid-commit)")
+      }
+    }
+    dropped
+  }
+
+  private val UpdvName = "^part-updv-([0-9a-f]{16})-(\\d+)\\.vortex$".r
+
+  /** Crash repair for the merge-on-read UPDATE tier: its per-file
+    * commit is append-updated-rows THEN mask-old-rows, so a crash
+    * between the two leaves the updated rows appended while the old
+    * rows are still live — a duplicate that would otherwise survive
+    * until the same statement re-runs. The append name carries the
+    * mask seq it pairs with (`part-updv-<md5(src)>-<seq>.vortex`): an
+    * updv file whose SOURCE still exists with newest mask seq < seq is
+    * provably that orphaned append half — drop it, restoring the
+    * pre-statement state (the failed statement's contract is re-run to
+    * converge). A committed updv file (source's mask seq ≥ its seq, or
+    * source gone — e.g. folded away) is live data and is never
+    * touched. Returns the number of orphans removed. */
+  def repairStaleUpdvAppends(
+      fs: FileSystem,
+      listed: Seq[FileStatus],
+      maskBind: Map[String, (String, Seq[String])]): Int = {
+    def newestSeq(file: Path): Int =
+      maskBind.get(file.toString).map(_._2.flatMap(m =>
+        DeletionVector.parseName(new Path(m).getName).map(_._2))
+        .foldLeft(0)(math.max)).getOrElse(0)
+    var dropped = 0
+    listed.map(_.getPath).groupBy(_.getParent.toString).foreach { case (_, ps) =>
+      val hashOf: Map[String, Path] = ps.map(p =>
+        VortexDelete.replacementName(p.getName)
+          .stripPrefix("part-delete-").stripSuffix(".vortex") -> p).toMap
+      ps.foreach { p =>
+        p.getName match {
+          case UpdvName(h, s) =>
+            hashOf.get(h).foreach { src =>
+              if (s.toInt > newestSeq(src) &&
+                  (try fs.delete(p, false) catch { case _: Exception => false })) {
+                dropped += 1
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"vortex maintenance: dropped orphaned update append $p " +
+                  s"(source $src has no mask at seq ${s.toInt} — a prior " +
+                  "UPDATE crashed between its append and mask commits)")
+              }
+            }
+          case _ =>
+        }
       }
     }
     dropped

@@ -128,6 +128,7 @@ object VortexDelete {
     // delete is a no-op, not an error (matches DELETE on an empty table)
     if (listed.isEmpty) return DeleteResult(0, 0, 0, 0, 0L)
     MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
+    MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
     val df = spark.read.format("vortex").load(dir)
     val filtered = df.filter(predicate)
 

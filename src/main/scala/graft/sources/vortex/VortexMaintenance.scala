@@ -79,7 +79,19 @@ object VortexMaintenance {
     val root = new Path(dir)
     val fs = root.getFileSystem(hconf)
     val rootQ = fs.makeQualified(root).toString
-    val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf)
+    // cross-statement stale-replacement repair (same discipline as
+    // DELETE/UPDATE/MERGE): a fold that crashed between rename-in and
+    // delete-source leaves the masked source and its part-fold-
+    // replacement coexisting — drop the replacement before planning or
+    // survivor rows read twice, and re-list so planning never sees it
+    val (listed0, maskBind0) = VortexDataSource.listAllWithMasks(Seq(dir), hconf)
+    if (listed0.isEmpty) return FoldResult(0, 0L)
+    val repaired = MaintenanceCommit.repairStaleReplacements(fs, listed0.map(_._1)) +
+      MaintenanceCommit.repairStaleUpdvAppends(fs, listed0.map(_._1), maskBind0)
+    // re-list only when the repair actually dropped files
+    val (listed, maskBind) =
+      if (repaired == 0) (listed0, maskBind0)
+      else VortexDataSource.listAllWithMasks(Seq(dir), hconf)
     val targets = listed.map(_._1.getPath)
       .filter(p => maskBind.contains(p.toString))
       .sortBy(_.toString)

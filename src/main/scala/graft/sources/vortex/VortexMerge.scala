@@ -63,6 +63,7 @@ object VortexMerge {
     // repair is about to drop
     val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf)
     MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
+    MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
     val target = spark.read.format("vortex").load(dir)
     val tSchema = target.schema
     keyCols.foreach(k => require(tSchema.fieldNames.contains(k),
@@ -156,6 +157,11 @@ object VortexMerge {
     // append half: source rows no file matched. The driver holds the
     // (bounded) source already; unmatched rows append through the
     // normal vortex write path (its own tmp→rename manifest commit).
+    // The append is LAYOUT-AWARE: on a Hive-partitioned dataset the
+    // inserted rows must route into partition directories (a flat
+    // append would STORE the partition columns, drifting the schema of
+    // every later strict read); bucket layout is inherited from the
+    // dataset's marker file by the writer itself.
     val matched = new Array[Boolean](srcRows.length)
     outcomes.foreach(_.matchedOrdinals.foreach(i => matched(i) = true))
     val unmatchedIdx = srcRows.indices.filterNot(matched)
@@ -165,8 +171,13 @@ object VortexMerge {
       val ext = unmatchedIdx.map(i =>
         conv(srcRows(i)).asInstanceOf[org.apache.spark.sql.Row])
       import scala.jdk.CollectionConverters._
-      spark.createDataFrame(ext.asJava, tSchema)
-        .coalesce(1).write.format("vortex").mode("append").save(dir)
+      val layoutPartCols = listed.flatMap(_._2.map(_._1)).distinct
+        .filterNot(_ == BucketSpecFile.BucketCol)
+      var w = spark.createDataFrame(ext.asJava, tSchema)
+        .coalesce(1).write.format("vortex").mode("append")
+      if (layoutPartCols.nonEmpty)
+        w = w.option("partitionBy", layoutPartCols.mkString(","))
+      w.save(dir)
     }
 
     MergeResult(cands.length,
@@ -268,6 +279,35 @@ private[vortex] object VortexMergeSupport {
     val tmp = new Path(path.getParent,
       s".$dstName.${java.util.UUID.randomUUID().toString.take(8)}.inprogress")
     val fileFields = footer.schema.fields
+    // the rewrite keeps the file's OWN stored schema — a table column
+    // this file never stored would silently discard the source row's
+    // value, violating the "replaced by the source row" contract.
+    // Partition columns are legitimately unstored (the directory
+    // encodes them) and are value-checked per matched row below; any
+    // OTHER missing column is schema evolution — fail the job (tasks
+    // are non-destructive; no commit happens) instead of merging wrong.
+    val storedNames = fileFields.map(_.name).toSet
+    val partSet = partCols.toSet
+    tSchema.fields.foreach(f =>
+      if (!storedNames.contains(f.name) && !partSet.contains(f.name))
+        throw new IllegalArgumentException(
+          s"vortex merge: target file $file does not store column " +
+          s"${f.name} the source carries (schema-evolved file) — " +
+          "rewriting would silently drop the source value; " +
+          "compact/rewrite the dataset to one schema first"))
+    // table ordinals of partition columns (never stored): a matched
+    // source row whose partition value differs from the file's would
+    // silently keep the OLD value — reject, the in-place rewrite
+    // cannot move rows between partition directories
+    val partIdx: Array[Int] = tSchema.fields.zipWithIndex.collect {
+      case (f, i) if partSet.contains(f.name) && !storedNames.contains(f.name) => i
+    }
+    def valEq(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, null) => true
+      case (null, _) | (_, null) => false
+      case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+      case (x, y) => x == y
+    }
     val slot: Array[Int] = fileFields.map(f => tSchema.fieldIndex(f.name))
     val writer = new VortexFileWriter(tmp, conf, footer.schema,
       bloomCols = bloomCols, sketchCols = sketchCols)
@@ -281,6 +321,20 @@ private[vortex] object VortexMergeSupport {
         val row = r.get()
         val k = keyOf(row, keyIdx, keyTypes)
         val hit = if (k == null) null else byKey.get(k)
+        if (hit != null) {
+          var pi = 0
+          while (pi < partIdx.length) {
+            val ti = partIdx(pi)
+            val dt = tSchema.fields(ti).dataType
+            if (!valEq(row.get(ti, dt), srcRows(hit.intValue()).get(ti, dt)))
+              throw new IllegalArgumentException(
+                s"vortex merge: source row for key $k changes partition " +
+                s"column ${tSchema.fields(ti).name} — the in-place rewrite " +
+                "cannot move rows between partition directories; " +
+                "DELETE + re-INSERT such rows instead")
+            pi += 1
+          }
+        }
         val src = if (hit != null) { updated += 1; srcRows(hit.intValue()) } else row
         var i = 0
         while (i < slot.length) {

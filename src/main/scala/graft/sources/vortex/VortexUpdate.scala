@@ -45,25 +45,74 @@ import org.apache.spark.util.SerializableConfiguration
 object VortexUpdate {
 
   final case class UpdateResult(candidateFiles: Int, untouchedFiles: Int,
-                                rewrittenFiles: Int, rowsUpdated: Long)
+                                rewrittenFiles: Int, rowsUpdated: Long,
+                                maskedFiles: Int = 0)
 
   private final case class Candidate(file: String, partCols: Array[String],
                                      partValues: Array[String],
                                      plannedChunks: Array[Int],
                                      bloomCols: Set[String], sketchCols: Set[String],
                                      dstName: String, relDir: String,
-                                     maskFile: String)
+                                     maskFile: String, nextMaskSeq: Int,
+                                     appendName: String)
 
-  private final case class FileOutcome(file: String, rewritten: Boolean, rowsUpdated: Long,
+  /** status: 0 untouched, 2 rewritten (tmp = survivors+updates file),
+    * 3 masked+appended (tmp = the APPENDED updated-rows file; maskTmp =
+    * the union mask sidecar). Tasks are non-destructive. */
+  private final case class FileOutcome(file: String, status: Int, rowsUpdated: Long,
                                        tmp: Option[String], dstName: Option[String],
                                        entry: Option[StatsManifest.FileStats],
-                                       schemaJson: Option[String])
+                                       schemaJson: Option[String],
+                                       maskTmp: Option[String] = None,
+                                       maskDst: Option[String] = None)
 
   private[graft] def replacementName(srcName: String): String =
     "part-update-" + VortexDelete.replacementName(srcName).stripPrefix("part-delete-")
 
+  /** Appended-updates file of the MERGE-ON-READ tier, named
+    * DETERMINISTICALLY from the source basename PLUS the mask sequence
+    * it pairs with: a crashed run's re-run overwrites its own partial
+    * append instead of duplicating it, and the seq makes the
+    * append-committed/mask-lost crash window EXACTLY detectable — a
+    * `part-updv-<h>-<s>` whose source's newest mask seq is < s is
+    * provably the orphaned append half of a failed statement
+    * (MaintenanceCommit.repairStaleUpdvAppends drops it). Unlike a
+    * replacement, a committed updv file legitimately COEXISTS with its
+    * (masked) source, so it must NOT be in repairStaleReplacements's
+    * prefix set. */
+  private[graft] def appendName(srcName: String, maskSeq: Int): String =
+    "part-updv-" + VortexDelete.replacementName(srcName)
+      .stripPrefix("part-delete-").stripSuffix(".vortex") + s"-$maskSeq.vortex"
+
   def update(spark: SparkSession, dir: String,
-             assignments: Map[String, Column], predicate: Column): UpdateResult = {
+             assignments: Map[String, Column], predicate: Column): UpdateResult =
+    updateImpl(spark, dir, assignments, predicate,
+      deletionVectors = false, failAfterCommits = -1)
+
+  /** `deletionVectors = true` selects the MERGE-ON-READ tier: matching
+    * rows are masked dead in their file's sidecar (see
+    * [[DeletionVector]]) and their updated images are APPENDED as a
+    * fresh file in the same layout directory — a point update costs
+    * O(updated rows), not a whole-file rewrite. Per-file commit order
+    * is append THEN mask, so no committed state ever loses an updated
+    * row; the window between the two can briefly hold a row twice
+    * (old + updated) — re-running the same UPDATE converges, same
+    * crash contract as the rewrite tier. A file whose live rows ALL
+    * match falls back to the rewrite tier (masking 100% of a file and
+    * appending a full copy would cost the same write with worse
+    * reads). `foldMasks`/`compact` fold the masks away later. */
+  def update(spark: SparkSession, dir: String,
+             assignments: Map[String, Column], predicate: Column,
+             deletionVectors: Boolean): UpdateResult =
+    updateImpl(spark, dir, assignments, predicate, deletionVectors,
+      failAfterCommits = -1)
+
+  /** `failAfterCommits` is a TEST SEAM (≥0: throw after that many
+    * per-file commits), mirroring VortexDelete.deleteImpl's. */
+  private[graft] def updateImpl(spark: SparkSession, dir: String,
+                                assignments: Map[String, Column], predicate: Column,
+                                deletionVectors: Boolean,
+                                failAfterCommits: Int): UpdateResult = {
     require(assignments.nonEmpty, "vortex update: no SET assignments")
     val hconf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
@@ -74,10 +123,12 @@ object VortexUpdate {
     // UPDATE over a dataset a delete emptied is a no-op, not an error
     if (listed.isEmpty) return UpdateResult(0, 0, 0, 0L)
     MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
+    MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
     val df = spark.read.format("vortex").load(dir)
     val tableCols = df.schema.fieldNames.toSet
     assignments.keys.foreach(k => require(tableCols.contains(k),
       s"vortex update: SET column $k is not a top-level column of the table"))
+    val assignKeys: Array[String] = assignments.keys.toArray.sorted
 
     // predicate, resolved + bound like DELETE's
     val filtered = df.filter(predicate)
@@ -133,32 +184,79 @@ object VortexUpdate {
           case i => rel.substring(0, i)
         }
         val entry = manifest.get(rel)
+        val nextSeq = maskBind.get(file).map(_._2.flatMap(m =>
+          DeletionVector.parseName(new Path(m).getName).map(_._2)).max + 1).getOrElse(1)
         Candidate(file, ps.head.partCols, ps.head.partValues,
           ps.flatMap(_.chunkIdxs).distinct.sorted.toArray,
           entry.map(_.cols.filter(_.bloom.isDefined).map(_.name).toSet).getOrElse(Set.empty),
           entry.map(_.cols.filter(_.sketch.isDefined).map(_.name).toSet).getOrElse(Set.empty),
-          replacementName(p.getName), relDir, ps.head.maskFile)
+          replacementName(p.getName), relDir, ps.head.maskFile, nextSeq,
+          appendName(p.getName, nextSeq))
     }
     if (cands.isEmpty) return UpdateResult(0, 0, 0, 0L)
+    // partition columns are never STORED in files — the rewrite writes
+    // each file with its own footer schema, so an assignment to one
+    // would be computed and then silently discarded (and moving a row
+    // between partition directories is out of this op's file-in-place
+    // contract). Fail fast, like canDeleteWhere.
+    cands.foreach(c => assignKeys.foreach(k => require(!c.partCols.contains(k),
+      s"vortex update: SET column $k is a partition column — in-place " +
+      "update cannot move rows between partition directories; " +
+      "DELETE + re-INSERT instead")))
 
     val sconf = new SerializableConfiguration(hconf)
     val outcomes: Array[FileOutcome] = spark.sparkContext
       .parallelize(cands, cands.length)
       .map(c => processFile(c, tableSchema, bound, predSchema, predBound,
-        boundProj, sconf.value))
+        boundProj, assignKeys, deletionVectors, sconf.value))
       .collect()
 
-    // driver commit + manifest write: the shared machinery (VortexCommit)
-    MaintenanceCommit.commitAll(fs, "update", maskBind,
-      outcomes.toSeq.filter(_.rewritten).map(o =>
-        MaintenanceCommit.Replacement(o.file, o.tmp.get, o.dstName.get)))
+    // driver commit. Rewrite tier: the shared rename-in/delete-source
+    // machinery. Mask tier (status 3): per file, rename the APPEND in
+    // first (no committed state loses an updated row), then the union
+    // mask (the window between can briefly hold a row twice — re-run
+    // converges), then drop superseded sidecars.
+    val committed = new java.util.concurrent.atomic.AtomicInteger(0)
+    def commitOne(o: FileOutcome): Unit = {
+      if (failAfterCommits >= 0 && committed.get() >= failAfterCommits)
+        throw new RuntimeException(
+          s"vortex update: injected crash after $failAfterCommits commits (test seam)")
+      val src = new Path(o.file)
+      o.status match {
+        case 2 =>
+          MaintenanceCommit.commitOne(fs, "update", maskBind,
+            MaintenanceCommit.Replacement(o.file, o.tmp.get, o.dstName.get))
+        case 3 =>
+          val appDst = new Path(src.getParent, o.dstName.get)
+          if (fs.exists(appDst) && !fs.delete(appDst, false))
+            throw new java.io.IOException(s"vortex update: cannot replace stale $appDst")
+          if (!fs.rename(new Path(o.tmp.get), appDst))
+            throw new java.io.IOException(s"vortex update: append rename failed for $appDst")
+          val maskDst = new Path(src.getParent, o.maskDst.get)
+          if (fs.exists(maskDst) && !fs.delete(maskDst, false))
+            throw new java.io.IOException(s"vortex update: cannot replace stale mask $maskDst")
+          if (!fs.rename(new Path(o.maskTmp.get), maskDst))
+            throw new java.io.IOException(s"vortex update: mask rename failed for $maskDst")
+          // only PRE-JOB masks are in maskBind — never the new one
+          MaintenanceCommit.dropMasks(fs, maskBind, o.file)
+        case _ =>
+      }
+      committed.incrementAndGet()
+      ()
+    }
+    val destructive = outcomes.filter(_.status != 0)
+    if (failAfterCommits >= 0) destructive.foreach(commitOne) // deterministic for the spec
+    else if (destructive.length > 1)
+      java.util.Arrays.stream(destructive).parallel().forEach(o => commitOne(o))
+    else destructive.foreach(commitOne)
     MaintenanceCommit.writeManifests(root, hconf, "update",
       outcomes.toSeq.flatMap(o => o.entry.map(e => (o.schemaJson.get, e))))
 
     UpdateResult(cands.length,
-      outcomes.count(!_.rewritten),
-      outcomes.count(_.rewritten),
-      outcomes.map(_.rowsUpdated).sum)
+      outcomes.count(_.status == 0),
+      outcomes.count(_.status == 2),
+      outcomes.map(_.rowsUpdated).sum,
+      outcomes.count(_.status == 3))
   }
 
   /** Executor task: classify, then rewrite the whole file with the
@@ -166,7 +264,8 @@ object VortexUpdate {
     * (retry/speculation-safe). */
   private def processFile(c: Candidate, tableSchema: StructType, bound: Expression,
                           predSchema: StructType, predBound: Expression,
-                          boundProj: Seq[Expression],
+                          boundProj: Seq[Expression], assignKeys: Array[String],
+                          deletionVectors: Boolean,
                           conf: org.apache.hadoop.conf.Configuration): FileOutcome = {
     val path = new Path(c.file)
     val fs = path.getFileSystem(conf)
@@ -185,19 +284,43 @@ object VortexUpdate {
       finally r.close()
       found
     }
-    if (!anyMatch) return FileOutcome(c.file, rewritten = false, 0L, None, None, None, None)
+    if (!anyMatch) return FileOutcome(c.file, 0, 0L, None, None, None, None)
+
+    // the rewrite keeps the file's OWN stored schema: a SET column a
+    // schema-evolved older file never stored would be computed by the
+    // projection and then silently dropped by the slot map below —
+    // fail the job (tasks are non-destructive; no commit happens)
+    // instead of returning wrong results. Checked only when the file
+    // actually has matches, so evolved files the predicate can't touch
+    // never block an otherwise-valid update.
+    locally {
+      val stored = footer.schema.fieldNames.toSet
+      assignKeys.foreach(k => require(stored.contains(k),
+        s"vortex update: SET column $k is not stored in ${c.file} " +
+        "(schema-evolved file) — rewriting would silently drop the " +
+        "assignment; compact/rewrite the dataset to one schema first"))
+    }
 
     val pred = CatalystPredicate.create(bound)
     pred.initialize(0)
     val proj: Projection =
       org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(boundProj)
+    val fileFields = footer.schema.fields
+    val slot: Array[Int] = fileFields.map(f => tableSchema.fieldIndex(f.name))
+
+    if (deletionVectors) {
+      val outcome = processFileDv(c, tableSchema, pred, proj, fileFields, slot,
+        footer, path, fs, conf)
+      // a file whose live rows ALL match degenerates to the rewrite
+      // tier below (same bytes written, better reads) — processFileDv
+      // signals that with null
+      if (outcome != null) return outcome
+    }
 
     // pass 2: rewrite the whole file with the file's OWN schema;
     // existing masks fold in (mask-aware read, no mask on the output)
     val tmp = new Path(path.getParent,
       s".${c.dstName}.${java.util.UUID.randomUUID().toString.take(8)}.inprogress")
-    val fileFields = footer.schema.fields
-    val slot: Array[Int] = fileFields.map(f => tableSchema.fieldIndex(f.name))
     val writer = new VortexFileWriter(tmp, conf, footer.schema,
       bloomCols = c.bloomCols, sketchCols = c.sketchCols)
     var updated = 0L
@@ -231,7 +354,88 @@ object VortexUpdate {
       sum = sums.get(col.name),
       bloom = blooms.get(col.name),
       sketch = sketches.get(col.name))))
-    FileOutcome(c.file, rewritten = true, updated, Some(tmp.toString), Some(c.dstName),
+    FileOutcome(c.file, 2, updated, Some(tmp.toString), Some(c.dstName),
       Some(entry), Some(tmpFooter.schema.json))
+  }
+
+  /** Merge-on-read half (executor): one pass over the PLANNED chunks —
+    * matching live rows' stored ordinals go to the union mask, their
+    * updated images (assignment projection, file's own schema) stream
+    * into an append tmp in the same layout directory. Non-destructive.
+    * Returns null when ALL live rows match: the caller falls back to
+    * the rewrite tier (same bytes written, no read-side mask tax). */
+  private def processFileDv(c: Candidate, tableSchema: StructType,
+                            pred: org.apache.spark.sql.catalyst.expressions.BasePredicate,
+                            proj: Projection,
+                            fileFields: Array[org.apache.spark.sql.types.StructField],
+                            slot: Array[Int],
+                            footer: VortexFormat.Footer, path: Path,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            conf: org.apache.hadoop.conf.Configuration): FileOutcome = {
+    val totalRows = footer.chunks.map(_.rowCount.toLong).sum
+    val existing: DeletionVector.Mask =
+      if (c.maskFile == null) null else DeletionVector.read(fs, new Path(c.maskFile))
+    val liveRows = totalRows - (if (existing == null) 0L else existing.cardinality)
+    val chunkBase = footer.chunks.scanLeft(0L)(_ + _.rowCount)
+    val appendTmp = new Path(path.getParent,
+      s".${c.appendName}.${java.util.UUID.randomUUID().toString.take(8)}.inprogress")
+    val writer = new VortexFileWriter(appendTmp, conf, footer.schema,
+      bloomCols = c.bloomCols, sketchCols = c.sketchCols)
+    val positions = scala.collection.mutable.ArrayBuffer[Long]()
+    val out = new GenericInternalRow(fileFields.length)
+    try {
+      c.plannedChunks.foreach { ci =>
+        // unmasked read of the chunk's STORED rows: `p` tracks stored
+        // ordinals (mask positions index them); dead rows are skipped
+        // via the existing mask, pruned chunks cannot match
+        val part = VortexInputPartition(c.file, Array(ci), c.partCols, c.partValues)
+        val r = new VortexPartitionReader(part, conf, tableSchema, evolution = true)
+        var p = chunkBase(ci)
+        try while (r.next()) {
+          if (existing == null || !existing.isDeleted(p)) {
+            val row = r.get()
+            if (pred.eval(row)) {
+              positions += p
+              val upd = proj(row)
+              var i = 0
+              while (i < slot.length) {
+                out.update(i, upd.get(slot(i), fileFields(i).dataType)); i += 1
+              }
+              writer.write(out)
+            }
+          }
+          p += 1
+        } finally r.close()
+      }
+      writer.close()
+    } catch { case e: Throwable => fs.delete(appendTmp, false); throw e }
+    if (positions.isEmpty) { // defensive: pass 1 said anyMatch
+      fs.delete(appendTmp, false)
+      return FileOutcome(c.file, 0, 0L, None, None, None, None)
+    }
+    if (positions.length.toLong == liveRows) {
+      fs.delete(appendTmp, false)
+      return null // degenerate: rewrite tier instead
+    }
+    val union =
+      if (existing == null) DeletionVector.fromPositions(positions.toArray)
+      else DeletionVector.union(existing, DeletionVector.fromPositions(positions.toArray))
+    val maskTmp = DeletionVector.writeTmp(fs, path, union)
+    def named[T](xs: IndexedSeq[Option[T]]): Map[String, T] =
+      fileFields.map(_.name).zip(xs).collect { case (n, Some(v)) => n -> v }.toMap
+    val sums = named(writer.columnSums)
+    val blooms = named(writer.columnBlooms)
+    val sketches = named(writer.columnSketches)
+    val rel = if (c.relDir.isEmpty) c.appendName else s"${c.relDir}/${c.appendName}"
+    val tmpFooter = VortexFileReader.readFooter(appendTmp, conf)
+    val base = StatsManifest.fromFooter(rel, fs.getFileStatus(appendTmp).getLen, tmpFooter)
+    val entry = base.copy(cols = base.cols.map(col => col.copy(
+      sum = sums.get(col.name),
+      bloom = blooms.get(col.name),
+      sketch = sketches.get(col.name))))
+    FileOutcome(c.file, 3, positions.length.toLong,
+      Some(appendTmp.toString), Some(c.appendName),
+      Some(entry), Some(tmpFooter.schema.json),
+      Some(maskTmp.toString), Some(DeletionVector.maskName(path.getName, c.nextMaskSeq)))
   }
 }

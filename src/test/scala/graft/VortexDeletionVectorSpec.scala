@@ -173,6 +173,37 @@ class VortexDeletionVectorSpec extends AnyFunSuite {
     assert(left.count() == 999L && left.where(col("id") === 77L).count() == 0L)
   }
 
+  test("streaming over a DV-masked dataset serves live rows only (no resurrection)") {
+    import spark.implicits._
+    val src = tmp()
+    val ckpt = java.nio.file.Files.createTempDirectory("vortex_dv_ckpt").toString
+    (0L until 1000L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(src)
+    // DV delete BEFORE the stream reads the file: deleted rows must not
+    // stream — this was the repo's one silent-wrong-data path (VERDICT
+    // r10 #1: the micro-batch planner ignored .dv- sidecars)
+    val res = VortexDelete.delete(spark, src, col("id") < 100L, deletionVectors = true)
+    assert(res.maskedFiles == 1, res)
+    def run(name: String): Unit = {
+      val stream = spark.readStream.format("vortex").load(src)
+        .groupBy().agg(count(lit(1)).as("n"), sum("id").as("s"))
+      val q = stream.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+    }
+    run("dv_stream_out")
+    assert(spark.table("dv_stream_out").head().toSeq ==
+      Seq(900L, (100L until 1000L).sum))
+    // a new file appended while the stream is down, then DV-deleted
+    // before its batch streams: the batch must also read mask-aware
+    (2000L until 2100L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.format("vortex").mode("append").save(src)
+    VortexDelete.delete(spark, src, col("id") >= 2050L, deletionVectors = true)
+    run("dv_stream_out2")
+    assert(spark.table("dv_stream_out2").head().toSeq ==
+      Seq(950L, (100L until 1000L).sum + (2000L until 2050L).sum))
+  }
+
   test("partitioned layout: DV delete masks only inside the matching directory") {
     import spark.implicits._
     val dir = tmp()

@@ -148,6 +148,43 @@ class VortexMergeSpec extends AnyFunSuite {
     assert(after.where(col("v") === 30L).count() == 1L) // null-key source inserted
   }
 
+  test("partitioned dataset: inserts route into partition dirs; partition-moving matches rejected") {
+    import spark.implicits._
+    val dir = tmp()
+    // key v → partition p${v % 3}
+    (0L until 90L).map(i => (s"p${i % 3}", i, 1.0)).toDF("p", "v", "q")
+      .write.format("vortex").option("partitionBy", "p")
+      .mode("overwrite").save(dir)
+    // partition-preserving update (v=7 lives in p=p1) + one insert
+    val src = Seq(("p1", 7L, 9.9), ("p2", 7777L, 1.5)).toDF("p", "v", "q")
+    val res = VortexMerge.merge(spark, dir, src, Seq("v"))
+    assert(res.rowsUpdated == 1L && res.rowsInserted == 1L, res)
+    val after = spark.read.format("vortex").load(dir)
+    assert(after.count() == 91L)
+    assert(after.where(col("v") === 7L).select("q").head().getDouble(0) == 9.9)
+    // the inserted row must land INSIDE the p=p2 directory (a flat
+    // append would store p in the file and drift every later read)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new Path(dir)).forall(s =>
+      s.isDirectory || s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith(".")),
+      "no flat data files at the dataset root")
+    assert(after.where(col("v") === 7777L).select("p").head().getString(0) == "p2")
+
+    // a source row that CHANGES a matched row's partition value cannot
+    // be honored by the in-place rewrite — loud reject, not silent keep
+    val bad = Seq(("p0", 8L, 1.0)).toDF("p", "v", "q") // v=8 lives in p=p2
+    val e = intercept[Exception] {
+      VortexMerge.merge(spark, dir, bad, Seq("v"))
+    }
+    def hasMsg(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("partition column")) || hasMsg(t.getCause))
+    assert(hasMsg(e), s"expected partition-column reject, got $e")
+    // and the dataset is unchanged (tasks are non-destructive)
+    val check = spark.read.format("vortex").load(dir)
+    assert(check.count() == 91L)
+    assert(check.where(col("v") === 8L).select("p").head().getString(0) == "p2")
+  }
+
   test("source cap is a loud contract") {
     import spark.implicits._
     val dir = tmp()

@@ -136,6 +136,124 @@ class VortexUpdateSpec extends AnyFunSuite {
     assert(got == (10L until 1000L).sum + 70L)
   }
 
+  test("deletion-vector update: point update masks + appends, data file untouched") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 4000L).map(i => (i, i * 2, s"row$i")).toDF("id", "v", "s")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.format("vortex").mode("overwrite").save(dir)
+    val before = snapshot(dir)
+    val res = VortexUpdate.update(spark, dir,
+      Map("v" -> lit(-5L), "s" -> lit("rescored")),
+      col("id") >= 1200L && col("id") < 1210L, deletionVectors = true)
+    assert(res.candidateFiles == 1 && res.maskedFiles == 1 &&
+      res.rewrittenFiles == 0 && res.rowsUpdated == 10L, res)
+    // original data files byte-identical; one tiny append + one sidecar
+    snapshot(dir).foreach { case (p, st) =>
+      if (before.contains(p)) assert(before(p) == st, s"file $p was touched")
+    }
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+    assert(names.count(_.startsWith("part-updv-")) == 1, names.toSeq)
+    assert(names.count(_.contains(".dv-")) == 1, names.toSeq)
+    val after = spark.read.format("vortex").load(dir)
+    assert(after.count() == 4000L) // UPDATE never changes cardinality
+    assert(after.where(col("s") === "rescored").count() == 10L)
+    assert(after.where(col("id") === 1205L).select("v").head().getLong(0) == -5L)
+    assert(after.where(col("id") === 1199L).select("v").head().getLong(0) == 2398L)
+    assert(after.agg(sum("id")).head().getLong(0) == (0L until 4000L).sum)
+
+    // foldMasks rewrites the masks away; results unchanged
+    graft.sources.vortex.VortexMaintenance.foldMasks(spark, dir)
+    val folded = spark.read.format("vortex").load(dir)
+    assert(folded.count() == 4000L)
+    assert(folded.where(col("s") === "rescored").count() == 10L)
+    assert(folded.agg(sum("v")).head().getLong(0) ==
+      (0L until 4000L).map(_ * 2).sum - (1200L until 1210L).map(_ * 2).sum - 50L)
+    assert(!fs.listStatus(new Path(dir)).map(_.getPath.getName).exists(_.contains(".dv-")))
+  }
+
+  test("deletion-vector update composes with prior DV deletes (dead rows stay dead)") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 1000L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(dir)
+    VortexDelete.delete(spark, dir, col("id") < 100L, deletionVectors = true)
+    // predicate overlaps the deleted range: dead rows must NOT revive
+    val res = VortexUpdate.update(spark, dir, Map("v" -> lit(0L)),
+      col("id") < 200L, deletionVectors = true)
+    assert(res.maskedFiles == 1 && res.rowsUpdated == 100L, res)
+    val after = spark.read.format("vortex").load(dir)
+    assert(after.count() == 900L)
+    assert(after.where(col("id") < 100L).count() == 0L)
+    assert(after.where(col("v") === 0L).count() == 100L) // ids 100..199
+    assert(after.where(col("id") === 150L).select("v").head().getLong(0) == 0L)
+    assert(after.where(col("id") === 250L).select("v").head().getLong(0) == 250L)
+  }
+
+  test("deletion-vector update: all-live-match degenerates to the rewrite tier") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 100L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(dir)
+    val res = VortexUpdate.update(spark, dir, Map("v" -> lit(1L)),
+      lit(true), deletionVectors = true)
+    assert(res.rewrittenFiles == 1 && res.maskedFiles == 0, res)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+    assert(!names.exists(_.contains(".dv-")), names.toSeq)
+    assert(!names.exists(_.startsWith("part-updv-")), names.toSeq)
+    assert(spark.read.format("vortex").load(dir)
+      .agg(sum("v")).head().getLong(0) == 100L)
+  }
+
+  test("deletion-vector update: crash at every commit index, re-run converges") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 3000L).map(i => (i, i)).toDF("id", "v")
+      .repartitionByRange(3, col("id")).sortWithinPartitions("id")
+      .write.format("vortex").mode("overwrite").save(dir)
+    val predicate = col("id") % 1000L < 10L // matches 10 rows in each of 3 files
+    // idempotent assignment (the documented re-run contract)
+    val assigns = Map("v" -> lit(-9L))
+    for (failAt <- 0 until 3) {
+      val d2 = tmp()
+      (0L until 3000L).map(i => (i, i)).toDF("id", "v")
+        .repartitionByRange(3, col("id")).sortWithinPartitions("id")
+        .write.format("vortex").mode("overwrite").save(d2)
+      val crashed = intercept[Exception] {
+        VortexUpdate.updateImpl(spark, d2, assigns, predicate,
+          deletionVectors = true, failAfterCommits = failAt)
+      }
+      assert(crashed.getMessage.contains("injected crash"), crashed.getMessage)
+      // re-run converges: every matching LIVE row updated exactly once
+      VortexUpdate.update(spark, d2, assigns, predicate, deletionVectors = true)
+      val after = spark.read.format("vortex").load(d2)
+      assert(after.count() == 3000L, s"failAt=$failAt")
+      assert(after.where(col("v") === -9L).count() == 30L, s"failAt=$failAt")
+      assert(after.agg(sum("id")).head().getLong(0) == (0L until 3000L).sum,
+        s"failAt=$failAt")
+    }
+  }
+
+  test("SET on a partition column is rejected loudly (assignment would be dropped)") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 90L).map(i => (s"p${i % 3}", i, 1.0)).toDF("p", "v", "q")
+      .write.format("vortex").option("partitionBy", "p")
+      .mode("overwrite").save(dir)
+    // partition columns live in the path, not the files: the rewrite
+    // would compute the new value and then silently discard it
+    val e = intercept[IllegalArgumentException] {
+      VortexUpdate.update(spark, dir, Map("p" -> lit("p9")), col("v") < 10L)
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // dataset untouched
+    val after = spark.read.format("vortex").load(dir)
+    assert(after.where(col("p") === "p9").count() == 0L)
+    assert(after.count() == 90L)
+  }
+
   test("SET on a non-existent or nested column is rejected loudly") {
     import spark.implicits._
     val dir = tmp()
