@@ -29,13 +29,16 @@ import org.apache.spark.util.SerializableConfiguration
   *    Otherwise the file rewrites with matched rows replaced (existing
   *    deletion-vector masks fold in). Matched source ordinals return
   *    to the driver as a bitmask (O(|source|/8) bytes per task).
-  *  - APPEND: source rows no task matched are written as fresh files
-  *    through the normal vortex writer.
+  *  - APPEND: source rows no task matched are staged through the
+  *    normal vortex writer and renamed in under
+  *    `part-merge-ins-<md5(source content + key)>.vortex`, one per
+  *    layout directory — a directory already holding this statement's
+  *    insert file (or its deterministic maintenance replacement) is
+  *    skipped, making the insert half EXACTLY-ONCE under crash
+  *    re-runs, including NULL-key inserts that can never self-match.
   *  - driver commit: rename/delete per touched file (deterministic
   *    `part-merge-<md5(src)>.vortex` names — same crash-convergence
-  *    contract as DELETE/UPDATE for the replace half; the append half
-  *    re-run after a crash re-appends, so MERGE re-runs are
-  *    at-least-once for inserts: run against a quiesced dataset).
+  *    contract as DELETE/UPDATE for the replace half).
   *
   * Duplicate keys: source keys must be unique (`require`d — two source
   * rows for one target row is ambiguous); duplicate keys in the TARGET
@@ -53,7 +56,17 @@ object VortexMerge {
   def merge(spark: SparkSession, dir: String, source: DataFrame,
             keyCols: Seq[String],
             maxSourceRows: Int = 1 << 20,
-            pushKeyLimit: Int = 10000): MergeResult = {
+            pushKeyLimit: Int = 10000): MergeResult =
+    mergeImpl(spark, dir, source, keyCols, maxSourceRows, pushKeyLimit,
+      failAfterInserts = -1)
+
+  /** `failAfterInserts` is a TEST SEAM (≥0: throw after that many
+    * per-directory insert renames), mirroring the delete/update crash
+    * seams — the exactly-once-insert spec injects a crash mid-append. */
+  private[graft] def mergeImpl(spark: SparkSession, dir: String, source: DataFrame,
+                               keyCols: Seq[String],
+                               maxSourceRows: Int, pushKeyLimit: Int,
+                               failAfterInserts: Int): MergeResult = {
     require(keyCols.nonEmpty, "vortex merge: no key columns")
     val hconf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
@@ -155,17 +168,32 @@ object VortexMerge {
       destructive.toSeq.map(o => (o.schemaJson, o.entry)))
 
     // append half: source rows no file matched. The driver holds the
-    // (bounded) source already; unmatched rows append through the
-    // normal vortex write path (its own tmp→rename manifest commit).
-    // The append is LAYOUT-AWARE: on a Hive-partitioned dataset the
-    // inserted rows must route into partition directories (a flat
-    // append would STORE the partition columns, drifting the schema of
-    // every later strict read); bucket layout is inherited from the
-    // dataset's marker file by the writer itself.
+    // (bounded) source already; unmatched rows stage through the normal
+    // vortex write path into a DOT-HIDDEN scratch dir, then rename into
+    // place under a name derived from the STATEMENT (md5 of the source
+    // content + key columns): `part-merge-ins-<srcHash>.vortex`, one
+    // per layout directory. That makes the insert half EXACTLY-ONCE
+    // under crash re-runs: a directory that already holds this
+    // statement's insert file — or its deterministic maintenance
+    // replacement `part-merge-<md5(insert name)>` (the re-run's own
+    // replace half rewrites the committed inserts' matched rows before
+    // the append check runs) — is skipped, which is precisely what
+    // catches NULL-key inserts (they can never match, so without the
+    // marker every re-run would re-append them). The append is also
+    // LAYOUT-AWARE: on a Hive-partitioned dataset inserted rows route
+    // into partition directories (a flat append would STORE the
+    // partition columns, drifting the schema of every later strict
+    // read), and a bucketed dataset's marker spec routes buckets.
     val matched = new Array[Boolean](srcRows.length)
     outcomes.foreach(_.matchedOrdinals.foreach(i => matched(i) = true))
     val unmatchedIdx = srcRows.indices.filterNot(matched)
+    var inserted = 0L
     if (unmatchedIdx.nonEmpty) {
+      val srcHash = VortexMergeSupport.sourceHash(srcRows, keyCols)
+      val insBase = s"part-merge-ins-$srcHash.vortex"
+      val insRepl = replacementName(insBase)
+      val stage = new Path(root, s".merge-stage-$srcHash")
+      fs.delete(stage, true) // leftover scratch of a crashed run
       val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
         .createToScalaConverter(tSchema)
       val ext = unmatchedIdx.map(i =>
@@ -174,17 +202,54 @@ object VortexMerge {
       val layoutPartCols = listed.flatMap(_._2.map(_._1)).distinct
         .filterNot(_ == BucketSpecFile.BucketCol)
       var w = spark.createDataFrame(ext.asJava, tSchema)
-        .coalesce(1).write.format("vortex").mode("append")
+        .coalesce(1).write.format("vortex").mode("overwrite")
       if (layoutPartCols.nonEmpty)
         w = w.option("partitionBy", layoutPartCols.mkString(","))
-      w.save(dir)
+      // the staging dir carries no bucket marker — pass the dataset's
+      // spec explicitly so bucket routing survives the indirection
+      (try BucketSpecFile.read(root, hconf) catch { case _: Exception => None })
+        .foreach { case (k, n) =>
+          w = w.option("bucketBy", k).option("buckets", n.toString) }
+      w.save(stage.toString)
+      val stageQ = fs.makeQualified(stage).toString
+      val (stSchema, stEntries) = StatsManifest.readAll(stage, hconf)
+      val renamedEntries = scala.collection.mutable.ArrayBuffer[StatsManifest.FileStats]()
+      VortexDataSource.listAll(Seq(stage.toString), hconf).foreach { case (st, _) =>
+        val rel = fs.makeQualified(st.getPath).toString
+          .stripPrefix(stageQ).stripPrefix("/")
+        val relDir = rel.lastIndexOf('/') match {
+          case -1 => ""; case i => rel.substring(0, i)
+        }
+        val finalDir = if (relDir.isEmpty) root else new Path(root, relDir)
+        if (!fs.exists(new Path(finalDir, insBase)) &&
+            !fs.exists(new Path(finalDir, insRepl))) {
+          if (failAfterInserts >= 0 && renamedEntries.length >= failAfterInserts)
+            throw new RuntimeException(
+              s"vortex merge: injected crash after $failAfterInserts insert renames (test seam)")
+          fs.mkdirs(finalDir)
+          if (!fs.rename(st.getPath, new Path(finalDir, insBase)))
+            throw new java.io.IOException(
+              s"vortex merge: insert rename failed for $finalDir/$insBase")
+          val dstRel = if (relDir.isEmpty) insBase else s"$relDir/$insBase"
+          stEntries.get(rel).foreach { e =>
+            renamedEntries += e.copy(relPath = dstRel)
+            inserted += e.rows
+          }
+        } // else: this directory's inserts committed in a prior run of
+          // this same statement — skipping is the exactly-once path
+      }
+      stSchema.map(_.json).foreach { sj =>
+        MaintenanceCommit.writeManifests(root, hconf, "merge-ins",
+          renamedEntries.toSeq.map(e => (sj, e)))
+      }
+      fs.delete(stage, true)
     }
 
     MergeResult(cands.length,
       outcomes.count(!_.rewritten),
       destructive.length,
       outcomes.map(_.rowsUpdated).sum,
-      unmatchedIdx.length.toLong)
+      inserted)
   }
 }
 
@@ -196,6 +261,23 @@ private[vortex] object VortexMergeSupport {
                            tmp: String, dstName: String,
                            entry: StatsManifest.FileStats, schemaJson: String,
                            matchedOrdinals: Array[Int])
+
+  /** Statement identity for the insert half: md5 over the key columns
+    * and the SORTED per-row digests of the full source content —
+    * order-insensitive (collect order varies run to run), stable
+    * across re-runs of the same statement. */
+  def sourceHash(rows: Array[org.apache.spark.sql.catalyst.InternalRow],
+                 keyCols: Seq[String]): String = {
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    def md5(b: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+    val rowDigests = rows.map {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow => hex(md5(u.getBytes))
+      case other => hex(md5(other.toString.getBytes("UTF-8")))
+    }.sorted
+    hex(md5((keyCols.mkString(",") + "|" + rowDigests.mkString)
+      .getBytes("UTF-8"))).take(16)
+  }
 
   /** Catalyst storage value → external literal (for isInCollection) */
   def toExternal(v: Any, dt: org.apache.spark.sql.types.DataType): Any = v match {

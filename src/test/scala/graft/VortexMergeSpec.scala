@@ -185,6 +185,48 @@ class VortexMergeSpec extends AnyFunSuite {
     assert(check.where(col("v") === 8L).select("p").head().getString(0) == "p2")
   }
 
+  test("insert half is exactly-once under crash re-runs, including NULL-key inserts") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 90L).map(i => (s"p${i % 3}", Option(i), 1.0)).toDF("p", "v", "q")
+      .write.format("vortex").option("partitionBy", "p")
+      .mode("overwrite").save(dir)
+    // insert-only source spanning all three partition dirs, plus a
+    // NULL-key row (never self-matches — the hard exactly-once case)
+    val src = Seq(("p0", Option(1000L), 2.0), ("p1", Option(1001L), 2.0),
+                  ("p2", Option(1002L), 2.0), ("p0", None: Option[Long], 2.0))
+      .toDF("p", "v", "q")
+    // crash after ONE per-directory insert rename
+    val crashed = intercept[Exception] {
+      VortexMerge.mergeImpl(spark, dir, src, Seq("v"),
+        maxSourceRows = 1 << 20, pushKeyLimit = 10000, failAfterInserts = 1)
+    }
+    assert(crashed.getMessage.contains("injected crash"), crashed.getMessage)
+    // re-running the same statement converges: every insert lands
+    // exactly once — committed dirs are recognized by the statement's
+    // deterministic insert-file name (or its replacement, since the
+    // re-run's replace half rewrites committed inserts' matched rows)
+    val res = VortexMerge.merge(spark, dir, src, Seq("v"))
+    val after = spark.read.format("vortex").load(dir)
+    assert(after.count() == 94L, s"res=$res")
+    assert(after.where(col("v").isNull).count() == 1L, "NULL-key row exactly once")
+    Seq(1000L, 1001L, 1002L).foreach(k =>
+      assert(after.where(col("v") === k).count() == 1L, s"v=$k"))
+    // a DELIBERATE re-execution of the completed statement is a NEW
+    // statement: matched rows replace idempotently, and the NULL-key
+    // row inserts AGAIN — ANSI MERGE semantics (NULL matches nothing,
+    // so every execution inserts its NULL-key source rows). The
+    // exactly-once contract is for crash+re-run cycles, not for
+    // running the same MERGE twice on purpose.
+    val res2 = VortexMerge.merge(spark, dir, src, Seq("v"))
+    assert(res2.rowsUpdated == 3L && res2.rowsInserted == 1L, res2)
+    val after2 = spark.read.format("vortex").load(dir)
+    assert(after2.count() == 95L)
+    assert(after2.where(col("v").isNull).count() == 2L)
+    Seq(1000L, 1001L, 1002L).foreach(k =>
+      assert(after2.where(col("v") === k).count() == 1L, s"v=$k"))
+  }
+
   test("source cap is a loud contract") {
     import spark.implicits._
     val dir = tmp()
