@@ -169,6 +169,7 @@ object SortThroughProject extends Rule[LogicalPlan] {
   * Verify/Bench harness sessions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPostHocResolutionRule(s => RewriteVortexDml(s))
     e.injectOptimizerRule(_ => FastJsonRule)
     e.injectOptimizerRule(_ => FastRegexCountRule)
     e.injectOptimizerRule(_ => SortThroughProject)

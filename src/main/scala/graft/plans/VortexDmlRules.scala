@@ -1,0 +1,233 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, Literal, SubqueryExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graft.GraftSqlBridge
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import graft.sources.vortex.{VortexMerge, VortexTable, VortexUpdate}
+
+/** SQL statement surface for UPDATE and MERGE over vortex datasets
+  * (VERDICT r10 "What's missing" #1/#2): DELETE already plans through
+  * DSv2 `SupportsDelete`; Spark's own row-level-operation rewrite
+  * (`RewriteUpdateTable` / `RewriteMergeIntoTable`) requires
+  * `SupportsRowLevelOperations` and executes copy-on-write through
+  * generic scans — this engine already HAS a file-granular
+  * classify/rewrite machine with stats-pruned candidates and
+  * deterministic-name crash convergence (VortexUpdate / VortexMerge),
+  * so the SQL surface routes the ANALYZED `UpdateTable` /
+  * `MergeIntoTable` plans into that machinery instead: a post-hoc
+  * resolution rule replaces them with LeafRunnableCommands BEFORE the
+  * optimizer's unsupported-table check fires. Unsupported shapes
+  * (subqueries in predicates, nested-field assignments, NOT MATCHED BY
+  * SOURCE) fail with explicit errors, never silently.
+  */
+object VortexDmlRules {
+
+  /** the single dataset directory of a vortex relation, if this plan
+    * is one (possibly under aliases/projections of resolution) */
+  private[plans] def vortexDir(plan: LogicalPlan): Option[String] =
+    plan.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[VortexTable] =>
+        r.table.asInstanceOf[VortexTable].tablePaths
+      // the optimizer path (RewriteVortexDml.install on a running
+      // session): pushdown batches convert the relation to a scan
+      // relation before user-provided rules run
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.relation.table.isInstanceOf[VortexTable] =>
+        r.relation.table.asInstanceOf[VortexTable].tablePaths
+    }.filter(_.length == 1).map(_.head)
+
+  /** resolved expression → unresolved Column (attribute references
+    * drop to bare names) so VortexUpdate can re-resolve it against its
+    * own scan of the same table — sound because UPDATE has a single
+    * relation, so names are unambiguous */
+  private def toColumn(e: Expression): Column = {
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"vortex update: subqueries are not supported in this clause: $e")
+    GraftSqlBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+  }
+
+  /** opaque clause payload: NOT an Iterable/Option/Expression product
+    * element, so TreeNode never discovers the enclosed expressions as
+    * the command's own (they reference the original statement's
+    * attribute ids, which the command does not produce) */
+  private[plans] final case class MergePayload(
+      sourcePlan: LogicalPlan,
+      targetAttrs: Seq[Attribute], sourceAttrs: Seq[Attribute],
+      keyIdxTarget: Array[Int], keyIdxSource: Array[Int],
+      matched: Seq[VortexMerge.MatchedAction],
+      notMatched: Seq[VortexMerge.NotMatchedAction],
+      fingerprint: String)
+
+  private[plans] final case class UpdatePayload(
+      assigns: Seq[(String, Column)], cond: Column)
+}
+
+/** `UPDATE vtx.\`dir\` SET … WHERE …` — executes VortexUpdate (the
+  * rewrite tier, or the merge-on-read mask tier under
+  * `spark.graft.vortex.deletionVectors=true`, same switch as DELETE). */
+case class VortexUpdateCommand(dir: String,
+                               payload: VortexDmlRules.UpdatePayload)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val dv = session.conf.getOption("spark.graft.vortex.deletionVectors")
+      .exists(_.toBoolean)
+    VortexUpdate.update(session, dir, payload.assigns.toMap, payload.cond, dv)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO vtx.\`dir\` USING src ON … WHEN …` — executes
+  * VortexMerge.mergeClauses over the analyzed source plan. */
+case class VortexMergeCommand(dir: String,
+                              payload: VortexDmlRules.MergePayload)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val p = payload
+    val source = org.apache.spark.sql.graft.GraftSqlBridge.ofRows(session, p.sourcePlan)
+    VortexMerge.mergeClauses(session, dir, source,
+      p.targetAttrs, p.sourceAttrs, p.keyIdxTarget, p.keyIdxSource,
+      p.matched, p.notMatched, p.fingerprint)
+    Seq.empty
+  }
+}
+
+object RewriteVortexDml {
+  /** Install into an ALREADY-RUNNING session (extensions are fixed at
+    * session construction; `getOrCreate` may have reused one built
+    * without them). Sound here because the optimizer leaves
+    * UpdateTable/MergeIntoTable untouched for tables without
+    * SupportsRowLevelOperations — only the PLANNER rejects them — so a
+    * user-provided optimizer rule still intercepts in time.
+    * Idempotent (the rewrite removes the only nodes it matches). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RewriteVortexDml]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteVortexDml(spark)
+}
+
+/** the rewrite rule — injected post-hoc-resolution by GraftExtensions,
+  * or into `experimental.extraOptimizations` by
+  * [[RewriteVortexDml.install]]; `transformDown` (not
+  * resolveOperatorsDown) so it fires in BOTH contexts — resolve*
+  * skips already-analyzed subtrees, which is every plan the optimizer
+  * sees. See [[VortexDmlRules]]. */
+case class RewriteVortexDml(session: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+  import VortexDmlRules._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case u: UpdateTable if u.resolved && vortexDir(u.table).isDefined =>
+      rewriteUpdate(u, vortexDir(u.table).get)
+    case m: MergeIntoTable if m.resolved && vortexDir(m.targetTable).isDefined =>
+      rewriteMerge(m, vortexDir(m.targetTable).get)
+  }
+
+  private def rewriteUpdate(u: UpdateTable, dir: String): LogicalPlan = {
+    val assigns = u.assignments.flatMap { a =>
+      val key = a.key match {
+        case ar: AttributeReference => ar
+        case other => throw new UnsupportedOperationException(
+          s"vortex update: only top-level column assignments are supported, got $other")
+      }
+      // alignment may have expanded SET to every column — identity
+      // assignments are not user intent (and would trip the
+      // partition-column guard), drop them
+      if (a.value.semanticEquals(key)) None
+      else Some(key.name -> toColumnChecked(a.value, "update SET"))
+    }
+    require(assigns.nonEmpty, "vortex update: no effective SET assignments")
+    VortexUpdateCommand(dir, UpdatePayload(assigns,
+      u.condition.map(toColumnChecked(_, "update WHERE"))
+        .getOrElse(org.apache.spark.sql.functions.lit(true))))
+  }
+
+  private def toColumnChecked(e: Expression, what: String): Column = {
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"vortex $what: subqueries are not supported")
+    GraftSqlBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+  }
+
+  private def rewriteMerge(m: MergeIntoTable, dir: String): LogicalPlan = {
+    require(m.notMatchedBySourceActions.isEmpty,
+      "vortex merge: WHEN NOT MATCHED BY SOURCE is not supported " +
+      "(it implies a full-table scan op — run UPDATE/DELETE with an anti-join instead)")
+    require(!m.withSchemaEvolution,
+      "vortex merge: WITH SCHEMA EVOLUTION is not supported")
+    val targetAttrs = m.targetTable.output
+    val sourceAttrs = m.sourceTable.output
+    val tSet = m.targetTable.outputSet
+    val sSet = m.sourceTable.outputSet
+    // ON must be a conjunction of target-attr = source-attr equalities
+    // (type-aligned — a cast around either side means the key types
+    // differ and hash matching would be unsound)
+    val pairs = splitConjunctivePredicates(m.mergeCondition).map {
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if tSet.contains(l) && sSet.contains(r) => (l, r)
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if sSet.contains(l) && tSet.contains(r) => (r, l)
+      case other => throw new UnsupportedOperationException(
+        "vortex merge: ON must be a conjunction of type-aligned " +
+        s"target.key = source.key equalities, got $other")
+    }
+    val keyIdxTarget = pairs.map(p => targetAttrs.indexWhere(_.exprId == p._1.exprId)).toArray
+    val keyIdxSource = pairs.map(p => sourceAttrs.indexWhere(_.exprId == p._2.exprId)).toArray
+    require(keyIdxTarget.forall(_ >= 0) && keyIdxSource.forall(_ >= 0),
+      "vortex merge: ON keys must be bare columns of the target/source")
+
+    def noSubquery(e: Expression, what: String): Expression = {
+      require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+        s"vortex merge: subqueries are not supported in $what")
+      e
+    }
+    def fullUpdateProjection(assignments: Seq[Assignment]): Seq[Expression] = {
+      val byId = assignments.map { a =>
+        val key = a.key match {
+          case ar: AttributeReference => ar
+          case other => throw new UnsupportedOperationException(
+            s"vortex merge: only top-level column assignments are supported, got $other")
+        }
+        key.exprId -> noSubquery(a.value, "UPDATE SET")
+      }.toMap
+      targetAttrs.map(a => byId.getOrElse(a.exprId, a))
+    }
+    val matched = m.matchedActions.map {
+      case UpdateAction(cond, assignments, _) =>
+        VortexMerge.MatchedAction(cond.map(noSubquery(_, "WHEN MATCHED")),
+          Some(fullUpdateProjection(assignments)))
+      case DeleteAction(cond) =>
+        VortexMerge.MatchedAction(cond.map(noSubquery(_, "WHEN MATCHED")), None)
+      case other => throw new UnsupportedOperationException(
+        s"vortex merge: unsupported WHEN MATCHED action $other")
+    }
+    val notMatched = m.notMatchedActions.map {
+      case InsertAction(cond, assignments) =>
+        val byId = assignments.map { a =>
+          val key = a.key match {
+            case ar: AttributeReference => ar
+            case other => throw new UnsupportedOperationException(
+              s"vortex merge: only top-level column INSERT targets are supported, got $other")
+          }
+          key.exprId -> noSubquery(a.value, "INSERT VALUES")
+        }.toMap
+        VortexMerge.NotMatchedAction(
+          cond.map(noSubquery(_, "WHEN NOT MATCHED")),
+          targetAttrs.map(a => byId.getOrElse(a.exprId,
+            Literal.create(null, a.dataType))))
+      case other => throw new UnsupportedOperationException(
+        s"vortex merge: unsupported WHEN NOT MATCHED action $other")
+    }
+    val fingerprint = (m.matchedActions ++ m.notMatchedActions)
+      .map(_.toString).mkString(";")
+    VortexMergeCommand(dir, MergePayload(m.sourceTable, targetAttrs, sourceAttrs,
+      keyIdxTarget, keyIdxSource, matched, notMatched, fingerprint))
+  }
+}

@@ -480,10 +480,15 @@ object VortexQueries {
       Tables.t(s, d, "orders")
         .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
         .write.format("vortex").mode("overwrite").save(dir)
-      graft.sources.vortex.VortexUpdate.update(s, dir,
-        Map("o_totalprice" -> (col("o_totalprice") + 1000.0),
-            "o_orderpriority" -> lit("5-RESCORED")),
-        col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0)
+      // pure SQL statement surface (plans/VortexDmlRules — r10 VERDICT
+      // "What's missing" #1): the analyzed UpdateTable routes into
+      // VortexUpdate's classify/rewrite machinery
+      graft.plans.RewriteVortexDml.install(s)
+      s.conf.set("spark.sql.catalog.vtx", "graft.sources.vortex.VortexCatalog")
+      s.sql(s"""UPDATE vtx.`$dir`
+                SET o_totalprice = o_totalprice + 1000.0,
+                    o_orderpriority = '5-RESCORED'
+                WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0""")
       s.read.format("vortex").load(dir)
         .groupBy("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
@@ -558,7 +563,14 @@ object VortexQueries {
         .withColumn("c_acctbal", col("c_acctbal") + 10.0)
       val src = base.unionByName(
         base.withColumn("c_custkey", col("c_custkey") + 10000000L))
-      graft.sources.vortex.VortexMerge.merge(s, dir, src, Seq("c_custkey"))
+      // pure SQL MERGE (plans/VortexDmlRules → VortexMerge.mergeClauses)
+      graft.plans.RewriteVortexDml.install(s)
+      s.conf.set("spark.sql.catalog.vtx", "graft.sources.vortex.VortexCatalog")
+      src.createOrReplaceTempView("graft_s16_src")
+      s.sql(s"""MERGE INTO vtx.`$dir` t USING graft_s16_src s2
+                ON t.c_custkey = s2.c_custkey
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
       s.read.format("vortex").load(dir)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sum_key"),
@@ -583,6 +595,60 @@ object VortexQueries {
       |       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
       |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM graft_mrg GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+
+  // S16B: conditional MERGE clauses (r10 VERDICT "What's missing" #2):
+  // WHEN MATCHED AND <cond> THEN DELETE, WHEN MATCHED THEN UPDATE SET
+  // <subset>, WHEN NOT MATCHED AND <cond> THEN INSERT — clause
+  // conditions are DISJOINT by construction (s.c_acctbal < 0 vs rest),
+  // so the DuckDB multi-statement twin (DELETE + UPDATE..FROM +
+  // filtered anti-join INSERT) is order-independent and exact.
+  spark("s16b_vortex_merge_clauses",
+    (s, d) => {
+      val dir = vdir("merge_s16b", d)
+      Tables.t(s, d, "customer")
+        .repartitionByRange(4, col("c_custkey")).sortWithinPartitions("c_custkey")
+        .write.format("vortex").mode("overwrite").save(dir)
+      val base = Tables.t(s, d, "customer")
+        .where(col("c_custkey") % 50L === 3L)
+        .withColumn("c_acctbal", col("c_acctbal") - 500.0)
+        .withColumn("c_mktsegment", lit("S16B"))
+      val src = base.unionByName(
+        base.withColumn("c_custkey", col("c_custkey") + 20000000L))
+      graft.plans.RewriteVortexDml.install(s)
+      s.conf.set("spark.sql.catalog.vtx", "graft.sources.vortex.VortexCatalog")
+      src.createOrReplaceTempView("graft_s16b_src")
+      s.sql(s"""MERGE INTO vtx.`$dir` t USING graft_s16b_src s2
+                ON t.c_custkey = s2.c_custkey
+                WHEN MATCHED AND s2.c_acctbal < 0 THEN DELETE
+                WHEN MATCHED THEN UPDATE
+                  SET c_acctbal = s2.c_acctbal, c_mktsegment = s2.c_mktsegment
+                WHEN NOT MATCHED AND s2.c_acctbal >= 0 THEN INSERT *""")
+      s.read.format("vortex").load(dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sum_key"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("sum_cents"))
+        .orderBy("c_mktsegment")
+    },
+    """CREATE OR REPLACE TEMP TABLE graft_m2 AS SELECT * FROM customer;
+      |CREATE OR REPLACE TEMP TABLE graft_m2_src AS
+      |  WITH base AS (
+      |    SELECT * REPLACE (c_acctbal - 500.0 AS c_acctbal, 'S16B' AS c_mktsegment)
+      |    FROM customer WHERE c_custkey % 50 = 3)
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT * REPLACE (c_custkey + 20000000 AS c_custkey) FROM base;
+      |DELETE FROM graft_m2 WHERE c_custkey IN
+      |  (SELECT c_custkey FROM graft_m2_src WHERE c_acctbal < 0);
+      |UPDATE graft_m2 SET c_acctbal = s.c_acctbal, c_mktsegment = s.c_mktsegment
+      |  FROM graft_m2_src s WHERE graft_m2.c_custkey = s.c_custkey;
+      |INSERT INTO graft_m2
+      |  SELECT * FROM graft_m2_src s
+      |  WHERE s.c_acctbal >= 0
+      |    AND NOT EXISTS (SELECT 1 FROM graft_m2 t WHERE t.c_custkey = s.c_custkey);
+      |SELECT c_mktsegment, count(*) AS n,
+      |       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+      |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM graft_m2 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 
   // ---- S3/S4 write rows (the write IS the timed operation) -----------
 

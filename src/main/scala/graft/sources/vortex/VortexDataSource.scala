@@ -224,6 +224,9 @@ class VortexTable(schema: StructType, paths: Seq[String],
     extends SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"vortex ${paths.mkString(",")}"
 
+  /** dataset paths, for the SQL DML rules (plans/VortexDmlRules) */
+  private[graft] def tablePaths: Seq[String] = paths
+
   // `DELETE FROM vtx.\`/path\` WHERE …` — Spark's DeleteFromTableExec
   // hands us the condition as source filters; VortexDelete rewrites
   // only the files whose stats say they can hold a match.

@@ -48,7 +48,8 @@ object VortexMerge {
 
   final case class MergeResult(candidateFiles: Int, untouchedFiles: Int,
                                rewrittenFiles: Int, rowsUpdated: Long,
-                               rowsInserted: Long)
+                               rowsInserted: Long, rowsDeleted: Long = 0L,
+                               droppedFiles: Int = 0)
 
   private[graft] def replacementName(srcName: String): String =
     "part-merge-" + VortexDelete.replacementName(srcName).stripPrefix("part-delete-")
@@ -187,69 +188,270 @@ object VortexMerge {
     val matched = new Array[Boolean](srcRows.length)
     outcomes.foreach(_.matchedOrdinals.foreach(i => matched(i) = true))
     val unmatchedIdx = srcRows.indices.filterNot(matched)
-    var inserted = 0L
-    if (unmatchedIdx.nonEmpty) {
-      val srcHash = VortexMergeSupport.sourceHash(srcRows, keyCols)
-      val insBase = s"part-merge-ins-$srcHash.vortex"
-      val insRepl = replacementName(insBase)
-      val stage = new Path(root, s".merge-stage-$srcHash")
-      fs.delete(stage, true) // leftover scratch of a crashed run
-      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .createToScalaConverter(tSchema)
-      val ext = unmatchedIdx.map(i =>
-        conv(srcRows(i)).asInstanceOf[org.apache.spark.sql.Row])
-      import scala.jdk.CollectionConverters._
-      val layoutPartCols = listed.flatMap(_._2.map(_._1)).distinct
-        .filterNot(_ == BucketSpecFile.BucketCol)
-      var w = spark.createDataFrame(ext.asJava, tSchema)
-        .coalesce(1).write.format("vortex").mode("overwrite")
-      if (layoutPartCols.nonEmpty)
-        w = w.option("partitionBy", layoutPartCols.mkString(","))
-      // the staging dir carries no bucket marker — pass the dataset's
-      // spec explicitly so bucket routing survives the indirection
-      (try BucketSpecFile.read(root, hconf) catch { case _: Exception => None })
-        .foreach { case (k, n) =>
-          w = w.option("bucketBy", k).option("buckets", n.toString) }
-      w.save(stage.toString)
-      val stageQ = fs.makeQualified(stage).toString
-      val (stSchema, stEntries) = StatsManifest.readAll(stage, hconf)
-      val renamedEntries = scala.collection.mutable.ArrayBuffer[StatsManifest.FileStats]()
-      VortexDataSource.listAll(Seq(stage.toString), hconf).foreach { case (st, _) =>
-        val rel = fs.makeQualified(st.getPath).toString
-          .stripPrefix(stageQ).stripPrefix("/")
-        val relDir = rel.lastIndexOf('/') match {
-          case -1 => ""; case i => rel.substring(0, i)
-        }
-        val finalDir = if (relDir.isEmpty) root else new Path(root, relDir)
-        if (!fs.exists(new Path(finalDir, insBase)) &&
-            !fs.exists(new Path(finalDir, insRepl))) {
-          if (failAfterInserts >= 0 && renamedEntries.length >= failAfterInserts)
-            throw new RuntimeException(
-              s"vortex merge: injected crash after $failAfterInserts insert renames (test seam)")
-          fs.mkdirs(finalDir)
-          if (!fs.rename(st.getPath, new Path(finalDir, insBase)))
-            throw new java.io.IOException(
-              s"vortex merge: insert rename failed for $finalDir/$insBase")
-          val dstRel = if (relDir.isEmpty) insBase else s"$relDir/$insBase"
-          stEntries.get(rel).foreach { e =>
-            renamedEntries += e.copy(relPath = dstRel)
-            inserted += e.rows
-          }
-        } // else: this directory's inserts committed in a prior run of
-          // this same statement — skipping is the exactly-once path
-      }
-      stSchema.map(_.json).foreach { sj =>
-        MaintenanceCommit.writeManifests(root, hconf, "merge-ins",
-          renamedEntries.toSeq.map(e => (sj, e)))
-      }
-      fs.delete(stage, true)
-    }
+    val srcHash = VortexMergeSupport.sourceHash(srcRows, keyCols)
+    val inserted = appendInserts(spark, fs, root, hconf, tSchema, listed,
+      unmatchedIdx.map(srcRows(_)), srcHash, failAfterInserts)
 
     MergeResult(cands.length,
       outcomes.count(!_.rewritten),
       destructive.length,
       outcomes.map(_.rowsUpdated).sum,
       inserted)
+  }
+
+  /** One `WHEN MATCHED [AND cond] THEN UPDATE/DELETE` clause. `cond`
+    * and the UPDATE projection are expressions over the caller's
+    * target ++ source attribute contexts (bound here by ordinal;
+    * executors evaluate them on a JoinedRow(targetRow, sourceRow)).
+    * `assigns` is the FULL target-schema projection for UPDATE —
+    * unassigned columns carry the target attribute itself — or None
+    * for DELETE. */
+  final case class MatchedAction(
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      assigns: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]])
+
+  /** One `WHEN NOT MATCHED [AND cond] THEN INSERT` clause: cond and
+    * the full target-schema projection, over the SOURCE attributes
+    * only (unassigned columns insert NULL). */
+  final case class NotMatchedAction(
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      values: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+
+  /** Conditional-clause MERGE — the full ANSI shape
+    * (`WHEN MATCHED [AND c] THEN UPDATE SET <subset> | DELETE`,
+    * `WHEN NOT MATCHED [AND c] THEN INSERT`), same scale contract and
+    * crash discipline as [[merge]]: bounded broadcast source,
+    * file-granular non-destructive tasks, deterministic replacement
+    * names, exactly-once inserts. Clauses evaluate IN ORDER; the first
+    * whose condition holds wins (ANSI); a matched row with no true
+    * clause is kept verbatim. `targetAttrs`/`sourceAttrs` are the
+    * binding contexts the clause expressions reference — targetAttrs
+    * must mirror the dataset schema positionally. `clauseFingerprint`
+    * folds the clause list into the statement identity for the
+    * exactly-once insert names. */
+  def mergeClauses(spark: SparkSession, dir: String, source: DataFrame,
+                   targetAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+                   sourceAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+                   keyIdxTarget: Array[Int], keyIdxSource: Array[Int],
+                   matchedActions: Seq[MatchedAction],
+                   notMatchedActions: Seq[NotMatchedAction],
+                   clauseFingerprint: String,
+                   maxSourceRows: Int = 1 << 20,
+                   pushKeyLimit: Int = 10000,
+                   failAfterInserts: Int = -1): MergeResult = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeSeq, BindReferences, Expression, UnsafeProjection, Predicate => CatalystPredicate}
+    require(keyIdxTarget.nonEmpty && keyIdxTarget.length == keyIdxSource.length,
+      "vortex merge: ON must be a conjunction of target-key = source-key equalities")
+    require(matchedActions.nonEmpty || notMatchedActions.nonEmpty,
+      "vortex merge: no WHEN clauses")
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf)
+    MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
+    MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
+    val target = spark.read.format("vortex").load(dir)
+    val tSchema = target.schema
+    require(targetAttrs.length == tSchema.length &&
+      targetAttrs.zip(tSchema.fields).forall { case (a, f) =>
+        a.name == f.name && a.dataType == f.dataType },
+      "vortex merge: target binding context does not mirror the dataset schema")
+    keyIdxTarget.zip(keyIdxSource).foreach { case (ti, si) =>
+      require(tSchema.fields(ti).dataType == sourceAttrs(si).dataType,
+        s"vortex merge: ON key types differ for ${tSchema.fields(ti).name} — " +
+        "cast the source key to the target type") }
+    val keyTypes = keyIdxTarget.map(tSchema.fields(_).dataType)
+    val keyCols = keyIdxTarget.map(tSchema.fields(_).name).toSeq
+
+    // source rows in the SOURCE's own schema/order (clause expressions
+    // reference them positionally), bounded like merge's
+    val capped = source.limit(maxSourceRows + 1)
+      .queryExecution.toRdd.map(_.copy()).collect()
+    require(capped.length <= maxSourceRows,
+      s"vortex merge: source exceeds maxSourceRows=$maxSourceRows — " +
+      "merge broadcasts the source; batch it or raise the cap deliberately")
+    val srcRows: Array[org.apache.spark.sql.catalyst.InternalRow] = capped
+    locally {
+      val seen = new scala.collection.mutable.HashSet[Seq[Any]]
+      srcRows.foreach { r =>
+        val k = VortexMergeSupport.keyOf(r, keyIdxSource, keyTypes)
+        if (k != null)
+          require(seen.add(k), s"vortex merge: duplicate source key $k")
+      }
+    }
+    val bcRows = spark.sparkContext.broadcast(srcRows)
+
+    // bind clause expressions: matched over target ++ source, not-
+    // matched over source only (RuntimeReplaceable rewritten first —
+    // interpreted eval of BETWEEN/nvl/… asserts otherwise)
+    val joinedCtx = AttributeSeq(targetAttrs ++ sourceAttrs)
+    def bindJ(e: Expression): Expression =
+      BindReferences.bindReference(VortexDelete.replaceRuntime(e), joinedCtx)
+    val srcCtx = AttributeSeq(sourceAttrs)
+    def bindS(e: Expression): Expression =
+      BindReferences.bindReference(VortexDelete.replaceRuntime(e), srcCtx)
+    (matchedActions.flatMap(a => a.cond.toSeq ++ a.assigns.toSeq.flatten) ++
+     notMatchedActions.flatMap(a => a.cond.toSeq ++ a.values)).foreach(e =>
+      require(e.deterministic, "vortex merge: clause expressions must be deterministic"))
+    val boundMatched: Seq[(Option[Expression], Option[Seq[Expression]])] =
+      matchedActions.map(a => (a.cond.map(bindJ), a.assigns.map(_.map(bindJ))))
+    val boundNotMatched: Seq[(Option[Expression], Seq[Expression])] =
+      notMatchedActions.map(a => (a.cond.map(bindS), a.values.map(bindS)))
+
+    // candidate planning: push `key IN (...)` for a small single-col
+    // key set of a pushable type (same discipline as merge)
+    val keyValuesForPush: Option[Seq[Any]] =
+      if (keyIdxTarget.length == 1 && srcRows.length <= pushKeyLimit &&
+          VortexMergeSupport.pushableKeyType(keyTypes(0))) {
+        val vs = srcRows.toSeq.map(_.get(keyIdxSource(0), keyTypes(0)))
+          .filter(_ != null).map(VortexMergeSupport.toExternal(_, keyTypes(0)))
+        if (vs.nonEmpty) Some(vs) else None
+      } else None
+    val filtered = keyValuesForPush match {
+      case Some(vs) => target.filter(col(s"`${keyCols.head}`").isInCollection(vs))
+      case None => target
+    }
+    val parts = filtered.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.inputPartitions).collect { case v: VortexInputPartition => v }
+
+    val rootQ = fs.makeQualified(root).toString
+    val manifest = StatsManifest.read(root, hconf)
+    val cands = parts.groupBy(_.file).toSeq.sortBy(_._1).map { case (file, ps) =>
+      val p = new Path(file)
+      val rel = fs.makeQualified(p).toString.stripPrefix(rootQ).stripPrefix("/")
+      val relDir = rel.lastIndexOf('/') match {
+        case -1 => ""; case i => rel.substring(0, i)
+      }
+      val entry = manifest.get(rel)
+      (file, ps.head.partCols, ps.head.partValues,
+        entry.map(_.cols.filter(_.bloom.isDefined).map(_.name).toSet).getOrElse(Set.empty),
+        entry.map(_.cols.filter(_.sketch.isDefined).map(_.name).toSet).getOrElse(Set.empty),
+        replacementName(p.getName), relDir, ps.head.maskFile)
+    }
+
+    val sconf = new SerializableConfiguration(hconf)
+    val outcomes =
+      if (cands.isEmpty) Array.empty[VortexMergeSupport.ClauseOutcome]
+      else spark.sparkContext.parallelize(cands, cands.length).map { c =>
+        VortexMergeSupport.processFileClauses(c, tSchema, keyIdxTarget, keyIdxSource,
+          keyTypes, bcRows.value, boundMatched, sconf.value)
+      }.collect()
+
+    // driver commit: drop-whole (every live row deleted) + rewrites
+    outcomes.filter(_.status == 1).foreach { o =>
+      val src = new Path(o.file)
+      if (!fs.delete(src, false))
+        throw new java.io.IOException(s"vortex merge: failed to delete ${o.file}")
+      MaintenanceCommit.dropMasks(fs, maskBind, o.file)
+    }
+    val destructive = outcomes.filter(_.status == 2)
+    MaintenanceCommit.commitAll(fs, "merge", maskBind,
+      destructive.toSeq.map(o => MaintenanceCommit.Replacement(o.file, o.tmp, o.dstName)))
+    MaintenanceCommit.writeManifests(root, hconf, "merge",
+      destructive.toSeq.map(o => (o.schemaJson, o.entry)))
+
+    // insert half: unmatched source rows through the NOT MATCHED
+    // clauses (first true condition wins; none → skip), driver-side —
+    // the source is bounded by contract
+    val matchedArr = new Array[Boolean](srcRows.length)
+    outcomes.foreach(_.matchedOrdinals.foreach(i => matchedArr(i) = true))
+    val nmPreds = boundNotMatched.map(_._1.map { e =>
+      val p = CatalystPredicate.create(e); p.initialize(0); p })
+    val nmProjs = boundNotMatched.map(a => UnsafeProjection.create(a._2))
+    val insertRows = srcRows.indices.filterNot(matchedArr).flatMap { i =>
+      val r = srcRows(i)
+      boundNotMatched.indices
+        .find(j => nmPreds(j).forall(_.eval(r)))
+        .map(j => nmProjs(j)(r).copy()
+          : org.apache.spark.sql.catalyst.InternalRow)
+    }
+    val srcHash = VortexMergeSupport.sourceHash(srcRows,
+      keyCols :+ s"clauses:$clauseFingerprint")
+    val inserted = appendInserts(spark, fs, root, hconf, tSchema, listed,
+      insertRows, srcHash, failAfterInserts)
+
+    MergeResult(cands.length,
+      outcomes.count(_.status == 0),
+      destructive.length,
+      outcomes.map(_.rowsUpdated).sum,
+      inserted,
+      outcomes.map(_.rowsDeleted).sum,
+      outcomes.count(_.status == 1))
+  }
+
+  /** The shared insert half: stage `rows` (target-schema Catalyst rows)
+    * through the normal vortex writer into a dot-hidden scratch dir,
+    * then rename one file per layout directory into place under the
+    * statement-derived name `part-merge-ins-<srcHash>.vortex` — a
+    * directory already holding this statement's insert file (or its
+    * deterministic maintenance replacement) is skipped, which makes
+    * the insert half exactly-once under crash re-runs (see the class
+    * scaladoc). Returns the number of rows actually inserted. */
+  private def appendInserts(spark: SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            root: Path,
+                            hconf: org.apache.hadoop.conf.Configuration,
+                            tSchema: StructType,
+                            listed: Seq[(org.apache.hadoop.fs.FileStatus, Seq[(String, String)])],
+                            rows: Seq[org.apache.spark.sql.catalyst.InternalRow],
+                            srcHash: String,
+                            failAfterInserts: Int): Long = {
+    if (rows.isEmpty) return 0L
+    var inserted = 0L
+    val insBase = s"part-merge-ins-$srcHash.vortex"
+    val insRepl = replacementName(insBase)
+    val stage = new Path(root, s".merge-stage-$srcHash")
+    fs.delete(stage, true) // leftover scratch of a crashed run
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(tSchema)
+    val ext = rows.map(r => conv(r).asInstanceOf[org.apache.spark.sql.Row])
+    import scala.jdk.CollectionConverters._
+    val layoutPartCols = listed.flatMap(_._2.map(_._1)).distinct
+      .filterNot(_ == BucketSpecFile.BucketCol)
+    var w = spark.createDataFrame(ext.asJava, tSchema)
+      .coalesce(1).write.format("vortex").mode("overwrite")
+    if (layoutPartCols.nonEmpty)
+      w = w.option("partitionBy", layoutPartCols.mkString(","))
+    // the staging dir carries no bucket marker — pass the dataset's
+    // spec explicitly so bucket routing survives the indirection
+    (try BucketSpecFile.read(root, hconf) catch { case _: Exception => None })
+      .foreach { case (k, n) =>
+        w = w.option("bucketBy", k).option("buckets", n.toString) }
+    w.save(stage.toString)
+    val stageQ = fs.makeQualified(stage).toString
+    val (stSchema, stEntries) = StatsManifest.readAll(stage, hconf)
+    val renamedEntries = scala.collection.mutable.ArrayBuffer[StatsManifest.FileStats]()
+    VortexDataSource.listAll(Seq(stage.toString), hconf).foreach { case (st, _) =>
+      val rel = fs.makeQualified(st.getPath).toString
+        .stripPrefix(stageQ).stripPrefix("/")
+      val relDir = rel.lastIndexOf('/') match {
+        case -1 => ""; case i => rel.substring(0, i)
+      }
+      val finalDir = if (relDir.isEmpty) root else new Path(root, relDir)
+      if (!fs.exists(new Path(finalDir, insBase)) &&
+          !fs.exists(new Path(finalDir, insRepl))) {
+        if (failAfterInserts >= 0 && renamedEntries.length >= failAfterInserts)
+          throw new RuntimeException(
+            s"vortex merge: injected crash after $failAfterInserts insert renames (test seam)")
+        fs.mkdirs(finalDir)
+        if (!fs.rename(st.getPath, new Path(finalDir, insBase)))
+          throw new java.io.IOException(
+            s"vortex merge: insert rename failed for $finalDir/$insBase")
+        val dstRel = if (relDir.isEmpty) insBase else s"$relDir/$insBase"
+        stEntries.get(rel).foreach { e =>
+          renamedEntries += e.copy(relPath = dstRel)
+          inserted += e.rows
+        }
+      } // else: this directory's inserts committed in a prior run of
+        // this same statement — skipping is the exactly-once path
+    }
+    stSchema.map(_.json).foreach { sj =>
+      MaintenanceCommit.writeManifests(root, hconf, "merge-ins",
+        renamedEntries.toSeq.map(e => (sj, e)))
+    }
+    fs.delete(stage, true)
+    inserted
   }
 }
 
@@ -317,6 +519,160 @@ private[vortex] object VortexMergeSupport {
       j += 1
     }
     out.toSeq
+  }
+
+  /** status: 0 untouched, 1 drop whole (every live row deleted),
+    * 2 rewritten. matchedOrdinals marks KEY-level matches (ANSI: a
+    * source row is NOT MATCHED only when no target row shares its
+    * key, regardless of which clause fired). */
+  final case class ClauseOutcome(file: String, status: Int,
+                                 rowsUpdated: Long, rowsDeleted: Long,
+                                 tmp: String, dstName: String,
+                                 entry: StatsManifest.FileStats, schemaJson: String,
+                                 matchedOrdinals: Array[Int])
+
+  def processFileClauses(
+      c: (String, Array[String], Array[String], Set[String], Set[String], String, String, String),
+      tSchema: StructType, keyIdxT: Array[Int], keyIdxS: Array[Int],
+      keyTypes: Array[org.apache.spark.sql.types.DataType],
+      srcRows: Array[org.apache.spark.sql.catalyst.InternalRow],
+      boundMatched: Seq[(Option[org.apache.spark.sql.catalyst.expressions.Expression],
+                         Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]])],
+      conf: org.apache.hadoop.conf.Configuration): ClauseOutcome = {
+    import org.apache.spark.sql.catalyst.expressions.{JoinedRow, UnsafeProjection, Predicate => CatalystPredicate}
+    val (file, partCols, partValues, bloomCols, sketchCols, dstName, relDir, maskFile) = c
+    val path = new Path(file)
+    val fs = path.getFileSystem(conf)
+    val footer = VortexFileReader.readFooter(path, conf)
+
+    val byKey = new java.util.HashMap[Seq[Any], java.lang.Integer](srcRows.length * 2)
+    var si = 0
+    while (si < srcRows.length) {
+      val k = keyOf(srcRows(si), keyIdxS, keyTypes)
+      if (k != null) byKey.put(k, si)
+      si += 1
+    }
+
+    // pass 1: probe key columns only (mask-aware)
+    val keySchema = StructType(keyIdxT.map(tSchema.fields(_)))
+    val probeIdx = keyIdxT.indices.toArray
+    val matchedSet = new java.util.BitSet(srcRows.length)
+    locally {
+      val part = VortexInputPartition(file, footer.chunks.indices.toArray,
+        partCols, partValues, maskFile = maskFile)
+      val r = new VortexPartitionReader(part, conf, keySchema, evolution = true)
+      try while (r.next()) {
+        val k = keyOf(r.get(), probeIdx, keyTypes)
+        val hit = if (k == null) null else byKey.get(k)
+        if (hit != null) matchedSet.set(hit.intValue())
+      } finally r.close()
+    }
+    def ords: Array[Int] = {
+      val buf = scala.collection.mutable.ArrayBuffer[Int]()
+      var b = matchedSet.nextSetBit(0)
+      while (b >= 0) { buf += b; b = matchedSet.nextSetBit(b + 1) }
+      buf.toArray
+    }
+    if (matchedSet.isEmpty || boundMatched.isEmpty)
+      return ClauseOutcome(file, 0, 0L, 0L, null, null, null, null, ords)
+
+    // pass 2: rewrite, clauses in order, first true condition wins
+    val tmp = new Path(path.getParent,
+      s".$dstName.${java.util.UUID.randomUUID().toString.take(8)}.inprogress")
+    val fileFields = footer.schema.fields
+    val storedNames = fileFields.map(_.name).toSet
+    val partSet = partCols.toSet
+    tSchema.fields.foreach(f =>
+      if (!storedNames.contains(f.name) && !partSet.contains(f.name))
+        throw new IllegalArgumentException(
+          s"vortex merge: target file $file does not store column ${f.name} " +
+          "(schema-evolved file) — compact/rewrite the dataset to one schema first"))
+    val partIdx: Array[Int] = tSchema.fields.zipWithIndex.collect {
+      case (f, i) if partSet.contains(f.name) && !storedNames.contains(f.name) => i
+    }
+    def valEq(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, null) => true
+      case (null, _) | (_, null) => false
+      case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+      case (x, y) => x == y
+    }
+    val slot: Array[Int] = fileFields.map(f => tSchema.fieldIndex(f.name))
+    val preds = boundMatched.map(_._1.map { e =>
+      val p = CatalystPredicate.create(e); p.initialize(0); p })
+    val projs = boundMatched.map(_._2.map(es => UnsafeProjection.create(es)))
+    val writer = new VortexFileWriter(tmp, conf, footer.schema,
+      bloomCols = bloomCols, sketchCols = sketchCols)
+    var updated = 0L
+    var deleted = 0L
+    var written = 0L
+    val joined = new JoinedRow
+    try {
+      val part = VortexInputPartition(file, footer.chunks.indices.toArray,
+        partCols, partValues, maskFile = maskFile)
+      val r = new VortexPartitionReader(part, conf, tSchema, evolution = true)
+      val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fileFields.length)
+      def emit(src: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        var i = 0
+        while (i < slot.length) {
+          out.update(i, src.get(slot(i), fileFields(i).dataType)); i += 1
+        }
+        writer.write(out)
+        written += 1
+      }
+      try while (r.next()) {
+        val row = r.get()
+        val k = keyOf(row, keyIdxT, keyTypes)
+        val hit = if (k == null) null else byKey.get(k)
+        if (hit == null) emit(row)
+        else {
+          joined(row, srcRows(hit.intValue()))
+          boundMatched.indices.find(j => preds(j).forall(_.eval(joined))) match {
+            case Some(j) if projs(j).isEmpty => deleted += 1 // DELETE: skip
+            case Some(j) =>
+              val upd = projs(j).get(joined)
+              var pi = 0
+              while (pi < partIdx.length) {
+                val ti = partIdx(pi)
+                val dt = tSchema.fields(ti).dataType
+                if (!valEq(row.get(ti, dt), upd.get(ti, dt)))
+                  throw new IllegalArgumentException(
+                    s"vortex merge: UPDATE clause changes partition column " +
+                    s"${tSchema.fields(ti).name} — the in-place rewrite cannot " +
+                    "move rows between partition directories")
+                pi += 1
+              }
+              updated += 1
+              emit(upd)
+            case None => emit(row) // no clause fired: keep verbatim
+          }
+        }
+      } finally r.close()
+      writer.close()
+    } catch { case e: Throwable => fs.delete(tmp, false); throw e }
+
+    if (updated == 0L && deleted == 0L) {
+      // key hits but no clause condition fired anywhere — untouched
+      fs.delete(tmp, false)
+      return ClauseOutcome(file, 0, 0L, 0L, null, null, null, null, ords)
+    }
+    if (written == 0L) {
+      // every live row deleted: drop the file whole (driver commits)
+      fs.delete(tmp, false)
+      return ClauseOutcome(file, 1, updated, deleted, null, null, null, null, ords)
+    }
+    def named[T](xs: IndexedSeq[Option[T]]): Map[String, T] =
+      fileFields.map(_.name).zip(xs).collect { case (n, Some(v)) => n -> v }.toMap
+    val sums = named(writer.columnSums)
+    val blooms = named(writer.columnBlooms)
+    val sketches = named(writer.columnSketches)
+    val rel = if (relDir.isEmpty) dstName else s"$relDir/$dstName"
+    val tmpFooter = VortexFileReader.readFooter(tmp, conf)
+    val base = StatsManifest.fromFooter(rel, fs.getFileStatus(tmp).getLen, tmpFooter)
+    val entry = base.copy(cols = base.cols.map(col => col.copy(
+      sum = sums.get(col.name), bloom = blooms.get(col.name),
+      sketch = sketches.get(col.name))))
+    ClauseOutcome(file, 2, updated, deleted, tmp.toString, dstName,
+      entry, tmpFooter.schema.json, ords)
   }
 
   def processFile(c: (String, Array[String], Array[String], Set[String], Set[String], String, String, String),

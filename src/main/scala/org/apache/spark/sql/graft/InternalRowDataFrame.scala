@@ -22,3 +22,17 @@ object InternalRowDataFrame {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }
+
+/** Two more `private[sql]` one-liners the SQL DML rules need (same
+  * connector-shim pattern, nothing copied or re-implemented):
+  * Expression → Column, and DataFrame-over-analyzed-plan. */
+object GraftSqlBridge {
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
