@@ -91,6 +91,15 @@ object VortexDataSource {
     * same directory walk (zero extra I/O — see DeletionVector). */
   def listAllWithMasks(raw: Seq[String], conf: org.apache.hadoop.conf.Configuration)
       : (Seq[(org.apache.hadoop.fs.FileStatus, Seq[(String, String)])],
+         Map[String, (String, Seq[String])]) =
+    listAllWithMasks(raw, conf, consistent = true)
+
+  /** `consistent = false` returns the RAW listing — maintenance ops
+    * need it to SEE the stale pairs their pre-planning repair removes;
+    * every read path takes the default consistent view. */
+  def listAllWithMasks(raw: Seq[String], conf: org.apache.hadoop.conf.Configuration,
+                       consistent: Boolean)
+      : (Seq[(org.apache.hadoop.fs.FileStatus, Seq[(String, String)])],
          Map[String, (String, Seq[String])]) = {
     val walked = raw.flatMap { p =>
       val path = new Path(p)
@@ -98,8 +107,59 @@ object VortexDataSource {
       val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
       matched.map(st => PartitionedLayout.listWithPartitionsAndMasks(st.getPath, conf))
     }
-    (walked.flatMap(_._1).sortBy(_._1.getPath.toString),
-     DeletionVector.bind(walked.flatMap(_._2)))
+    val masks = DeletionVector.bind(walked.flatMap(_._2))
+    val files = walked.flatMap(_._1).sortBy(_._1.getPath.toString)
+    ((if (consistent) consistentView(files, masks) else files), masks)
+  }
+
+  private val UpdvName = "^part-updv-([0-9a-f]{16})-(\\d+)\\.vortex$".r
+
+  /** Per-file read consistency over in-flight maintenance commits —
+    * the read-side half of the deterministic-name contract. A listing
+    * captured mid-commit can hold BOTH a source file and its committed
+    * replacement (`part-{delete|update|merge|fold}-<md5(source)>`), or
+    * an UPDATE's appended updv file whose paired mask has not renamed
+    * in yet (`part-updv-<md5(source)>-<seq>` with seq beyond the
+    * source's newest mask): both would serve surviving rows twice.
+    * The view resolves every such pair to its BEFORE state by
+    * excluding the replacement/orphan — the same judgment the
+    * maintenance repair makes destructively, applied non-destructively
+    * at plan time. This makes READS per-file before-or-after
+    * consistent under concurrent maintenance; cross-FILE statement
+    * atomicity still requires quiescing (a directory format has no
+    * commit log to pin a statement boundary — documented contract). */
+  def consistentView(
+      files: Seq[(org.apache.hadoop.fs.FileStatus, Seq[(String, String)])],
+      maskBind: Map[String, (String, Seq[String])])
+      : Seq[(org.apache.hadoop.fs.FileStatus, Seq[(String, String)])] = {
+    val prefixes = Seq("part-delete-", "part-update-", "part-merge-", "part-fold-")
+    files.groupBy(_._1.getPath.getParent.toString).values.flatMap { group =>
+      // md5-name hash of every file in this directory → the pair tests
+      lazy val hashes: Map[String, Path] = group.map { g =>
+        VortexDelete.replacementName(g._1.getPath.getName)
+          .stripPrefix("part-delete-").stripSuffix(".vortex") -> g._1.getPath
+      }.toMap
+      def newestSeq(p: Path): Int =
+        maskBind.get(p.toString).map(_._2.flatMap(m =>
+          DeletionVector.parseName(new Path(m).getName).map(_._2))
+          .foldLeft(0)(math.max)).getOrElse(0)
+      group.filter { g =>
+        val n = g._1.getPath.getName
+        n match {
+          case UpdvName(h, s) =>
+            // orphaned append half of a crashed UPDATE: exclude
+            hashes.get(h).forall(src => s.toInt <= newestSeq(src))
+          case _ =>
+            // replacement whose source still exists: the source's
+            // delete has not committed — the pair is mid-commit (or a
+            // crashed statement awaiting repair); the source is truth
+            !prefixes.exists(pre => n.startsWith(pre) && n.endsWith(".vortex") && {
+              val h = n.stripPrefix(pre).stripSuffix(".vortex")
+              hashes.get(h).exists(_.getName != n)
+            })
+        }
+      }
+    }.toSeq.sortBy(_._1.getPath.toString)
   }
 
   def expand(raw: Seq[String], conf: org.apache.hadoop.conf.Configuration): Seq[Path] =

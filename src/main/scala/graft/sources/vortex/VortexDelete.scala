@@ -58,9 +58,18 @@ import org.apache.spark.util.SerializableConfiguration
   * replacement renamed in but whose delete was lost is re-classified,
   * its stale replacement is overwritten (the deterministic name makes
   * the pair self-identifying), and the source is deleted. Proven by
-  * VortexDeleteSpec's crash/idempotence scenarios. Run deletes without
-  * concurrent readers, as with Hive-style tables: a reader planning
-  * mid-job can hit a dropped file or see the dup window above.
+  * VortexDeleteSpec's crash/idempotence scenarios.
+  *
+  * Concurrent-reader contract (r11): a reader PLANNING during the
+  * commit gets per-file before-or-after consistency — the consistent
+  * listing view (VortexDataSource.consistentView) resolves a
+  * coexisting source/replacement pair to its before state, so a
+  * survivor is never served twice (MaintenanceRepairSpec). What
+  * remains out of contract: cross-FILE statement atomicity (a reader
+  * can see file A after and file B before the same statement — a
+  * directory format has no commit log to pin a statement boundary),
+  * and the plan-to-read race (a scan that planned a file the commit
+  * then deleted fails loudly with FileNotFound, never silently).
   */
 object VortexDelete {
 
@@ -123,7 +132,7 @@ object VortexDelete {
     // commit-time cleanup, and the cross-statement stale-replacement
     // repair (the plan below does its own listing — that one is
     // inherent to the scan)
-    val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf)
+    val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
     // a dataset a prior delete emptied has no schema to infer — the
     // delete is a no-op, not an error (matches DELETE on an empty table)
     if (listed.isEmpty) return DeleteResult(0, 0, 0, 0, 0L)

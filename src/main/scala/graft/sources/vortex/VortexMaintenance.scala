@@ -84,14 +84,14 @@ object VortexMaintenance {
     // delete-source leaves the masked source and its part-fold-
     // replacement coexisting — drop the replacement before planning or
     // survivor rows read twice, and re-list so planning never sees it
-    val (listed0, maskBind0) = VortexDataSource.listAllWithMasks(Seq(dir), hconf)
+    val (listed0, maskBind0) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
     if (listed0.isEmpty) return FoldResult(0, 0L)
     val repaired = MaintenanceCommit.repairStaleReplacements(fs, listed0.map(_._1)) +
       MaintenanceCommit.repairStaleUpdvAppends(fs, listed0.map(_._1), maskBind0)
     // re-list only when the repair actually dropped files
     val (listed, maskBind) =
       if (repaired == 0) (listed0, maskBind0)
-      else VortexDataSource.listAllWithMasks(Seq(dir), hconf)
+      else VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
     val targets = listed.map(_._1.getPath)
       .filter(p => maskBind.contains(p.toString))
       .sortBy(_.toString)
@@ -174,7 +174,7 @@ object VortexMaintenance {
     // group data files by their layout directory (partition/bucket);
     // defensive re-check: any file still masked (e.g. written by a
     // racing delete) is excluded from byte-copy batches
-    val (listed0, maskLeft) = VortexDataSource.listAllWithMasks(Seq(dir), hconf)
+    val (listed0, maskLeft) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
     val listed = listed0.filterNot(f => maskLeft.contains(f._1.getPath.toString))
     val byDir = listed.groupBy(_._1.getPath.getParent.toString)
 

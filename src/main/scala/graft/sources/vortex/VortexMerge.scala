@@ -75,7 +75,7 @@ object VortexMerge {
     // one listing walk (mask binding + stale-replacement repair), BEFORE
     // the target loads: planning must never see a stale replacement the
     // repair is about to drop
-    val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf)
+    val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
     MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
     MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
     val target = spark.read.format("vortex").load(dir)
@@ -247,7 +247,7 @@ object VortexMerge {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(hconf)
-    val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf)
+    val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
     MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
     MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
     val target = spark.read.format("vortex").load(dir)

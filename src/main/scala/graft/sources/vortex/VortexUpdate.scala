@@ -119,7 +119,7 @@ object VortexUpdate {
     val fs = root.getFileSystem(hconf)
     // one listing walk: empty-check + mask binding + stale-replacement
     // repair (see VortexDelete — identical discipline)
-    val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf)
+    val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
     // UPDATE over a dataset a delete emptied is a no-op, not an error
     if (listed.isEmpty) return UpdateResult(0, 0, 0, 0L)
     MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))

@@ -55,7 +55,9 @@ class MaintenanceRepairSpec extends AnyFunSuite {
     dataFiles.foreach { src =>
       copy(src, new Path(src.getParent, VortexDelete.replacementName(src.getName)))
     }
-    assert(spark.read.format("vortex").load(dir).count() == 400L) // dup window
+    // the read-side consistent view resolves each mid-commit pair to
+    // its BEFORE state — readers never see the duplicates
+    assert(spark.read.format("vortex").load(dir).count() == 200L)
 
     // a different statement triggers the repair; predicate matches nothing
     val res = VortexDelete.delete(spark, dir, col("v") < 0L)
@@ -84,7 +86,9 @@ class MaintenanceRepairSpec extends AnyFunSuite {
     val foldName = "part-fold-" +
       VortexDelete.replacementName(src.getName).stripPrefix("part-delete-")
     copy(src, new Path(src.getParent, foldName))
-    assert(spark.read.format("vortex").load(dir).count() == 1900L) // dup window
+    // reads resolve the pair to the before state (consistent view):
+    // 900 live rows of the masked source, the fold copy excluded
+    assert(spark.read.format("vortex").load(dir).count() == 900L)
 
     val res = VortexMaintenance.foldMasks(spark, dir)
     assert(res.foldedFiles == 1 && res.rowsDropped == 100L, res)
@@ -117,7 +121,8 @@ class MaintenanceRepairSpec extends AnyFunSuite {
     val staged = fs.listStatus(new Path(stageDir)).map(_.getPath)
       .find(_.getName.endsWith(".vortex")).get
     fs.rename(staged, new Path(src.getParent, VortexUpdate.appendName(src.getName, 2)))
-    assert(spark.read.format("vortex").load(dir).count() == 1010L) // dup window
+    // reads exclude the orphaned append (seq > newest mask seq)
+    assert(spark.read.format("vortex").load(dir).count() == 1000L)
     // any maintenance statement repairs the orphan — and must NOT touch
     // the committed seq-1 pair
     val res = VortexUpdate.update(spark, dir, Map("v" -> lit(9L)),
@@ -128,6 +133,36 @@ class MaintenanceRepairSpec extends AnyFunSuite {
     assert(after.where(col("v") === -1L).count() == 10L, "committed pair intact")
     assert(after.where(col("v") === -2L).count() == 0L)
     assert(after.agg(sum("id")).head().getLong(0) == (0L until 1000L).sum)
+  }
+
+  test("a reader planning mid-DELETE sees only before-or-after per-file states") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 3000L).map(i => (i, i)).toDF("id", "v")
+      .repartitionByRange(3, col("id")).sortWithinPartitions("id")
+      .write.format("vortex").mode("overwrite").save(dir)
+    // uniform predicate: every file holds exactly 100 matches
+    val crashed = intercept[Exception] {
+      VortexDelete.deleteImpl(spark, dir, col("id") % 10L === 0L,
+        failAfterCommits = 1)
+    }
+    assert(crashed.getMessage.contains("injected crash"), crashed.getMessage)
+    // exactly ONE file committed (its matches gone — ~100, the exact
+    // count depends on sampled range boundaries); the other two files
+    // are in their BEFORE state. Invariants of per-file
+    // before-or-after consistency: no row served twice, only matching
+    // rows missing, and only one file's worth of them.
+    val frame = spark.read.format("vortex").load(dir)
+    val n = frame.count()
+    assert(frame.select("id").distinct().count() == n, "a survivor was served twice")
+    val missing = spark.range(0, 3000).toDF("id")
+      .join(frame, Seq("id"), "left_anti")
+    assert(missing.where(col("id") % 10L =!= 0L).count() == 0L,
+      "a non-matching row went missing (partial-file state)")
+    assert(n < 3000L && n >= 2700L, s"got $n")
+    // re-run converges to the full after state
+    VortexDelete.delete(spark, dir, col("id") % 10L === 0L)
+    assert(spark.read.format("vortex").load(dir).count() == 2700L)
   }
 
   test("a DELETE also repairs a stale part-fold- pair left by a crashed fold") {
@@ -141,7 +176,9 @@ class MaintenanceRepairSpec extends AnyFunSuite {
     val foldName = "part-fold-" +
       VortexDelete.replacementName(src.getName).stripPrefix("part-delete-")
     copy(src, new Path(src.getParent, foldName))
-    assert(spark.read.format("vortex").load(dir).count() == 950L) // dup window
+    // reads resolve the pair to the before state (consistent view):
+    // 450 live rows (50 masked), the unmasked fold copy excluded
+    assert(spark.read.format("vortex").load(dir).count() == 450L)
     // the delete's pre-planning repair must recognize the fold prefix
     val res = VortexDelete.delete(spark, dir, col("id") >= 450L)
     assert(res.rowsDeleted == 50L, res)

@@ -229,7 +229,8 @@ class VortexDeleteSpec extends AnyFunSuite {
     val staged = fs.listStatus(new Path(dir + "_stage"))
       .map(_.getPath).find(_.getName.endsWith(".vortex")).get
     fs.rename(staged, new Path(new Path(dir), dstName))
-    assert(spark.read.format("vortex").load(dir).count() == 1900L) // dup window visible
+    // the consistent read view resolves the pair to its BEFORE state
+    assert(spark.read.format("vortex").load(dir).count() == 1000L)
     // re-running the delete converges: src still matches → rewritten to
     // the SAME deterministic name (stale replacement overwritten), src
     // deleted
@@ -257,7 +258,8 @@ class VortexDeleteSpec extends AnyFunSuite {
     val staged = fs.listStatus(new Path(dir + "_st"))
       .map(_.getPath).find(_.getName.endsWith(".vortex")).get
     fs.rename(staged, new Path(new Path(dir), dstName))
-    assert(spark.read.format("vortex").load(dir).count() == 1900L) // dup window
+    // consistent read view: before state, no dup
+    assert(spark.read.format("vortex").load(dir).count() == 1000L)
     // now a DIFFERENT delete runs: the stale replacement must be
     // repaired away first, or survivors outside both predicates would
     // commit twice
