@@ -157,6 +157,10 @@ object FuzzRun {
     val dir = java.nio.file.Files.createTempDirectory("fuzz_maint").toString
     try {
       sources.vortex.VortexBulkCopy.copy(src, dir)
+      // `maintbase` = the UNMUTATED original (merge sources derive
+      // from it, mirroring the twin's derivation from the raw table)
+      src.createOrReplaceTempView("maintbase")
+      var streamRead = false
       lines.filter(_.startsWith("op=")).foreach { l =>
         val parts = l.stripPrefix("op=").split(MaintSep).map(_.trim)
         parts(0) match {
@@ -165,22 +169,46 @@ object FuzzRun {
           case "dvdel" =>
             sources.vortex.VortexDelete.delete(spark, dir, expr(parts(1)),
               deletionVectors = true)
-          case "update" =>
+          case "update" | "dvupdate" =>
             val sets = parts(2).split(";").map { kv =>
               val Array(c, e) = kv.split(":=", 2); c.trim -> expr(e.trim)
             }.toMap
-            sources.vortex.VortexUpdate.update(spark, dir, sets, expr(parts(1)))
+            sources.vortex.VortexUpdate.update(spark, dir, sets, expr(parts(1)),
+              deletionVectors = parts(0) == "dvupdate")
+          case "sql" =>
+            // a full UPDATE/MERGE statement (plans/VortexDmlRules);
+            // __DIR__ substitutes the staged dataset path
+            graft.plans.RewriteVortexDml.install(spark)
+            spark.conf.set("spark.sql.catalog.vtx",
+              "graft.sources.vortex.VortexCatalog")
+            spark.sql(parts(1).replace("__DIR__", dir))
+            ()
           case "fold" =>
             sources.vortex.VortexMaintenance.foldMasks(spark, dir)
           case "compact" =>
             sources.vortex.VortexMaintenance.compact(spark, dir, minFiles = 2)
+          case "stream" =>
+            streamRead = true // the read-back goes through the micro-batch source
           case other => sys.error(s"fuzz maintenance: unknown op $other")
         }
       }
       // explicit schema: a delete can legitimately empty the dataset,
       // and schema inference over zero files has nothing to infer
-      spark.read.format("vortex").schema(src.schema).load(dir)
-        .createOrReplaceTempView("maintv")
+      if (streamRead) {
+        // masked/maintained dataset through VortexMicroBatchStream:
+        // stream read-back must equal the twin (r11 — the r10 VERDICT
+        // silent-resurrection hole, now mask-aware)
+        val ckpt = java.nio.file.Files.createTempDirectory("fuzz_maint_ck").toString
+        val qn = s"fuzz_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+        val q = spark.readStream.format("vortex").schema(src.schema).load(dir)
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try { q.processAllAvailable() } finally q.stop()
+        spark.table(qn).createOrReplaceTempView("maintv")
+      } else {
+        spark.read.format("vortex").schema(src.schema).load(dir)
+          .createOrReplaceTempView("maintv")
+      }
       // materialize BEFORE the staging dir is deleted
       val rows = spark.sql(select).collect()
       val schema = spark.sql(select).schema

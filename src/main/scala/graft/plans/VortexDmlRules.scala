@@ -41,18 +41,6 @@ object VortexDmlRules {
         r.relation.table.asInstanceOf[VortexTable].tablePaths
     }.filter(_.length == 1).map(_.head)
 
-  /** resolved expression → unresolved Column (attribute references
-    * drop to bare names) so VortexUpdate can re-resolve it against its
-    * own scan of the same table — sound because UPDATE has a single
-    * relation, so names are unambiguous */
-  private def toColumn(e: Expression): Column = {
-    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
-      s"vortex update: subqueries are not supported in this clause: $e")
-    GraftSqlBridge.column(e.transform {
-      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-    })
-  }
-
   /** opaque clause payload: NOT an Iterable/Option/Expression product
     * element, so TreeNode never discovers the enclosed expressions as
     * the command's own (they reference the original statement's
@@ -151,9 +139,13 @@ case class RewriteVortexDml(session: SparkSession)
   private def toColumnChecked(e: Expression, what: String): Column = {
     require(!e.exists(_.isInstanceOf[SubqueryExpression]),
       s"vortex $what: subqueries are not supported")
-    GraftSqlBridge.column(e.transform {
-      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-    })
+    // inline RuntimeReplaceable/With forms FIRST (BETWEEN analyzes to a
+    // With whose CommonExpressionRef nodes cannot re-resolve once the
+    // attributes underneath are unresolved — fuzz-found r11)
+    GraftSqlBridge.column(
+      graft.sources.vortex.VortexDelete.replaceRuntime(e).transform {
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      })
   }
 
   private def rewriteMerge(m: MergeIntoTable, dir: String): LogicalPlan = {

@@ -158,13 +158,31 @@ object Relational {
   common("j5_cross",
     """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""")
 
-  // The /*+ SHUFFLE_MERGE */ hint is a plain comment to DuckDB but
-  // steers Spark off a 600k-row fact-side broadcast: the self-join
-  // becomes one exchange on l_orderkey reused by BOTH sides, the SMJ
-  // runs per-partition, and the aggregation inherits the partitioning
-  // (no further exchange) — the shape that survives a 100× fact.
-  common("j6_theta",
-    """SELECT /*+ SHUFFLE_MERGE(l1) */ l1.l_orderkey AS okey, count(*) AS n
+  // Theta self-join → exact pair-count algebra (r11, the r10 "best
+  // remaining plan-work candidate"): for an AGGREGATED strict-< theta
+  // self-join, the pair count per group is a closed form over value
+  // multiplicities — pairs(okey) = C(k,2) − Σ_v C(m_v,2), where k =
+  // rows in the group and m_v = multiplicity of each l_linenumber
+  // value (the correction term is 0 when values are distinct, but the
+  // identity is EXACT regardless — no data assumption). Two narrow
+  // long-only aggregations replace the SMJ's O(pairs) probe work: at
+  // 100 TB the fact shuffles 16-byte rows once and never materializes
+  // a pair. The oracle stays the literal join, proving the identity.
+  spark("j6_theta",
+    (s, d) => {
+      val li = Tables.t(s, d, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"))
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("m"))
+        .groupBy("l_orderkey")
+        .agg(sum(col("m")).as("k"),
+             sum(expr("m * (m - 1L) div 2L")).as("dup"))
+        .select(col("l_orderkey").as("okey"),
+          (expr("k * (k - 1L) div 2L") - col("dup")).as("n"))
+        .where(col("n") > 0L)
+        .orderBy("okey")
+    },
+    """SELECT l1.l_orderkey AS okey, CAST(count(*) AS BIGINT) AS n
       |FROM lineitem l1 JOIN lineitem l2
       |  ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber
       |GROUP BY l1.l_orderkey ORDER BY okey""".stripMargin)

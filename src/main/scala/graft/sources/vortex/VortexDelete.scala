@@ -420,7 +420,7 @@ object VortexDelete {
     * delete/update bind conditions from the ANALYZED plan (pre-rule).
     * Inlining the refs duplicates the common subexpression — fine for
     * interpreted per-row eval. */
-  private[vortex] def replaceRuntime(e: Expression): Expression =
+  private[graft] def replaceRuntime(e: Expression): Expression =
     e.transformUp {
       case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
         replaceRuntime(r.replacement)

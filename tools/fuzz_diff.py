@@ -483,25 +483,112 @@ def maint_select(t):
 
 SEP = '\x01'  # FuzzRun's MaintSep (U+0001 field separator)
 
+# complete column list per maintenance table (the portable-class model
+# in T is a subset; MERGE sources project the full row)
+FULLCOLS = {t: [d[0] for d in con.execute(f"SELECT * FROM {t} LIMIT 0").description]
+            for t in MAINT_TABLES}
+MAINT_KEY = {t: ('doc_id' if t == 'nestedx' else T[t]['pk'][0])
+             for t in MAINT_TABLES}
+
+def maint_merge(t, ops_spark, ops_duck, conditional):
+    """SQL MERGE (round 11: plans/VortexDmlRules → mergeClauses) vs the
+    DuckDB DELETE + UPDATE..FROM + anti-join-INSERT twin. Clause
+    conditions are key-parity — DISJOINT by construction, so the
+    multi-statement twin is order-independent and exact. A NULL-key
+    source row rides along sometimes (ANSI: matches nothing; inserts
+    iff the insert clause's condition passes — NULL-cond rows skip in
+    both engines)."""
+    key = MAINT_KEY[t]
+    cols = FULLCOLS[t]
+    setmap = dict(kv for kv in maint_sets(t) if kv[0] != key)
+    if not setmap:  # ensure at least one modified column
+        c = (T[t]['strs'] or T[t]['ints'])[-1]
+        setmap = {c: lit(t, c, 'str') if c in T[t]['strs'] else f"{c} + 7"}
+    m = rng.randint(4, 12); r = rng.randint(0, m - 1)
+    def proj(rekey=None, nullkey=False):
+        out = []
+        for c in cols:
+            if c == key and nullkey:
+                out.append(f"CAST(NULL AS BIGINT) AS {c}")
+            elif c == key and rekey is not None:
+                out.append(f"{c} + {rekey} AS {c}")
+            elif c in setmap:
+                out.append(f"{setmap[c]} AS {c}")
+            else:
+                out.append(c)
+        return ", ".join(out)
+    branches = [f"SELECT {proj()} FROM {{F}} WHERE {key} % {m} = {r}",
+                f"SELECT {proj(rekey=100000000)} FROM {{F}} WHERE {key} % {m} = {r}"]
+    if rng.random() < 0.3:
+        branches.append(
+            f"SELECT {proj(nullkey=True)} FROM {{F}} "
+            f"WHERE {key} = (SELECT min({key}) FROM {{F}})")
+    src = " UNION ALL ".join(branches)
+    spark_src = src.format(F="maintbase")
+    duck_src = src.format(F=t)
+    ops_duck.append(f"CREATE OR REPLACE TEMP TABLE mergesrc AS {duck_src};")
+    nonkey = [c for c in cols if c != key]
+    if not conditional:
+        merge_sql = (f"MERGE INTO vtx.`__DIR__` t USING ({spark_src}) s2 "
+                     f"ON t.{key} = s2.{key} "
+                     f"WHEN MATCHED THEN UPDATE SET * "
+                     f"WHEN NOT MATCHED THEN INSERT *")
+        ops_duck.append("UPDATE maintv SET " +
+                        ", ".join(f"{c} = s.{c}" for c in nonkey) +
+                        f" FROM mergesrc s WHERE maintv.{key} = s.{key};")
+        ops_duck.append(
+            f"INSERT INTO maintv SELECT * FROM mergesrc s WHERE NOT EXISTS "
+            f"(SELECT 1 FROM maintv t WHERE t.{key} = s.{key});")
+    else:
+        upd = rng.sample(sorted(setmap), rng.randint(1, len(setmap)))
+        set_s = ", ".join(f"{c} = s2.{c}" for c in upd)
+        set_d = ", ".join(f"{c} = s.{c}" for c in upd)
+        merge_sql = (f"MERGE INTO vtx.`__DIR__` t USING ({spark_src}) s2 "
+                     f"ON t.{key} = s2.{key} "
+                     f"WHEN MATCHED AND s2.{key} % 2 = 0 THEN DELETE "
+                     f"WHEN MATCHED THEN UPDATE SET {set_s} "
+                     f"WHEN NOT MATCHED AND s2.{key} % 2 = 1 THEN INSERT *")
+        ops_duck.append(f"DELETE FROM maintv WHERE {key} IN "
+                        f"(SELECT {key} FROM mergesrc WHERE {key} % 2 = 0);")
+        ops_duck.append(f"UPDATE maintv SET {set_d} FROM mergesrc s "
+                        f"WHERE maintv.{key} = s.{key} AND s.{key} % 2 = 1;")
+        ops_duck.append(
+            f"INSERT INTO maintv SELECT * FROM mergesrc s "
+            f"WHERE s.{key} % 2 = 1 AND NOT EXISTS "
+            f"(SELECT 1 FROM maintv t WHERE t.{key} = s.{key});")
+    ops_spark.append("op=sql" + SEP + merge_sql)
+
 def q_maint():
     """returns (spark maintenance DSL, duckdb multi-statement twin)."""
     t = rng.choice(MAINT_TABLES)
     kind = rng.choice(['del', 'dvdel', 'dvdel_fold', 'dvdel_dvdel',
                        'update', 'dvdel_update', 'del_compact',
-                       'dvdel_dvdel_fold'])
+                       'dvdel_dvdel_fold',
+                       # round 11 surfaces
+                       'dvupdate', 'dvupdate_fold', 'dvdel_dvupdate',
+                       'sqlupdate', 'sqlmerge', 'sqlmerge_cond',
+                       'dvdel_stream', 'dvupdate_stream',
+                       'dvdel_update_stream', 'sqlmerge_stream'])
     ops_spark, ops_duck = [], []
     def add_del(mode):
         pr = maint_pred(t)
         ops_spark.append(f"op={mode}{SEP}{pr}")
         ops_duck.append(f"DELETE FROM maintv WHERE {pr};")
-    def add_update():
+    def add_update(mode='update'):
         pr = maint_pred(t)
         sets = maint_sets(t)
-        ops_spark.append("op=update" + SEP + pr + SEP +
+        ops_spark.append(f"op={mode}" + SEP + pr + SEP +
                          ";".join(f"{c}:={e}" for c, e in sets))
         ops_duck.append("UPDATE maintv SET " +
                         ", ".join(f"{c} = {e}" for c, e in sets) +
                         f" WHERE {pr};")
+    def add_sql_update():
+        pr = maint_pred(t)
+        sets = maint_sets(t)
+        setsql = ", ".join(f"{c} = {e}" for c, e in sets)
+        ops_spark.append("op=sql" + SEP +
+                         f"UPDATE vtx.`__DIR__` SET {setsql} WHERE {pr}")
+        ops_duck.append(f"UPDATE maintv SET {setsql} WHERE {pr};")
     if kind == 'del': add_del('del')
     elif kind == 'dvdel': add_del('dvdel')
     elif kind == 'dvdel_fold': add_del('dvdel'); ops_spark.append("op=fold")
@@ -509,7 +596,23 @@ def q_maint():
     elif kind == 'update': add_update()
     elif kind == 'dvdel_update': add_del('dvdel'); add_update()
     elif kind == 'del_compact': add_del('del'); ops_spark.append("op=compact")
-    else: add_del('dvdel'); add_del('dvdel'); ops_spark.append("op=fold")
+    elif kind == 'dvdel_dvdel_fold':
+        add_del('dvdel'); add_del('dvdel'); ops_spark.append("op=fold")
+    elif kind == 'dvupdate': add_update('dvupdate')
+    elif kind == 'dvupdate_fold':
+        add_update('dvupdate'); ops_spark.append("op=fold")
+    elif kind == 'dvdel_dvupdate': add_del('dvdel'); add_update('dvupdate')
+    elif kind == 'sqlupdate': add_sql_update()
+    elif kind == 'sqlmerge': maint_merge(t, ops_spark, ops_duck, False)
+    elif kind == 'sqlmerge_cond': maint_merge(t, ops_spark, ops_duck, True)
+    elif kind == 'dvdel_stream': add_del('dvdel'); ops_spark.append("op=stream")
+    elif kind == 'dvupdate_stream':
+        add_update('dvupdate'); ops_spark.append("op=stream")
+    elif kind == 'dvdel_update_stream':
+        add_del('dvdel'); add_update(); ops_spark.append("op=stream")
+    else:  # sqlmerge_stream
+        maint_merge(t, ops_spark, ops_duck, rng.random() < 0.5)
+        ops_spark.append("op=stream")
     sel = maint_select(t)
     spark_dsl = "\n".join(["--GRAFT-MAINT--", f"table={t}"] + ops_spark +
                            [f"select={sel}"])
