@@ -180,7 +180,10 @@ object Relational {
         .select(col("l_orderkey").as("okey"),
           (expr("k * (k - 1L) div 2L") - col("dup")).as("n"))
         .where(col("n") > 0L)
-        .orderBy("okey")
+        // range partitions are key-ranged → concatenation is globally
+        // ordered; avoids orderBy's extra sampling pass (J6Probe A/B)
+        .repartitionByRange(6, col("okey"))
+        .sortWithinPartitions("okey")
     },
     """SELECT l1.l_orderkey AS okey, CAST(count(*) AS BIGINT) AS n
       |FROM lineitem l1 JOIN lineitem l2
@@ -205,6 +208,10 @@ object Relational {
           leftTime = "ts", rightTime = "o_orderdate",
           tieBreak = "o_orderdate", payload = Seq("o_orderdate"))
         .select(col("event_id"), col("o_orderdate").as("asof_date"))
+        // eager materialization before the ordered dump: orderBy's
+        // range sampler would otherwise RE-EXECUTE the whole as-of
+        // (J7Probe sf1 A/B: 1.81 -> 1.49 s)
+        .localCheckpoint(true)
         .orderBy("event_id")
     },
     """SELECT e.event_id AS event_id, o.o_orderdate AS asof_date
@@ -224,6 +231,7 @@ object Relational {
           leftTime = "ts", rightTime = "o_orderdate",
           tieBreak = "o_orderkey", payload = Seq("o_orderkey", "o_orderdate"))
         .select(col("event_id"), col("o_orderkey").as("okey"), col("o_orderdate").as("odate"))
+        .localCheckpoint(true) // see j7_asof: skip the sampler re-execution
         .orderBy("event_id")
     },
     """SELECT event_id, okey, odate FROM (
