@@ -156,7 +156,15 @@ object FuzzRun {
       .getOrElse(Tables.t(spark, sfDir, table))
     val dir = java.nio.file.Files.createTempDirectory("fuzz_maint").toString
     try {
-      sources.vortex.VortexBulkCopy.copy(src, dir)
+      // optional Hive-partitioned staging (r11): the same op sequences
+      // then exercise partition-dir pruning, the partition guards, the
+      // layout-aware merge insert half, and partitioned streaming
+      lines.collectFirst { case l if l.startsWith("partby=") =>
+        l.stripPrefix("partby=") } match {
+        case Some(c) => src.write.format("vortex").option("partitionBy", c)
+          .mode("overwrite").save(dir)
+        case None => sources.vortex.VortexBulkCopy.copy(src, dir)
+      }
       // `maintbase` = the UNMUTATED original (merge sources derive
       // from it, mirroring the twin's derivation from the raw table)
       src.createOrReplaceTempView("maintbase")

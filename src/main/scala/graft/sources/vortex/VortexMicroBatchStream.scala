@@ -105,12 +105,17 @@ class VortexMicroBatchStream(schema: StructType, paths: Seq[String],
     // after latestOffset was computed): exclude them — they belong to
     // the next batch, and including them here would double-read.
     val fresh = listed
-      .map(t => (t._1.getPath.toString, t._1.getModificationTime))
-      .filter { case (f, mt) => !startO.seen(f, mt) && endO.seen(f, mt) }
-    fresh.flatMap { case (f, _) =>
+      .map(t => (t._1.getPath.toString, t._1.getModificationTime, t._2))
+      .filter { case (f, mt, _) => !startO.seen(f, mt) && endO.seen(f, mt) }
+    fresh.flatMap { case (f, _, segs) =>
       val footer = VortexFileReader.readFooter(new Path(f), conf)
       if (footer.chunks.isEmpty) None
       else Some(VortexInputPartition(f, footer.chunks.indices.toArray,
+        // Hive-partition path values ride along so partition columns
+        // reconstruct per file (a partitioned dataset previously threw
+        // the drift guard under readStream — r11)
+        partCols = segs.map(_._1).toArray,
+        partValues = segs.map(_._2).toArray,
         maskFile = maskBind.get(f).map(_._1).orNull))
     }.toArray
   }

@@ -204,6 +204,29 @@ class VortexDeletionVectorSpec extends AnyFunSuite {
       Seq(950L, (100L until 1000L).sum + (2000L until 2050L).sum))
   }
 
+  test("streaming over a PARTITIONED (and DV-masked) dataset reconstructs partition columns") {
+    import spark.implicits._
+    val src = tmp()
+    val ckpt = java.nio.file.Files.createTempDirectory("vortex_dvp_ckpt").toString
+    (0L until 300L).map(i => (s"p${i % 3}", i)).toDF("p", "v")
+      .write.format("vortex").option("partitionBy", "p")
+      .mode("overwrite").save(src)
+    // partition-scoped DV delete, then stream: the micro-batch planner
+    // must carry path partition values (it used to throw the drift
+    // guard on any partitioned dataset) AND apply the mask
+    VortexDelete.delete(spark, src, col("p") === "p1" && col("v") < 150L,
+      deletionVectors = true)
+    val q = spark.readStream.format("vortex").load(src)
+      .groupBy("p").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .writeStream.format("memory").queryName("dvp_stream_out")
+      .option("checkpointLocation", ckpt).outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dvp_stream_out").orderBy("p").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("p0", "p1", "p2"))
+    assert(out.map(_.getLong(1)).toSeq == Seq(100L, 50L, 100L))
+    assert(out(1).getLong(2) == (0L until 300L).filter(i => i % 3 == 1 && i >= 150L).sum)
+  }
+
   test("partitioned layout: DV delete masks only inside the matching directory") {
     import spark.implicits._
     val dir = tmp()

@@ -483,6 +483,10 @@ def maint_select(t):
 
 SEP = '\x01'  # FuzzRun's MaintSep (U+0001 field separator)
 
+# low-cardinality partition column for the partitioned-staging mode
+PARTBY = {'orders': 'o_orderstatus', 'customer': 'c_mktsegment',
+          'events': 'event_type', 'part': 'p_brand', 'nestedx': 'source'}
+
 # complete column list per maintenance table (the portable-class model
 # in T is a subset; MERGE sources project the full row)
 FULLCOLS = {t: [d[0] for d in con.execute(f"SELECT * FROM {t} LIMIT 0").description]
@@ -490,7 +494,7 @@ FULLCOLS = {t: [d[0] for d in con.execute(f"SELECT * FROM {t} LIMIT 0").descript
 MAINT_KEY = {t: ('doc_id' if t == 'nestedx' else T[t]['pk'][0])
              for t in MAINT_TABLES}
 
-def maint_merge(t, ops_spark, ops_duck, conditional):
+def maint_merge(t, ops_spark, ops_duck, conditional, partby=None):
     """SQL MERGE (round 11: plans/VortexDmlRules → mergeClauses) vs the
     DuckDB DELETE + UPDATE..FROM + anti-join-INSERT twin. Clause
     conditions are key-parity — DISJOINT by construction, so the
@@ -500,10 +504,13 @@ def maint_merge(t, ops_spark, ops_duck, conditional):
     both engines)."""
     key = MAINT_KEY[t]
     cols = FULLCOLS[t]
-    setmap = dict(kv for kv in maint_sets(t) if kv[0] != key)
-    if not setmap:  # ensure at least one modified column
-        c = (T[t]['strs'] or T[t]['ints'])[-1]
-        setmap = {c: lit(t, c, 'str') if c in T[t]['strs'] else f"{c} + 7"}
+    setmap = dict(kv for kv in maint_sets(t) if kv[0] != key and kv[0] != partby)
+    if not setmap:  # ensure at least one modified (non-partition) column
+        cands = [c for c in (T[t]['strs'] + T[t]['ints'] if t != 'nestedx' else ['dec1'])
+                 if c != partby and c != key]
+        c = cands[-1]
+        setmap = ({c: "CAST(dec1 + 1 AS DECIMAL(12,2))"} if c == 'dec1' else
+                  {c: lit(t, c, 'str')} if c in T[t].get('strs', []) else {c: f"{c} + 7"})
     m = rng.randint(4, 12); r = rng.randint(0, m - 1)
     def proj(rekey=None, nullkey=False):
         out = []
@@ -570,13 +577,29 @@ def q_maint():
                        'dvdel_stream', 'dvupdate_stream',
                        'dvdel_update_stream', 'sqlmerge_stream'])
     ops_spark, ops_duck = [], []
+    # ~1/3 of queries stage the copy Hive-PARTITIONED: same twin, but
+    # the Spark side now runs dir pruning, partition guards, the
+    # layout-aware merge insert half, and partitioned streaming.
+    # Assignments to the partition column are rejected by design, so
+    # the generators below must avoid it.
+    partby = PARTBY.get(t) if rng.random() < 0.35 and t in PARTBY else None
+    if partby:
+        ops_spark.append(f"partby={partby}")
+    def no_part_sets(sets):
+        kept = [kv for kv in sets if kv[0] != partby]
+        if kept:
+            return kept
+        ints = [c for c in (T[t]['ints'] if t != 'nestedx' else []) if c != partby]
+        if t == 'nestedx':
+            return [("dec1", "CAST(dec1 + 1 AS DECIMAL(12,2))")]
+        return [(ints[0], f"{ints[0]} + 3")]
     def add_del(mode):
         pr = maint_pred(t)
         ops_spark.append(f"op={mode}{SEP}{pr}")
         ops_duck.append(f"DELETE FROM maintv WHERE {pr};")
     def add_update(mode='update'):
         pr = maint_pred(t)
-        sets = maint_sets(t)
+        sets = no_part_sets(maint_sets(t))
         ops_spark.append(f"op={mode}" + SEP + pr + SEP +
                          ";".join(f"{c}:={e}" for c, e in sets))
         ops_duck.append("UPDATE maintv SET " +
@@ -584,7 +607,7 @@ def q_maint():
                         f" WHERE {pr};")
     def add_sql_update():
         pr = maint_pred(t)
-        sets = maint_sets(t)
+        sets = no_part_sets(maint_sets(t))
         setsql = ", ".join(f"{c} = {e}" for c, e in sets)
         ops_spark.append("op=sql" + SEP +
                          f"UPDATE vtx.`__DIR__` SET {setsql} WHERE {pr}")
@@ -603,15 +626,15 @@ def q_maint():
         add_update('dvupdate'); ops_spark.append("op=fold")
     elif kind == 'dvdel_dvupdate': add_del('dvdel'); add_update('dvupdate')
     elif kind == 'sqlupdate': add_sql_update()
-    elif kind == 'sqlmerge': maint_merge(t, ops_spark, ops_duck, False)
-    elif kind == 'sqlmerge_cond': maint_merge(t, ops_spark, ops_duck, True)
+    elif kind == 'sqlmerge': maint_merge(t, ops_spark, ops_duck, False, partby)
+    elif kind == 'sqlmerge_cond': maint_merge(t, ops_spark, ops_duck, True, partby)
     elif kind == 'dvdel_stream': add_del('dvdel'); ops_spark.append("op=stream")
     elif kind == 'dvupdate_stream':
         add_update('dvupdate'); ops_spark.append("op=stream")
     elif kind == 'dvdel_update_stream':
         add_del('dvdel'); add_update(); ops_spark.append("op=stream")
     else:  # sqlmerge_stream
-        maint_merge(t, ops_spark, ops_duck, rng.random() < 0.5)
+        maint_merge(t, ops_spark, ops_duck, rng.random() < 0.5, partby)
         ops_spark.append("op=stream")
     sel = maint_select(t)
     spark_dsl = "\n".join(["--GRAFT-MAINT--", f"table={t}"] + ops_spark +
