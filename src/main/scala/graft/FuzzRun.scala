@@ -202,12 +202,15 @@ object FuzzRun {
       }
       // explicit schema: a delete can legitimately empty the dataset,
       // and schema inference over zero files has nothing to infer
+      var streamQn: Option[String] = None
+      var streamCkpt: Option[String] = None
       if (streamRead) {
         // masked/maintained dataset through VortexMicroBatchStream:
         // stream read-back must equal the twin (r11 — the r10 VERDICT
         // silent-resurrection hole, now mask-aware)
         val ckpt = java.nio.file.Files.createTempDirectory("fuzz_maint_ck").toString
         val qn = s"fuzz_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+        streamQn = Some(qn); streamCkpt = Some(ckpt)
         val q = spark.readStream.format("vortex").schema(src.schema).load(dir)
           .writeStream.format("memory").queryName(qn)
           .option("checkpointLocation", ckpt).outputMode("append").start()
@@ -220,6 +223,15 @@ object FuzzRun {
       // materialize BEFORE the staging dir is deleted
       val rows = spark.sql(select).collect()
       val schema = spark.sql(select).schema
+      // release the memory-sink table + its checkpoint NOW — a fuzz
+      // wave runs thousands of cases in one JVM (review-found r11)
+      streamQn.foreach(spark.catalog.dropTempView(_))
+      streamCkpt.foreach { c =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(new java.io.File(c))
+      }
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     } finally {
       def rm(f: java.io.File): Unit = {

@@ -31,15 +31,6 @@ object J6Probe {
       .select(col("l_orderkey").as("okey"),
         (expr("k * (k - 1L) div 2L") - col("dup")).as("n"))
       .where(col("n") > 0L)
-    // single-agg variant: one hash exchange on l_orderkey only, dup
-    // correction from a count over (okey, ln) pairs done via two aggs
-    // in ONE groupBy after a distinct? (distinct is another shuffle) —
-    // instead: count + countDistinct in one pass
-    def aggPipe1 = li.select(col("l_orderkey"), col("l_linenumber"))
-      .groupBy("l_orderkey")
-      .agg(count(lit(1)).as("k"), countDistinct(col("l_linenumber")).as("kd"),
-        sum(col("l_linenumber") * 0L).as("z")) // keep shape honest
-      .select(col("l_orderkey").as("okey"), col("k"), col("kd"))
     timed("scan_only")(li.select(col("l_orderkey"), col("l_linenumber")))
     // single-shuffle typed kernel: one hash exchange on okey, then a
     // per-partition linear pass with a tiny per-order multiset
@@ -74,7 +65,6 @@ object J6Probe {
     timed("agg+checkpoint+orderBy") {
       aggPipe.localCheckpoint(true).orderBy("okey")
     }
-    def smj = spark.sql("").sparkSession.emptyDataFrame // placeholder
     // the OLD sort-merge self-join formulation, for reference
     li.createOrReplaceTempView("lineitem_v")
     timed("smj_join") {

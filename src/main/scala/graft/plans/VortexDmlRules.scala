@@ -64,6 +64,7 @@ case class VortexUpdateCommand(dir: String,
                                payload: VortexDmlRules.UpdatePayload)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
+    if (payload.assigns.isEmpty) return Seq.empty // all-identity SET: no-op
     val dv = session.conf.getOption("spark.graft.vortex.deletionVectors")
       .exists(_.toBoolean)
     VortexUpdate.update(session, dir, payload.assigns.toMap, payload.cond, dv)
@@ -130,7 +131,8 @@ case class RewriteVortexDml(session: SparkSession)
       if (a.value.semanticEquals(key)) None
       else Some(key.name -> toColumnChecked(a.value, "update SET"))
     }
-    require(assigns.nonEmpty, "vortex update: no effective SET assignments")
+    // all-identity SET (e.g. `SET v = v`) is legal SQL and a no-op —
+    // the command's run() short-circuits on empty assigns
     VortexUpdateCommand(dir, UpdatePayload(assigns,
       u.condition.map(toColumnChecked(_, "update WHERE"))
         .getOrElse(org.apache.spark.sql.functions.lit(true))))
@@ -217,8 +219,25 @@ case class RewriteVortexDml(session: SparkSession)
       case other => throw new UnsupportedOperationException(
         s"vortex merge: unsupported WHEN NOT MATCHED action $other")
     }
-    val fingerprint = (m.matchedActions ++ m.notMatchedActions)
-      .map(_.toString).mkString(";")
+    // statement identity for the exactly-once insert names: MUST be
+    // exprId-free (AttributeReference.toString embeds exprIds that
+    // reallocate on every analysis — a crash re-run on a fresh JVM
+    // would compute a different hash and re-append; review-found r11)
+    def fp(e: Expression): String = e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }.toString
+    def fpAction(a: MergeAction): String = a match {
+      case UpdateAction(c, as, _) =>
+        "U(" + c.map(fp).getOrElse("") + ";" +
+          as.map(x => fp(x.key) + ":=" + fp(x.value)).mkString(",") + ")"
+      case DeleteAction(c) => "D(" + c.map(fp).getOrElse("") + ")"
+      case InsertAction(c, as) =>
+        "I(" + c.map(fp).getOrElse("") + ";" +
+          as.map(x => fp(x.key) + ":=" + fp(x.value)).mkString(",") + ")"
+      case other => other.getClass.getSimpleName
+    }
+    val fingerprint =
+      (m.matchedActions ++ m.notMatchedActions).map(fpAction).mkString(";")
     VortexMergeCommand(dir, MergePayload(m.sourceTable, targetAttrs, sourceAttrs,
       keyIdxTarget, keyIdxSource, matched, notMatched, fingerprint))
   }

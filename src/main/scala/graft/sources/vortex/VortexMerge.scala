@@ -419,6 +419,12 @@ object VortexMerge {
       .foreach { case (k, n) =>
         w = w.option("bucketBy", k).option("buckets", n.toString) }
     w.save(stage.toString)
+    // scratch cleanup rides a finally: a crash mid-rename must not
+    // strand a full staged copy of the insert set inside the dataset
+    // (the name embeds the statement hash — no other statement would
+    // ever clean it; renamed files are already out of the scratch dir,
+    // so deleting it is always safe) — review-found r11
+    try {
     val stageQ = fs.makeQualified(stage).toString
     val (stSchema, stEntries) = StatsManifest.readAll(stage, hconf)
     val renamedEntries = scala.collection.mutable.ArrayBuffer[StatsManifest.FileStats]()
@@ -450,7 +456,7 @@ object VortexMerge {
       MaintenanceCommit.writeManifests(root, hconf, "merge-ins",
         renamedEntries.toSeq.map(e => (sj, e)))
     }
-    fs.delete(stage, true)
+    } finally fs.delete(stage, true)
     inserted
   }
 }

@@ -137,6 +137,39 @@ class VortexSqlDmlSpec extends AnyFunSuite {
     assert(after.where(col("v") === -2L).count() == 1L)
   }
 
+  test("all-identity SET is a legal no-op; statement identity survives re-analysis") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 50L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(dir)
+    // UPDATE t SET v = v — every engine accepts this as a no-op
+    spark.sql(s"UPDATE vtx.`$dir` SET v = v WHERE id < 5")
+    assert(spark.read.format("vortex").load(dir)
+      .agg(sum("v")).head().getLong(0) == (0L until 50L).sum)
+
+    // the exactly-once insert marker must be ANALYSIS-INDEPENDENT:
+    // exprIds reallocate on every analysis (and on every JVM), so two
+    // executions of the same statement TEXT must derive the same
+    // part-merge-ins name — a crash re-run on a fresh JVM depends on it
+    def insName(d: String): String = {
+      Seq((500L, 1L)).toDF("id", "v").createOrReplaceTempView("fp_src")
+      spark.sql(s"""MERGE INTO vtx.`$d` t USING fp_src s ON t.id = s.id
+                   |WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v
+                   |WHEN NOT MATCHED AND s.v > 0 THEN INSERT *""".stripMargin)
+      val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new Path(d)).map(_.getPath.getName)
+        .find(_.startsWith("part-merge-ins-"))
+        .getOrElse(fail("no insert file"))
+    }
+    val d1 = tmp(); val d2 = tmp()
+    Seq((0L, 0L)).toDF("id", "v").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(d1)
+    Seq((0L, 0L)).toDF("id", "v").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(d2)
+    assert(insName(d1) == insName(d2),
+      "insert-marker name must not depend on analysis-time exprIds")
+  }
+
   test("unsupported SQL shapes fail loudly") {
     import spark.implicits._
     val dir = tmp()
