@@ -128,6 +128,11 @@ object VortexDelete {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(hconf)
+    // writer-vs-writer mutual exclusion: the whole statement — repair,
+    // planning, the distributed job, the commit — runs under the
+    // dataset's maintenance lease (see MaintenanceLock for the
+    // contract; a concurrent statement fails loudly, never interleaves)
+    MaintenanceLock.withLock(fs, root, "delete") {
     // ONE listing walk serves the empty-check, the mask binding for
     // commit-time cleanup, and the cross-statement stale-replacement
     // repair (the plan below does its own listing — that one is
@@ -255,6 +260,7 @@ object VortexDelete {
       outcomes.count(_.status == 2),
       outcomes.map(_.rowsDeleted).sum,
       outcomes.count(_.status == 3))
+    } // MaintenanceLock.withLock
   }
 
   /** Runs on an executor: classify one file, write the survivors tmp if

@@ -78,6 +78,19 @@ object VortexMaintenance {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(hconf)
+    // writer-vs-writer mutual exclusion (see MaintenanceLock); compact
+    // holds the lock itself and calls the unlocked impl directly
+    MaintenanceLock.withLock(fs, root, "foldMasks") {
+      foldMasksLocked(spark, dir)
+    }
+  }
+
+  /** [[foldMasks]] body — caller MUST hold the dataset's maintenance
+    * lock (foldMasks acquires it; compact calls this inside its own). */
+  private def foldMasksLocked(spark: SparkSession, dir: String): FoldResult = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
     val rootQ = fs.makeQualified(root).toString
     // cross-statement stale-replacement repair (same discipline as
     // DELETE/UPDATE/MERGE): a fold that crashed between rename-in and
@@ -165,11 +178,16 @@ object VortexMaintenance {
     val fs = root.getFileSystem(hconf)
     val rootQ = fs.makeQualified(root).toString
 
+    // writer-vs-writer mutual exclusion (see MaintenanceLock): one
+    // lease covers the fold AND the byte-copy — a statement arriving
+    // between the two would otherwise see a half-folded dataset
+    MaintenanceLock.withLock(fs, root, "compact") {
+
     // deletion-vector masks fold into real rewrites FIRST: the chunk
     // byte-copy below moves pages verbatim and must never absorb a
     // masked file (its sidecar names the OLD file — dead rows would
     // resurrect)
-    foldMasks(spark, dir)
+    foldMasksLocked(spark, dir)
 
     // group data files by their layout directory (partition/bucket);
     // defensive re-check: any file still masked (e.g. written by a
@@ -311,6 +329,7 @@ object VortexMaintenance {
 
     CompactResult(byDir.size, batches.length,
       batches.map(_._1.length).sum, results.map(_._2).sum)
+    } // MaintenanceLock.withLock
   }
 
   /** Merge one batch into one file by chunk byte-copy; returns

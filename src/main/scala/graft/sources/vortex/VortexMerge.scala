@@ -72,6 +72,8 @@ object VortexMerge {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(hconf)
+    // writer-vs-writer mutual exclusion (see MaintenanceLock)
+    MaintenanceLock.withLock(fs, root, "merge") {
     // one listing walk (mask binding + stale-replacement repair), BEFORE
     // the target loads: planning must never see a stale replacement the
     // repair is about to drop
@@ -197,6 +199,7 @@ object VortexMerge {
       destructive.length,
       outcomes.map(_.rowsUpdated).sum,
       inserted)
+    } // MaintenanceLock.withLock
   }
 
   /** One `WHEN MATCHED [AND cond] THEN UPDATE/DELETE` clause. `cond`
@@ -247,6 +250,8 @@ object VortexMerge {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(hconf)
+    // writer-vs-writer mutual exclusion (see MaintenanceLock)
+    MaintenanceLock.withLock(fs, root, "merge") {
     val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
     MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
     MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
@@ -378,6 +383,7 @@ object VortexMerge {
       inserted,
       outcomes.map(_.rowsDeleted).sum,
       outcomes.count(_.status == 1))
+    } // MaintenanceLock.withLock
   }
 
   /** The shared insert half: stage `rows` (target-schema Catalyst rows)

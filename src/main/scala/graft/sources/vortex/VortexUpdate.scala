@@ -117,6 +117,8 @@ object VortexUpdate {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(hconf)
+    // writer-vs-writer mutual exclusion (see MaintenanceLock)
+    MaintenanceLock.withLock(fs, root, "update") {
     // one listing walk: empty-check + mask binding + stale-replacement
     // repair (see VortexDelete — identical discipline)
     val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
@@ -257,6 +259,7 @@ object VortexUpdate {
       outcomes.count(_.status == 2),
       outcomes.map(_.rowsUpdated).sum,
       outcomes.count(_.status == 3))
+    } // MaintenanceLock.withLock
   }
 
   /** Executor task: classify, then rewrite the whole file with the
