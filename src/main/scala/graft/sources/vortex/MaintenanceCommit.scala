@@ -13,43 +13,69 @@ import org.apache.spark.sql.types.StructType
   * carried a drifting copy). */
 private[vortex] object MaintenanceCommit {
 
+  /** How a maintenance commit removes a COMMITTED file it supersedes
+    * (a replaced source, a drop-whole file, a superseded mask): plain
+    * deletion, or — when the dataset keeps a commit log
+    * (VortexCommitLog) — retirement into the statement generation's
+    * retired area, which is what keeps older generations readable.
+    * Either way it is one metadata-only filesystem op. Uncommitted
+    * litter (stale tmp/replacement halves of crashed statements) is
+    * always plainly deleted — no generation references it. */
+  trait Remover { def remove(fs: FileSystem, p: Path): Boolean }
+
+  object PlainRemover extends Remover {
+    override def remove(fs: FileSystem, p: Path): Boolean = fs.delete(p, false)
+  }
+
+  /** rename into `<retiredBase>/<path relative to rootQ>` */
+  final class RetireRemover(rootQ: String, retiredBase: String) extends Remover {
+    override def remove(fs: FileSystem, p: Path): Boolean = {
+      val q = fs.makeQualified(p).toString
+      require(q.startsWith(rootQ), s"vortex retire: $q is outside dataset $rootQ")
+      val dst = new Path(retiredBase + "/" + q.stripPrefix(rootQ).stripPrefix("/"))
+      fs.mkdirs(dst.getParent)
+      fs.rename(p, dst)
+    }
+  }
+
   /** One replacement to commit: rename `tmp` to `dstName` beside `src`,
     * then delete `src` and all its mask sidecars. */
   final case class Replacement(src: String, tmp: String, dstName: String)
 
   def dropMasks(fs: FileSystem, maskBind: Map[String, (String, Seq[String])],
-                file: String): Unit =
+                file: String, remover: Remover): Unit =
     maskBind.get(file).foreach(_._2.foreach(m =>
-      try fs.delete(new Path(m), false) catch { case _: Exception => () }))
+      try remover.remove(fs, new Path(m)) catch { case _: Exception => () }))
 
   /** Per-file commit order is rename-in THEN delete-source, so no
     * committed state ever loses a surviving row. `op` names the
     * statement in error messages. */
   def commitOne(fs: FileSystem, op: String,
                 maskBind: Map[String, (String, Seq[String])],
-                r: Replacement): Unit = {
+                r: Replacement, remover: Remover): Unit = {
     val src = new Path(r.src)
     val tmp = new Path(r.tmp)
     val dst = new Path(src.getParent, r.dstName)
     // a stale replacement from a crashed prior run of this same
-    // statement: overwrite it (content identical by construction)
+    // statement: overwrite it (content identical by construction;
+    // plain delete — no generation references an uncommitted half)
     if (fs.exists(dst) && !fs.delete(dst, false))
       throw new java.io.IOException(s"vortex $op: cannot replace stale $dst")
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"vortex $op: rename failed for $dst")
-    if (!fs.delete(src, false))
+    if (!remover.remove(fs, src))
       throw new java.io.IOException(s"vortex $op: failed to delete replaced ${r.src}")
-    dropMasks(fs, maskBind, r.src)
+    dropMasks(fs, maskBind, r.src, remover)
   }
 
   /** Commit every replacement (parallel when >1 — metadata-only RPCs). */
   def commitAll(fs: FileSystem, op: String,
                 maskBind: Map[String, (String, Seq[String])],
-                rs: Seq[Replacement]): Unit =
+                rs: Seq[Replacement], remover: Remover): Unit =
     if (rs.length > 1)
       java.util.Arrays.stream(rs.toArray).parallel()
-        .forEach(r => commitOne(fs, op, maskBind, r))
-    else rs.foreach(r => commitOne(fs, op, maskBind, r))
+        .forEach(r => commitOne(fs, op, maskBind, r, remover))
+    else rs.foreach(r => commitOne(fs, op, maskBind, r, remover))
 
   /** One stats-manifest write per replacement-file schema version (the
     * manifest envelope records a single schema). */

@@ -54,6 +54,46 @@ class VortexCatalog extends TableCatalog with FunctionCatalog {
     new VortexTable(schema, Seq(p), meta.map(_._2).getOrElse(Seq.empty))
   }
 
+  /** SQL `SELECT … FROM vtx.\`/path\` VERSION AS OF n` — pins every
+    * scan of the loaded table to commit-log generation n (see
+    * VortexCommitLog; the dataset must have been maintained with
+    * `spark.graft.vortex.timeTravel=true` for old generations to stay
+    * readable). Schema comes from the pinned generation's own files,
+    * so a fully-rewritten (or emptied) dataset still time-travels. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    val gen = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"vortex: VERSION AS OF takes a commit-log generation number, got '$version'")
+    }
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val (files, _) = VortexCommitLog.resolve(new Path(p), conf, gen)
+    require(files.nonEmpty, s"vortex: generation $gen of $p is empty")
+    val fileSchema = VortexFileReader.readFooter(files.head._1.getPath, conf).schema
+    val partSchema = PartitionedLayout.inferPartitionSchema(files)
+    val schema = StructType(fileSchema.fields ++ partSchema.fields.filterNot(f =>
+      fileSchema.fieldNames.contains(f.name) || f.name == BucketSpecFile.BucketCol))
+    new VortexTable(schema, Seq(p), pinnedVersion = Some(gen))
+  }
+
+  /** SQL `TIMESTAMP AS OF t` — the newest generation committed at or
+    * before t (micros since epoch, per the DSv2 contract). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = pathOf(ident)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val root = new Path(p)
+    val fs = root.getFileSystem(conf)
+    val tsMs = timestampMicros / 1000L
+    val latest = VortexCommitLog.latestGen(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"vortex: $p has no commit log"))
+    val gen = (0 to latest).reverse.find { g =>
+      try VortexCommitLog.readSnapshot(fs, root, g).ts <= tsMs
+      catch { case _: Exception => false }
+    }.getOrElse(throw new IllegalArgumentException(
+      s"vortex: no generation of $p committed at or before timestamp $tsMs ms"))
+    loadTable(ident, gen.toString)
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
 
   override def createTable(ident: Identifier, schema: StructType,

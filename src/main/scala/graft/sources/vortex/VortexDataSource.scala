@@ -280,9 +280,14 @@ object VortexDataSource {
 
 class VortexTable(schema: StructType, paths: Seq[String],
                   tablePartitionCols: Seq[String] = Seq.empty,
-                  tableBucketSpec: Option[(String, Int)] = None)
+                  tableBucketSpec: Option[(String, Int)] = None,
+                  // SQL `VERSION AS OF n` (VortexCatalog.loadTable):
+                  // every scan of this table instance pins generation n
+                  pinnedVersion: Option[Int] = None)
     extends SupportsRead with SupportsWrite with SupportsDelete {
-  override def name(): String = s"vortex ${paths.mkString(",")}"
+  override def name(): String =
+    s"vortex ${paths.mkString(",")}" +
+      pinnedVersion.map(v => s" VERSION AS OF $v").getOrElse("")
 
   /** dataset paths, for the SQL DML rules (plans/VortexDmlRules) */
   private[graft] def tablePaths: Seq[String] = paths
@@ -296,6 +301,8 @@ class VortexTable(schema: StructType, paths: Seq[String],
       VortexDelete.filterRefsTopLevel(f, schema))
   override def deleteWhere(filters: Array[Filter]): Unit = {
     import org.apache.spark.sql.functions.lit
+    require(pinnedVersion.isEmpty,
+      "vortex: DELETE on a VERSION AS OF read is not allowed — time-travel reads are immutable")
     require(canDeleteWhere(filters),
       s"vortex delete: untranslatable condition ${filters.mkString(", ")}")
     val cond = filters.flatMap(VortexDelete.filterToColumn)
@@ -329,9 +336,16 @@ class VortexTable(schema: StructType, paths: Seq[String],
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VortexScanBuilder(schema, paths,
-      evolution = Option(options.get("mergeschema")).exists(_.toBoolean))
+      evolution = Option(options.get("mergeschema")).exists(_.toBoolean),
+      // `.option("versionAsOf", n)` pins the scan to commit-log
+      // generation n (statement-level snapshot isolation / time travel
+      // — see VortexCommitLog); catalog VERSION AS OF pins the table
+      versionAsOf = Option(options.get("versionasof")).map(_.toInt)
+        .orElse(pinnedVersion))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      "vortex: writing to a VERSION AS OF read is not allowed — time-travel reads are immutable")
     val chunkRows = Option(info.options.get("chunkrows")).map(_.toInt)
       .getOrElse(VortexFormat.DefaultChunkRows)
     val optPartitionCols = Option(info.options.get("partitionby")).toSeq
@@ -482,7 +496,8 @@ object BucketSpecFile {
 }
 
 class VortexScanBuilder(schema: StructType, paths: Seq[String],
-                        evolution: Boolean = false)
+                        evolution: Boolean = false,
+                        versionAsOf: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = schema
@@ -528,8 +543,11 @@ class VortexScanBuilder(schema: StructType, paths: Seq[String],
     if (!aggProbe.exists(_._1 eq agg)) {
       val res =
         // evolution mode: files may carry schema subsets, so positional
-        // footer/manifest stats can't answer aggregates — bail always
-        if (filters.nonEmpty || pushedLimit.isDefined || evolution) None
+        // footer/manifest stats can't answer aggregates — bail always.
+        // versionAsOf: stats manifests describe the CURRENT file set,
+        // not the pinned generation — bail.
+        if (filters.nonEmpty || pushedLimit.isDefined || evolution ||
+            versionAsOf.isDefined) None
         else VortexStatsPushdown.compute(agg, schema, paths,
           SparkSession.active.sessionState.newHadoopConf())
       aggProbe = Some((agg, res))
@@ -559,7 +577,8 @@ class VortexScanBuilder(schema: StructType, paths: Seq[String],
 
   override def build(): Scan = pushedAgg match {
     case Some((s, rows, desc)) => new VortexStatsScan(s, rows, desc)
-    case None => new VortexScan(schema, required, filters, paths, pushedLimit, evolution)
+    case None => new VortexScan(schema, required, filters, paths, pushedLimit,
+      evolution, versionAsOf)
   }
 }
 
@@ -583,7 +602,8 @@ case class VortexInputPartition(file: String, chunkIdxs: Array[Int],
 class VortexScan(fileSchema: StructType, required: StructType,
                  initialFilters: Array[Filter], paths: Seq[String],
                  pushedLimit: Option[Int] = None,
-                 evolution: Boolean = false)
+                 evolution: Boolean = false,
+                 versionAsOf: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -591,11 +611,15 @@ class VortexScan(fileSchema: StructType, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(versionAsOf.isEmpty,
+      "vortex: readStream cannot pin VERSION AS OF — a stream follows the live dataset")
     new VortexMicroBatchStream(required, paths, checkpointLocation)
+  }
   override def description(): String =
     s"VortexScan(files=${paths.mkString(",")}, pushed=[${filters.mkString(", ")}]" +
-      pushedLimit.map(n => s", pushedLimit=$n").getOrElse("") + ")"
+      pushedLimit.map(n => s", pushedLimit=$n").getOrElse("") +
+      versionAsOf.map(v => s", versionAsOf=$v").getOrElse("") + ")"
 
   /** stats of the post-pruning plan: row count + encoded bytes — lets
     * Catalyst/AQE size joins over vortex tables correctly (broadcast
@@ -678,7 +702,16 @@ class VortexScan(fileSchema: StructType, required: StructType,
     if (lastPlan != null && lastPlan._1 == planKey) return lastPlan._2
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
-    val (listed, maskBind) = VortexDataSource.listAllWithMasks(paths, conf)
+    // a pinned read plans from the commit-log generation's file set
+    // (statement-level snapshot isolation — see VortexCommitLog);
+    // otherwise the live consistent listing
+    val (listed, maskBind) = versionAsOf match {
+      case Some(g) =>
+        require(paths.length == 1,
+          "vortex: versionAsOf requires a single dataset root")
+        VortexCommitLog.resolve(new Path(paths.head), conf, g)
+      case None => VortexDataSource.listAllWithMasks(paths, conf)
+    }
     val partSchema = StructType(fileSchema.fields.filter(f =>
       listed.exists(_._2.exists(_._1 == f.name))))
     val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()

@@ -143,6 +143,10 @@ object VortexDelete {
     if (listed.isEmpty) return DeleteResult(0, 0, 0, 0, 0L)
     MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
     MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
+    // time travel: ensure the commit log's latest generation is the
+    // pre-statement state; superseded files retire instead of deleting
+    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "delete")
+    val remover = ttCtx.map(_.remover).getOrElse(MaintenanceCommit.PlainRemover)
     val df = spark.read.format("vortex").load(dir)
     val filtered = df.filter(predicate)
 
@@ -219,12 +223,12 @@ object VortexDelete {
       val src = new Path(o.file)
       o.status match {
         case 1 =>
-          if (!fs.delete(src, false))
+          if (!remover.remove(fs, src))
             throw new java.io.IOException(s"vortex delete: failed to delete ${o.file}")
-          MaintenanceCommit.dropMasks(fs, maskBind, o.file)
+          MaintenanceCommit.dropMasks(fs, maskBind, o.file, remover)
         case 2 =>
           MaintenanceCommit.commitOne(fs, "delete", maskBind,
-            MaintenanceCommit.Replacement(o.file, o.tmp.get, o.dstName.get))
+            MaintenanceCommit.Replacement(o.file, o.tmp.get, o.dstName.get), remover)
         case 3 =>
           // deletion-vector commit: the union mask renames in under
           // seq+1, THEN older seqs drop (best effort — a crash between
@@ -236,7 +240,7 @@ object VortexDelete {
             throw new java.io.IOException(s"vortex delete: cannot replace stale mask $dst")
           if (!fs.rename(tmp, dst))
             throw new java.io.IOException(s"vortex delete: mask rename failed for $dst")
-          MaintenanceCommit.dropMasks(fs, maskBind, o.file)
+          MaintenanceCommit.dropMasks(fs, maskBind, o.file, remover)
         case _ =>
       }
       committed.incrementAndGet()
@@ -253,6 +257,7 @@ object VortexDelete {
     // built on the executors; the driver only groups and writes.
     MaintenanceCommit.writeManifests(root, hconf, "delete",
       outcomes.toSeq.flatMap(o => o.entry.map(e => (o.schemaJson.get, e))))
+    ttCtx.foreach(_.finish())
 
     DeleteResult(cands.length,
       outcomes.count(_.status == 0),

@@ -109,6 +109,9 @@ object VortexMaintenance {
       .filter(p => maskBind.contains(p.toString))
       .sortBy(_.toString)
     if (targets.isEmpty) return FoldResult(0, 0L)
+    // time travel: pre-state generation + retirement (see VortexCommitLog)
+    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "foldMasks")
+    val remover = ttCtx.map(_.remover).getOrElse(MaintenanceCommit.PlainRemover)
     val manifest = StatsManifest.read(root, hconf)
 
     // task input: (file, newest mask, bloom/sketch opt-ins, final rel path)
@@ -164,9 +167,11 @@ object VortexMaintenance {
 
     // driver commit + manifest write: the shared machinery (VortexCommit)
     MaintenanceCommit.commitAll(fs, "foldMasks", maskBind,
-      results.toSeq.map(r => MaintenanceCommit.Replacement(r._1, r._2, r._3)))
+      results.toSeq.map(r => MaintenanceCommit.Replacement(r._1, r._2, r._3)),
+      remover)
     MaintenanceCommit.writeManifests(root, hconf, "fold",
       results.toSeq.map(r => (r._6, r._5)))
+    ttCtx.foreach(_.finish())
     FoldResult(results.length, results.map(_._4).sum)
   }
 
@@ -259,11 +264,29 @@ object VortexMaintenance {
     }
     if (batches.isEmpty) return CompactResult(byDir.size, 0, 0, 0L)
 
+    // time travel: pre-state generation + retirement (see VortexCommitLog)
+    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "compact")
+    val remover = ttCtx.map(_.remover).getOrElse(MaintenanceCommit.PlainRemover)
+
     val sconf = new SerializableConfiguration(hconf)
     val results = spark.sparkContext
       .parallelize(batches.map(_._1), batches.length)
       .map(batch => compactBatch(batch, sconf.value))
       .collect()
+
+    // absorbed sources are removed on the DRIVER after every batch has
+    // renamed in (r12: tasks are no longer destructive, and sources can
+    // retire into the commit log's retired area) — metadata-only RPCs,
+    // parallel like the other commit phases
+    locally {
+      val absorbed = batches.flatMap(_._1).toArray
+      def rm(f: String): Unit =
+        if (!remover.remove(fs, new Path(f)))
+          throw new java.io.IOException(s"vortex compact: failed to remove absorbed $f")
+      if (absorbed.length > 1)
+        java.util.Arrays.stream(absorbed).parallel().forEach(f => rm(f))
+      else absorbed.foreach(rm)
+    }
 
     def inherited(batch: Seq[String]): (Map[String, Long], Map[String, Array[Byte]]) = {
       val srcEntries = batch.map { f =>
@@ -327,9 +350,22 @@ object VortexMaintenance {
       StatsManifest.write(root, hconf, s"compact-$jobId-$i", group.map(_._2).toIndexedSeq, schema)
     }
 
+    ttCtx.foreach(_.finish())
     CompactResult(byDir.size, batches.length,
       batches.map(_._1.length).sum, results.map(_._2).sum)
     } // MaintenanceLock.withLock
+  }
+
+  /** Reclaim time-travel storage: drop commit-log generations (and
+    * their retired file areas) older than the newest `keepLast`.
+    * Expired generations fail loudly on read. */
+  def expireVersions(spark: SparkSession, dir: String, keepLast: Int): (Int, Int) = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
+    MaintenanceLock.withLock(fs, root, "expireVersions") {
+      VortexCommitLog.expire(fs, root, keepLast)
+    }
   }
 
   /** Merge one batch into one file by chunk byte-copy; returns
@@ -383,7 +419,7 @@ object VortexMaintenance {
     out.flush(); out.close()
 
     if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"vortex compact: rename failed for $dst")
-    batch.foreach(f => fs.delete(new Path(f), false))
+    // sources are removed by the DRIVER after all batches land (r12)
     (dst.toString, copied)
   }
 }

@@ -36,6 +36,16 @@ import org.apache.spark.util.SerializableConfiguration
   *    insert file (or its deterministic maintenance replacement) is
   *    skipped, making the insert half EXACTLY-ONCE under crash
   *    re-runs, including NULL-key inserts that can never self-match.
+  *    Two documented bounds of that guarantee (ADVICE r11): (1) the
+  *    marker is keyed on STATEMENT identity, so a deliberate later
+  *    re-execution of a byte-identical MERGE (same source content,
+  *    keys, clauses) is deduplicated too — its insert half is skipped
+  *    where ANSI would re-insert never-matching NULL-key rows; vary
+  *    the source (e.g. a batch-id column) when re-insertion is
+  *    intended. (2) The marker is the insert FILE's name, and
+  *    compaction can absorb that file — a crash re-run interleaved
+  *    with a compact can therefore re-append. Both follow from the
+  *    no-commit-log design; run MERGE re-runs before compaction.
   *  - driver commit: rename/delete per touched file (deterministic
   *    `part-merge-<md5(src)>.vortex` names — same crash-convergence
   *    contract as DELETE/UPDATE for the replace half).
@@ -80,6 +90,9 @@ object VortexMerge {
     val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
     MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
     MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
+    // time travel: pre-state generation + retirement (see VortexCommitLog)
+    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "merge")
+    val remover = ttCtx.map(_.remover).getOrElse(MaintenanceCommit.PlainRemover)
     val target = spark.read.format("vortex").load(dir)
     val tSchema = target.schema
     keyCols.foreach(k => require(tSchema.fieldNames.contains(k),
@@ -111,6 +124,14 @@ object VortexMerge {
         if (k != null) // null-key rows are inserts; duplicates among them allowed
           require(seen.add(k), s"vortex merge: duplicate source key $k")
       }
+      // NOT NULL enforcement (found r12): whole-row replace writes the
+      // source row verbatim — a NULL for a non-nullable target column
+      // must fail loudly, not decode as the type's zero value
+      val nn = tSchema.fields.zipWithIndex.filterNot(_._1.nullable)
+      if (nn.nonEmpty) srcRows.foreach(r => nn.foreach { case (f, i) =>
+        require(!r.isNullAt(i),
+          s"vortex merge: source carries NULL for non-nullable target " +
+          s"column ${f.name}") })
     }
     val bcRows = spark.sparkContext.broadcast(srcRows)
 
@@ -155,18 +176,28 @@ object VortexMerge {
         replacementName(p.getName), relDir, ps.head.maskFile)
     }
 
+    // bucketing-key guard (ADVICE r11): a replaced row whose source
+    // changes the bucket key would stay in its old __bucket=k directory
+    // while bucket pruning routes lookups to the NEW value's bucket —
+    // processFile value-checks the key per matched row (cheap: equality
+    // is guaranteed whenever the bucket key is a merge key)
+    val bucketIdx: Int =
+      (try BucketSpecFile.read(root, hconf) catch { case _: Exception => None })
+        .map(bs => tSchema.fieldIndex(bs._1)).getOrElse(-1)
+
     val sconf = new SerializableConfiguration(hconf)
     val outcomes =
       if (cands.isEmpty) Array.empty[VortexMergeSupport.Outcome]
       else spark.sparkContext.parallelize(cands, cands.length).map { c =>
         VortexMergeSupport.processFile(c, tSchema, keyIdx, keyTypes,
-          bcRows.value, sconf.value)
+          bcRows.value, bucketIdx, sconf.value)
       }.collect()
 
     // driver commit + manifest write: the shared machinery (VortexCommit)
     val destructive = outcomes.filter(_.rewritten)
     MaintenanceCommit.commitAll(fs, "merge", maskBind,
-      destructive.toSeq.map(o => MaintenanceCommit.Replacement(o.file, o.tmp, o.dstName)))
+      destructive.toSeq.map(o => MaintenanceCommit.Replacement(o.file, o.tmp, o.dstName)),
+      remover)
     MaintenanceCommit.writeManifests(root, hconf, "merge",
       destructive.toSeq.map(o => (o.schemaJson, o.entry)))
 
@@ -193,6 +224,7 @@ object VortexMerge {
     val srcHash = VortexMergeSupport.sourceHash(srcRows, keyCols)
     val inserted = appendInserts(spark, fs, root, hconf, tSchema, listed,
       unmatchedIdx.map(srcRows(_)), srcHash, failAfterInserts)
+    ttCtx.foreach(_.finish())
 
     MergeResult(cands.length,
       outcomes.count(!_.rewritten),
@@ -255,6 +287,9 @@ object VortexMerge {
     val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
     MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
     MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
+    // time travel: pre-state generation + retirement (see VortexCommitLog)
+    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "merge")
+    val remover = ttCtx.map(_.remover).getOrElse(MaintenanceCommit.PlainRemover)
     val target = spark.read.format("vortex").load(dir)
     val tSchema = target.schema
     require(targetAttrs.length == tSchema.length &&
@@ -335,24 +370,30 @@ object VortexMerge {
         replacementName(p.getName), relDir, ps.head.maskFile)
     }
 
+    // bucketing-key guard (ADVICE r11) — see mergeImpl
+    val bucketIdx: Int =
+      (try BucketSpecFile.read(root, hconf) catch { case _: Exception => None })
+        .map(bs => tSchema.fieldIndex(bs._1)).getOrElse(-1)
+
     val sconf = new SerializableConfiguration(hconf)
     val outcomes =
       if (cands.isEmpty) Array.empty[VortexMergeSupport.ClauseOutcome]
       else spark.sparkContext.parallelize(cands, cands.length).map { c =>
         VortexMergeSupport.processFileClauses(c, tSchema, keyIdxTarget, keyIdxSource,
-          keyTypes, bcRows.value, boundMatched, sconf.value)
+          keyTypes, bcRows.value, boundMatched, bucketIdx, sconf.value)
       }.collect()
 
     // driver commit: drop-whole (every live row deleted) + rewrites
     outcomes.filter(_.status == 1).foreach { o =>
       val src = new Path(o.file)
-      if (!fs.delete(src, false))
+      if (!remover.remove(fs, src))
         throw new java.io.IOException(s"vortex merge: failed to delete ${o.file}")
-      MaintenanceCommit.dropMasks(fs, maskBind, o.file)
+      MaintenanceCommit.dropMasks(fs, maskBind, o.file, remover)
     }
     val destructive = outcomes.filter(_.status == 2)
     MaintenanceCommit.commitAll(fs, "merge", maskBind,
-      destructive.toSeq.map(o => MaintenanceCommit.Replacement(o.file, o.tmp, o.dstName)))
+      destructive.toSeq.map(o => MaintenanceCommit.Replacement(o.file, o.tmp, o.dstName)),
+      remover)
     MaintenanceCommit.writeManifests(root, hconf, "merge",
       destructive.toSeq.map(o => (o.schemaJson, o.entry)))
 
@@ -375,6 +416,7 @@ object VortexMerge {
       keyCols :+ s"clauses:$clauseFingerprint")
     val inserted = appendInserts(spark, fs, root, hconf, tSchema, listed,
       insertRows, srcHash, failAfterInserts)
+    ttCtx.foreach(_.finish())
 
     MergeResult(cands.length,
       outcomes.count(_.status == 0),
@@ -404,6 +446,19 @@ object VortexMerge {
                             srcHash: String,
                             failAfterInserts: Int): Long = {
     if (rows.isEmpty) return 0L
+    // NOT NULL enforcement (found r12): a NULL bound for a
+    // non-nullable target column would ride silently through the
+    // Row→InternalRow conversion as the type's ZERO value (Spark's
+    // UnsafeProjection reads the null slot as 0 when the schema says
+    // non-nullable) — fail the statement loudly instead, like ANSI.
+    locally {
+      val nn = tSchema.fields.zipWithIndex.filterNot(_._1.nullable)
+      if (nn.nonEmpty) rows.foreach(r => nn.foreach { case (f, i) =>
+        require(!r.isNullAt(i),
+          s"vortex merge: INSERT would write NULL into non-nullable " +
+          s"column ${f.name} — make the column nullable (rewrite) or " +
+          "fix the source") })
+    }
     var inserted = 0L
     val insBase = s"part-merge-ins-$srcHash.vortex"
     val insRepl = replacementName(insBase)
@@ -434,6 +489,10 @@ object VortexMerge {
     val stageQ = fs.makeQualified(stage).toString
     val (stSchema, stEntries) = StatsManifest.readAll(stage, hconf)
     val renamedEntries = scala.collection.mutable.ArrayBuffer[StatsManifest.FileStats]()
+    // manifest state before this run, read lazily — only the crash-
+    // repair skip branch below consults it
+    lazy val preManifest = StatsManifest.read(root, hconf)
+    val backfillEntries = scala.collection.mutable.ArrayBuffer[(String, StatsManifest.FileStats)]()
     VortexDataSource.listAll(Seq(stage.toString), hconf).foreach { case (st, _) =>
       val rel = fs.makeQualified(st.getPath).toString
         .stripPrefix(stageQ).stripPrefix("/")
@@ -441,6 +500,7 @@ object VortexMerge {
         case -1 => ""; case i => rel.substring(0, i)
       }
       val finalDir = if (relDir.isEmpty) root else new Path(root, relDir)
+      val dstRel = if (relDir.isEmpty) insBase else s"$relDir/$insBase"
       if (!fs.exists(new Path(finalDir, insBase)) &&
           !fs.exists(new Path(finalDir, insRepl))) {
         if (failAfterInserts >= 0 && renamedEntries.length >= failAfterInserts)
@@ -450,18 +510,40 @@ object VortexMerge {
         if (!fs.rename(st.getPath, new Path(finalDir, insBase)))
           throw new java.io.IOException(
             s"vortex merge: insert rename failed for $finalDir/$insBase")
-        val dstRel = if (relDir.isEmpty) insBase else s"$relDir/$insBase"
         stEntries.get(rel).foreach { e =>
           renamedEntries += e.copy(relPath = dstRel)
           inserted += e.rows
         }
-      } // else: this directory's inserts committed in a prior run of
-        // this same statement — skipping is the exactly-once path
+      } else {
+        // this directory's inserts committed in a prior run of this
+        // same statement — skipping the rename is the exactly-once
+        // path. But a crash BETWEEN that run's rename and its manifest
+        // write leaves the committed file permanently uncovered
+        // (ADVICE r11): backfill its entry from its own footer. (The
+        // staged copy's entry can't serve — collect order varies, so
+        // its len may differ from the committed file's.) rowsInserted
+        // stays 0 for skipped directories: the rows were counted by
+        // the run that committed them.
+        val committed = new Path(finalDir, insBase)
+        if (fs.exists(committed)) {
+          val cLen = fs.getFileStatus(committed).getLen
+          if (!preManifest.get(dstRel).exists(_.len == cLen)) {
+            try {
+              val f = VortexFileReader.readFooter(committed, hconf)
+              backfillEntries += ((f.schema.json,
+                StatsManifest.fromFooter(dstRel, cLen, f)))
+            } catch { case _: Exception => () } // conservative: stays uncovered
+          }
+        }
+      }
     }
     stSchema.map(_.json).foreach { sj =>
       MaintenanceCommit.writeManifests(root, hconf, "merge-ins",
         renamedEntries.toSeq.map(e => (sj, e)))
     }
+    if (backfillEntries.nonEmpty)
+      MaintenanceCommit.writeManifests(root, hconf, "merge-ins-backfill",
+        backfillEntries.toSeq)
     } finally fs.delete(stage, true)
     inserted
   }
@@ -550,6 +632,7 @@ private[vortex] object VortexMergeSupport {
       srcRows: Array[org.apache.spark.sql.catalyst.InternalRow],
       boundMatched: Seq[(Option[org.apache.spark.sql.catalyst.expressions.Expression],
                          Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]])],
+      bucketIdx: Int,
       conf: org.apache.hadoop.conf.Configuration): ClauseOutcome = {
     import org.apache.spark.sql.catalyst.expressions.{JoinedRow, UnsafeProjection, Predicate => CatalystPredicate}
     val (file, partCols, partValues, bloomCols, sketchCols, dstName, relDir, maskFile) = c
@@ -653,6 +736,14 @@ private[vortex] object VortexMergeSupport {
                     "move rows between partition directories")
                 pi += 1
               }
+              if (bucketIdx >= 0) {
+                val dt = tSchema.fields(bucketIdx).dataType
+                if (!valEq(row.get(bucketIdx, dt), upd.get(bucketIdx, dt)))
+                  throw new IllegalArgumentException(
+                    s"vortex merge: UPDATE clause changes bucketing key " +
+                    s"${tSchema.fields(bucketIdx).name} — the in-place rewrite " +
+                    "cannot move rows between bucket directories")
+              }
               updated += 1
               emit(upd)
             case None => emit(row) // no clause fired: keep verbatim
@@ -691,6 +782,7 @@ private[vortex] object VortexMergeSupport {
                   tSchema: StructType, keyIdx: Array[Int],
                   keyTypes: Array[org.apache.spark.sql.types.DataType],
                   srcRows: Array[org.apache.spark.sql.catalyst.InternalRow],
+                  bucketIdx: Int,
                   conf: org.apache.hadoop.conf.Configuration): Outcome = {
     val (file, partCols, partValues, bloomCols, sketchCols, dstName, relDir, maskFile) = c
     val path = new Path(file)
@@ -783,6 +875,16 @@ private[vortex] object VortexMergeSupport {
                 "cannot move rows between partition directories; " +
                 "DELETE + re-INSERT such rows instead")
             pi += 1
+          }
+          if (bucketIdx >= 0) {
+            val dt = tSchema.fields(bucketIdx).dataType
+            if (!valEq(row.get(bucketIdx, dt),
+                srcRows(hit.intValue()).get(bucketIdx, dt)))
+              throw new IllegalArgumentException(
+                s"vortex merge: source row for key $k changes bucketing key " +
+                s"${tSchema.fields(bucketIdx).name} — the in-place rewrite " +
+                "cannot move rows between bucket directories; " +
+                "DELETE + re-INSERT such rows instead")
           }
         }
         val src = if (hit != null) { updated += 1; srcRows(hit.intValue()) } else row

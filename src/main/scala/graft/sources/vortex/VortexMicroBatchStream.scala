@@ -71,6 +71,12 @@ class VortexMicroBatchStream(schema: StructType, paths: Seq[String],
   private val spark = SparkSession.active
   private def conf = spark.sessionState.newHadoopConf()
 
+  // listAll applies the CONSISTENT view (mid-commit source/replacement
+  // pairs resolve to their before state) — the same listing discipline
+  // planInputPartitions uses, so a replacement file can only enter the
+  // offset watermark once it is also visible to planning (a raw listing
+  // here could capture it in the watermark while the plan excludes it,
+  // and later batches would treat it as already seen — never streamed)
   private def listing: Seq[(String, Long)] =
     VortexDataSource.listAll(paths, conf)
       .map(t => (t._1.getPath.toString, t._1.getModificationTime))

@@ -126,6 +126,9 @@ object VortexUpdate {
     if (listed.isEmpty) return UpdateResult(0, 0, 0, 0L)
     MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
     MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
+    // time travel: pre-state generation + retirement (see VortexCommitLog)
+    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "update")
+    val remover = ttCtx.map(_.remover).getOrElse(MaintenanceCommit.PlainRemover)
     val df = spark.read.format("vortex").load(dir)
     val tableCols = df.schema.fieldNames.toSet
     assignments.keys.foreach(k => require(tableCols.contains(k),
@@ -205,6 +208,15 @@ object VortexUpdate {
       s"vortex update: SET column $k is a partition column — in-place " +
       "update cannot move rows between partition directories; " +
       "DELETE + re-INSERT instead")))
+    // same hazard for the BUCKETING key (ADVICE r11): the rewrite keeps
+    // the row in its old __bucket=k directory while bucket pruning
+    // routes later equality/IN lookups to the bucket of the NEW value —
+    // the row would be silently missed
+    (try BucketSpecFile.read(root, hconf) catch { case _: Exception => None })
+      .foreach { case (bk, _) => require(!assignKeys.contains(bk),
+        s"vortex update: SET column $bk is the bucketing key — in-place " +
+        "update cannot move rows between bucket directories; " +
+        "DELETE + re-INSERT instead") }
 
     val sconf = new SerializableConfiguration(hconf)
     val outcomes: Array[FileOutcome] = spark.sparkContext
@@ -227,7 +239,7 @@ object VortexUpdate {
       o.status match {
         case 2 =>
           MaintenanceCommit.commitOne(fs, "update", maskBind,
-            MaintenanceCommit.Replacement(o.file, o.tmp.get, o.dstName.get))
+            MaintenanceCommit.Replacement(o.file, o.tmp.get, o.dstName.get), remover)
         case 3 =>
           val appDst = new Path(src.getParent, o.dstName.get)
           if (fs.exists(appDst) && !fs.delete(appDst, false))
@@ -240,7 +252,7 @@ object VortexUpdate {
           if (!fs.rename(new Path(o.maskTmp.get), maskDst))
             throw new java.io.IOException(s"vortex update: mask rename failed for $maskDst")
           // only PRE-JOB masks are in maskBind — never the new one
-          MaintenanceCommit.dropMasks(fs, maskBind, o.file)
+          MaintenanceCommit.dropMasks(fs, maskBind, o.file, remover)
         case _ =>
       }
       committed.incrementAndGet()
@@ -253,6 +265,7 @@ object VortexUpdate {
     else destructive.foreach(commitOne)
     MaintenanceCommit.writeManifests(root, hconf, "update",
       outcomes.toSeq.flatMap(o => o.entry.map(e => (o.schemaJson.get, e))))
+    ttCtx.foreach(_.finish())
 
     UpdateResult(cands.length,
       outcomes.count(_.status == 0),
