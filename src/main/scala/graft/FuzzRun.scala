@@ -140,6 +140,14 @@ object FuzzRun {
     *                  table=<name>
     *                  op=del|dvdel|update  <predicate sql> [ col:=expr;col2:=expr2]
     *                  op=fold | op=compact
+    *                  op=race            (the next TWO op lines run from two
+    *                                      threads; the maintenance lease
+    *                                      serializes them — the loser retries
+    *                                      until it wins, so the generator must
+    *                                      emit a COMMUTING pair, e.g. two
+    *                                      DELETEs)
+    *                  timetravel=1       (commit-log generations + retirement)
+    *                  readversion=N      (read back `versionAsOf N`)
     *                  select=<sql over view maintv>
     */
   private val MaintPrefix = "--GRAFT-MAINT--"
@@ -169,7 +177,12 @@ object FuzzRun {
       // from it, mirroring the twin's derivation from the raw table)
       src.createOrReplaceTempView("maintbase")
       var streamRead = false
-      lines.filter(_.startsWith("op=")).foreach { l =>
+      val timeTravel = lines.contains("timetravel=1")
+      val prevTT = spark.conf.getOption(sources.vortex.VortexCommitLog.ConfKey)
+      if (timeTravel)
+        spark.conf.set(sources.vortex.VortexCommitLog.ConfKey, "true")
+      try {
+      def runOp(l: String): Unit = {
         val parts = l.stripPrefix("op=").split(MaintSep).map(_.trim)
         parts(0) match {
           case "del" =>
@@ -184,7 +197,7 @@ object FuzzRun {
             sources.vortex.VortexUpdate.update(spark, dir, sets, expr(parts(1)),
               deletionVectors = parts(0) == "dvupdate")
           case "sql" =>
-            // a full UPDATE/MERGE statement (plans/VortexDmlRules);
+            // a full UPDATE/DELETE/MERGE statement (plans/VortexDmlRules);
             // __DIR__ substitutes the staged dataset path
             graft.plans.RewriteVortexDml.install(spark)
             spark.conf.set("spark.sql.catalog.vtx",
@@ -199,6 +212,39 @@ object FuzzRun {
             streamRead = true // the read-back goes through the micro-batch source
           case other => sys.error(s"fuzz maintenance: unknown op $other")
         }
+      }
+      val opLines = lines.filter(_.startsWith("op=")).toIndexedSeq
+      var oi = 0
+      while (oi < opLines.length) {
+        val l = opLines(oi)
+        if (l.stripPrefix("op=").split(MaintSep)(0).trim == "race") {
+          // concurrent-maintenance differential (r12): the two ops race
+          // on the dataset lease from two threads; the loser fails with
+          // ConcurrentMaintenanceException and retries until it wins.
+          // The generator emits COMMUTING pairs (two DELETEs), so the
+          // serialized final state is order-independent and the DuckDB
+          // twin (both ops, any order) stays exact.
+          val pair = Seq(opLines(oi + 1), opLines(oi + 2)); oi += 3
+          val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+          val raced = new java.util.concurrent.atomic.AtomicInteger(0)
+          val ths = pair.map { ol =>
+            new Thread(() => {
+              var done = false
+              var tries = 0
+              while (!done) {
+                try { runOp(ol); done = true }
+                catch {
+                  case _: sources.vortex.ConcurrentMaintenanceException
+                      if tries < 600 =>
+                    raced.incrementAndGet(); tries += 1; Thread.sleep(20)
+                  case t: Throwable => errs.add(t); done = true
+                }
+              }
+            })
+          }
+          ths.foreach(_.start()); ths.foreach(_.join())
+          if (!errs.isEmpty) throw errs.peek()
+        } else { runOp(l); oi += 1 }
       }
       // explicit schema: a delete can legitimately empty the dataset,
       // and schema inference over zero files has nothing to infer
@@ -217,8 +263,16 @@ object FuzzRun {
         try { q.processAllAvailable() } finally q.stop()
         spark.table(qn).createOrReplaceTempView("maintv")
       } else {
-        spark.read.format("vortex").schema(src.schema).load(dir)
-          .createOrReplaceTempView("maintv")
+        // readversion=N pins the read-back to commit-log generation N
+        // (r12): gen 0 is the genesis (pre-any-op) snapshot, so its
+        // twin is the UNMUTATED table — the resolve path must
+        // reconstruct it from retired files across any op sequence
+        val readVersion = lines.collectFirst {
+          case l if l.startsWith("readversion=") =>
+            l.stripPrefix("readversion=") }
+        var rd = spark.read.format("vortex").schema(src.schema)
+        readVersion.foreach(v => rd = rd.option("versionAsOf", v))
+        rd.load(dir).createOrReplaceTempView("maintv")
       }
       // materialize BEFORE the staging dir is deleted
       val rows = spark.sql(select).collect()
@@ -233,6 +287,15 @@ object FuzzRun {
         rm(new java.io.File(c))
       }
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      } finally {
+        // restore the session's time-travel switch (fuzz cases share
+        // one session; a leaked `true` would silently change every
+        // later case's maintenance behavior)
+        prevTT match {
+          case Some(v) => spark.conf.set(sources.vortex.VortexCommitLog.ConfKey, v)
+          case None => spark.conf.unset(sources.vortex.VortexCommitLog.ConfKey)
+        }
+      }
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()

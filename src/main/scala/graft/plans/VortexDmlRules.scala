@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.GraftSqlBridge
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import graft.sources.vortex.{VortexMerge, VortexTable, VortexUpdate}
+import graft.sources.vortex.{VortexDelete, VortexMerge, VortexTable, VortexUpdate}
 
 /** SQL statement surface for UPDATE and MERGE over vortex datasets
   * (VERDICT r10 "What's missing" #1/#2): DELETE already plans through
@@ -21,9 +21,14 @@ import graft.sources.vortex.{VortexMerge, VortexTable, VortexUpdate}
   * so the SQL surface routes the ANALYZED `UpdateTable` /
   * `MergeIntoTable` plans into that machinery instead: a post-hoc
   * resolution rule replaces them with LeafRunnableCommands BEFORE the
-  * optimizer's unsupported-table check fires. Unsupported shapes
-  * (subqueries in predicates, nested-field assignments, NOT MATCHED BY
-  * SOURCE) fail with explicit errors, never silently.
+  * optimizer's unsupported-table check fires. r12: uncorrelated
+  * subqueries in predicates/SET values/clause conditions are supported
+  * through bounded driver-side evaluation ([[DmlSubqueries]]), and
+  * `DELETE … WHERE <subquery>` (which `SupportsDelete` cannot carry —
+  * a subquery never converts to a source Filter) is intercepted here
+  * too. Still-unsupported shapes (correlated subqueries, nested-field
+  * assignments, WITH SCHEMA EVOLUTION) fail with explicit errors,
+  * never silently.
   */
 object VortexDmlRules {
 
@@ -51,10 +56,31 @@ object VortexDmlRules {
       keyIdxTarget: Array[Int], keyIdxSource: Array[Int],
       matched: Seq[VortexMerge.MatchedAction],
       notMatched: Seq[VortexMerge.NotMatchedAction],
+      notMatchedBySource: Seq[VortexMerge.MatchedAction],
       fingerprint: String)
 
+  /** raw ANALYZED expressions (subqueries intact): evaluation of any
+    * subquery is deferred to the command's run() — an EXPLAIN of the
+    * statement must not execute it */
   private[plans] final case class UpdatePayload(
-      assigns: Seq[(String, Column)], cond: Column)
+      assigns: Seq[(String, Expression)], cond: Expression)
+
+  /** run-time expression → Column: materialize subqueries (bounded,
+    * driver-side — see [[DmlSubqueries]]), inline RuntimeReplaceable/
+    * With forms (BETWEEN analyzes to a With whose CommonExpressionRef
+    * nodes cannot re-resolve once the attributes underneath are
+    * unresolved — fuzz-found r11), then swap attribute refs for
+    * by-name unresolved ones so the machinery's own `df.filter`
+    * re-resolves them against its fresh scan. */
+  private[plans] def toColumn(session: SparkSession, e: Expression): Column =
+    GraftSqlBridge.column(
+      VortexDelete.replaceRuntime(DmlSubqueries.materialize(session, e)).transform {
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      })
+
+  private[plans] def deletionVectors(session: SparkSession): Boolean =
+    session.conf.getOption("spark.graft.vortex.deletionVectors")
+      .exists(_.toBoolean)
 }
 
 /** `UPDATE vtx.\`dir\` SET … WHERE …` — executes VortexUpdate (the
@@ -65,24 +91,53 @@ case class VortexUpdateCommand(dir: String,
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     if (payload.assigns.isEmpty) return Seq.empty // all-identity SET: no-op
-    val dv = session.conf.getOption("spark.graft.vortex.deletionVectors")
-      .exists(_.toBoolean)
-    VortexUpdate.update(session, dir, payload.assigns.toMap, payload.cond, dv)
+    VortexUpdate.update(session, dir,
+      payload.assigns.map { case (k, e) => k -> VortexDmlRules.toColumn(session, e) }.toMap,
+      VortexDmlRules.toColumn(session, payload.cond),
+      VortexDmlRules.deletionVectors(session))
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM vtx.\`dir\` WHERE <contains a subquery>` — plain
+  * deletes keep the DSv2 `SupportsDelete` path (predicate → source
+  * Filters); a subquery can never convert to a Filter, so this command
+  * carries the raw condition (inside the OPAQUE payload — a bare
+  * Expression field would be discovered by CheckAnalysis as the
+  * command's own and rejected) into VortexDelete after bounded
+  * materialization. */
+case class VortexDeleteCommand(dir: String,
+                               payload: VortexDmlRules.UpdatePayload)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    VortexDelete.delete(session, dir,
+      VortexDmlRules.toColumn(session, payload.cond),
+      VortexDmlRules.deletionVectors(session))
     Seq.empty
   }
 }
 
 /** `MERGE INTO vtx.\`dir\` USING src ON … WHEN …` — executes
-  * VortexMerge.mergeClauses over the analyzed source plan. */
+  * VortexMerge.mergeClauses over the analyzed source plan. Clause
+  * subqueries materialize here (bounded), at execution time. */
 case class VortexMergeCommand(dir: String,
                               payload: VortexDmlRules.MergePayload)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val p = payload
     val source = org.apache.spark.sql.graft.GraftSqlBridge.ofRows(session, p.sourcePlan)
+    def mat(a: VortexMerge.MatchedAction): VortexMerge.MatchedAction =
+      VortexMerge.MatchedAction(
+        a.cond.map(DmlSubqueries.materialize(session, _)),
+        a.assigns.map(_.map(DmlSubqueries.materialize(session, _))))
+    def matNm(a: VortexMerge.NotMatchedAction): VortexMerge.NotMatchedAction =
+      VortexMerge.NotMatchedAction(
+        a.cond.map(DmlSubqueries.materialize(session, _)),
+        a.values.map(DmlSubqueries.materialize(session, _)))
     VortexMerge.mergeClauses(session, dir, source,
       p.targetAttrs, p.sourceAttrs, p.keyIdxTarget, p.keyIdxSource,
-      p.matched, p.notMatched, p.fingerprint)
+      p.matched.map(mat), p.notMatched.map(matNm),
+      p.notMatchedBySource.map(mat), p.fingerprint)
     Seq.empty
   }
 }
@@ -116,6 +171,17 @@ case class RewriteVortexDml(session: SparkSession)
       rewriteUpdate(u, vortexDir(u.table).get)
     case m: MergeIntoTable if m.resolved && vortexDir(m.targetTable).isDefined =>
       rewriteMerge(m, vortexDir(m.targetTable).get)
+    // DELETE with a subquery predicate: SupportsDelete requires every
+    // conjunct to convert to a source Filter, which a subquery never
+    // does — intercept and route through the same bounded
+    // materialization as UPDATE. Subquery-free deletes stay on the
+    // stock DSv2 path (unchanged since r9).
+    case d: DeleteFromTable if d.resolved &&
+        d.condition.exists(_.isInstanceOf[SubqueryExpression]) &&
+        vortexDir(d.table).isDefined =>
+      DmlSubqueries.validate(d.condition, "delete WHERE")
+      VortexDeleteCommand(vortexDir(d.table).get,
+        UpdatePayload(Nil, d.condition))
   }
 
   private def rewriteUpdate(u: UpdateTable, dir: String): LogicalPlan = {
@@ -129,33 +195,22 @@ case class RewriteVortexDml(session: SparkSession)
       // assignments are not user intent (and would trip the
       // partition-column guard), drop them
       if (a.value.semanticEquals(key)) None
-      else Some(key.name -> toColumnChecked(a.value, "update SET"))
+      else {
+        DmlSubqueries.validate(a.value, "update SET")
+        Some(key.name -> a.value)
+      }
     }
+    val cond = u.condition.getOrElse(Literal.TrueLiteral)
+    DmlSubqueries.validate(cond, "update WHERE")
     // all-identity SET (e.g. `SET v = v`) is legal SQL and a no-op —
     // the command's run() short-circuits on empty assigns
-    VortexUpdateCommand(dir, UpdatePayload(assigns,
-      u.condition.map(toColumnChecked(_, "update WHERE"))
-        .getOrElse(org.apache.spark.sql.functions.lit(true))))
-  }
-
-  private def toColumnChecked(e: Expression, what: String): Column = {
-    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
-      s"vortex $what: subqueries are not supported")
-    // inline RuntimeReplaceable/With forms FIRST (BETWEEN analyzes to a
-    // With whose CommonExpressionRef nodes cannot re-resolve once the
-    // attributes underneath are unresolved — fuzz-found r11)
-    GraftSqlBridge.column(
-      graft.sources.vortex.VortexDelete.replaceRuntime(e).transform {
-        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-      })
+    VortexUpdateCommand(dir, UpdatePayload(assigns, cond))
   }
 
   private def rewriteMerge(m: MergeIntoTable, dir: String): LogicalPlan = {
-    require(m.notMatchedBySourceActions.isEmpty,
-      "vortex merge: WHEN NOT MATCHED BY SOURCE is not supported " +
-      "(it implies a full-table scan op — run UPDATE/DELETE with an anti-join instead)")
     require(!m.withSchemaEvolution,
-      "vortex merge: WITH SCHEMA EVOLUTION is not supported")
+      "vortex merge: WITH SCHEMA EVOLUTION is not supported — " +
+      "see FORMAT.md (one-schema datasets; compact/rewrite to evolve)")
     val targetAttrs = m.targetTable.output
     val sourceAttrs = m.sourceTable.output
     val tSet = m.targetTable.outputSet
@@ -177,28 +232,27 @@ case class RewriteVortexDml(session: SparkSession)
     require(keyIdxTarget.forall(_ >= 0) && keyIdxSource.forall(_ >= 0),
       "vortex merge: ON keys must be bare columns of the target/source")
 
-    def noSubquery(e: Expression, what: String): Expression = {
-      require(!e.exists(_.isInstanceOf[SubqueryExpression]),
-        s"vortex merge: subqueries are not supported in $what")
+    def checked(e: Expression, what: String): Expression = {
+      DmlSubqueries.validate(e, s"merge $what")
       e
     }
-    def fullUpdateProjection(assignments: Seq[Assignment]): Seq[Expression] = {
+    def fullUpdateProjection(assignments: Seq[Assignment], what: String): Seq[Expression] = {
       val byId = assignments.map { a =>
         val key = a.key match {
           case ar: AttributeReference => ar
           case other => throw new UnsupportedOperationException(
             s"vortex merge: only top-level column assignments are supported, got $other")
         }
-        key.exprId -> noSubquery(a.value, "UPDATE SET")
+        key.exprId -> checked(a.value, what)
       }.toMap
       targetAttrs.map(a => byId.getOrElse(a.exprId, a))
     }
     val matched = m.matchedActions.map {
       case UpdateAction(cond, assignments, _) =>
-        VortexMerge.MatchedAction(cond.map(noSubquery(_, "WHEN MATCHED")),
-          Some(fullUpdateProjection(assignments)))
+        VortexMerge.MatchedAction(cond.map(checked(_, "WHEN MATCHED")),
+          Some(fullUpdateProjection(assignments, "UPDATE SET")))
       case DeleteAction(cond) =>
-        VortexMerge.MatchedAction(cond.map(noSubquery(_, "WHEN MATCHED")), None)
+        VortexMerge.MatchedAction(cond.map(checked(_, "WHEN MATCHED")), None)
       case other => throw new UnsupportedOperationException(
         s"vortex merge: unsupported WHEN MATCHED action $other")
     }
@@ -210,20 +264,50 @@ case class RewriteVortexDml(session: SparkSession)
             case other => throw new UnsupportedOperationException(
               s"vortex merge: only top-level column INSERT targets are supported, got $other")
           }
-          key.exprId -> noSubquery(a.value, "INSERT VALUES")
+          key.exprId -> checked(a.value, "INSERT VALUES")
         }.toMap
         VortexMerge.NotMatchedAction(
-          cond.map(noSubquery(_, "WHEN NOT MATCHED")),
+          cond.map(checked(_, "WHEN NOT MATCHED")),
           targetAttrs.map(a => byId.getOrElse(a.exprId,
             Literal.create(null, a.dataType))))
       case other => throw new UnsupportedOperationException(
         s"vortex merge: unsupported WHEN NOT MATCHED action $other")
     }
+    // WHEN NOT MATCHED BY SOURCE (r12; VERDICT r11 next #5): target
+    // rows with no source match, expressions over the TARGET attrs
+    // only (the analyzer enforces that scoping). Same MatchedAction
+    // shape — the executor binds these against the target context.
+    val notMatchedBySource = m.notMatchedBySourceActions.map {
+      case UpdateAction(cond, assignments, _) =>
+        VortexMerge.MatchedAction(
+          cond.map(checked(_, "WHEN NOT MATCHED BY SOURCE")),
+          Some(fullUpdateProjection(assignments, "NOT MATCHED BY SOURCE UPDATE SET")))
+      case DeleteAction(cond) =>
+        VortexMerge.MatchedAction(
+          cond.map(checked(_, "WHEN NOT MATCHED BY SOURCE")), None)
+      case other => throw new UnsupportedOperationException(
+        s"vortex merge: unsupported WHEN NOT MATCHED BY SOURCE action $other")
+    }
     // statement identity for the exactly-once insert names: MUST be
     // exprId-free (AttributeReference.toString embeds exprIds that
     // reallocate on every analysis — a crash re-run on a fresh JVM
-    // would compute a different hash and re-append; review-found r11)
+    // would compute a different hash and re-append; review-found r11).
+    // Subqueries normalize through the CANONICALIZED plan (exprIds →
+    // ordinals) so a statement with a subquery condition still derives
+    // a stable name; the subquery node's own children (the IN value)
+    // normalize like any attribute.
+    def fpNames(e: Expression): String = e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }.toString
     def fp(e: Expression): String = e.transform {
+      // replace the WHOLE InSubquery pre-order (its `query` field is
+      // typed ListQuery — substituting just the child would not copy)
+      case in: org.apache.spark.sql.catalyst.expressions.InSubquery =>
+        Literal("InSubquery[" + in.values.map(fpNames).mkString(",") +
+          ";" + in.query.plan.canonicalized.toString + "]")
+      case s: SubqueryExpression =>
+        Literal(s.getClass.getSimpleName + "[" +
+          s.plan.canonicalized.toString + "]")
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     }.toString
     def fpAction(a: MergeAction): String = a match {
@@ -237,8 +321,10 @@ case class RewriteVortexDml(session: SparkSession)
       case other => other.getClass.getSimpleName
     }
     val fingerprint =
-      (m.matchedActions ++ m.notMatchedActions).map(fpAction).mkString(";")
+      (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+        .map(fpAction).mkString(";")
     VortexMergeCommand(dir, MergePayload(m.sourceTable, targetAttrs, sourceAttrs,
-      keyIdxTarget, keyIdxSource, matched, notMatched, fingerprint))
+      keyIdxTarget, keyIdxSource, matched, notMatched, notMatchedBySource,
+      fingerprint))
   }
 }

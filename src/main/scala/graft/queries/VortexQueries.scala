@@ -650,6 +650,109 @@ object VortexQueries {
       |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM graft_m2 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 
+  // S15C: subquery DML (r12; VERDICT r11 "What's missing" #3) — the
+  // corpus-purge / audit-driven re-scoring shapes: `UPDATE … WHERE k IN
+  // (SELECT …)` then `DELETE … WHERE k IN (SELECT …)`. The subquery is
+  // evaluated ONCE, driver-side, under the bounded-broadcast cap
+  // (plans/DmlSubqueries) and substituted as a literal IN list, so
+  // manifest min/max + bloom pruning apply to the audit keys for free.
+  // DuckDB twin: the same two statements over a temp table.
+  spark("s15c_vortex_update_subq",
+    (s, d) => {
+      val dir = vdir("update_s15c", d)
+      Tables.t(s, d, "orders")
+        .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+        .write.format("vortex").mode("overwrite").save(dir)
+      graft.plans.RewriteVortexDml.install(s)
+      s.conf.set("spark.sql.catalog.vtx", "graft.sources.vortex.VortexCatalog")
+      Tables.t(s, d, "customer").createOrReplaceTempView("graft_s15c_cust")
+      s.sql(s"""UPDATE vtx.`$dir` SET o_orderpriority = '9-AUDITED'
+                WHERE o_custkey IN (SELECT c_custkey FROM graft_s15c_cust
+                                    WHERE c_acctbal < 0)
+                  AND o_orderstatus = 'F'""")
+      s.sql(s"""DELETE FROM vtx.`$dir`
+                WHERE o_custkey IN (SELECT c_custkey FROM graft_s15c_cust
+                                    WHERE c_mktsegment = 'MACHINERY'
+                                      AND c_acctbal < 0)""")
+      s.read.format("vortex").load(dir)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+    """CREATE OR REPLACE TEMP TABLE graft_upd_sq AS SELECT * FROM orders;
+      |UPDATE graft_upd_sq SET o_orderpriority = '9-AUDITED'
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      |  AND o_orderstatus = 'F';
+      |DELETE FROM graft_upd_sq
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'MACHINERY' AND c_acctbal < 0);
+      |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+      |FROM graft_upd_sq GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+
+  // S16C: MERGE `WHEN NOT MATCHED BY SOURCE` (r12; VERDICT r11 next
+  // #5) — all three clause families in one statement: matched rows
+  // re-scored, new keys inserted, and target rows ABSENT from the
+  // source either marked dormant (negative balance, first clause) or
+  // deleted (nation 13, second clause — clause order wins for rows
+  // matching both). The DuckDB twin decomposes into UPDATE..FROM +
+  // guarded DELETE/UPDATE over `NOT IN (source keys)` + anti-join
+  // INSERT; the guards encode the clause-order semantics explicitly
+  // (acctbal<0 rows of nation 13 are DORMANT, not deleted).
+  spark("s16c_vortex_merge_nmbs",
+    (s, d) => {
+      val dir = vdir("merge_s16c", d)
+      Tables.t(s, d, "customer")
+        .repartitionByRange(4, col("c_custkey")).sortWithinPartitions("c_custkey")
+        .write.format("vortex").mode("overwrite").save(dir)
+      val base = Tables.t(s, d, "customer")
+        .where(col("c_custkey") % 40L === 1L)
+        .withColumn("c_acctbal", col("c_acctbal") + 77.0)
+        .withColumn("c_mktsegment", lit("S16C"))
+      val src = base.unionByName(
+        base.withColumn("c_custkey", col("c_custkey") + 30000000L))
+      graft.plans.RewriteVortexDml.install(s)
+      s.conf.set("spark.sql.catalog.vtx", "graft.sources.vortex.VortexCatalog")
+      src.createOrReplaceTempView("graft_s16c_src")
+      s.sql(s"""MERGE INTO vtx.`$dir` t USING graft_s16c_src s2
+                ON t.c_custkey = s2.c_custkey
+                WHEN MATCHED THEN UPDATE
+                  SET c_acctbal = s2.c_acctbal, c_mktsegment = s2.c_mktsegment
+                WHEN NOT MATCHED THEN INSERT *
+                WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 0 THEN UPDATE
+                  SET c_mktsegment = 'DORMANT'
+                WHEN NOT MATCHED BY SOURCE AND t.c_nationkey = 13 THEN DELETE""")
+      s.read.format("vortex").load(dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sum_key"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("sum_cents"))
+        .orderBy("c_mktsegment")
+    },
+    """CREATE OR REPLACE TEMP TABLE graft_m3 AS SELECT * FROM customer;
+      |CREATE OR REPLACE TEMP TABLE graft_m3_src AS
+      |  WITH base AS (
+      |    SELECT * REPLACE (c_acctbal + 77.0 AS c_acctbal, 'S16C' AS c_mktsegment)
+      |    FROM customer WHERE c_custkey % 40 = 1)
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT * REPLACE (c_custkey + 30000000 AS c_custkey) FROM base;
+      |UPDATE graft_m3 SET c_acctbal = s.c_acctbal, c_mktsegment = s.c_mktsegment
+      |  FROM graft_m3_src s WHERE graft_m3.c_custkey = s.c_custkey;
+      |DELETE FROM graft_m3
+      |WHERE c_nationkey = 13 AND c_acctbal >= 0
+      |  AND c_custkey NOT IN (SELECT c_custkey FROM graft_m3_src);
+      |UPDATE graft_m3 SET c_mktsegment = 'DORMANT'
+      |WHERE c_acctbal < 0
+      |  AND c_custkey NOT IN (SELECT c_custkey FROM graft_m3_src);
+      |INSERT INTO graft_m3
+      |  SELECT * FROM graft_m3_src s
+      |  WHERE NOT EXISTS (SELECT 1 FROM graft_m3 t WHERE t.c_custkey = s.c_custkey);
+      |SELECT c_mktsegment, count(*) AS n,
+      |       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+      |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM graft_m3 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+
   // ---- S3/S4 write rows (the write IS the timed operation) -----------
 
   /** oracle-side COPY target (driver-local /tmp; overwritten per rep) */

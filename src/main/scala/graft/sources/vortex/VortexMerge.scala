@@ -254,30 +254,43 @@ object VortexMerge {
 
   /** Conditional-clause MERGE — the full ANSI shape
     * (`WHEN MATCHED [AND c] THEN UPDATE SET <subset> | DELETE`,
-    * `WHEN NOT MATCHED [AND c] THEN INSERT`), same scale contract and
-    * crash discipline as [[merge]]: bounded broadcast source,
-    * file-granular non-destructive tasks, deterministic replacement
-    * names, exactly-once inserts. Clauses evaluate IN ORDER; the first
-    * whose condition holds wins (ANSI); a matched row with no true
-    * clause is kept verbatim. `targetAttrs`/`sourceAttrs` are the
-    * binding contexts the clause expressions reference — targetAttrs
-    * must mirror the dataset schema positionally. `clauseFingerprint`
-    * folds the clause list into the statement identity for the
-    * exactly-once insert names. */
+    * `WHEN NOT MATCHED [AND c] THEN INSERT`,
+    * `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … | DELETE`),
+    * same scale contract and crash discipline as [[merge]]: bounded
+    * broadcast source, file-granular non-destructive tasks,
+    * deterministic replacement names, exactly-once inserts. Clauses
+    * evaluate IN ORDER within their family; the first whose condition
+    * holds wins (ANSI); a row with no true clause is kept verbatim.
+    * `targetAttrs`/`sourceAttrs` are the binding contexts the clause
+    * expressions reference — targetAttrs must mirror the dataset
+    * schema positionally; NOT MATCHED BY SOURCE expressions must
+    * reference targetAttrs only (ANSI scoping — there IS no source row
+    * for them). `clauseFingerprint` folds the clause list into the
+    * statement identity for the exactly-once insert names.
+    *
+    * Scale note (disclosed full-scan shape): NOT MATCHED BY SOURCE
+    * actions can touch ANY target row whose key is absent from the
+    * source, so the statement plans EVERY file as a candidate — the
+    * key-IN pushdown that prunes match-only merges cannot apply. That
+    * is inherent to the semantics (the reference's host DB scans the
+    * whole target too); the per-file tasks stay non-destructive and
+    * untouched files are still detected and skipped at commit time. */
   def mergeClauses(spark: SparkSession, dir: String, source: DataFrame,
                    targetAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
                    sourceAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
                    keyIdxTarget: Array[Int], keyIdxSource: Array[Int],
                    matchedActions: Seq[MatchedAction],
                    notMatchedActions: Seq[NotMatchedAction],
-                   clauseFingerprint: String,
+                   notMatchedBySourceActions: Seq[MatchedAction] = Seq.empty,
+                   clauseFingerprint: String = "",
                    maxSourceRows: Int = 1 << 20,
                    pushKeyLimit: Int = 10000,
                    failAfterInserts: Int = -1): MergeResult = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeSeq, BindReferences, Expression, UnsafeProjection, Predicate => CatalystPredicate}
     require(keyIdxTarget.nonEmpty && keyIdxTarget.length == keyIdxSource.length,
       "vortex merge: ON must be a conjunction of target-key = source-key equalities")
-    require(matchedActions.nonEmpty || notMatchedActions.nonEmpty,
+    require(matchedActions.nonEmpty || notMatchedActions.nonEmpty ||
+        notMatchedBySourceActions.nonEmpty,
       "vortex merge: no WHEN clauses")
     val hconf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
@@ -322,26 +335,38 @@ object VortexMerge {
     val bcRows = spark.sparkContext.broadcast(srcRows)
 
     // bind clause expressions: matched over target ++ source, not-
-    // matched over source only (RuntimeReplaceable rewritten first —
-    // interpreted eval of BETWEEN/nvl/… asserts otherwise)
+    // matched over source only, not-matched-BY-source over target only
+    // (RuntimeReplaceable rewritten first — interpreted eval of
+    // BETWEEN/nvl/… asserts otherwise)
     val joinedCtx = AttributeSeq(targetAttrs ++ sourceAttrs)
     def bindJ(e: Expression): Expression =
       BindReferences.bindReference(VortexDelete.replaceRuntime(e), joinedCtx)
     val srcCtx = AttributeSeq(sourceAttrs)
     def bindS(e: Expression): Expression =
       BindReferences.bindReference(VortexDelete.replaceRuntime(e), srcCtx)
+    val tgtCtx = AttributeSeq(targetAttrs)
+    def bindT(e: Expression): Expression =
+      BindReferences.bindReference(VortexDelete.replaceRuntime(e), tgtCtx)
     (matchedActions.flatMap(a => a.cond.toSeq ++ a.assigns.toSeq.flatten) ++
-     notMatchedActions.flatMap(a => a.cond.toSeq ++ a.values)).foreach(e =>
-      require(e.deterministic, "vortex merge: clause expressions must be deterministic"))
+     notMatchedActions.flatMap(a => a.cond.toSeq ++ a.values) ++
+     notMatchedBySourceActions.flatMap(a => a.cond.toSeq ++ a.assigns.toSeq.flatten))
+      .foreach(e =>
+        require(e.deterministic, "vortex merge: clause expressions must be deterministic"))
     val boundMatched: Seq[(Option[Expression], Option[Seq[Expression]])] =
       matchedActions.map(a => (a.cond.map(bindJ), a.assigns.map(_.map(bindJ))))
     val boundNotMatched: Seq[(Option[Expression], Seq[Expression])] =
       notMatchedActions.map(a => (a.cond.map(bindS), a.values.map(bindS)))
+    val boundNmbs: Seq[(Option[Expression], Option[Seq[Expression]])] =
+      notMatchedBySourceActions.map(a => (a.cond.map(bindT), a.assigns.map(_.map(bindT))))
 
     // candidate planning: push `key IN (...)` for a small single-col
-    // key set of a pushable type (same discipline as merge)
+    // key set of a pushable type (same discipline as merge). A NOT
+    // MATCHED BY SOURCE clause defeats the push entirely — any target
+    // row ANYWHERE may be acted on, so every file is a candidate (the
+    // disclosed full-scan shape; see the scaladoc).
     val keyValuesForPush: Option[Seq[Any]] =
-      if (keyIdxTarget.length == 1 && srcRows.length <= pushKeyLimit &&
+      if (notMatchedBySourceActions.isEmpty &&
+          keyIdxTarget.length == 1 && srcRows.length <= pushKeyLimit &&
           VortexMergeSupport.pushableKeyType(keyTypes(0))) {
         val vs = srcRows.toSeq.map(_.get(keyIdxSource(0), keyTypes(0)))
           .filter(_ != null).map(VortexMergeSupport.toExternal(_, keyTypes(0)))
@@ -380,7 +405,7 @@ object VortexMerge {
       if (cands.isEmpty) Array.empty[VortexMergeSupport.ClauseOutcome]
       else spark.sparkContext.parallelize(cands, cands.length).map { c =>
         VortexMergeSupport.processFileClauses(c, tSchema, keyIdxTarget, keyIdxSource,
-          keyTypes, bcRows.value, boundMatched, bucketIdx, sconf.value)
+          keyTypes, bcRows.value, boundMatched, boundNmbs, bucketIdx, sconf.value)
       }.collect()
 
     // driver commit: drop-whole (every live row deleted) + rewrites
@@ -632,6 +657,8 @@ private[vortex] object VortexMergeSupport {
       srcRows: Array[org.apache.spark.sql.catalyst.InternalRow],
       boundMatched: Seq[(Option[org.apache.spark.sql.catalyst.expressions.Expression],
                          Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]])],
+      boundNmbs: Seq[(Option[org.apache.spark.sql.catalyst.expressions.Expression],
+                      Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]])],
       bucketIdx: Int,
       conf: org.apache.hadoop.conf.Configuration): ClauseOutcome = {
     import org.apache.spark.sql.catalyst.expressions.{JoinedRow, UnsafeProjection, Predicate => CatalystPredicate}
@@ -668,7 +695,10 @@ private[vortex] object VortexMergeSupport {
       while (b >= 0) { buf += b; b = matchedSet.nextSetBit(b + 1) }
       buf.toArray
     }
-    if (matchedSet.isEmpty || boundMatched.isEmpty)
+    // NOT MATCHED BY SOURCE clauses can fire on rows pass 1 never
+    // probed — only a file with neither key hits nor NMBS clauses is
+    // provably untouched here; otherwise pass 2 decides
+    if ((matchedSet.isEmpty || boundMatched.isEmpty) && boundNmbs.isEmpty)
       return ClauseOutcome(file, 0, 0L, 0L, null, null, null, null, ords)
 
     // pass 2: rewrite, clauses in order, first true condition wins
@@ -695,6 +725,9 @@ private[vortex] object VortexMergeSupport {
     val preds = boundMatched.map(_._1.map { e =>
       val p = CatalystPredicate.create(e); p.initialize(0); p })
     val projs = boundMatched.map(_._2.map(es => UnsafeProjection.create(es)))
+    val nmbsPreds = boundNmbs.map(_._1.map { e =>
+      val p = CatalystPredicate.create(e); p.initialize(0); p })
+    val nmbsProjs = boundNmbs.map(_._2.map(es => UnsafeProjection.create(es)))
     val writer = new VortexFileWriter(tmp, conf, footer.schema,
       bloomCols = bloomCols, sketchCols = sketchCols)
     var updated = 0L
@@ -714,36 +747,53 @@ private[vortex] object VortexMergeSupport {
         writer.write(out)
         written += 1
       }
+      // partition/bucket movement guards, shared by the MATCHED and
+      // NOT MATCHED BY SOURCE update paths (ADVICE r11)
+      def guardMove(row: org.apache.spark.sql.catalyst.InternalRow,
+                    upd: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        var pi = 0
+        while (pi < partIdx.length) {
+          val ti = partIdx(pi)
+          val dt = tSchema.fields(ti).dataType
+          if (!valEq(row.get(ti, dt), upd.get(ti, dt)))
+            throw new IllegalArgumentException(
+              s"vortex merge: UPDATE clause changes partition column " +
+              s"${tSchema.fields(ti).name} — the in-place rewrite cannot " +
+              "move rows between partition directories")
+          pi += 1
+        }
+        if (bucketIdx >= 0) {
+          val dt = tSchema.fields(bucketIdx).dataType
+          if (!valEq(row.get(bucketIdx, dt), upd.get(bucketIdx, dt)))
+            throw new IllegalArgumentException(
+              s"vortex merge: UPDATE clause changes bucketing key " +
+              s"${tSchema.fields(bucketIdx).name} — the in-place rewrite " +
+              "cannot move rows between bucket directories")
+        }
+      }
       try while (r.next()) {
         val row = r.get()
         val k = keyOf(row, keyIdxT, keyTypes)
         val hit = if (k == null) null else byKey.get(k)
-        if (hit == null) emit(row)
-        else {
+        if (hit == null) {
+          // no source match: the NOT MATCHED BY SOURCE family applies
+          // (first true condition wins; none/empty → keep verbatim)
+          boundNmbs.indices.find(j => nmbsPreds(j).forall(_.eval(row))) match {
+            case Some(j) if nmbsProjs(j).isEmpty => deleted += 1 // DELETE: skip
+            case Some(j) =>
+              val upd = nmbsProjs(j).get(row)
+              guardMove(row, upd)
+              updated += 1
+              emit(upd)
+            case None => emit(row)
+          }
+        } else {
           joined(row, srcRows(hit.intValue()))
           boundMatched.indices.find(j => preds(j).forall(_.eval(joined))) match {
             case Some(j) if projs(j).isEmpty => deleted += 1 // DELETE: skip
             case Some(j) =>
               val upd = projs(j).get(joined)
-              var pi = 0
-              while (pi < partIdx.length) {
-                val ti = partIdx(pi)
-                val dt = tSchema.fields(ti).dataType
-                if (!valEq(row.get(ti, dt), upd.get(ti, dt)))
-                  throw new IllegalArgumentException(
-                    s"vortex merge: UPDATE clause changes partition column " +
-                    s"${tSchema.fields(ti).name} — the in-place rewrite cannot " +
-                    "move rows between partition directories")
-                pi += 1
-              }
-              if (bucketIdx >= 0) {
-                val dt = tSchema.fields(bucketIdx).dataType
-                if (!valEq(row.get(bucketIdx, dt), upd.get(bucketIdx, dt)))
-                  throw new IllegalArgumentException(
-                    s"vortex merge: UPDATE clause changes bucketing key " +
-                    s"${tSchema.fields(bucketIdx).name} — the in-place rewrite " +
-                    "cannot move rows between bucket directories")
-              }
+              guardMove(row, upd)
               updated += 1
               emit(upd)
             case None => emit(row) // no clause fired: keep verbatim

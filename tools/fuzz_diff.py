@@ -494,14 +494,20 @@ FULLCOLS = {t: [d[0] for d in con.execute(f"SELECT * FROM {t} LIMIT 0").descript
 MAINT_KEY = {t: ('doc_id' if t == 'nestedx' else T[t]['pk'][0])
              for t in MAINT_TABLES}
 
-def maint_merge(t, ops_spark, ops_duck, conditional, partby=None):
+def maint_merge(t, ops_spark, ops_duck, conditional, partby=None, nmbs=False):
     """SQL MERGE (round 11: plans/VortexDmlRules → mergeClauses) vs the
     DuckDB DELETE + UPDATE..FROM + anti-join-INSERT twin. Clause
     conditions are key-parity — DISJOINT by construction, so the
     multi-statement twin is order-independent and exact. A NULL-key
     source row rides along sometimes (ANSI: matches nothing; inserts
     iff the insert clause's condition passes — NULL-cond rows skip in
-    both engines)."""
+    both engines). nmbs=True (round 12) appends two parity-disjoint
+    WHEN NOT MATCHED BY SOURCE clauses (DELETE evens, UPDATE odds);
+    the twin uses NOT EXISTS (never NOT IN — a NULL-key target row IS
+    not-matched-by-source, and NOT IN over any key set would drop it
+    from the twin's statements while Spark's clause conditions on
+    key%2 are NULL → no clause fires → kept verbatim; NOT EXISTS gives
+    the same row the same fate)."""
     key = MAINT_KEY[t]
     cols = FULLCOLS[t]
     setmap = dict(kv for kv in maint_sets(t) if kv[0] != key and kv[0] != partby)
@@ -563,6 +569,25 @@ def maint_merge(t, ops_spark, ops_duck, conditional, partby=None):
             f"INSERT INTO maintv SELECT * FROM mergesrc s "
             f"WHERE s.{key} % 2 = 1 AND NOT EXISTS "
             f"(SELECT 1 FROM maintv t WHERE t.{key} = s.{key});")
+    if nmbs:
+        # round 12: WHEN NOT MATCHED BY SOURCE — parity-disjoint DELETE
+        # (evens) / UPDATE (odds), so the twin is order-independent.
+        # Twin rows touched here are exactly the rows the matched/insert
+        # statements never touch (EXISTS vs NOT EXISTS partition), so
+        # appending after the INSERT is exact; inserted rows have their
+        # keys in mergesrc, so NOT EXISTS skips them too.
+        nc = rng.choice(sorted(setmap))
+        nset_sql = f"{nc} = {setmap[nc]}"
+        merge_sql += (
+            f" WHEN NOT MATCHED BY SOURCE AND t.{key} % 2 = 0 THEN DELETE"
+            f" WHEN NOT MATCHED BY SOURCE AND t.{key} % 2 = 1"
+            f" THEN UPDATE SET {nset_sql}")
+        ops_duck.append(
+            f"DELETE FROM maintv WHERE {key} % 2 = 0 AND NOT EXISTS "
+            f"(SELECT 1 FROM mergesrc s WHERE s.{key} = maintv.{key});")
+        ops_duck.append(
+            f"UPDATE maintv SET {nset_sql} WHERE {key} % 2 = 1 AND NOT EXISTS "
+            f"(SELECT 1 FROM mergesrc s WHERE s.{key} = maintv.{key});")
     ops_spark.append("op=sql" + SEP + merge_sql)
 
 def q_maint():
