@@ -35,11 +35,17 @@ class ConcurrentMaintenanceException(msg: String)
   * Mechanism — a LEASE file at `<root>/.vortex-maint.lock` (dot-hidden:
   * invisible to every data listing):
   *
-  *  1. Acquire = `create(overwrite = false)` + write a unique holder id
-  *     + read-back verify. The no-overwrite create is atomic on HDFS
-  *     and object stores with conditional writes; on filesystems where
-  *     the exists-check races, the read-back catches the loser (both
-  *     racers wrote; exactly one id survives — the other aborts).
+  *  1. Acquire = a JVM-wide tryLock on the qualified lease path FIRST
+  *     (two statements in one driver — the common local-mode shape, and
+  *     what the race fuzz exercises — serialize deterministically;
+  *     RawLocalFileSystem's `create(overwrite=false)` is exists-check +
+  *     TRUNCATING create, so the file protocol alone has a window where
+  *     racer B truncates A's already-verified lease — fuzz-found r12),
+  *     then `create(overwrite = false)` + write a unique holder id +
+  *     read-back verify + a 25 ms settle re-verify. The no-overwrite
+  *     create is atomic on HDFS and object stores with conditional
+  *     writes; on local filesystems the settle re-verify shrinks the
+  *     cross-PROCESS window (same-process is exact via the JVM lock).
   *  2. The holder heartbeats (rewrites the lease every ttl/5 from a
   *     daemon thread), so a long-running rewrite job keeps its lease
   *     while a CRASHED writer's lease goes stale and is broken by the
@@ -58,8 +64,14 @@ private[graft] object MaintenanceLock {
   val DefaultTtlMs: Long = 15L * 60 * 1000
   private val LockName = ".vortex-maint.lock"
 
+  /** same-process serialization, keyed on the qualified lease path —
+    * see the acquisition contract in the class scaladoc */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
   final class Lease private[MaintenanceLock] (fs: FileSystem, lock: Path,
-                                              val id: String, ttlMs: Long) {
+                                              val id: String, ttlMs: Long,
+                                              jvmLock: java.util.concurrent.locks.ReentrantLock) {
     @volatile private var released = false
     private val beat = new Thread(() => {
       try while (!released) {
@@ -75,6 +87,8 @@ private[graft] object MaintenanceLock {
       beat.interrupt()
       try if (readHolder(fs, lock).contains(id)) fs.delete(lock, false)
       catch { case _: Exception => () } // breaker's TTL reclaims it
+      try jvmLock.unlock()
+      catch { case _: IllegalMonitorStateException => () } // foreign-thread release
     }
   }
 
@@ -101,6 +115,18 @@ private[graft] object MaintenanceLock {
               ttlMs: Long = DefaultTtlMs): Lease = {
     val lock = new Path(root, LockName)
     val id = java.util.UUID.randomUUID().toString
+    // same-process gate first: RawLocalFileSystem's no-overwrite create
+    // is exists-check + TRUNCATING create, so two threads of one driver
+    // could each pass the file protocol's read-back verify (fuzz-found
+    // r12 by the op=race kind) — the JVM lock makes same-process racing
+    // exact; the file lease below remains the cross-process protocol
+    val jl = jvmLocks.computeIfAbsent(fs.makeQualified(lock).toString,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    if (!jl.tryLock()) throw new ConcurrentMaintenanceException(
+      s"vortex $op: another maintenance statement in this process holds " +
+      s"$lock — maintenance writers are serialized per dataset; retry " +
+      "after it finishes")
+    try {
     var brokeStale = false
     while (true) {
       val existing = try Some(fs.getFileStatus(lock)) catch { case _: Exception => None }
@@ -131,16 +157,24 @@ private[graft] object MaintenanceLock {
                 s"vortex $op: lost the maintenance-lock race on $lock — " +
                 "another statement acquired it; retry after it finishes")
           }
-          // read-back verify: on filesystems where create's exists-check
-          // races, both racers reach here — exactly one id survived
-          if (!readHolder(fs, lock).contains(id))
-            throw new ConcurrentMaintenanceException(
-              s"vortex $op: lost the maintenance-lock race on $lock — " +
-              "another statement acquired it; retry after it finishes")
-          return new Lease(fs, lock, id, ttlMs)
+          // read-back verify + settle re-verify: on filesystems where
+          // create's exists-check races (cross-PROCESS on local FS —
+          // same-process is exact via the JVM gate above), both racers
+          // may reach here; the double read catches the loser even when
+          // its first read preceded the winner's truncating write
+          def verify(): Unit =
+            if (!readHolder(fs, lock).contains(id))
+              throw new ConcurrentMaintenanceException(
+                s"vortex $op: lost the maintenance-lock race on $lock — " +
+                "another statement acquired it; retry after it finishes")
+          verify()
+          Thread.sleep(25)
+          verify()
+          return new Lease(fs, lock, id, ttlMs, jl)
       }
     }
     throw new IllegalStateException("unreachable")
+    } catch { case t: Throwable => jl.unlock(); throw t }
   }
 
   /** Run `body` under the dataset lock (released in finally). A root

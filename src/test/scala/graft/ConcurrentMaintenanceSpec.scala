@@ -116,4 +116,42 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite {
     b.release()
     assert(!fs.exists(new Path(dir, ".vortex-maint.lock")))
   }
+
+  test("hammered same-process acquire: never two concurrent holders (r12 fuzz-found TOCTOU)") {
+    // RawLocalFileSystem's create(overwrite=false) is exists-check +
+    // TRUNCATING create, so the file protocol alone let two threads
+    // both pass read-back verify (the op=race fuzz kind hit it as a
+    // lost source file mid-commit). The JVM gate must make
+    // same-process racing exact: N threads in tight acquire/release
+    // loops, holder count asserted never above 1.
+    val dir = tmp()
+    fs.mkdirs(new Path(dir))
+    val root = new Path(dir)
+    val holders = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val acquired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ths = (0 until 8).map { i =>
+      new Thread(() => {
+        try {
+          val deadline = System.nanoTime() + 2_000_000_000L
+          while (System.nanoTime() < deadline) {
+            try {
+              val l = MaintenanceLock.acquire(fs, root, s"t$i")
+              val h = holders.incrementAndGet()
+              maxSeen.getAndUpdate(m => math.max(m, h))
+              acquired.incrementAndGet()
+              Thread.sleep(1)
+              holders.decrementAndGet()
+              l.release()
+            } catch { case _: ConcurrentMaintenanceException => () }
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    ths.foreach(_.start()); ths.foreach(_.join())
+    assert(errs.isEmpty, s"unexpected: ${errs.peek()}")
+    assert(acquired.get() > 10, s"lock livelocked (only ${acquired.get()} acquisitions)")
+    assert(maxSeen.get() == 1, s"two concurrent holders observed (${maxSeen.get()})")
+  }
 }

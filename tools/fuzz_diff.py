@@ -600,7 +600,10 @@ def q_maint():
                        'dvupdate', 'dvupdate_fold', 'dvdel_dvupdate',
                        'sqlupdate', 'sqlmerge', 'sqlmerge_cond',
                        'dvdel_stream', 'dvupdate_stream',
-                       'dvdel_update_stream', 'sqlmerge_stream'])
+                       'dvdel_update_stream', 'sqlmerge_stream',
+                       # round 12 surfaces
+                       'sqlupdate_subq', 'sqldel_subq', 'sqlmerge_nmbs',
+                       'race_deldel', 'ttread_gen0'])
     ops_spark, ops_duck = [], []
     # ~1/3 of queries stage the copy Hive-PARTITIONED: same twin, but
     # the Spark side now runs dir pruning, partition guards, the
@@ -637,6 +640,32 @@ def q_maint():
         ops_spark.append("op=sql" + SEP +
                          f"UPDATE vtx.`__DIR__` SET {setsql} WHERE {pr}")
         ops_duck.append(f"UPDATE maintv SET {setsql} WHERE {pr};")
+    def add_sql_subq(delete):
+        # round 12: IN/NOT IN (SELECT …) predicate subqueries — either
+        # SELF-referencing (both engines evaluate against the statement-
+        # start snapshot: DuckDB by MVCC, graft by materialize-once) or
+        # over the unmutated base. Keys are non-null PKs, so NOT IN is
+        # NULL-safe here.
+        key = MAINT_KEY[t]
+        pr = maint_pred(t)
+        inop = "NOT IN" if rng.random() < 0.3 else "IN"
+        if rng.random() < 0.5:   # self-referencing
+            sub_s = f"SELECT {key} FROM vtx.`__DIR__` WHERE {pr}"
+            sub_d = f"SELECT {key} FROM maintv WHERE {pr}"
+        else:                    # audit-table shape (unmutated base)
+            sub_s = f"SELECT {key} FROM maintbase WHERE {pr}"
+            sub_d = f"SELECT {key} FROM {t} WHERE {pr}"
+        if delete:
+            ops_spark.append("op=sql" + SEP +
+                f"DELETE FROM vtx.`__DIR__` WHERE {key} {inop} ({sub_s})")
+            ops_duck.append(f"DELETE FROM maintv WHERE {key} {inop} ({sub_d});")
+        else:
+            sets = no_part_sets(maint_sets(t))
+            setsql = ", ".join(f"{c} = {e}" for c, e in sets)
+            ops_spark.append("op=sql" + SEP +
+                f"UPDATE vtx.`__DIR__` SET {setsql} WHERE {key} {inop} ({sub_s})")
+            ops_duck.append(
+                f"UPDATE maintv SET {setsql} WHERE {key} {inop} ({sub_d});")
     if kind == 'del': add_del('del')
     elif kind == 'dvdel': add_del('dvdel')
     elif kind == 'dvdel_fold': add_del('dvdel'); ops_spark.append("op=fold")
@@ -653,6 +682,40 @@ def q_maint():
     elif kind == 'sqlupdate': add_sql_update()
     elif kind == 'sqlmerge': maint_merge(t, ops_spark, ops_duck, False, partby)
     elif kind == 'sqlmerge_cond': maint_merge(t, ops_spark, ops_duck, True, partby)
+    elif kind == 'sqlupdate_subq':
+        # sometimes run a mutation first so the subquery's statement-
+        # start snapshot is itself a maintained state
+        if rng.random() < 0.4: add_del(rng.choice(['del', 'dvdel']))
+        add_sql_subq(delete=False)
+    elif kind == 'sqldel_subq':
+        if rng.random() < 0.4: add_update()
+        add_sql_subq(delete=True)
+    elif kind == 'sqlmerge_nmbs':
+        maint_merge(t, ops_spark, ops_duck, rng.random() < 0.5, partby, nmbs=True)
+    elif kind == 'race_deldel':
+        # two DELETEs race on the maintenance lease from two threads
+        # (FuzzRun op=race; loser retries until it wins). DELETEs
+        # commute — predicates evaluate on row values no delete changes
+        # — so the serialized final state is order-independent.
+        ops_spark.append("op=race")
+        add_del(rng.choice(['del', 'dvdel']))
+        add_del(rng.choice(['del', 'dvdel']))
+    elif kind == 'ttread_gen0':
+        # time travel: 1-3 mutations with generation logging on, then
+        # read back generation 0 (genesis = the pre-any-op snapshot) —
+        # twin = the UNMUTATED table. Exercises retirement + resolve
+        # across every op family. First op is always a real mutation
+        # statement (begin() publishes genesis unconditionally there).
+        ops_spark.insert(0, "timetravel=1")
+        add_del(rng.choice(['del', 'dvdel']))
+        for _ in range(rng.randint(0, 2)):
+            c = rng.random()
+            if c < 0.4: add_del(rng.choice(['del', 'dvdel']))
+            elif c < 0.7: add_update(rng.choice(['update', 'dvupdate']))
+            elif c < 0.85: ops_spark.append("op=fold")
+            else: ops_spark.append("op=compact")
+        ops_spark.append("readversion=0")
+        ops_duck.clear()  # the twin is the unmutated staging copy
     elif kind == 'dvdel_stream': add_del('dvdel'); ops_spark.append("op=stream")
     elif kind == 'dvupdate_stream':
         add_update('dvupdate'); ops_spark.append("op=stream")
@@ -661,6 +724,12 @@ def q_maint():
     else:  # sqlmerge_stream
         maint_merge(t, ops_spark, ops_duck, rng.random() < 0.5, partby)
         ops_spark.append("op=stream")
+    # time-travel modifier (round 12): ~15% of every other kind also
+    # runs with generation logging + retirement ON and reads back the
+    # CURRENT state — retirement must never change what a plain read
+    # sees, across every op family including streams and races
+    if kind != 'ttread_gen0' and rng.random() < 0.15:
+        ops_spark.insert(0, "timetravel=1")
     sel = maint_select(t)
     spark_dsl = "\n".join(["--GRAFT-MAINT--", f"table={t}"] + ops_spark +
                            [f"select={sel}"])
