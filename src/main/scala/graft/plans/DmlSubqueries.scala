@@ -87,7 +87,23 @@ object DmlSubqueries {
           s"vortex dml: IN subquery produced more than $MaxRowsConf=$cap " +
           "distinct values — the result substitutes as a literal IN list; " +
           "shrink the subquery or route the statement through MERGE")
+        // Above the optimizer's In→InSet threshold, emit InSet DIRECTLY
+        // (hash-set probe). The maintenance machinery binds the ANALYZED
+        // predicate (the optimizer never sees it), and a multi-thousand-
+        // literal In blows past the codegen method limit into an
+        // interpreted LINEAR scan per row per assignment column — the
+        // r12 sf1 run measured the s15c row at 33.9 s from exactly this
+        // before the InSet form (2.6 s after, same answer). DSv2
+        // pushdown translates InSet to the same sources.In filter, so
+        // manifest/bloom pruning is unchanged.
         if (rows.isEmpty) Literal.FalseLiteral
+        else if (rows.length >
+            session.sessionState.conf.optimizerInSetConversionThreshold) {
+          val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(dt)
+          org.apache.spark.sql.catalyst.expressions.InSet(
+            value, rows.map(r => conv(r.get(0))).toSet)
+        }
         else In(value, rows.toSeq.map(r => Literal.create(r.get(0), dt)))
       case ex: Exists =>
         Literal(!GraftSqlBridge.ofRows(session, ex.plan).isEmpty)

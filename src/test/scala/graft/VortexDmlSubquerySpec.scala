@@ -138,6 +138,18 @@ class VortexDmlSubquerySpec extends AnyFunSuite {
       s"min/max pruning should leave 3 of 4 range-disjoint files untouched, rewrote $rewritten")
     assert(spark.read.format("vortex").load(dir)
       .where(col("v") === -1L).count() == 2L)
+
+    // above the In→InSet threshold (the sf1-measured hot path: a
+    // multi-thousand-literal In degrades to interpreted linear scans),
+    // the materialized InSet must prune identically and stay fast
+    import spark.implicits._
+    (100L until 400L).toDF("k").createOrReplaceTempView("big5")
+    spark.sql(s"UPDATE vtx.`$dir` SET v = -2 WHERE id IN (SELECT k FROM big5)")
+    val rewritten2 = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .count(_.startsWith("part-update-"))
+    assert(rewritten2 == 1, s"InSet form must prune the same, rewrote $rewritten2")
+    assert(spark.read.format("vortex").load(dir)
+      .where(col("v") === -2L).count() == 300L)
   }
 
   test("MERGE clause conditions accept uncorrelated subqueries") {
