@@ -46,7 +46,22 @@ class VortexDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val listed = VortexDataSource.listAll(paths(options), conf)
-    require(listed.nonEmpty, s"vortex: no files found for ${paths(options).mkString(",")}")
+    if (listed.isEmpty) {
+      // a DELETE can legitimately empty the dataset (every file dropped
+      // whole) while the directory and its commit manifests remain — the
+      // TABLE still exists with zero rows, and a later statement
+      // referencing it (e.g. a subquery over the purged corpus) must
+      // resolve, not fail analysis (fuzz-found r12). The manifests
+      // recorded the schema; only a dataset with neither files nor a
+      // manifest schema is truly "no files found".
+      val manifestSchema = paths(options).iterator.flatMap { raw =>
+        try StatsManifest.rootOf(raw, conf).flatMap(p => StatsManifest.readAll(p, conf)._1)
+        catch { case _: Exception => None }
+      }.nextOption()
+      return manifestSchema.getOrElse(
+        throw new IllegalArgumentException(
+          s"vortex: no files found for ${paths(options).mkString(",")}"))
+    }
     val fileSchema =
       if (Option(options.get("mergeschema")).exists(_.toBoolean))
         VortexDataSource.mergedSchema(paths(options), listed, conf)

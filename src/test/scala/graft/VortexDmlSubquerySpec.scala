@@ -256,6 +256,20 @@ class VortexDmlSubquerySpec extends AnyFunSuite {
     assert(insNameSubq(d3) == insNameSubq(d4))
   }
 
+  test("a DELETE-emptied dataset still resolves: schema from manifests, DML no-ops") {
+    import spark.implicits._
+    val dir = stage(100)
+    // empty the dataset entirely (every file drops whole)
+    spark.sql(s"DELETE FROM vtx.`$dir` WHERE id >= 0")
+    assert(spark.read.format("vortex").load(dir).count() == 0L,
+      "empty dataset must scan as zero rows (manifest-held schema)")
+    // SQL over the emptied table — catalog resolution + a subquery over
+    // the same emptied table must analyze and no-op (fuzz-found r12)
+    spark.sql(s"UPDATE vtx.`$dir` SET v = 0 " +
+      s"WHERE id IN (SELECT id FROM vtx.`$dir` WHERE v > 5)")
+    assert(spark.sql(s"SELECT * FROM vtx.`$dir`").count() == 0L)
+  }
+
   test("NMBS UPDATE cannot move rows across partitions; guards still fire") {
     import spark.implicits._
     val dir = tmp()
