@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.StructType
   * the deterministic-name crash contract safe across DIFFERENT
   * statements (one implementation — the four ops previously each
   * carried a drifting copy). */
-private[vortex] object MaintenanceCommit {
+private[graft] object MaintenanceCommit {
 
   /** How a maintenance commit removes a COMMITTED file it supersedes
     * (a replaced source, a drop-whole file, a superseded mask): plain
@@ -180,5 +180,100 @@ private[vortex] object MaintenanceCommit {
       }
     }
     dropped
+  }
+
+  // ---- compaction commit markers (r12 review-found crash window) ----
+  //
+  // Compaction outputs carry RANDOM `part-compact-<uuid>` names (their
+  // identity is a batch of sources, not one source), so the
+  // deterministic-name repair above cannot pair them: moving the
+  // absorbed-source removal driver-side (for retirement) opened a
+  // window where a crash between the output rename and the source
+  // removals would leave BOTH live — permanent row duplication no
+  // repair could see. The fix is a per-batch commit MARKER written
+  // BEFORE the rename: `.compact-commit-<id>.json` at the dataset root
+  // records the output's relative path, the absorbed sources, and the
+  // statement's retire directory (empty = plain delete). Commit order:
+  // marker → rename output in → remove sources → delete marker. Repair
+  // (every maintenance statement start, under the lease):
+  //   - marker + output PRESENT  → finish the removals, drop marker
+  //   - marker + output ABSENT   → nothing renamed; drop marker
+  //   - unreadable marker        → torn at write, which precedes the
+  //                                rename; drop it
+  // Markers are dot-hidden (invisible to data listings).
+
+  private val CompactMarkerPrefix = ".compact-commit-"
+
+  final case class CompactCommit(outRel: String, srcRels: Seq[String],
+                                 retireDirQ: String)
+
+  def writeCompactMarker(fs: FileSystem, root: Path, id: String,
+                         c: CompactCommit): Path = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("out", c.outRel)
+    node.put("retire", c.retireDirQ)
+    val arr = node.putArray("srcs")
+    c.srcRels.foreach(arr.add)
+    val p = new Path(root, s"$CompactMarkerPrefix$id.json")
+    val out = fs.create(p, true)
+    try out.write(m.writeValueAsBytes(node)) finally out.close()
+    p
+  }
+
+  private def removeTo(fs: FileSystem, rootQ: String, retireDirQ: String,
+                       p: Path): Boolean =
+    if (retireDirQ.isEmpty) fs.delete(p, false)
+    else {
+      val q = fs.makeQualified(p).toString
+      val dst = new Path(retireDirQ + "/" + q.stripPrefix(rootQ).stripPrefix("/"))
+      fs.mkdirs(dst.getParent)
+      fs.rename(p, dst)
+    }
+
+  /** Complete (or roll back) the batches of a crashed compact — see the
+    * marker contract above. Caller holds the maintenance lease. Returns
+    * the number of markers processed. */
+  def repairStaleCompactions(fs: FileSystem, root: Path): Int = {
+    val markers =
+      (try fs.listStatus(root).toSeq catch { case _: Exception => Seq.empty })
+        .map(_.getPath).filter(_.getName.startsWith(CompactMarkerPrefix))
+    if (markers.isEmpty) return 0
+    val rootQ = fs.makeQualified(root).toString
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    var processed = 0
+    markers.foreach { mp =>
+      val parsed: Option[CompactCommit] =
+        try {
+          val in = fs.open(mp)
+          val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+                      finally in.close()
+          val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+          val srcs = n.get("srcs")
+          Some(CompactCommit(n.get("out").asText(),
+            (0 until srcs.size()).map(srcs.get(_).asText()),
+            Option(n.get("retire")).map(_.asText()).getOrElse("")))
+        } catch { case _: Exception => None }
+      parsed match {
+        case Some(c) if fs.exists(new Path(root, c.outRel)) =>
+          // output committed: finish the source removals
+          c.srcRels.foreach { rel =>
+            val p = new Path(root, rel)
+            if (fs.exists(p) && !removeTo(fs, rootQ, c.retireDirQ, p))
+              throw new java.io.IOException(
+                s"vortex compact repair: failed to remove absorbed $p")
+          }
+          log.warn(s"vortex maintenance: completed crashed compact batch " +
+            s"${c.outRel} (${c.srcRels.length} sources; marker ${mp.getName})")
+        case Some(c) =>
+          log.warn(s"vortex maintenance: rolled back uncommitted compact " +
+            s"batch ${c.outRel} (marker ${mp.getName})")
+        case None =>
+          log.warn(s"vortex maintenance: dropped torn compact marker ${mp.getName}")
+      }
+      fs.delete(mp, false)
+      processed += 1
+    }
+    processed
   }
 }

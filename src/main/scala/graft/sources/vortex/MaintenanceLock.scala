@@ -65,18 +65,65 @@ private[graft] object MaintenanceLock {
   private val LockName = ".vortex-maint.lock"
 
   /** same-process serialization, keyed on the qualified lease path —
-    * see the acquisition contract in the class scaladoc */
+    * see the acquisition contract in the class scaladoc. A Semaphore
+    * (not ReentrantLock) so a Lease may be released from a DIFFERENT
+    * thread than acquired it (cleanup executors, shutdown hooks) —
+    * a swallowed owner-mismatch unlock would wedge the dataset for
+    * the process lifetime (review-found r12). Entries are REFCOUNTED
+    * and evicted at zero so a long-lived driver touching many
+    * datasets (the fuzz harness stages thousands of temp dirs in one
+    * JVM) does not grow the map unboundedly; compute() is atomic per
+    * key, so acquire-vs-evict never hands out a removed gate. */
+  private final class Gate {
+    val sem = new java.util.concurrent.Semaphore(1)
+    var refs = 0 // guarded by the map's per-key compute lock
+  }
   private val jvmLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+    new java.util.concurrent.ConcurrentHashMap[String, Gate]()
+
+  private def gateAcquire(key: String): Option[Gate] = {
+    val g = jvmLocks.compute(key, (_, old) => {
+      val gg = if (old == null) new Gate else old
+      gg.refs += 1
+      gg
+    })
+    if (g.sem.tryAcquire()) Some(g)
+    else { gateRelease(key, g, held = false); None }
+  }
+  private def gateRelease(key: String, g: Gate, held: Boolean): Unit = {
+    if (held) g.sem.release()
+    jvmLocks.compute(key, (_, old) => {
+      if (old == null) null
+      else { old.refs -= 1; if (old.refs <= 0) null else old }
+    })
+    ()
+  }
 
   final class Lease private[MaintenanceLock] (fs: FileSystem, lock: Path,
                                               val id: String, ttlMs: Long,
-                                              jvmLock: java.util.concurrent.locks.ReentrantLock) {
+                                              gateKey: String, gate: Gate) {
     @volatile private var released = false
+    @volatile private var lost = false
     private val beat = new Thread(() => {
-      try while (!released) {
+      try while (!released && !lost) {
         Thread.sleep(math.max(ttlMs / 5, 1000L))
-        if (!released) writeLease(fs, lock, id) // refreshes mtime
+        // verify BEFORE re-asserting: a holder that stalled past the
+        // TTL may have had its lease legitimately broken and taken by
+        // another writer — blindly rewriting would clobber the new
+        // holder's lease and put two writers in flight (review-found
+        // r12). A lost lease stops the heartbeat (never re-asserts);
+        // the loss is loudly logged for the operator, and release()
+        // still frees the JVM gate.
+        if (!released) {
+          if (readHolder(fs, lock).contains(id)) writeLease(fs, lock, id)
+          else {
+            lost = true
+            org.slf4j.LoggerFactory.getLogger(getClass).error(
+              s"vortex maintenance: lease $lock lost by holder $id " +
+              "(stalled past TTL and broken by another writer) — " +
+              "heartbeat stopped; results of this statement may interleave")
+          }
+        }
       } catch { case _: InterruptedException => () }
     }, s"vortex-maint-lease-$id")
     beat.setDaemon(true)
@@ -85,10 +132,10 @@ private[graft] object MaintenanceLock {
     def release(): Unit = if (!released) {
       released = true
       beat.interrupt()
-      try if (readHolder(fs, lock).contains(id)) fs.delete(lock, false)
+      // a lost lease belongs to another writer now — never delete it
+      try if (!lost && readHolder(fs, lock).contains(id)) fs.delete(lock, false)
       catch { case _: Exception => () } // breaker's TTL reclaims it
-      try jvmLock.unlock()
-      catch { case _: IllegalMonitorStateException => () } // foreign-thread release
+      gateRelease(gateKey, gate, held = true)
     }
   }
 
@@ -118,14 +165,14 @@ private[graft] object MaintenanceLock {
     // same-process gate first: RawLocalFileSystem's no-overwrite create
     // is exists-check + TRUNCATING create, so two threads of one driver
     // could each pass the file protocol's read-back verify (fuzz-found
-    // r12 by the op=race kind) — the JVM lock makes same-process racing
+    // r12 by the op=race kind) — the JVM gate makes same-process racing
     // exact; the file lease below remains the cross-process protocol
-    val jl = jvmLocks.computeIfAbsent(fs.makeQualified(lock).toString,
-      _ => new java.util.concurrent.locks.ReentrantLock())
-    if (!jl.tryLock()) throw new ConcurrentMaintenanceException(
-      s"vortex $op: another maintenance statement in this process holds " +
-      s"$lock — maintenance writers are serialized per dataset; retry " +
-      "after it finishes")
+    val gateKey = fs.makeQualified(lock).toString
+    val gate = gateAcquire(gateKey).getOrElse(
+      throw new ConcurrentMaintenanceException(
+        s"vortex $op: another maintenance statement in this process holds " +
+        s"$lock — maintenance writers are serialized per dataset; retry " +
+        "after it finishes"))
     try {
     var brokeStale = false
     while (true) {
@@ -134,12 +181,25 @@ private[graft] object MaintenanceLock {
         case Some(st) =>
           val age = System.currentTimeMillis() - st.getModificationTime
           if (age > ttlMs && !brokeStale) {
-            // a crashed writer's lease: break it once, then re-race
+            // a crashed writer's lease: break it ONCE, then re-race —
+            // but only the exact lease observed. Re-stat immediately
+            // before the delete: if the holder or mtime changed, a
+            // competitor already broke it and created its own VALID
+            // lease, which must not be deleted (review-found r12; the
+            // remaining stat→delete window is the same one the settle
+            // re-verify below closes for the create race).
             brokeStale = true
-            try fs.delete(lock, false) catch { case _: Exception => () }
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"vortex $op: broke stale maintenance lease $lock " +
-              s"(age ${age / 1000}s > ttl ${ttlMs / 1000}s — holder crashed)")
+            val unchanged =
+              try {
+                val now = fs.getFileStatus(lock)
+                now.getModificationTime == st.getModificationTime
+              } catch { case _: Exception => false }
+            if (unchanged) {
+              try fs.delete(lock, false) catch { case _: Exception => () }
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"vortex $op: broke stale maintenance lease $lock " +
+                s"(age ${age / 1000}s > ttl ${ttlMs / 1000}s — holder crashed)")
+            }
           } else throw new ConcurrentMaintenanceException(
             s"vortex $op: another maintenance statement holds $lock " +
             s"(holder ${readHolder(fs, lock).getOrElse("?")}, " +
@@ -170,11 +230,11 @@ private[graft] object MaintenanceLock {
           verify()
           Thread.sleep(25)
           verify()
-          return new Lease(fs, lock, id, ttlMs, jl)
+          return new Lease(fs, lock, id, ttlMs, gateKey, gate)
       }
     }
     throw new IllegalStateException("unreachable")
-    } catch { case t: Throwable => jl.unlock(); throw t }
+    } catch { case t: Throwable => gateRelease(gateKey, gate, held = true); throw t }
   }
 
   /** Run `body` under the dataset lock (released in finally). A root

@@ -68,11 +68,21 @@ class VortexCatalog extends TableCatalog with FunctionCatalog {
     }
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val (files, _) = VortexCommitLog.resolve(new Path(p), conf, gen)
-    require(files.nonEmpty, s"vortex: generation $gen of $p is empty")
-    val fileSchema = VortexFileReader.readFooter(files.head._1.getPath, conf).schema
-    val partSchema = PartitionedLayout.inferPartitionSchema(files)
-    val schema = StructType(fileSchema.fields ++ partSchema.fields.filterNot(f =>
-      fileSchema.fieldNames.contains(f.name) || f.name == BucketSpecFile.BucketCol))
+    // an EMPTY generation is legitimate (a DELETE purged every row, or
+    // genesis of an empty dataset) and must read as zero rows like the
+    // DataFrame versionAsOf path — schema from the stats manifests,
+    // exactly like loadTable's emptied-dataset sibling (review-found r12)
+    val schema =
+      if (files.nonEmpty) {
+        val fileSchema = VortexFileReader.readFooter(files.head._1.getPath, conf).schema
+        val partSchema = PartitionedLayout.inferPartitionSchema(files)
+        StructType(fileSchema.fields ++ partSchema.fields.filterNot(f =>
+          fileSchema.fieldNames.contains(f.name) || f.name == BucketSpecFile.BucketCol))
+      } else
+        StatsManifest.rootOf(p, conf).flatMap(r => StatsManifest.readAll(r, conf)._1)
+          .getOrElse(throw new IllegalArgumentException(
+            s"vortex: generation $gen of $p is empty and the dataset has " +
+            "no stats manifest to recover a schema from"))
     new VortexTable(schema, Seq(p), pinnedVersion = Some(gen))
   }
 

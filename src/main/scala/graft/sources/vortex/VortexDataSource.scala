@@ -46,36 +46,54 @@ class VortexDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val listed = VortexDataSource.listAll(paths(options), conf)
+    // manifest-held schema (round-4 format): a covered dataset infers
+    // with zero footer I/O; planning's drift guard still validates any
+    // file the manifest doesn't cover. One lookup serves both the
+    // normal fast path and the emptied-dataset fallback below.
+    lazy val manifestSchema: Option[StructType] =
+      paths(options).iterator.flatMap { raw =>
+        try StatsManifest.rootOf(raw, conf).flatMap(p => StatsManifest.readAll(p, conf)._1)
+        catch { case _: Exception => None }
+      }.nextOption()
     if (listed.isEmpty) {
       // a DELETE can legitimately empty the dataset (every file dropped
       // whole) while the directory and its commit manifests remain — the
       // TABLE still exists with zero rows, and a later statement
       // referencing it (e.g. a subquery over the purged corpus) must
       // resolve, not fail analysis (fuzz-found r12). The manifests
-      // recorded the schema; only a dataset with neither files nor a
-      // manifest schema is truly "no files found".
-      val manifestSchema = paths(options).iterator.flatMap { raw =>
-        try StatsManifest.rootOf(raw, conf).flatMap(p => StatsManifest.readAll(p, conf)._1)
-        catch { case _: Exception => None }
-      }.nextOption()
-      return manifestSchema.getOrElse(
+      // recorded the file schema; PARTITION columns live only in
+      // directory paths, so reconstruct them from the manifest entries'
+      // relative paths (review-found r12 — dropping them would fail any
+      // later reference to a partition column of the purged dataset).
+      // Only a dataset with neither files nor a manifest is truly
+      // "no files found".
+      val fromManifest = manifestSchema.map { fileSchema =>
+        val entryRels = paths(options).iterator.flatMap { raw =>
+          try StatsManifest.rootOf(raw, conf).map(p =>
+            StatsManifest.readAll(p, conf)._2.keys.toSeq).getOrElse(Seq.empty)
+          catch { case _: Exception => Seq.empty }
+        }.toSeq
+        val segs: Seq[(org.apache.hadoop.fs.FileStatus, Seq[(String, String)])] =
+          entryRels.map { rel =>
+            (null, rel.split('/').dropRight(1).toSeq.filter(_.contains("=")).map { s =>
+              val Array(k, v) = s.split("=", 2)
+              k -> PartitionedLayout.unescape(v)
+            })
+          }
+        val partSchema = PartitionedLayout.inferPartitionSchema(segs)
+        StructType(fileSchema.fields ++ partSchema.fields.filterNot(f =>
+          fileSchema.fieldNames.contains(f.name) || f.name == BucketSpecFile.BucketCol))
+      }
+      return fromManifest.getOrElse(
         throw new IllegalArgumentException(
           s"vortex: no files found for ${paths(options).mkString(",")}"))
     }
     val fileSchema =
       if (Option(options.get("mergeschema")).exists(_.toBoolean))
         VortexDataSource.mergedSchema(paths(options), listed, conf)
-      else {
-        // manifest-held schema first (round-4 format): a covered dataset
-        // infers with zero footer I/O; planning's drift guard still
-        // validates any file the manifest doesn't cover
-        val manifestSchema = paths(options).iterator.flatMap { raw =>
-          try StatsManifest.rootOf(raw, conf).flatMap(p => StatsManifest.readAll(p, conf)._1)
-          catch { case _: Exception => None }
-        }.nextOption()
+      else
         manifestSchema.getOrElse(
           VortexFileReader.readFooter(listed.head._1.getPath, conf).schema)
-      }
     val partSchema = PartitionedLayout.inferPartitionSchema(listed)
     // __bucket is layout, not data: never surfaces as a column
     StructType(fileSchema.fields ++ partSchema.fields.filterNot(f =>

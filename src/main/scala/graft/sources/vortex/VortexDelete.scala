@@ -137,6 +137,10 @@ object VortexDelete {
     // commit-time cleanup, and the cross-statement stale-replacement
     // repair (the plan below does its own listing — that one is
     // inherent to the scan)
+    // complete/roll back any crashed compact batches first (their
+    // markers pair random part-compact names with their absorbed
+    // sources — see MaintenanceCommit.repairStaleCompactions)
+    MaintenanceCommit.repairStaleCompactions(fs, root)
     val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
     // a dataset a prior delete emptied has no schema to infer — the
     // delete is a no-op, not an error (matches DELETE on an empty table)

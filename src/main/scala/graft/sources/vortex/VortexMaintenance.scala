@@ -92,6 +92,9 @@ object VortexMaintenance {
     val root = new Path(dir)
     val fs = root.getFileSystem(hconf)
     val rootQ = fs.makeQualified(root).toString
+    // complete/roll back any crashed compact batches first (marker
+    // protocol — MaintenanceCommit.repairStaleCompactions)
+    MaintenanceCommit.repairStaleCompactions(fs, root)
     // cross-statement stale-replacement repair (same discipline as
     // DELETE/UPDATE/MERGE): a fold that crashed between rename-in and
     // delete-source leaves the masked source and its part-fold-
@@ -177,7 +180,15 @@ object VortexMaintenance {
 
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024,
-              minFiles: Int = 2): CompactResult = {
+              minFiles: Int = 2): CompactResult =
+    compactImpl(spark, dir, targetBytes, minFiles, failAfterBatchCommits = -1)
+
+  /** `failAfterBatchCommits` is a TEST SEAM (≥0: throw after that many
+    * per-batch commits), mirroring the delete/update/merge seams. */
+  private[graft] def compactImpl(spark: SparkSession, dir: String,
+                                 targetBytes: Long,
+                                 minFiles: Int,
+                                 failAfterBatchCommits: Int): CompactResult = {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(hconf)
@@ -187,6 +198,10 @@ object VortexMaintenance {
     // lease covers the fold AND the byte-copy — a statement arriving
     // between the two would otherwise see a half-folded dataset
     MaintenanceLock.withLock(fs, root, "compact") {
+    // a prior compact may have crashed mid-commit — complete/roll back
+    // its batches BEFORE anything lists the data (see the marker
+    // contract in MaintenanceCommit)
+    MaintenanceCommit.repairStaleCompactions(fs, root)
 
     // deletion-vector masks fold into real rewrites FIRST: the chunk
     // byte-copy below moves pages verbatim and must never absorb a
@@ -269,23 +284,45 @@ object VortexMaintenance {
     val remover = ttCtx.map(_.remover).getOrElse(MaintenanceCommit.PlainRemover)
 
     val sconf = new SerializableConfiguration(hconf)
-    val results = spark.sparkContext
+    // tasks are fully NON-DESTRUCTIVE (r12 review fix): each writes its
+    // merged file as a dot-hidden tmp and returns (tmp, dstName, bytes)
+    // — nothing renames in until the whole job succeeded, so a partial
+    // job failure commits nothing (tmps are vacuum litter)
+    val results: Array[(String, String, Long)] = spark.sparkContext
       .parallelize(batches.map(_._1), batches.length)
       .map(batch => compactBatch(batch, sconf.value))
       .collect()
 
-    // absorbed sources are removed on the DRIVER after every batch has
-    // renamed in (r12: tasks are no longer destructive, and sources can
-    // retire into the commit log's retired area) — metadata-only RPCs,
-    // parallel like the other commit phases
-    locally {
-      val absorbed = batches.flatMap(_._1).toArray
-      def rm(f: String): Unit =
-        if (!remover.remove(fs, new Path(f)))
-          throw new java.io.IOException(s"vortex compact: failed to remove absorbed $f")
-      if (absorbed.length > 1)
-        java.util.Arrays.stream(absorbed).parallel().forEach(f => rm(f))
-      else absorbed.foreach(rm)
+    // driver commit, PER BATCH under a crash marker (the random
+    // part-compact names have no source pairing the deterministic-name
+    // repair could use — see MaintenanceCommit.repairStaleCompactions):
+    // marker → rename output in → remove absorbed sources (retiring
+    // when time travel is on) → drop marker. A crash at any point
+    // repairs exactly at the next statement.
+    val markerJob = java.util.UUID.randomUUID().toString.take(8)
+    val retireDirQ = ttCtx.map(c =>
+      fs.makeQualified(VortexCommitLog.retiredDir(root, c.gen)).toString)
+      .getOrElse("")
+    def relOf(p: Path): String =
+      fs.makeQualified(p).toString.stripPrefix(rootQ).stripPrefix("/")
+    val createdPaths = new scala.collection.mutable.ArrayBuffer[String]
+    batches.zip(results).zipWithIndex.foreach {
+      case (((batch, _), (tmp, dstName, _)), bi) =>
+        if (failAfterBatchCommits >= 0 && bi >= failAfterBatchCommits)
+          throw new RuntimeException(
+            s"vortex compact: injected crash after $failAfterBatchCommits batch commits (test seam)")
+        val dst = new Path(new Path(batch.head).getParent, dstName)
+        val marker = MaintenanceCommit.writeCompactMarker(fs, root,
+          s"$markerJob-$bi", MaintenanceCommit.CompactCommit(
+            relOf(dst), batch.map(f => relOf(new Path(f))), retireDirQ))
+        if (!fs.rename(new Path(tmp), dst))
+          throw new java.io.IOException(s"vortex compact: rename failed for $dst")
+        batch.foreach { f =>
+          if (!remover.remove(fs, new Path(f)))
+            throw new java.io.IOException(s"vortex compact: failed to remove absorbed $f")
+        }
+        fs.delete(marker, false)
+        createdPaths += dst.toString
     }
 
     def inherited(batch: Seq[String]): (Map[String, Long], Map[String, Array[Byte]]) = {
@@ -322,7 +359,7 @@ object VortexMaintenance {
       (sums, blooms)
     }
     val inheritedByCreated: Map[String, (Map[String, Long], Map[String, Array[Byte]])] =
-      batches.zip(results).map { case ((batch, _), (created, _)) =>
+      batches.map(_._1).zip(createdPaths).map { case (batch, created) =>
         created -> inherited(batch) }.toMap
 
     // extend the stats manifest with the new files (tier-1.5 pruning),
@@ -340,7 +377,7 @@ object VortexMaintenance {
         Some(base.copy(cols = base.cols.map(c =>
           c.copy(sum = sums.get(c.name), bloom = blooms.get(c.name)))))
       } catch { case _: Exception => None }
-    results.zip(batches).flatMap { case ((created, _), (_, sk)) =>
+    createdPaths.toSeq.zip(batches.map(_._2)).flatMap { case (created, sk) =>
       entryOf(created).map(e => (sk, e))
     }.groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex.foreach { case ((sk, group), i) =>
       val schema =
@@ -352,7 +389,7 @@ object VortexMaintenance {
 
     ttCtx.foreach(_.finish())
     CompactResult(byDir.size, batches.length,
-      batches.map(_._1.length).sum, results.map(_._2).sum)
+      batches.map(_._1.length).sum, results.map(_._3).sum)
     } // MaintenanceLock.withLock
   }
 
@@ -369,16 +406,17 @@ object VortexMaintenance {
   }
 
   /** Merge one batch into one file by chunk byte-copy; returns
-    * (created path, bytes copied). Runs on an executor. */
+    * (tmp path, destination basename, bytes copied) — NON-DESTRUCTIVE:
+    * the driver renames in under the marker protocol. Runs on an
+    * executor. */
   private def compactBatch(batch: Seq[String],
-                           conf: org.apache.hadoop.conf.Configuration): (String, Long) = {
+                           conf: org.apache.hadoop.conf.Configuration): (String, String, Long) = {
     val first = new Path(batch.head)
     val fs = first.getFileSystem(conf)
     val parent = first.getParent
     val id = java.util.UUID.randomUUID().toString.take(12)
     val name = s"part-compact-$id.vortex"
     val tmp = new Path(parent, s".$name.inprogress")
-    val dst = new Path(parent, name)
 
     val footers = batch.map(f => new Path(f) -> VortexFileReader.readFooter(new Path(f), conf))
     val schemaJson = footers.head._2.schema.json
@@ -418,8 +456,8 @@ object VortexMaintenance {
     out.write(tail.array())
     out.flush(); out.close()
 
-    if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"vortex compact: rename failed for $dst")
-    // sources are removed by the DRIVER after all batches land (r12)
-    (dst.toString, copied)
+    // no rename here: the driver commits batch-by-batch under the
+    // crash-marker protocol (see MaintenanceCommit.repairStaleCompactions)
+    (tmp.toString, name, copied)
   }
 }

@@ -87,6 +87,7 @@ object VortexMerge {
     // one listing walk (mask binding + stale-replacement repair), BEFORE
     // the target loads: planning must never see a stale replacement the
     // repair is about to drop
+    MaintenanceCommit.repairStaleCompactions(fs, root)
     val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
     MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
     MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
@@ -281,8 +282,11 @@ object VortexMerge {
                    keyIdxTarget: Array[Int], keyIdxSource: Array[Int],
                    matchedActions: Seq[MatchedAction],
                    notMatchedActions: Seq[NotMatchedAction],
-                   notMatchedBySourceActions: Seq[MatchedAction] = Seq.empty,
-                   clauseFingerprint: String = "",
+                   // no default: the fingerprint is the exactly-once
+                   // insert identity — two different statements sharing
+                   // an accidental "" would dedupe each other's inserts
+                   notMatchedBySourceActions: Seq[MatchedAction],
+                   clauseFingerprint: String,
                    maxSourceRows: Int = 1 << 20,
                    pushKeyLimit: Int = 10000,
                    failAfterInserts: Int = -1): MergeResult = {
@@ -297,6 +301,7 @@ object VortexMerge {
     val fs = root.getFileSystem(hconf)
     // writer-vs-writer mutual exclusion (see MaintenanceLock)
     MaintenanceLock.withLock(fs, root, "merge") {
+    MaintenanceCommit.repairStaleCompactions(fs, root)
     val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
     MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
     MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)

@@ -121,6 +121,10 @@ object VortexUpdate {
     MaintenanceLock.withLock(fs, root, "update") {
     // one listing walk: empty-check + mask binding + stale-replacement
     // repair (see VortexDelete — identical discipline)
+    // complete/roll back any crashed compact batches first (their
+    // markers pair random part-compact names with their absorbed
+    // sources — see MaintenanceCommit.repairStaleCompactions)
+    MaintenanceCommit.repairStaleCompactions(fs, root)
     val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
     // UPDATE over a dataset a delete emptied is a no-op, not an error
     if (listed.isEmpty) return UpdateResult(0, 0, 0, 0L)

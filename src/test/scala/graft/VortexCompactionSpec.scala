@@ -74,6 +74,82 @@ class VortexCompactionSpec extends AnyFunSuite {
     assert(b5.selectExpr("pmod(hash(k), 8) AS b").where("b <> 5").count() == 0)
   }
 
+
+  test("crash between batch commits repairs at the next statement (r12 marker protocol)") {
+    // a compact that dies after committing SOME batches must leave no
+    // permanent duplication: un-renamed batches are rolled back
+    // (tmps are vacuum litter), and a crash BETWEEN a batch's rename
+    // and its source removals is completed by the marker repair at the
+    // next statement. The seam throws after N per-batch commits.
+    val dir = Files.createTempDirectory("vortex_compact_crash_").toString
+    spark.range(0, 20000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .repartition(12)
+      .write.format("vortex").mode("overwrite").save(dir)
+    val before = fingerprint(dir)
+    // force >= 2 batches by capping batch size under the total
+    val bytes = vortexFiles(dir).map(_.length).sum
+    val target = bytes / 2
+    val e = intercept[RuntimeException] {
+      VortexMaintenance.compactImpl(spark, dir, target, 2, failAfterBatchCommits = 1)
+    }
+    assert(e.getMessage.contains("injected crash"), e.getMessage)
+    // the dataset may hold a committed batch plus originals of the
+    // uncommitted ones — but NEVER a duplicate: the marker of the
+    // in-flight batch pairs its output with its absorbed sources
+    VortexMaintenance.compact(spark, dir) // next statement repairs, then compacts
+    assert(fingerprint(dir) == before, "no row lost or duplicated across the crash")
+
+    // crash BEFORE any rename (failAfter=0): everything rolls back
+    val dir2 = Files.createTempDirectory("vortex_compact_crash0_").toString
+    spark.range(0, 8000).selectExpr("id AS k").repartition(8)
+      .write.format("vortex").mode("overwrite").save(dir2)
+    val before2 = fingerprint(dir2)
+    intercept[RuntimeException] {
+      VortexMaintenance.compactImpl(spark, dir2, 128L * 1024 * 1024, 2,
+        failAfterBatchCommits = 0)
+    }
+    assert(fingerprint(dir2) == before2, "nothing committed before the first marker")
+    assert(vortexFiles(dir2).size == 8, "no output renamed in")
+    VortexMaintenance.compact(spark, dir2)
+    assert(fingerprint(dir2) == before2)
+  }
+
+  test("a marker whose output renamed in but sources survive repairs to the AFTER state") {
+    // simulate the exact crash window: marker present, output present,
+    // sources still live — repair must remove the sources, not the output
+    val dir = Files.createTempDirectory("vortex_compact_marker_").toString
+    spark.range(0, 6000).selectExpr("id AS k").repartition(4)
+      .write.format("vortex").mode("overwrite").save(dir)
+    val before = fingerprint(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // run a REAL compact to get a legitimate output file; then undo its
+    // bookkeeping: restore two absorbed sources from a copy and rewrite
+    // the marker as if the crash happened mid-removal
+    val srcs = vortexFiles(dir).map(_.getName)
+    val res = VortexMaintenance.compact(spark, dir)
+    assert(res.batches == 1)
+    val out = vortexFiles(dir).map(_.getName).filter(_.startsWith("part-compact-")).head
+    // fabricate the crash window against a FRESH dataset: stage dir3
+    // with sources + the compacted output + the marker
+    val dir3 = Files.createTempDirectory("vortex_compact_marker3_").toString
+    val root3 = new org.apache.hadoop.fs.Path(dir3)
+    fs.mkdirs(root3)
+    // copy output and one "absorbed source that was never removed"
+    spark.range(0, 6000).selectExpr("id AS k").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(dir3)
+    val liveSrc = vortexFiles(dir3).head.getName
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(dir, out),
+      fs, new org.apache.hadoop.fs.Path(dir3, out), false, spark.sparkContext.hadoopConfiguration)
+    graft.sources.vortex.MaintenanceCommit.writeCompactMarker(fs, root3, "t1",
+      graft.sources.vortex.MaintenanceCommit.CompactCommit(out, Seq(liveSrc), ""))
+    // repair: the duplicate source must go, the output must stay
+    assert(graft.sources.vortex.MaintenanceCommit.repairStaleCompactions(fs, root3) == 1)
+    val names = vortexFiles(dir3).map(_.getName)
+    assert(names.contains(out) && !names.contains(liveSrc), names.toString)
+    assert(spark.read.format("vortex").load(dir3).count() == 6000L)
+  }
+
   test("files at or above target size are left alone") {
     val dir = Files.createTempDirectory("vortex_compact_t_").toString
     spark.range(0, 10000).selectExpr("id AS k").repartition(5)
