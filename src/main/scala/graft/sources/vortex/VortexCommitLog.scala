@@ -119,12 +119,19 @@ object VortexCommitLog {
   }
 
   /** the CONSISTENT current listing as snapshot entries (sorted by rel
-    * path — the comparison key for change detection) */
+    * path — the comparison key for change detection). `pre` lets a
+    * maintenance statement hand over the listing it already walked
+    * (valid only when its repairs dropped nothing, in which case the
+    * raw and consistent views provably coincide — every coexisting
+    * pair would have been repaired and counted) so enabling the commit
+    * log costs ONE extra walk per statement (finish), not two
+    * (review-found r12). */
   private def currentEntries(fs: FileSystem, root: Path,
-                             conf: Configuration): IndexedSeq[FileEntry] = {
+                             conf: Configuration,
+                             pre: Option[PreListing] = None): IndexedSeq[FileEntry] = {
     val rootQ = fs.makeQualified(root).toString
-    val (listed, maskBind) =
-      VortexDataSource.listAllWithMasks(Seq(root.toString), conf)
+    val (listed, maskBind) = pre.getOrElse(
+      VortexDataSource.listAllWithMasks(Seq(root.toString), conf))
     listed.map { case (st, _) =>
       val q = fs.makeQualified(st.getPath).toString
       val rel = q.stripPrefix(rootQ).stripPrefix("/")
@@ -139,17 +146,25 @@ object VortexCommitLog {
     }.sortBy(_.relPath).toIndexedSeq
   }
 
+  /** the shape of the listing walk every maintenance statement already
+    * holds: (file, partition segments) pairs + the mask binding */
+  type PreListing =
+    (Seq[(FileStatus, Seq[(String, String)])], Map[String, (String, Seq[String])])
+
   /** Maintenance-op hook, called AFTER the pre-planning repair: when
     * time travel is on (conf) or the dataset already has a log, ensure
     * the log's latest generation describes the CURRENT (pre-statement)
     * state — writing a catch-up generation if out-of-band appends
     * drifted it — and return the commit context whose remover retires
-    * files under the statement's own generation number. */
+    * files under the statement's own generation number. Pass
+    * `preListed` (the statement's own walk) ONLY when the statement's
+    * repairs dropped nothing — see [[currentEntries]]. */
   def begin(spark: SparkSession, fs: FileSystem, root: Path,
-            conf: Configuration, op: String): Option[Ctx] = {
+            conf: Configuration, op: String,
+            preListed: Option[PreListing] = None): Option[Ctx] = {
     val on = spark.conf.getOption(ConfKey).exists(_.toBoolean) || exists(fs, root)
     if (!on) return None
-    val cur = currentEntries(fs, root, conf)
+    val cur = currentEntries(fs, root, conf, preListed)
     val preGen = latestGen(fs, root) match {
       case Some(g) if readSnapshot(fs, root, g).files == cur => g
       case Some(g) =>

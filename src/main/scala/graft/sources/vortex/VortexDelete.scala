@@ -145,11 +145,13 @@ object VortexDelete {
     // a dataset a prior delete emptied has no schema to infer — the
     // delete is a no-op, not an error (matches DELETE on an empty table)
     if (listed.isEmpty) return DeleteResult(0, 0, 0, 0, 0L)
-    MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
-    MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
+    val repaired0 = MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1)) +
+      MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
     // time travel: ensure the commit log's latest generation is the
-    // pre-statement state; superseded files retire instead of deleting
-    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "delete")
+    // pre-statement state; superseded files retire instead of deleting; the
+    // statement's own walk is reusable iff the repairs dropped nothing
+    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "delete",
+      if (repaired0 == 0) Some((listed, maskBind)) else None)
     val remover = ttCtx.map(_.remover).getOrElse(MaintenanceCommit.PlainRemover)
     val df = spark.read.format("vortex").load(dir)
     val filtered = df.filter(predicate)

@@ -112,8 +112,10 @@ object VortexMaintenance {
       .filter(p => maskBind.contains(p.toString))
       .sortBy(_.toString)
     if (targets.isEmpty) return FoldResult(0, 0L)
-    // time travel: pre-state generation + retirement (see VortexCommitLog)
-    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "foldMasks")
+    // time travel: pre-state generation + retirement (see VortexCommitLog);
+    // (listed, maskBind) is the post-repair state — reusable
+    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "foldMasks",
+      Some((listed, maskBind)))
     val remover = ttCtx.map(_.remover).getOrElse(MaintenanceCommit.PlainRemover)
     val manifest = StatsManifest.read(root, hconf)
 
@@ -279,8 +281,10 @@ object VortexMaintenance {
     }
     if (batches.isEmpty) return CompactResult(byDir.size, 0, 0, 0L)
 
-    // time travel: pre-state generation + retirement (see VortexCommitLog)
-    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "compact")
+    // time travel: pre-state generation + retirement (see VortexCommitLog);
+    // the post-fold listing is fresh and no repairs ran since — reusable
+    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "compact",
+      Some((listed0, maskLeft)))
     val remover = ttCtx.map(_.remover).getOrElse(MaintenanceCommit.PlainRemover)
 
     val sconf = new SerializableConfiguration(hconf)

@@ -89,10 +89,12 @@ object VortexMerge {
     // repair is about to drop
     MaintenanceCommit.repairStaleCompactions(fs, root)
     val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
-    MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
-    MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
-    // time travel: pre-state generation + retirement (see VortexCommitLog)
-    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "merge")
+    val repaired0 = MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1)) +
+      MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
+    // time travel: pre-state generation + retirement (see VortexCommitLog); the
+    // statement's own walk is reusable iff the repairs dropped nothing
+    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "merge",
+      if (repaired0 == 0) Some((listed, maskBind)) else None)
     val remover = ttCtx.map(_.remover).getOrElse(MaintenanceCommit.PlainRemover)
     val target = spark.read.format("vortex").load(dir)
     val tSchema = target.schema
@@ -303,10 +305,12 @@ object VortexMerge {
     MaintenanceLock.withLock(fs, root, "merge") {
     MaintenanceCommit.repairStaleCompactions(fs, root)
     val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
-    MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
-    MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
-    // time travel: pre-state generation + retirement (see VortexCommitLog)
-    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "merge")
+    val repaired0 = MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1)) +
+      MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
+    // time travel: pre-state generation + retirement (see VortexCommitLog); the
+    // statement's own walk is reusable iff the repairs dropped nothing
+    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "merge",
+      if (repaired0 == 0) Some((listed, maskBind)) else None)
     val remover = ttCtx.map(_.remover).getOrElse(MaintenanceCommit.PlainRemover)
     val target = spark.read.format("vortex").load(dir)
     val tSchema = target.schema

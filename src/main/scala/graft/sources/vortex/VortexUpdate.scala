@@ -128,10 +128,12 @@ object VortexUpdate {
     val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
     // UPDATE over a dataset a delete emptied is a no-op, not an error
     if (listed.isEmpty) return UpdateResult(0, 0, 0, 0L)
-    MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1))
-    MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
-    // time travel: pre-state generation + retirement (see VortexCommitLog)
-    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "update")
+    val repaired0 = MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1)) +
+      MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
+    // time travel: pre-state generation + retirement (see VortexCommitLog); the
+    // statement's own walk is reusable iff the repairs dropped nothing
+    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "update",
+      if (repaired0 == 0) Some((listed, maskBind)) else None)
     val remover = ttCtx.map(_.remover).getOrElse(MaintenanceCommit.PlainRemover)
     val df = spark.read.format("vortex").load(dir)
     val tableCols = df.schema.fieldNames.toSet
