@@ -204,8 +204,27 @@ private[graft] object MaintenanceCommit {
 
   private val CompactMarkerPrefix = ".compact-commit-"
 
+  def isCompactMarker(name: String): Boolean = name.startsWith(CompactMarkerPrefix)
+
   final case class CompactCommit(outRel: String, srcRels: Seq[String],
                                  retireDirQ: String)
+
+  /** Parse one marker. `None` = bytes do not parse → provably torn at
+    * write, which precedes the rename (sources are the truth). Open /
+    * read IO failures PROPAGATE — an intact marker on a flaky store
+    * must never be mistaken for a torn one (review-found r12). */
+  def readCompactMarker(fs: FileSystem, mp: Path): Option[CompactCommit] = {
+    val in = fs.open(mp)
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+                finally in.close()
+    try {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      val srcs = n.get("srcs")
+      Some(CompactCommit(n.get("out").asText(),
+        (0 until srcs.size()).map(srcs.get(_).asText()),
+        Option(n.get("retire")).map(_.asText()).getOrElse("")))
+    } catch { case _: Exception => None }
+  }
 
   def writeCompactMarker(fs: FileSystem, root: Path, id: String,
                          c: CompactCommit): Path = {
@@ -243,17 +262,15 @@ private[graft] object MaintenanceCommit {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     var processed = 0
     markers.foreach { mp =>
-      val parsed: Option[CompactCommit] =
-        try {
-          val in = fs.open(mp)
-          val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-                      finally in.close()
-          val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-          val srcs = n.get("srcs")
-          Some(CompactCommit(n.get("out").asText(),
-            (0 until srcs.size()).map(srcs.get(_).asText()),
-            Option(n.get("retire")).map(_.asText()).getOrElse("")))
-        } catch { case _: Exception => None }
+      // Open/read failures PROPAGATE (readCompactMarker): a transient
+      // IO error on an INTACT marker (flaky object store) must fail the
+      // statement loudly, not silently delete the marker while
+      // output+sources both live — that would reinstate exactly the
+      // permanent-duplication window the marker protocol exists to
+      // close (review-found r12). Only a marker whose BYTES do not
+      // parse is provably torn at write (which precedes the rename)
+      // and safe to drop.
+      val parsed: Option[CompactCommit] = readCompactMarker(fs, mp)
       parsed match {
         case Some(c) if fs.exists(new Path(root, c.outRel)) =>
           // output committed: finish the source removals

@@ -102,7 +102,15 @@ private[graft] object MaintenanceLock {
   final class Lease private[MaintenanceLock] (fs: FileSystem, lock: Path,
                                               val id: String, ttlMs: Long,
                                               gateKey: String, gate: Gate) {
-    @volatile private var released = false
+    // CAS, not a volatile check-then-act: release() may legitimately be
+    // called from a DIFFERENT thread than acquired the lease (cleanup
+    // executors, shutdown hooks — the reason Gate is a Semaphore), so
+    // two concurrent release() calls could both pass a plain flag guard
+    // and release the semaphore twice, leaving permits=2 and silently
+    // defeating same-process mutual exclusion thereafter (review-found
+    // r12). compareAndSet makes the gate release exactly-once.
+    private val releasedFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    private def released: Boolean = releasedFlag.get()
     @volatile private var lost = false
     private val beat = new Thread(() => {
       try while (!released && !lost) {
@@ -129,8 +137,7 @@ private[graft] object MaintenanceLock {
     beat.setDaemon(true)
     beat.start()
 
-    def release(): Unit = if (!released) {
-      released = true
+    def release(): Unit = if (releasedFlag.compareAndSet(false, true)) {
       beat.interrupt()
       // a lost lease belongs to another writer now — never delete it
       try if (!lost && readHolder(fs, lock).contains(id)) fs.delete(lock, false)

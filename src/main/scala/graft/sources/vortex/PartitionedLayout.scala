@@ -26,14 +26,31 @@ object PartitionedLayout {
     * discovery. Returns (data files, mask sidecar paths). */
   def listWithPartitionsAndMasks(root: Path, conf: Configuration)
       : (Seq[(FileStatus, Seq[(String, String)])], Seq[Path]) = {
+    val (files, masks, _) = listWithPartitionsMasksAndMarkers(root, conf)
+    (files, masks)
+  }
+
+  /** The full walk result: data files, deletion-vector sidecars, and
+    * root-level compact-commit markers (`.compact-commit-*` — see
+    * MaintenanceCommit's marker contract). Markers are collected so the
+    * READ path can resolve a crashed compact's duplicated
+    * output+sources pair at plan time without waiting for the next
+    * maintenance statement's destructive repair (review-found r12) —
+    * still zero extra RPCs: the root listing happens anyway. */
+  def listWithPartitionsMasksAndMarkers(root: Path, conf: Configuration)
+      : (Seq[(FileStatus, Seq[(String, String)])], Seq[Path], Seq[Path]) = {
     val fs = root.getFileSystem(conf)
     val masks = scala.collection.mutable.ArrayBuffer[Path]()
+    val markers = scala.collection.mutable.ArrayBuffer[Path]()
     def walk(st: FileStatus, parts: Seq[(String, String)]): Seq[(FileStatus, Seq[(String, String)])] =
       if (st.isDirectory) {
         fs.listStatus(st.getPath)
           .filterNot { c =>
             val n = c.getPath.getName
-            if (!c.isDirectory && DeletionVector.parseName(n).isDefined) masks += c.getPath
+            if (!c.isDirectory) {
+              if (DeletionVector.parseName(n).isDefined) masks += c.getPath
+              else if (MaintenanceCommit.isCompactMarker(n)) markers += c.getPath
+            }
             // hidden/metadata names — except the bucket-layout dirs,
             // which deliberately use a name no user column can shadow
             (n.startsWith("_") || n.startsWith(".")) && !n.startsWith(BucketSpecFile.BucketCol + "=")
@@ -47,8 +64,8 @@ object PartitionedLayout {
             walk(c, parts ++ seg)
           }
       } else Seq((st, parts))
-    if (!fs.exists(root)) (Seq.empty, Seq.empty)
-    else (walk(fs.getFileStatus(root), Seq.empty), masks.toSeq)
+    if (!fs.exists(root)) (Seq.empty, Seq.empty, Seq.empty)
+    else (walk(fs.getFileStatus(root), Seq.empty), masks.toSeq, markers.toSeq)
   }
 
   /** Partition schema inferred across files (Long if every value

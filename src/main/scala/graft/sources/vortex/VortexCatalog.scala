@@ -79,7 +79,13 @@ class VortexCatalog extends TableCatalog with FunctionCatalog {
         StructType(fileSchema.fields ++ partSchema.fields.filterNot(f =>
           fileSchema.fieldNames.contains(f.name) || f.name == BucketSpecFile.BucketCol))
       } else
-        StatsManifest.rootOf(p, conf).flatMap(r => StatsManifest.readAll(r, conf)._1)
+        // manifest file schema PLUS partition columns reconstructed from
+        // the entries' rel paths — same recovery as inferSchema's
+        // emptied-dataset branch (review-found r13: the manifest-only
+        // form dropped partition columns, failing analysis of any
+        // reference to one on a partitioned dataset pinned to an empty
+        // generation)
+        VortexDataSource.manifestRecoveredSchema(Seq(p), conf)
           .getOrElse(throw new IllegalArgumentException(
             s"vortex: generation $gen of $p is empty and the dataset has " +
             "no stats manifest to recover a schema from"))

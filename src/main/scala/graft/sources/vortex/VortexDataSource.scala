@@ -66,26 +66,10 @@ class VortexDataSource extends TableProvider with DataSourceRegister {
       // relative paths (review-found r12 — dropping them would fail any
       // later reference to a partition column of the purged dataset).
       // Only a dataset with neither files nor a manifest is truly
-      // "no files found".
-      val fromManifest = manifestSchema.map { fileSchema =>
-        val entryRels = paths(options).iterator.flatMap { raw =>
-          try StatsManifest.rootOf(raw, conf).map(p =>
-            StatsManifest.readAll(p, conf)._2.keys.toSeq).getOrElse(Seq.empty)
-          catch { case _: Exception => Seq.empty }
-        }.toSeq
-        val segs: Seq[(org.apache.hadoop.fs.FileStatus, Seq[(String, String)])] =
-          entryRels.map { rel =>
-            (null, rel.split('/').dropRight(1).toSeq.filter(_.contains("=")).map { s =>
-              val Array(k, v) = s.split("=", 2)
-              k -> PartitionedLayout.unescape(v)
-            })
-          }
-        val partSchema = PartitionedLayout.inferPartitionSchema(segs)
-        StructType(fileSchema.fields ++ partSchema.fields.filterNot(f =>
-          fileSchema.fieldNames.contains(f.name) || f.name == BucketSpecFile.BucketCol))
-      }
-      return fromManifest.getOrElse(
-        throw new IllegalArgumentException(
+      // "no files found". (Reconstruction shared with the VERSION AS OF
+      // empty-generation path — VortexDataSource.manifestRecoveredSchema.)
+      return VortexDataSource.manifestRecoveredSchema(paths(options), conf)
+        .getOrElse(throw new IllegalArgumentException(
           s"vortex: no files found for ${paths(options).mkString(",")}"))
     }
     val fileSchema =
@@ -138,11 +122,37 @@ object VortexDataSource {
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
       val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
-      matched.map(st => PartitionedLayout.listWithPartitionsAndMasks(st.getPath, conf))
+      matched.map(st => PartitionedLayout.listWithPartitionsMasksAndMarkers(st.getPath, conf))
     }
     val masks = DeletionVector.bind(walked.flatMap(_._2))
     val files = walked.flatMap(_._1).sortBy(_._1.getPath.toString)
-    ((if (consistent) consistentView(files, masks) else files), masks)
+    if (!consistent) return (files, masks)
+    val view = consistentView(files, masks)
+    val markers = walked.flatMap(_._3)
+    if (markers.isEmpty) (view, masks)
+    else {
+      // a crashed compact's commit marker: output renamed in but the
+      // absorbed sources not yet removed → BOTH live in the raw listing
+      // (random part-compact names defeat the deterministic-name pair
+      // test above). Apply the repair's judgment NON-destructively at
+      // plan time: output present → exclude its absorbed sources;
+      // output absent → nothing renamed, sources are the truth
+      // (review-found r12 — plain readers on a read-mostly dataset
+      // otherwise serve duplicated rows until some later maintenance
+      // statement happens to run).
+      val present = view.map(_._1.getPath.toString).toSet
+      val excluded: Set[String] = markers.flatMap { mp =>
+        val fs = mp.getFileSystem(conf)
+        val root = mp.getParent
+        MaintenanceCommit.readCompactMarker(fs, mp).toSeq.flatMap { c =>
+          val outQ = fs.makeQualified(new Path(root, c.outRel)).toString
+          if (present.contains(outQ))
+            c.srcRels.map(rel => fs.makeQualified(new Path(root, rel)).toString)
+          else Seq.empty
+        }
+      }.toSet
+      (view.filterNot(g => excluded.contains(g._1.getPath.toString)), masks)
+    }
   }
 
   private val UpdvName = "^part-updv-([0-9a-f]{16})-(\\d+)\\.vortex$".r
@@ -197,6 +207,39 @@ object VortexDataSource {
 
   def expand(raw: Seq[String], conf: org.apache.hadoop.conf.Configuration): Seq[Path] =
     listAll(raw, conf).map(_._1.getPath)
+
+  /** Emptied-dataset schema recovery, shared by inferSchema's
+    * zero-files branch and the catalog's empty-generation VERSION AS OF
+    * path: file schema from the stats manifests, plus PARTITION columns
+    * reconstructed from the manifest entries' relative directory
+    * segments — partition columns live only in paths, so dropping them
+    * would fail any later reference to a partition column of the
+    * purged dataset (review-found r12; the time-travel sibling dropped
+    * them, review-found r13). */
+  def manifestRecoveredSchema(raws: Seq[String],
+                              conf: org.apache.hadoop.conf.Configuration): Option[StructType] = {
+    val fileSchema = raws.iterator.flatMap { raw =>
+      try StatsManifest.rootOf(raw, conf).flatMap(p => StatsManifest.readAll(p, conf)._1)
+      catch { case _: Exception => None }
+    }.nextOption()
+    fileSchema.map { fsch =>
+      val entryRels = raws.iterator.flatMap { raw =>
+        try StatsManifest.rootOf(raw, conf).map(p =>
+          StatsManifest.readAll(p, conf)._2.keys.toSeq).getOrElse(Seq.empty)
+        catch { case _: Exception => Seq.empty }
+      }.toSeq
+      val segs: Seq[(org.apache.hadoop.fs.FileStatus, Seq[(String, String)])] =
+        entryRels.map { rel =>
+          (null, rel.split('/').dropRight(1).toSeq.filter(_.contains("=")).map { s =>
+            val Array(k, v) = s.split("=", 2)
+            k -> PartitionedLayout.unescape(v)
+          })
+        }
+      val partSchema = PartitionedLayout.inferPartitionSchema(segs)
+      StructType(fsch.fields ++ partSchema.fields.filterNot(f =>
+        fsch.fieldNames.contains(f.name) || f.name == BucketSpecFile.BucketCol))
+    }
+  }
 
   /** Reader-side type guard: a name matched between the read schema
     * and a file's footer must keep its exact type — defense in depth

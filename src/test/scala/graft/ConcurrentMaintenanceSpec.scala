@@ -117,6 +117,29 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(dir, ".vortex-maint.lock")))
   }
 
+  test("concurrent double-release frees the gate exactly once (r13)") {
+    // release() may come from a different thread than acquired (the
+    // reason Gate is a Semaphore); two racing release() calls through a
+    // plain flag guard would release twice → permits=2 → two later
+    // writers both "hold" the lock (review-found r12). CAS guard: hammer
+    // release from many threads, then prove mutual exclusion still holds.
+    val dir = tmp()
+    fs.mkdirs(new Path(dir))
+    for (_ <- 0 until 20) {
+      val lease = MaintenanceLock.acquire(fs, new Path(dir), "a")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try (0 until 8).map(_ => pool.submit(new Runnable {
+        def run(): Unit = lease.release()
+      })).foreach(_.get())
+      finally pool.shutdown()
+      val b = MaintenanceLock.acquire(fs, new Path(dir), "b")
+      intercept[ConcurrentMaintenanceException] {
+        MaintenanceLock.acquire(fs, new Path(dir), "c") // permits must be 0, not leaked
+      }
+      b.release()
+    }
+  }
+
   test("hammered same-process acquire: never two concurrent holders (r12 fuzz-found TOCTOU)") {
     // RawLocalFileSystem's create(overwrite=false) is exists-check +
     // TRUNCATING create, so the file protocol alone let two threads

@@ -133,6 +133,27 @@ class TimeTravelSpec extends AnyFunSuite {
     }
   }
 
+  test("an EMPTY generation of a partitioned dataset keeps its partition columns (r13)") {
+    import spark.implicits._
+    withTimeTravel {
+      val dir = tmp()
+      (0L until 400L).map(i => (i, s"p${i % 2}")).toDF("k", "p")
+        .write.format("vortex").option("partitionBy", "p").mode("overwrite").save(dir)
+      VortexDelete.delete(spark, dir, lit(true)) // gen 1 is EMPTY
+      spark.conf.set("spark.sql.catalog.vtx", "graft.sources.vortex.VortexCatalog")
+      // the pinned empty generation must still resolve a reference to
+      // the PARTITION column — its values live only in directory paths,
+      // so the schema recovery reconstructs it from the manifest
+      // entries' rel paths (review-found r13: the manifest-only form
+      // dropped it and failed analysis here)
+      assert(spark.sql(
+        s"SELECT count(*) c FROM vtx.`$dir` VERSION AS OF 1 WHERE p = 'p0'")
+        .head.getLong(0) == 0L)
+      assert(spark.sql(s"SELECT count(*) c FROM vtx.`$dir` VERSION AS OF 0 WHERE p = 'p0'")
+        .head.getLong(0) == 200L)
+    }
+  }
+
   test("expireVersions reclaims old generations; expired reads fail loudly") {
     withTimeTravel {
       val dir = tmp(); stage(dir)

@@ -150,6 +150,41 @@ class VortexCompactionSpec extends AnyFunSuite {
     assert(spark.read.format("vortex").load(dir3).count() == 6000L)
   }
 
+  test("a plain READ inside the crash window serves each row exactly once (r13)") {
+    // same fabricated window as the repair test — marker present, output
+    // present, an absorbed source never removed — but exercised through a
+    // PLAIN READ with no maintenance statement: the consistent listing
+    // must consult the marker non-destructively and exclude the absorbed
+    // source (review-found r12: before this, readers served duplicated
+    // rows until some later maintenance statement happened to run)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dir = Files.createTempDirectory("vortex_compact_read_").toString
+    spark.range(0, 6000).selectExpr("id AS k").repartition(4)
+      .write.format("vortex").mode("overwrite").save(dir)
+    val res = VortexMaintenance.compact(spark, dir)
+    assert(res.batches == 1)
+    val out = vortexFiles(dir).map(_.getName).filter(_.startsWith("part-compact-")).head
+    val dir3 = Files.createTempDirectory("vortex_compact_read3_").toString
+    val root3 = new org.apache.hadoop.fs.Path(dir3)
+    val fs = root3.getFileSystem(hconf)
+    spark.range(0, 6000).selectExpr("id AS k").coalesce(1)
+      .write.format("vortex").mode("overwrite").save(dir3)
+    val liveSrc = vortexFiles(dir3).head.getName
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(dir, out),
+      fs, new org.apache.hadoop.fs.Path(dir3, out), false, hconf)
+    graft.sources.vortex.MaintenanceCommit.writeCompactMarker(fs, root3, "t1",
+      graft.sources.vortex.MaintenanceCommit.CompactCommit(out, Seq(liveSrc), ""))
+    // plain read: output wins, absorbed source excluded, NOTHING deleted
+    assert(spark.read.format("vortex").load(dir3).count() == 6000L)
+    val names = vortexFiles(dir3).map(_.getName).toSet
+    assert(names.contains(out) && names.contains(liveSrc),
+      s"read must be non-destructive: $names")
+    // the opposite half: marker present but output ABSENT (crash before
+    // the rename) — sources are the truth and the read serves them
+    fs.delete(new org.apache.hadoop.fs.Path(dir3, out), false)
+    assert(spark.read.format("vortex").load(dir3).count() == 6000L)
+  }
+
   test("files at or above target size are left alone") {
     val dir = Files.createTempDirectory("vortex_compact_t_").toString
     spark.range(0, 10000).selectExpr("id AS k").repartition(5)
