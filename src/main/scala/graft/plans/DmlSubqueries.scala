@@ -34,10 +34,12 @@ import org.apache.spark.sql.graft.GraftSqlBridge
   *    evaluated exactly once per statement — ANSI single-evaluation
   *    semantics, same snapshot the planner's candidate scan sees).
   *
-  * Correlated subqueries are rejected: they imply a per-target-row
-  * join, which is MERGE's machinery — `MERGE INTO t USING src ON
-  * t.k = src.k WHEN MATCHED THEN …` expresses every correlated
-  * UPDATE/DELETE shape with the same bounded-source discipline.
+  * Correlated subqueries imply a per-target-row join, which is MERGE's
+  * machinery: the common equality-correlated shapes ([NOT] EXISTS in
+  * UPDATE/DELETE WHERE, scalar SET values) rewrite into synthesized
+  * MERGE statements automatically (r13 — see [[CorrelatedDml]]);
+  * remaining sites (merge clause conditions, non-equality correlation)
+  * stay loudly rejected with a pointer to explicit MERGE.
   */
 object DmlSubqueries {
   val MaxRowsConf = "spark.graft.vortex.dmlSubqueryMaxRows"
@@ -53,8 +55,11 @@ object DmlSubqueries {
     def noCorr(s: SubqueryExpression): Unit =
       require(!s.isCorrelated && s.getOuterAttrs.isEmpty &&
           !s.plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[OuterReference]))),
-        s"vortex $what: correlated subqueries are not supported — " +
-        "express the per-row relationship as a MERGE over the join key instead")
+        s"vortex $what: a correlated subquery is not supported at this site — " +
+        "supported sites (rewritten into MERGE automatically, r13): a " +
+        "top-level [NOT] EXISTS conjunct of UPDATE/DELETE WHERE, or a " +
+        "correlated scalar SET value; anything else: express the per-row " +
+        "relationship as an explicit MERGE over the join key")
     e.foreach {
       case in: InSubquery =>
         noCorr(in.query)

@@ -175,13 +175,73 @@ case class RewriteVortexDml(session: SparkSession)
     // conjunct to convert to a source Filter, which a subquery never
     // does — intercept and route through the same bounded
     // materialization as UPDATE. Subquery-free deletes stay on the
-    // stock DSv2 path (unchanged since r9).
+    // stock DSv2 path (unchanged since r9). A CORRELATED [NOT] EXISTS
+    // rewrites into the MERGE machinery (r13 — see CorrelatedDml).
     case d: DeleteFromTable if d.resolved &&
         d.condition.exists(_.isInstanceOf[SubqueryExpression]) &&
         vortexDir(d.table).isDefined =>
-      DmlSubqueries.validate(d.condition, "delete WHERE")
-      VortexDeleteCommand(vortexDir(d.table).get,
-        UpdatePayload(Nil, d.condition))
+      if (CorrelatedDml.hasCorrelated(d.condition))
+        rewriteCorrelatedDelete(d, vortexDir(d.table).get)
+      else {
+        DmlSubqueries.validate(d.condition, "delete WHERE")
+        VortexDeleteCommand(vortexDir(d.table).get,
+          UpdatePayload(Nil, d.condition))
+      }
+  }
+
+  /** Synthesize the MergePayload shared by the correlated UPDATE and
+    * DELETE rewrites: `targetAttrs` must mirror the dataset schema (the
+    * analyzed relation's own output does), keys come from the extracted
+    * equality correlation, and the fingerprint only disambiguates
+    * statements (no INSERT clause ever exists here, so the exactly-once
+    * insert identity is unused). */
+  private def corrPayload(targetAttrs: Seq[Attribute],
+                          ext: CorrelatedDml.Extracted,
+                          matched: Seq[VortexMerge.MatchedAction],
+                          notMatchedBySource: Seq[VortexMerge.MatchedAction],
+                          what: String): MergePayload = {
+    val keyIdxTarget =
+      ext.outerKeys.map(o => targetAttrs.indexWhere(_.exprId == o.exprId)).toArray
+    require(keyIdxTarget.forall(_ >= 0),
+      s"vortex $what: the correlated columns must be bare columns of the target table")
+    def named(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+      e.transform { case a: AttributeReference => UnresolvedAttribute.quoted(a.name) }.toString
+    val fingerprint = "corrdml[" + ext.sourcePlan.canonicalized.toString + ";" +
+      (matched ++ notMatchedBySource).map { a =>
+        a.cond.map(named).getOrElse("") + ":" +
+          a.assigns.map(_.map(named).mkString(",")).getOrElse("DELETE")
+      }.mkString(";") + "]"
+    MergePayload(ext.sourcePlan, targetAttrs, ext.sourcePlan.output,
+      keyIdxTarget, ext.innerKeyIdx, matched, Nil, notMatchedBySource, fingerprint)
+  }
+
+  /** `DELETE FROM t WHERE [NOT] EXISTS (corr) [AND rest]` →
+    * WHEN MATCHED [AND rest] THEN DELETE, or
+    * WHEN NOT MATCHED BY SOURCE [AND rest] THEN DELETE. */
+  private def rewriteCorrelatedDelete(d: DeleteFromTable, dir: String): LogicalPlan = {
+    val conj = splitConjunctivePredicates(d.condition)
+    val (corr, rest) = conj.partition(CorrelatedDml.hasCorrelated)
+    require(corr.length == 1,
+      "vortex delete: one correlated subquery per statement — " +
+      "combine the conditions inside a single [NOT] EXISTS, or use MERGE")
+    val pred = rest.reduceOption(
+      org.apache.spark.sql.catalyst.expressions.And.apply)
+    pred.foreach(DmlSubqueries.validate(_, "delete WHERE"))
+    val action = VortexMerge.MatchedAction(pred, None) // DELETE
+    corr.head match {
+      case ex: org.apache.spark.sql.catalyst.expressions.Exists =>
+        VortexMergeCommand(dir, corrPayload(d.table.output,
+          CorrelatedDml.extractExists(ex, "delete WHERE"),
+          Seq(action), Nil, "delete"))
+      case org.apache.spark.sql.catalyst.expressions.Not(
+          ex: org.apache.spark.sql.catalyst.expressions.Exists) =>
+        VortexMergeCommand(dir, corrPayload(d.table.output,
+          CorrelatedDml.extractExists(ex, "delete WHERE"),
+          Nil, Seq(action), "delete"))
+      case other => throw new UnsupportedOperationException(
+        "vortex delete: a correlated subquery is only supported as a " +
+        s"top-level [NOT] EXISTS conjunct of WHERE, got $other")
+    }
   }
 
   private def rewriteUpdate(u: UpdateTable, dir: String): LogicalPlan = {
@@ -195,16 +255,92 @@ case class RewriteVortexDml(session: SparkSession)
       // assignments are not user intent (and would trip the
       // partition-column guard), drop them
       if (a.value.semanticEquals(key)) None
-      else {
-        DmlSubqueries.validate(a.value, "update SET")
-        Some(key.name -> a.value)
-      }
+      else Some(key.name -> a.value)
     }
     val cond = u.condition.getOrElse(Literal.TrueLiteral)
+    // correlated shapes (r13 — see CorrelatedDml) route through the
+    // MERGE machinery; everything else stays on the rewrite/DV tiers
+    if (assigns.exists(a => CorrelatedDml.hasCorrelated(a._2)) ||
+        CorrelatedDml.hasCorrelated(cond))
+      return rewriteCorrelatedUpdate(u, dir, assigns, cond)
+    assigns.foreach { case (_, v) => DmlSubqueries.validate(v, "update SET") }
     DmlSubqueries.validate(cond, "update WHERE")
     // all-identity SET (e.g. `SET v = v`) is legal SQL and a no-op —
     // the command's run() short-circuits on empty assigns
     VortexUpdateCommand(dir, UpdatePayload(assigns, cond))
+  }
+
+  /** Correlated UPDATE → synthesized MERGE. Two supported sites, one
+    * per statement:
+    *  - `WHERE [NOT] EXISTS (corr) [AND rest]` → WHEN MATCHED / WHEN
+    *    NOT MATCHED BY SOURCE [AND rest] THEN UPDATE (uncorrelated SET)
+    *  - `SET c = f((SELECT v … WHERE s.k = t.k))` → WHEN MATCHED [AND
+    *    WHERE] THEN UPDATE SET c = f(src.v), PLUS WHEN NOT MATCHED BY
+    *    SOURCE [AND WHERE] THEN UPDATE SET c = f(NULL) — ANSI: a scalar
+    *    subquery over zero rows is NULL, so predicated-but-unmatched
+    *    rows still assign. */
+  private def rewriteCorrelatedUpdate(u: UpdateTable, dir: String,
+                                      assigns: Seq[(String, Expression)],
+                                      cond: Expression): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Exists, Not, ScalarSubquery}
+    val targetAttrs = u.table.output
+    // all-identity SET with only a correlated WHERE left: a no-op —
+    // route to the update command's empty-assigns short-circuit rather
+    // than staging a merge that rewrites nothing
+    if (assigns.isEmpty)
+      return VortexUpdateCommand(dir, UpdatePayload(Nil, Literal.TrueLiteral))
+    def fullProjection(overrides: Map[String, Expression]): Seq[Expression] =
+      targetAttrs.map(a => overrides.getOrElse(a.name, a))
+    val conj = splitConjunctivePredicates(cond)
+    val (corrWhere, restWhere) = conj.partition(CorrelatedDml.hasCorrelated)
+    val corrSet = assigns.filter(a => CorrelatedDml.hasCorrelated(a._2))
+    require(corrWhere.length + corrSet.length == 1,
+      "vortex update: one correlated subquery per statement — " +
+      "combine conditions inside a single [NOT] EXISTS, or use MERGE")
+    val pred = restWhere.reduceOption(And.apply)
+    pred.foreach(DmlSubqueries.validate(_, "update WHERE"))
+
+    if (corrSet.nonEmpty) {
+      val (setCol, vExpr) = corrSet.head
+      assigns.filterNot(_._1 == setCol)
+        .foreach { case (_, v) => DmlSubqueries.validate(v, "update SET") }
+      val subs = vExpr.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+            if CorrelatedDml.isCorrelated(s) => s }
+      require(subs.length == 1 && subs.head.isInstanceOf[ScalarSubquery],
+        "vortex update: a correlated SET value must contain exactly one " +
+        "correlated scalar subquery")
+      val sc = subs.head.asInstanceOf[ScalarSubquery]
+      val ext = CorrelatedDml.extractScalar(sc, "update SET")
+      val valAttr = ext.sourcePlan.output(ext.valueIdx.get)
+      val others = assigns.filterNot(_._1 == setCol).toMap
+      val matchedVal = vExpr.transform { case s: ScalarSubquery if s eq sc => valAttr }
+      val nmbsVal = vExpr.transform {
+        case s: ScalarSubquery if s eq sc => Literal.create(null, sc.dataType) }
+      val matched = VortexMerge.MatchedAction(pred,
+        Some(fullProjection(others + (setCol -> matchedVal))))
+      val nmbs = VortexMerge.MatchedAction(pred,
+        Some(fullProjection(others + (setCol -> nmbsVal))))
+      VortexMergeCommand(dir,
+        corrPayload(targetAttrs, ext, Seq(matched), Seq(nmbs), "update"))
+    } else {
+      assigns.foreach { case (_, v) => DmlSubqueries.validate(v, "update SET") }
+      val action = VortexMerge.MatchedAction(pred,
+        Some(fullProjection(assigns.toMap)))
+      corrWhere.head match {
+        case ex: Exists =>
+          VortexMergeCommand(dir, corrPayload(targetAttrs,
+            CorrelatedDml.extractExists(ex, "update WHERE"),
+            Seq(action), Nil, "update"))
+        case Not(ex: Exists) =>
+          VortexMergeCommand(dir, corrPayload(targetAttrs,
+            CorrelatedDml.extractExists(ex, "update WHERE"),
+            Nil, Seq(action), "update"))
+        case other => throw new UnsupportedOperationException(
+          "vortex update: a correlated subquery is only supported as a " +
+          s"top-level [NOT] EXISTS conjunct of WHERE or a scalar SET value, got $other")
+      }
+    }
   }
 
   private def rewriteMerge(m: MergeIntoTable, dir: String): LogicalPlan = {

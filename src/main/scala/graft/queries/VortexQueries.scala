@@ -691,6 +691,57 @@ object VortexQueries {
       |FROM graft_upd_sq GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
 
+  // S15D: CORRELATED subquery DML (r13; VERDICT r12 "What's missing"
+  // #1) — the two shapes a real user hits first: a correlated scalar
+  // SET (`SET c = (SELECT v FROM s WHERE s.k = t.k)` — ANSI: rows whose
+  // key has NO match assign NULL) and a correlated EXISTS DELETE. Both
+  // rewrite into the bounded-broadcast MERGE machinery at analysis
+  // (plans/CorrelatedDml): the subquery side collects under merge's
+  // source cap, the scalar form adds the NOT-MATCHED-BY-SOURCE NULL
+  // clause, and duplicate subquery keys fail loudly (ANSI scalar
+  // cardinality). DuckDB twin: the identical statements over a temp
+  // table — DuckDB inherits full decorrelation from its optimizer.
+  spark("s15d_vortex_update_corr",
+    (s, d) => {
+      val dir = vdir("update_s15d", d)
+      Tables.t(s, d, "orders")
+        .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+        .write.format("vortex").mode("overwrite").save(dir)
+      graft.plans.RewriteVortexDml.install(s)
+      s.conf.set("spark.sql.catalog.vtx", "graft.sources.vortex.VortexCatalog")
+      Tables.t(s, d, "customer").createOrReplaceTempView("graft_s15d_cust")
+      s.sql(s"""UPDATE vtx.`$dir` t SET o_orderpriority =
+                  (SELECT c.c_mktsegment FROM graft_s15d_cust c
+                   WHERE c.c_custkey = t.o_custkey AND c.c_acctbal < 0)
+                WHERE o_orderstatus = 'F'""")
+      s.sql(s"""DELETE FROM vtx.`$dir` t
+                WHERE EXISTS (SELECT 1 FROM graft_s15d_cust c
+                              WHERE c.c_custkey = t.o_custkey
+                                AND c.c_mktsegment = 'MACHINERY')
+                  AND o_totalprice > 100000.0""")
+      s.read.format("vortex").load(dir)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+        // the NULL priority group (unmatched rows — ANSI scalar-over-
+        // empty) must sort like DuckDB's default: NULLS LAST
+        .orderBy(col("o_orderstatus").asc,
+                 col("o_orderpriority").asc_nulls_last)
+    },
+    """CREATE OR REPLACE TEMP TABLE graft_upd_corr AS SELECT * FROM orders;
+      |UPDATE graft_upd_corr t SET o_orderpriority =
+      |  (SELECT c.c_mktsegment FROM customer c
+      |   WHERE c.c_custkey = t.o_custkey AND c.c_acctbal < 0)
+      |WHERE o_orderstatus = 'F';
+      |DELETE FROM graft_upd_corr t
+      |WHERE EXISTS (SELECT 1 FROM customer c
+      |              WHERE c.c_custkey = t.o_custkey
+      |                AND c.c_mktsegment = 'MACHINERY')
+      |  AND o_totalprice > 100000.0;
+      |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+      |FROM graft_upd_corr GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+
   // S16C: MERGE `WHEN NOT MATCHED BY SOURCE` (r12; VERDICT r11 next
   // #5) — all three clause families in one statement: matched rows
   // re-scored, new keys inserted, and target rows ABSENT from the

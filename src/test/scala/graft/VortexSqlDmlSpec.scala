@@ -186,14 +186,14 @@ class VortexSqlDmlSpec extends AnyFunSuite {
            |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
     }
     assert(msgOf(e2).contains("conjunction"), msgOf(e2))
-    // CORRELATED subquery in WHERE of UPDATE (uncorrelated ones are
-    // supported since r12 — see VortexDmlSubquerySpec). `ck = v`
-    // resolves v against the OUTER update target (corr_src has no v).
+    // CORRELATED equality-EXISTS in UPDATE WHERE is SUPPORTED since r13
+    // (rewritten into MERGE — see VortexCorrelatedDmlSpec); the still-
+    // rejected shape is NON-equality correlation.
     Seq(1L).toDF("ck").createOrReplaceTempView("corr_src")
     val e3 = intercept[Exception] {
       spark.sql(s"UPDATE vtx.`$dir` SET v = 0 " +
-        "WHERE EXISTS (SELECT 1 FROM corr_src WHERE ck = v)")
+        "WHERE EXISTS (SELECT 1 FROM corr_src WHERE ck < v)")
     }
-    assert(msgOf(e3).toLowerCase.contains("correlated"), msgOf(e3))
+    assert(msgOf(e3).toLowerCase.contains("correlat"), msgOf(e3))
   }
 }

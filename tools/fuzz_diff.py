@@ -593,7 +593,9 @@ def maint_merge(t, ops_spark, ops_duck, conditional, partby=None, nmbs=False):
 def q_maint():
     """returns (spark maintenance DSL, duckdb multi-statement twin)."""
     t = rng.choice(MAINT_TABLES)
-    kind = rng.choice(['del', 'dvdel', 'dvdel_fold', 'dvdel_dvdel',
+    forced = os.environ.get('GRAFT_FUZZ_MAINT_KINDS')
+    kind = rng.choice(forced.split(',')) if forced else \
+           rng.choice(['del', 'dvdel', 'dvdel_fold', 'dvdel_dvdel',
                        'update', 'dvdel_update', 'del_compact',
                        'dvdel_dvdel_fold',
                        # round 11 surfaces
@@ -603,7 +605,9 @@ def q_maint():
                        'dvdel_update_stream', 'sqlmerge_stream',
                        # round 12 surfaces
                        'sqlupdate_subq', 'sqldel_subq', 'sqlmerge_nmbs',
-                       'race_deldel', 'ttread_gen0'])
+                       'race_deldel', 'ttread_gen0',
+                       # round 13 surfaces
+                       'sqlupdate_corr', 'sqldel_corr'])
     ops_spark, ops_duck = [], []
     # ~1/3 of queries stage the copy Hive-PARTITIONED: same twin, but
     # the Spark side now runs dir pruning, partition guards, the
@@ -666,6 +670,35 @@ def q_maint():
                 f"UPDATE vtx.`__DIR__` SET {setsql} WHERE {key} {inop} ({sub_s})")
             ops_duck.append(
                 f"UPDATE maintv SET {setsql} WHERE {key} {inop} ({sub_d});")
+    def add_sql_corr(delete):
+        # round 13: CORRELATED subqueries — scalar SET values and
+        # [NOT] EXISTS predicates over the unmutated base, rewritten
+        # engine-side into synthesized MERGEs (plans/CorrelatedDml).
+        # The base's key is a PK, so the scalar subquery is 0-or-1 row
+        # per target row (ANSI-safe) and EXISTS correlates exactly.
+        key = MAINT_KEY[t]
+        pr = maint_pred(t)
+        if delete:
+            neg = "NOT " if rng.random() < 0.4 else ""
+            ops_spark.append("op=sql" + SEP +
+                f"DELETE FROM vtx.`__DIR__` tt WHERE {neg}EXISTS "
+                f"(SELECT 1 FROM maintbase b WHERE b.{key} = tt.{key} AND ({pr}))")
+            ops_duck.append(
+                f"DELETE FROM maintv WHERE {neg}EXISTS "
+                f"(SELECT 1 FROM {t} b WHERE b.{key} = maintv.{key} AND ({pr}));")
+        else:
+            sets = no_part_sets(maint_sets(t))
+            c, e = sets[0]
+            # outer predicate optional; subquery carries its own filter
+            outer = f" WHERE {maint_pred(t)}" if rng.random() < 0.5 else ""
+            ops_spark.append("op=sql" + SEP +
+                f"UPDATE vtx.`__DIR__` tt SET {c} = "
+                f"(SELECT {e} FROM maintbase b WHERE b.{key} = tt.{key} "
+                f"AND ({pr})){outer}")
+            ops_duck.append(
+                f"UPDATE maintv SET {c} = "
+                f"(SELECT {e} FROM {t} b WHERE b.{key} = maintv.{key} "
+                f"AND ({pr})){outer};")
     if kind == 'del': add_del('del')
     elif kind == 'dvdel': add_del('dvdel')
     elif kind == 'dvdel_fold': add_del('dvdel'); ops_spark.append("op=fold")
@@ -690,6 +723,12 @@ def q_maint():
     elif kind == 'sqldel_subq':
         if rng.random() < 0.4: add_update()
         add_sql_subq(delete=True)
+    elif kind == 'sqlupdate_corr':
+        if rng.random() < 0.3: add_del(rng.choice(['del', 'dvdel']))
+        add_sql_corr(delete=False)
+    elif kind == 'sqldel_corr':
+        if rng.random() < 0.3: add_update()
+        add_sql_corr(delete=True)
     elif kind == 'sqlmerge_nmbs':
         maint_merge(t, ops_spark, ops_duck, rng.random() < 0.5, partby, nmbs=True)
     elif kind == 'race_deldel':
