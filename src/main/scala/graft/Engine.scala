@@ -73,6 +73,20 @@ final case class Engine(spark: SparkSession) {
   def deleteVortex(path: String, predicate: Column): sources.vortex.VortexDelete.DeleteResult =
     sources.vortex.VortexDelete.delete(spark, path, predicate)
 
+  /** Atomic multi-statement group over the declared vortex datasets
+    * (≙ BEGIN/COMMIT, which the reference inherits from its host DB):
+    * every maintenance statement and append inside `body` that touches
+    * a declared dataset commits as ONE commit-log generation at the
+    * group close — `DELETE FROM corpus` + `INSERT INTO tombstones`
+    * either fully lands or fully disappears. A body failure rolls back
+    * immediately; a process crash rolls back at the next writer. A
+    * reader pinned to the pre-group generation sees the complete
+    * BEFORE state mid-group. Contract bounds (plain mid-group reads,
+    * out-of-band appends) in FORMAT.md and
+    * [[sources.vortex.VortexTransaction]]. */
+  def withTransaction[T](paths: String*)(body: => T): T =
+    sources.vortex.VortexTransaction.run(spark, paths)(body)
+
   /** Delete stale `.…inprogress` tmp files older than `ttlMs` (crashed
     * writers, zombie speculative attempts) — invisible to reads but
     * storage-accumulating. Returns files deleted. */

@@ -146,6 +146,10 @@ object FuzzRun {
     *                                      until it wins, so the generator must
     *                                      emit a COMMUTING pair, e.g. two
     *                                      DELETEs)
+    *                  op=txn N commit|crash  (the next N op lines run inside
+    *                                      one Engine.withTransaction; crash =
+    *                                      hard death before close, rolled back
+    *                                      by the NEXT op's lock acquisition)
     *                  timetravel=1       (commit-log generations + retirement)
     *                  readversion=N      (read back `versionAsOf N`)
     *                  select=<sql over view maintv>
@@ -217,7 +221,24 @@ object FuzzRun {
       var oi = 0
       while (oi < opLines.length) {
         val l = opLines(oi)
-        if (l.stripPrefix("op=").split(MaintSep)(0).trim == "race") {
+        if (l.stripPrefix("op=").split(MaintSep)(0).trim == "txn") {
+          // transaction group (r13): the next N op lines run inside ONE
+          // Engine.withTransaction over the staged dataset. mode=commit
+          // publishes them as one generation; mode=crash simulates a
+          // hard process death after the body — the next op (the
+          // generator always emits one) triggers rollback, so the
+          // group's statements must leave NO trace in the final state
+          // (the DuckDB twin omits them).
+          val parts = l.stripPrefix("op=").split(MaintSep).map(_.trim)
+          val n = parts(1).toInt
+          val mode = parts(2)
+          val inner = opLines.slice(oi + 1, oi + 1 + n); oi += 1 + n
+          if (mode == "crash")
+            sources.vortex.VortexTransaction.crashBeforeCloseForTest = true
+          sources.vortex.VortexTransaction.run(spark, Seq(dir)) {
+            inner.foreach(runOp)
+          }
+        } else if (l.stripPrefix("op=").split(MaintSep)(0).trim == "race") {
           // concurrent-maintenance differential (r12): the two ops race
           // on the dataset lease from two threads; the loser fails with
           // ConcurrentMaintenanceException and retries until it wins.

@@ -180,10 +180,18 @@ object DeletionVector {
   def clearCache(): Unit = cache.clear()
 
   def read(fs: FileSystem, maskPath: Path): Mask = {
-    val key = maskPath.toString
+    // key carries len+mtime (the footer cache's standard), NOT path
+    // alone: the sidecar-immutability invariant breaks under a
+    // transaction-group ROLLBACK (r13) — the dead group's .F.dv-1 is
+    // deleted and a later statement writes a fresh .F.dv-1 at the SAME
+    // path with different content; a path-keyed hit then serves the
+    // dead group's mask (fuzz-found r13, txn_pair kind). The stat this
+    // costs was already paid below for the length.
+    val st = fs.getFileStatus(maskPath)
+    val key = s"${maskPath.toString}#${st.getLen}#${st.getModificationTime}"
     val cached = cache.get(key)
     if (cached != null) return cached
-    val len = fs.getFileStatus(maskPath).getLen.toInt
+    val len = st.getLen.toInt
     val buf = new Array[Byte](len)
     val in = fs.open(maskPath)
     try in.readFully(0, buf) finally in.close()

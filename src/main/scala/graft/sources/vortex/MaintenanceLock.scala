@@ -247,10 +247,21 @@ private[graft] object MaintenanceLock {
   /** Run `body` under the dataset lock (released in finally). A root
     * that does not exist yet skips locking — every op no-ops or fails
     * on the empty listing anyway, and creating lock files in
-    * not-yet-created directories would leave litter. */
+    * not-yet-created directories would leave litter.
+    *
+    * Re-entrant under a transaction group (r13): a statement running
+    * inside `Engine.withTransaction` over this dataset already holds
+    * the group's lease on this thread — run directly under it.
+    * Otherwise, a freshly acquired lease first rolls back any CRASHED
+    * group's leftovers (VortexTransaction.recoverIfCrashed) before the
+    * statement's own repairs can see — and wrongly "complete" — the
+    * dead group's intermediate state. */
   def withLock[T](fs: FileSystem, root: Path, op: String)(body: => T): T = {
     if (!fs.exists(root)) return body
+    if (VortexTransaction.current(fs.makeQualified(root).toString).isDefined)
+      return body
     val lease = acquire(fs, root, op)
-    try body finally lease.release()
+    try { VortexTransaction.recoverIfCrashed(fs, root); body }
+    finally lease.release()
   }
 }

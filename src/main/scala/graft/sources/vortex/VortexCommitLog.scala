@@ -162,26 +162,50 @@ object VortexCommitLog {
   def begin(spark: SparkSession, fs: FileSystem, root: Path,
             conf: Configuration, op: String,
             preListed: Option[PreListing] = None): Option[Ctx] = {
+    // inside an open transaction group (r13): the group's deferred
+    // context carries every inner statement — retirement under the
+    // GROUP generation, publish at the group close, no per-statement
+    // catch-up (the open already ensured currency, and a mid-group
+    // "catch-up" would wrongly publish an intermediate state)
+    VortexTransaction.current(fs.makeQualified(root).toString)
+      .foreach(txn => return Some(txn.ctx))
     val on = spark.conf.getOption(ConfKey).exists(_.toBoolean) || exists(fs, root)
     if (!on) return None
+    val preGen = ensureCurrent(spark, fs, root, conf, s"pre-$op", preListed)
+    Some(new Ctx(fs, root, conf, op, preGen + 1, defer = false))
+  }
+
+  /** Ensure the log's latest generation describes the CURRENT state
+    * (genesis for a fresh log; a catch-up generation if out-of-band
+    * appends drifted it); returns that generation's number. Shared by
+    * [[begin]] and the transaction open. */
+  def ensureCurrent(spark: SparkSession, fs: FileSystem, root: Path,
+                    conf: Configuration, opLabel: String = "pre-transaction",
+                    preListed: Option[PreListing] = None): Int = {
     val cur = currentEntries(fs, root, conf, preListed)
-    val preGen = latestGen(fs, root) match {
+    latestGen(fs, root) match {
       case Some(g) if readSnapshot(fs, root, g).files == cur => g
       case Some(g) =>
-        writeSnapshot(fs, root, Snapshot(g + 1, s"pre-$op",
+        writeSnapshot(fs, root, Snapshot(g + 1, opLabel,
           System.currentTimeMillis(), cur)); g + 1
       case None =>
         writeSnapshot(fs, root, Snapshot(0, "genesis",
           System.currentTimeMillis(), cur)); 0
     }
-    Some(new Ctx(fs, root, conf, op, preGen + 1))
   }
 
+  /** a transaction group's deferred context — see [[VortexTransaction]] */
+  private[vortex] def deferredCtx(fs: FileSystem, root: Path, gen: Int): Ctx =
+    new Ctx(fs, root, fs.getConf, "transaction", gen, defer = true)
+
   /** one statement's commit context: generation `gen` is what the
-    * statement will publish; its remover retires under retired/<gen> */
+    * statement will publish; its remover retires under retired/<gen>.
+    * `defer = true` (transaction groups) makes per-statement [[finish]]
+    * a no-op — the group close calls [[publishNow]] once. */
   final class Ctx private[VortexCommitLog] (fs: FileSystem, root: Path,
                                             conf: Configuration,
-                                            op: String, val gen: Int) {
+                                            op: String, val gen: Int,
+                                            defer: Boolean) {
     val remover: MaintenanceCommit.Remover =
       new MaintenanceCommit.RetireRemover(
         fs.makeQualified(root).toString,
@@ -191,7 +215,9 @@ object VortexCommitLog {
       * statement changed nothing). Call on SUCCESS only — a crashed
       * statement leaves the pre-generation as latest, and its re-run
       * converges then publishes. */
-    def finish(): Unit = {
+    def finish(): Unit = if (!defer) publishNow()
+
+    private[vortex] def publishNow(): Unit = {
       val cur = currentEntries(fs, root, conf)
       if (readSnapshot(fs, root, gen - 1).files != cur)
         writeSnapshot(fs, root, Snapshot(gen, op, System.currentTimeMillis(), cur))

@@ -404,6 +404,11 @@ object VortexMaintenance {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(hconf)
+    // not inside a transaction group: expiry deletes exactly the
+    // generations + retired files a group rollback would restore from
+    require(VortexTransaction.current(fs.makeQualified(root).toString).isEmpty,
+      "vortex expireVersions: not allowed inside a transaction group — " +
+      "the group's rollback depends on the retained generations")
     MaintenanceLock.withLock(fs, root, "expireVersions") {
       VortexCommitLog.expire(fs, root, keepLast)
     }

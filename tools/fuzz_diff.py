@@ -607,7 +607,7 @@ def q_maint():
                        'sqlupdate_subq', 'sqldel_subq', 'sqlmerge_nmbs',
                        'race_deldel', 'ttread_gen0',
                        # round 13 surfaces
-                       'sqlupdate_corr', 'sqldel_corr'])
+                       'sqlupdate_corr', 'sqldel_corr', 'txn_pair'])
     ops_spark, ops_duck = [], []
     # ~1/3 of queries stage the copy Hive-PARTITIONED: same twin, but
     # the Spark side now runs dir pruning, partition guards, the
@@ -723,6 +723,23 @@ def q_maint():
     elif kind == 'sqldel_subq':
         if rng.random() < 0.4: add_update()
         add_sql_subq(delete=True)
+    elif kind == 'txn_pair':
+        # round 13: two statements inside one Engine.withTransaction.
+        # commit → both land as ONE generation (twin runs both);
+        # crash  → hard death before close, the follow-up op's lock
+        # acquisition rolls BOTH back (twin omits them entirely and
+        # runs only the follow-up).
+        mode = 'commit' if rng.random() < 0.5 else 'crash'
+        before_s, before_d = len(ops_spark), len(ops_duck)
+        add_del(rng.choice(['del', 'dvdel']))
+        if rng.random() < 0.5:
+            add_update(rng.choice(['update', 'dvupdate']))
+        else:
+            add_del(rng.choice(['del', 'dvdel']))
+        ops_spark.insert(before_s, f"op=txn{SEP}2{SEP}{mode}")
+        if mode == 'crash':
+            del ops_duck[before_d:]       # the group leaves no trace
+        add_del(rng.choice(['del', 'dvdel']))  # follow-up (triggers recovery)
     elif kind == 'sqlupdate_corr':
         if rng.random() < 0.3: add_del(rng.choice(['del', 'dvdel']))
         add_sql_corr(delete=False)
