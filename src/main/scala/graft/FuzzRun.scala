@@ -92,9 +92,38 @@ object FuzzRun {
         spark.read.parquet(p).createOrReplaceTempView(n) }
     }
     // tiny flat-JSON reader ({"k":"v",...}, values escaped by the
-    // generator with json.dumps): no JSON library on the classpath
+    // generator with json.dumps): no JSON library on the classpath.
+    // Hand-rolled scanner — the prior regex (alternation inside a
+    // quantifier) StackOverflowed the JVM regex engine on multi-kB
+    // values (r13, the 5k-literal-IN fuzz kind's ~30 kB statements).
     val raw = Files.readString(Paths.get(qfile))
-    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    def parseFlat(s: String): Seq[(String, String)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var i = 0
+      def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+      def str(): String = { // returns the ESCAPED body (unesc below)
+        require(s.charAt(i) == '"', s"expected string at $i"); i += 1
+        val b = new StringBuilder
+        while (s.charAt(i) != '"') {
+          if (s.charAt(i) == '\\') { b.append(s.charAt(i)).append(s.charAt(i + 1)); i += 2 }
+          else { b.append(s.charAt(i)); i += 1 }
+        }
+        i += 1; b.toString
+      }
+      ws(); if (i < s.length && s.charAt(i) == '{') i += 1
+      var done = false
+      while (!done) {
+        ws()
+        if (i >= s.length || s.charAt(i) == '}') done = true
+        else if (s.charAt(i) == ',') i += 1
+        else {
+          val k = str(); ws(); require(s.charAt(i) == ':', s"expected : at $i"); i += 1; ws()
+          val v = str()
+          out += ((k, v))
+        }
+      }
+      out.toSeq
+    }
     def unesc(s: String): String = {
       val b = new StringBuilder; var i = 0
       while (i < s.length) {
@@ -111,8 +140,8 @@ object FuzzRun {
       }
       b.toString
     }
-    entry.findAllMatchIn(raw).foreach { m =>
-      val (name, sql) = (unesc(m.group(1)), unesc(m.group(2)))
+    parseFlat(raw).foreach { case (rawName, rawSql) =>
+      val (name, sql) = (unesc(rawName), unesc(rawSql))
       try {
         val df =
           if (sql.startsWith(MaintPrefix)) runMaintenance(spark, sfDir, extras, sql)
@@ -210,6 +239,8 @@ object FuzzRun {
             ()
           case "fold" =>
             sources.vortex.VortexMaintenance.foldMasks(spark, dir)
+          case "expire" =>
+            sources.vortex.VortexMaintenance.expireVersions(spark, dir, 1)
           case "compact" =>
             sources.vortex.VortexMaintenance.compact(spark, dir, minFiles = 2)
           case "stream" =>

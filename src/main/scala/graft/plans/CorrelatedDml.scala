@@ -63,26 +63,62 @@ object CorrelatedDml extends PredicateHelper {
       "or a top-level [NOT] EXISTS conjunct in WHERE); for anything else " +
       "express the statement as an explicit MERGE over the join key")
 
-  /** Strip `inner = outer` equality conjuncts out of the subquery's
-    * Filters (they become the MERGE ON keys); any other use of an
-    * outer reference rejects loudly. */
-  private def strip(plan: LogicalPlan, what: String)
+  /** Strip `inner = outer` equality conjuncts out of the subquery —
+    * they become the MERGE ON keys; any other use of an outer
+    * reference rejects loudly. TWO analyzed forms arrive here,
+    * depending on which context the rewrite rule fired in:
+    *  - analysis-time (GraftExtensions post-hoc resolution): the
+    *    correlation lives as `OuterReference` equalities inside the
+    *    subquery plan's own Filters;
+    *  - optimizer-time (`RewriteVortexDml.install` on a session built
+    *    without the extensions): `PullupCorrelatedPredicates` has
+    *    already MOVED those equalities out of the plan into the
+    *    subquery expression's `joinCond`, with the outer side either
+    *    still wrapped or a bare outer attribute (its exprId is in
+    *    `getOuterAttrs`). Both are consumed; the pairs merge. */
+  private def strip(s: SubqueryExpression, what: String)
       : (LogicalPlan, Seq[(AttributeReference, AttributeReference)]) = {
     val pairs =
       scala.collection.mutable.ArrayBuffer[(AttributeReference, AttributeReference)]()
-    val stripped = plan.transformUp {
+    val outerIds = s.getOuterAttrs.collect {
+      case a: AttributeReference => a.exprId
+      case OuterReference(a: AttributeReference) => a.exprId
+    }.toSet
+    def outerOf(e: Expression): Option[AttributeReference] = e match {
+      case OuterReference(a: AttributeReference) => Some(a)
+      case a: AttributeReference if outerIds.contains(a.exprId) => Some(a)
+      case _ => None
+    }
+    def innerOf(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference if !outerIds.contains(a.exprId) => Some(a)
+      case _ => None
+    }
+    def consume(conjunct: Expression): Unit = conjunct match {
+      case EqualTo(l, r) =>
+        (innerOf(l), outerOf(r), innerOf(r), outerOf(l)) match {
+          case (Some(i), Some(o), _, _) => pairs += ((i, o))
+          case (_, _, Some(i), Some(o)) => pairs += ((i, o))
+          case _ => fail(what, s"correlation must be bare `inner = outer` " +
+            s"column equalities (no casts/expressions), got $conjunct")
+        }
+      case other =>
+        fail(what, s"correlation must be bare `inner = outer` column " +
+          s"equalities (no casts/expressions), got $other")
+    }
+    // pulled-up form (joinCond lives on the concrete subquery classes,
+    // not the SubqueryExpression base)
+    val jc: Seq[Expression] = s match {
+      case sc: ScalarSubquery => sc.joinCond
+      case ex: Exists => ex.joinCond
+      case _ => Seq.empty
+    }
+    jc.flatMap(splitConjunctivePredicates(_)).foreach(consume)
+    // in-plan form
+    val stripped = s.plan.transformUp {
       case Filter(cond, child) if cond.exists(_.isInstanceOf[OuterReference]) =>
         val (corr, rest) = splitConjunctivePredicates(cond)
           .partition(_.exists(_.isInstanceOf[OuterReference]))
-        corr.foreach {
-          case EqualTo(i: AttributeReference, OuterReference(o: AttributeReference)) =>
-            pairs += ((i, o))
-          case EqualTo(OuterReference(o: AttributeReference), i: AttributeReference) =>
-            pairs += ((i, o))
-          case other =>
-            fail(what, s"correlation must be bare `inner = outer` column " +
-              s"equalities (no casts/expressions), got $other")
-        }
+        corr.foreach(consume)
         rest.reduceOption(And).map(Filter(_, child)).getOrElse(child)
     }
     if (stripped.exists(_.expressions.exists(_.exists(_.isInstanceOf[OuterReference]))))
@@ -91,18 +127,34 @@ object CorrelatedDml extends PredicateHelper {
     (stripped, pairs.toSeq.distinct)
   }
 
+  /** Aggregates reject in BOTH extractors: a correlated scalar
+    * aggregate has ANSI empty-group semantics (COUNT=0 over a missing
+    * key — the "count bug") and an ungrouped-aggregate EXISTS is
+    * always-true (one row even over empty input); neither decomposes
+    * into MERGE's matched/not-matched dichotomy. */
+  private def rejectAggregates(p: LogicalPlan, what: String): Unit =
+    if (p.exists(_.isInstanceOf[Aggregate]))
+      fail(what, "correlated AGGREGATE subqueries are not supported (their " +
+        "ANSI empty-group semantics do not decompose into MERGE) — " +
+        "pre-aggregate into a table and correlate on its key")
+
   /** `[NOT] EXISTS (…)` → DISTINCT inner key tuples, uncorrelated
     * subquery filters folded in (the subquery's own SELECT list is
     * semantically void for EXISTS). */
   def extractExists(ex: Exists, what: String): Extracted = {
-    val (stripped, pairs) = strip(ex.plan, what)
-    // the EXISTS projection contributes nothing; reach under it so the
-    // key columns (which it typically does NOT select) stay visible
-    val base = stripped match {
-      case Project(_, child) => child
-      case p => p
-    }
+    val (stripped, pairs) = strip(ex, what)
+    rejectAggregates(stripped, what)
     val inner = pairs.map(_._1)
+    // pulled-up form: decorrelation already made the keys part of the
+    // subquery root's output; in-plan form: the EXISTS projection
+    // contributes nothing — reach under it so the key columns (which
+    // it typically does NOT select) stay visible
+    val base =
+      if (inner.forall(stripped.outputSet.contains)) stripped
+      else stripped match {
+        case Project(_, child) => child
+        case p => p
+      }
     val proj = Distinct(Project(inner, base))
     if (!proj.resolved || proj.missingInput.nonEmpty)
       fail(what, "the correlation keys are not visible at the subquery root")
@@ -115,25 +167,30 @@ object CorrelatedDml extends PredicateHelper {
     * must ERROR (ANSI scalar cardinality), which merge's unique-key
     * `require` delivers. */
   def extractScalar(sc: ScalarSubquery, what: String): Extracted = {
-    val (stripped, pairs) = strip(sc.plan, what)
+    val (stripped, pairs) = strip(sc, what)
+    rejectAggregates(stripped, what)
+    val inner = pairs.map(_._1)
+    def build(valueExpr: Expression, child: LogicalPlan): Extracted = {
+      val value = Alias(valueExpr, "__corr_value")()
+      val proj = Project(inner :+ value, child)
+      if (!proj.resolved || proj.missingInput.nonEmpty)
+        fail(what, "the correlation keys are not visible at the subquery root")
+      Extracted(proj, pairs.map(_._2),
+        inner.map(a => proj.output.indexWhere(_.exprId == a.exprId)).toArray,
+        Some(proj.output.length - 1))
+    }
     stripped match {
+      // pulled-up form: decorrelation made the plan output
+      // (value, keys…) — the scalar value is output.head by the
+      // ScalarSubquery contract, the keys are root-visible
+      case p if p.output.nonEmpty && inner.forall(p.outputSet.contains) =>
+        build(p.output.head, p)
+      // in-plan form: SELECT <one expr> over the stripped filters
       case Project(projList, child) if projList.length == 1 =>
-        val valueExpr = projList.head match {
+        build(projList.head match {
           case a: Alias => a.child
           case ne => ne
-        }
-        val inner = pairs.map(_._1)
-        val value = Alias(valueExpr, "__corr_value")()
-        val proj = Project(inner :+ value, child)
-        if (!proj.resolved || proj.missingInput.nonEmpty)
-          fail(what, "the correlation keys are not visible at the subquery root")
-        Extracted(proj, pairs.map(_._2),
-          inner.map(a => proj.output.indexWhere(_.exprId == a.exprId)).toArray,
-          Some(proj.output.length - 1))
-      case _: Aggregate =>
-        fail(what, "correlated AGGREGATE subqueries are not supported (their " +
-          "ANSI empty-group semantics do not decompose into MERGE) — " +
-          "pre-aggregate into a table and correlate on its key")
+        }, child)
       case other =>
         fail(what, s"the subquery root must be a plain SELECT, got ${other.nodeName}")
     }

@@ -438,18 +438,73 @@ object VortexDelete {
     * Inlining the refs duplicates the common subexpression — fine for
     * interpreted per-row eval. */
   private[graft] def replaceRuntime(e: Expression): Expression =
-    e.transformUp {
+    preBindOptimize(e.transformUp {
       case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
-        replaceRuntime(r.replacement)
+        replaceRuntime0(r.replacement)
       case w: org.apache.spark.sql.catalyst.expressions.With =>
         val defs = w.defs.map(d => d.id -> d.child).toMap
-        replaceRuntime(w.child.transformUp {
+        replaceRuntime0(w.child.transformUp {
           case ref: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
             // a ref bound to an OUTER With's def is legal — leave it
             // for the outer pass instead of throwing
             defs.getOrElse(ref.id, ref)
         })
+    })
+
+  /** the raw RuntimeReplaceable/With inlining, without the optimize
+    * sweep (recursive inner passes — the sweep runs once, at the top) */
+  private def replaceRuntime0(e: Expression): Expression =
+    e.transformUp {
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+        replaceRuntime0(r.replacement)
+      case w: org.apache.spark.sql.catalyst.expressions.With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        replaceRuntime0(w.child.transformUp {
+          case ref: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+            defs.getOrElse(ref.id, ref)
+        })
     }
+
+  /** Pre-bind optimization sweep (r13 — the s15c InSet lesson from r12,
+    * generalized; VERDICT r12 next #7): the maintenance machinery binds
+    * ANALYZED expressions for interpreted/codegen evaluation inside its
+    * own per-file tasks, so EVERY Catalyst optimizer rewrite is
+    * silently skipped for them. Two matter for real predicates and are
+    * semantics-preserving:
+    *
+    *  - literal `In` above the conversion threshold → `InSet` (hash
+    *    probe). A user-written `WHERE k IN (<5k literals>)` through
+    *    SQL UPDATE/DELETE/MERGE otherwise evaluates as an interpreted
+    *    LINEAR scan per row per bound site (the shape that measured
+    *    33.9 s → 2.86 s on the r12 sf1 subquery row; this generalizes
+    *    that fix from the subquery materializer to every bind site).
+    *  - constant folding of foldable subtrees (literal-heavy arithmetic
+    *    / string predicates fold once at plan time). Folding that
+    *    THROWS (ANSI division by zero, unevaluable plan-time
+    *    placeholders) leaves the node for execution — same contract as
+    *    the optimizer's ConstantFolding.
+    *
+    * Audited and deliberately NOT rewritten here (note per VERDICT r12
+    * next #7): CASE-branch simplification (non-foldable branches
+    * evaluate per row regardless; foldable ones are covered by the
+    * fold), and common-subexpression elimination (the bound sites
+    * evaluate each expression once per row already). */
+  private[graft] def preBindOptimize(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet, Literal}
+    val inSetThreshold =
+      try org.apache.spark.sql.internal.SQLConf.get.optimizerInSetConversionThreshold
+      catch { case _: Exception => 10 }
+    e.transformUp {
+      case in @ In(v, list)
+          if list.length > inSetThreshold && list.forall(_.isInstanceOf[Literal]) =>
+        InSet(v, scala.collection.immutable.HashSet() ++
+          list.map(_.asInstanceOf[Literal].value))
+      case c if c.foldable && !c.isInstanceOf[Literal] =>
+        try Literal.create(
+          c.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow), c.dataType)
+        catch { case _: Exception => c }
+    }
+  }
 
   /** Every attribute the filter references must be a TOP-LEVEL column
     * of the table: a pushed filter on a nested field arrives with a

@@ -168,6 +168,39 @@ class TimeTravelSpec extends AnyFunSuite {
     }
   }
 
+  test("retention contract: a reader PLANNED against gen N fails loudly mid-scan after expiry (r13)") {
+    withTimeTravel {
+      val dir = tmp(); stage(dir)
+      VortexDelete.delete(spark, dir, col("m") === 0) // gens 0,1
+      VortexDelete.delete(spark, dir, col("m") === 1) // gen 2
+      // plan (and even execute once) against gen 0 — the plan carries
+      // the resolved retired-file paths
+      val pinned = readV(dir, 0)
+      assert(pinned.count() == 2000L)
+      // expiry reclaims gens 0-1 and their retired areas WHILE the
+      // plan is alive (the Delta/Iceberg VACUUM precedent: retention
+      // is an operator policy, not a reader lease)
+      val (gens, files) = VortexMaintenance.expireVersions(spark, dir, keepLast = 1)
+      assert(gens == 2 && files > 0)
+      // re-executing the stale plan must fail LOUDLY (the retired
+      // files under it are gone), never silently serve partial rows
+      val e = intercept[Exception] { pinned.count() }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+      assert(chain(e).exists(c =>
+          c.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(c.getMessage).exists(m =>
+            m.contains("does not exist") || m.contains("FileNotFound") ||
+            m.contains("generation"))), s"wanted a loud read failure, got $e")
+      // a FRESH resolution of the expired generation also fails loudly
+      val e2 = intercept[Exception] { readV(dir, 0).count() }
+      assert(e2.getMessage.contains("generation 0"))
+      // and the retained generation + live read stay exact
+      assert(readV(dir, 2).count() == 1600L)
+      assert(spark.read.format("vortex").load(dir).count() == 1600L)
+    }
+  }
+
   test("a dataset WITHOUT time travel keeps today's behavior: no log, plain deletes") {
     val dir = tmp(); stage(dir, files = 2)
     VortexDelete.delete(spark, dir, col("m") === 0)

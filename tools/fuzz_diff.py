@@ -607,7 +607,8 @@ def q_maint():
                        'sqlupdate_subq', 'sqldel_subq', 'sqlmerge_nmbs',
                        'race_deldel', 'ttread_gen0',
                        # round 13 surfaces
-                       'sqlupdate_corr', 'sqldel_corr', 'txn_pair'])
+                       'sqlupdate_corr', 'sqldel_corr', 'txn_pair',
+                       'bigin'])
     ops_spark, ops_duck = [], []
     # ~1/3 of queries stage the copy Hive-PARTITIONED: same twin, but
     # the Spark side now runs dir pruning, partition guards, the
@@ -723,7 +724,41 @@ def q_maint():
     elif kind == 'sqldel_subq':
         if rng.random() < 0.4: add_update()
         add_sql_subq(delete=True)
-    elif kind == 'txn_pair':
+    elif kind == 'bigin':
+        # round 13 (VERDICT r12 next #7): multi-thousand-LITERAL IN
+        # lists through UPDATE / DELETE / MERGE conditions — the
+        # maintenance machinery binds ANALYZED predicates, so without
+        # the pre-bind In→InSet sweep these evaluate as interpreted
+        # LINEAR scans per row per bound site (the r12 s15c 33.9 s
+        # shape). Keys sample the table's PK range, half of them misses.
+        key = MAINT_KEY[t]
+        nvals = rng.randint(3000, 6000)
+        vals = sorted(rng.sample(range(1, max(nvals * 4, 20000)), nvals))
+        inlist = ",".join(str(v) for v in vals)
+        form = rng.choice(['del', 'update', 'mergecond'])
+        if form == 'del':
+            ops_spark.append("op=sql" + SEP +
+                f"DELETE FROM vtx.`__DIR__` WHERE {key} IN ({inlist})")
+            ops_duck.append(f"DELETE FROM maintv WHERE {key} IN ({inlist});")
+        elif form == 'update':
+            sets = no_part_sets(maint_sets(t))
+            setsql = ", ".join(f"{c} = {e}" for c, e in sets)
+            ops_spark.append("op=sql" + SEP +
+                f"UPDATE vtx.`__DIR__` SET {setsql} WHERE {key} IN ({inlist})")
+            ops_duck.append(f"UPDATE maintv SET {setsql} WHERE {key} IN ({inlist});")
+        else:
+            # MERGE with a big-IN clause condition: matched rows whose
+            # key is in the literal list get deleted, the rest keep
+            # their values (identity update) — twin is just the DELETE
+            sets = no_part_sets(maint_sets(t))
+            c0 = sets[0][0]
+            ops_spark.append("op=sql" + SEP +
+                f"MERGE INTO vtx.`__DIR__` tt USING "
+                f"(SELECT * FROM maintbase) s2 ON tt.{key} = s2.{key} "
+                f"WHEN MATCHED AND tt.{key} IN ({inlist}) THEN DELETE "
+                f"WHEN MATCHED THEN UPDATE SET {c0} = tt.{c0}")
+            ops_duck.append(
+                f"DELETE FROM maintv WHERE {key} IN ({inlist});")
         # round 13: two statements inside one Engine.withTransaction.
         # commit → both land as ONE generation (twin runs both);
         # crash  → hard death before close, the follow-up op's lock
@@ -762,6 +797,12 @@ def q_maint():
         # twin = the UNMUTATED table. Exercises retirement + resolve
         # across every op family. First op is always a real mutation
         # statement (begin() publishes genesis unconditionally there).
+        # 25% expire-after-mutations modifier (r13 retention contract):
+        # expireVersions reclaims everything but the latest generation,
+        # then the LIVE read (twin = mutated table) must stay exact —
+        # expiry must never disturb current data. (The expired-pin
+        # loud-failure half lives in TimeTravelSpec — a differential
+        # harness can't twin an expected exception.)
         ops_spark.insert(0, "timetravel=1")
         add_del(rng.choice(['del', 'dvdel']))
         for _ in range(rng.randint(0, 2)):
@@ -770,8 +811,11 @@ def q_maint():
             elif c < 0.7: add_update(rng.choice(['update', 'dvupdate']))
             elif c < 0.85: ops_spark.append("op=fold")
             else: ops_spark.append("op=compact")
-        ops_spark.append("readversion=0")
-        ops_duck.clear()  # the twin is the unmutated staging copy
+        if rng.random() < 0.25:
+            ops_spark.append("op=expire")  # live read; twin = mutated
+        else:
+            ops_spark.append("readversion=0")
+            ops_duck.clear()  # the twin is the unmutated staging copy
     elif kind == 'dvdel_stream': add_del('dvdel'); ops_spark.append("op=stream")
     elif kind == 'dvupdate_stream':
         add_update('dvupdate'); ops_spark.append("op=stream")
