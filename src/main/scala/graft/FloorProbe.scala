@@ -1,0 +1,104 @@
+package graft
+import org.apache.spark.sql.functions._
+
+/** r13 decomposition probe (VERDICT r12 next #4/#5/#8): measure the
+  * component floors under the weak sf1 rows — bare pruned scans, one
+  * exchange, the operator core without its final sort — so each row
+  * either gets a plan change or a BASELINE.md pin with the constant
+  * named (the Q5Probe/J6Probe precedent). Warm JVM, best of 3.
+  * Usage: runMain graft.FloorProbe <sfDir> */
+object FloorProbe extends App {
+  val sfDir = args(0)
+  val spark = org.apache.spark.sql.SparkSession.builder().master("local[6]")
+    .config("spark.sql.shuffle.partitions", 6)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.ui.enabled", "false").getOrCreate()
+  spark.sparkContext.setLogLevel("ERROR")
+  import spark.implicits._
+  graft.Tables.names.foreach(n => graft.Tables.t(spark, sfDir, n).count())
+
+  def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+    val times = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      Bench.force(df)
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[floor] $name%-34s best ${times.min}%.3f s  (${times.map(t => f"$t%.2f").mkString(",")})")
+  }
+
+  val li = Tables.t(spark, sfDir, "lineitem")
+  val o = Tables.t(spark, sfDir, "orders")
+  val docs = Tables.t(spark, sfDir, "documents")
+  val emb = Tables.t(spark, sfDir, "embeddings")
+
+  // scheduler constant: an empty-ish 6-task job
+  time("job_constant")(spark.range(0, 6L, 1, 6).toDF("i"))
+  // bare pruned scans (the Q5Probe floor, re-pinned this round)
+  time("scan_lineitem_3col")(li.select("l_orderkey", "l_extendedprice", "l_discount"))
+  time("scan_orders_3col")(o.select("o_orderkey", "o_custkey", "o_totalprice"))
+  time("scan_documents_text")(docs.select("doc_id", "text"))
+  time("scan_embeddings")(emb.select("vec_id", "embedding"))
+  // one hash exchange over orders (w1's first shuffle)
+  time("orders_exchange_count")(
+    o.groupBy("o_custkey").agg(count(lit(1)).as("n")))
+  // w1 core: exchange + sort + window + filter, NO final global sort
+  def w1core = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .withColumn("nt", ntile(4).over(w))
+      .filter(col("rn") <= 3).drop("o_totalprice")
+  }
+  time("w1_core_nosort")(w1core)
+  time("w1_core_plus_globalsort")(w1core.orderBy("o_custkey", "rn"))
+  // j8 core: the fact pre-agg exchange alone
+  time("j8_fact_agg")(
+    li.select(col("l_orderkey"),
+      (round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("rev4")).as("rev4"), count(lit(1)).as("cnt")))
+  // q21 core: the lineitem⋈orders filtered join + per-order agg
+  time("q21_join_agg")(
+    li.select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o.where(col("o_orderstatus") === "F")
+              .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(when(col("l_shipdate") > col("o_orderdate"), 1).otherwise(0)).as("late_cnt")))
+  // percentile: both gate sides, explicitly
+  time("pct_histogram_forced")(
+    graft.operators.ExactPercentile.computeMulti(
+      li, "l_returnflag",
+      Seq(("l_quantity", Seq(0.5, 0.9), Seq("p50r", "p90r")),
+          ("l_extendedprice", Seq(0.25), Seq("p25r")))))
+  time("pct_auto_gate")(
+    graft.operators.ExactPercentile.computeMultiAuto(
+      li, "l_returnflag",
+      Seq(("l_quantity", Seq(0.5, 0.9), Seq("p50r", "p90r")),
+          ("l_extendedprice", Seq(0.25), Seq("p25r")))))
+  // rrf legs
+  time("rrf_lex_leg")(
+    graft.queries.RetrievalOps.bm25Scores(spark, sfDir)
+      .orderBy(desc("s6"), asc("doc_id")).limit(50))
+  time("rrf_dense_leg")({
+    import graft.functions.VecFixedPoint
+    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    val qv = emb.where(col("vec_id") === 7L)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].head()
+    val q = VecFixedPoint.quantize(qv._2)
+    val qsaa = VecFixedPoint.dot(q, q)
+    val bq = spark.sparkContext.broadcast((q, qsaa))
+    vecs.map { case (id, e) =>
+      val c = VecFixedPoint.quantize(e)
+      (id, VecFixedPoint.cos(VecFixedPoint.dot(bq.value._1, c), bq.value._2,
+        VecFixedPoint.dot(c, c)))
+    }.toDF("id", "cosd").orderBy(desc("cosd"), asc("id")).limit(50)
+  })
+  spark.stop()
+}

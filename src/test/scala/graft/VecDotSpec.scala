@@ -31,6 +31,32 @@ class VecDotSpec extends AnyFunSuite {
     assert(solo.linesIterator.exists(l => l.contains("*(") && l.contains("vecdot")), solo)
   }
 
+  test("quantizeOne fast path is bit-identical to the BigDecimal form (r13)") {
+    import graft.functions.VecFixedPoint
+    def slow(x: Float): Long =
+      java.math.BigDecimal.valueOf(x.toDouble)
+        .setScale(8, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    // adversarial values: exact ties, signs, zeros, subnormals, large
+    val edge = Seq(0f, -0f, 1e-9f, -1e-9f, 5e-9f, -5e-9f, 1.5e-8f,
+      0.5f, -0.5f, 0.000000015f, 0.1f, -0.1f, 0.60000001f,
+      123.456789f, -123.456789f, 1e7f, -1e7f, 1.4e-45f, -1.4e-45f,
+      0.12345678f, 0.123456785f, -0.123456785f)
+    edge.foreach { x =>
+      assert(VecFixedPoint.quantizeOne(x) == slow(x), s"edge $x")
+    }
+    // 2M seeded random floats over the embedding range and beyond
+    val rnd = new scala.util.Random(13)
+    var i = 0
+    while (i < 2000000) {
+      val x = ((rnd.nextDouble() - 0.5) *
+        (if (i % 3 == 0) 1.2 else if (i % 3 == 1) 2e4 else 2e9)).toFloat
+      assert(VecFixedPoint.quantizeOne(x) == slow(x),
+        s"mismatch at $x (iter $i)")
+      i += 1
+    }
+  }
+
   test("vec_dot top-k ANN scoring plan: broadcast + codegen") {
     VecDot.register(spark)
     val v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
