@@ -269,14 +269,18 @@ object FuzzRun {
           sources.vortex.VortexTransaction.run(spark, Seq(dir)) {
             inner.foreach(runOp)
           }
-        } else if (l.stripPrefix("op=").split(MaintSep)(0).trim == "race") {
-          // concurrent-maintenance differential (r12): the two ops race
-          // on the dataset lease from two threads; the loser fails with
+        } else if (l.stripPrefix("op=").split(MaintSep)(0).trim == "race" ||
+                   l.stripPrefix("op=").split(MaintSep)(0).trim == "race3") {
+          // concurrent-maintenance differential (r12; r13 adds the
+          // 3-way form): the next 2 (race) or 3 (race3) ops race on the
+          // dataset lease from that many threads; a loser fails with
           // ConcurrentMaintenanceException and retries until it wins.
-          // The generator emits COMMUTING pairs (two DELETEs), so the
+          // The generator emits COMMUTING sets (DELETEs, compact,
+          // expire — row-state-preserving or row-commuting), so the
           // serialized final state is order-independent and the DuckDB
-          // twin (both ops, any order) stays exact.
-          val pair = Seq(opLines(oi + 1), opLines(oi + 2)); oi += 3
+          // twin (the row-mutating ops, any order) stays exact.
+          val n = if (l.stripPrefix("op=").split(MaintSep)(0).trim == "race3") 3 else 2
+          val pair = (1 to n).map(k => opLines(oi + k)); oi += 1 + n
           val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
           val raced = new java.util.concurrent.atomic.AtomicInteger(0)
           val ths = pair.map { ol =>

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass byte-scan kernels replacing the java.util.regex engine
@@ -138,6 +138,41 @@ object TextScan {
     }
   }
 
+  /** Exact `split(' ')` token statistics in ONE byte pass, no
+    * allocation: returns [token count, tf(words(0)), tf(words(1)), …].
+    * Semantics are EXACTLY `text.split(" ", -1)` + equality counting —
+    * tokens delimited by the 0x20 byte (never a UTF-8 continuation
+    * byte, so byte-splitting is codepoint-safe), consecutive/trailing
+    * separators produce (counted) empty tokens, term match is full
+    * byte equality. Feeds the BM25 tf pass (r13 — the typed-map form
+    * decoded + split-allocated every document; 0.67 → ~0.2 s per
+    * 100 k-doc leg at sf1). */
+  def spaceTokenStats(s: UTF8String, words: Array[Array[Byte]]): Array[Long] = {
+    val out = new Array[Long](1 + words.length)
+    val n = s.numBytes()
+    var tokStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.getByte(i) == 0x20) {
+        out(0) += 1 // the token [tokStart, i)
+        val len = i - tokStart
+        var w = 0
+        while (w < words.length) {
+          val word = words(w)
+          if (word.length == len) {
+            var j = 0
+            while (j < len && s.getByte(tokStart + j) == word(j)) j += 1
+            if (j == len) out(1 + w) += 1
+          }
+          w += 1
+        }
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    out
+  }
+
   /** count of codepoints in [lo, hi] (≙ `[\x{lo}-\x{hi}]` matches —
     * each match is one codepoint) */
   def countCodepointRange(s: UTF8String, lo: Int, hi: Int): Int = {
@@ -198,6 +233,38 @@ case class CodepointRangeCount(child: Expression, lo: Int, hi: Int) extends Unar
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextScan.countCodepointRange($c, $lo, $hi);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** codegen'd one-pass `split(' ')` token statistics (see
+  * [[TextScan.spaceTokenStats]]): array<long> of
+  * [token count, tf(words(0)), tf(words(1)), …]. */
+case class SpaceTokenStats(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "space_token_stats"
+
+  @transient private lazy val wordBytes: Array[Array[Byte]] =
+    words.map(_.getBytes("UTF-8")).toArray
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"space_token_stats requires a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      TextScan.spaceTokenStats(input.asInstanceOf[UTF8String], wordBytes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("words", wordBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.TextScan.spaceTokenStats($c, $ref));")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

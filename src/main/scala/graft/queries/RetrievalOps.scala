@@ -35,28 +35,23 @@ object RetrievalOps {
     * collapse — 4 array materializations per row; measured 1.61 →
     * 0.56 s at sf1 for r_bm25_topk, 1.99 → 1.16 s for r_hybrid_rrf) */
   private def tfFrame(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    // locals so the executor closure captures three strings, not the
-    // query-set object
-    val (w1, w2, w3) = (T1, T2, T3)
-    // NOT repartitioned before the map: the single input split does
-    // run the tokenize serial, but the A/B (JobCountProbe sf1) showed
-    // the raw-text exchange costs more than it saves here (0.55 →
-    // 0.74 s) — the per-row work is two orders lighter than
-    // t_fingerprint's per-shingle md5, where the same lever wins
+    // one codegen'd byte pass per document (functions.SpaceTokenStats):
+    // exact split(' ') semantics with zero decode/array allocation —
+    // replaces the r8 typed-map form (r13: String decode + split
+    // dominated the BM25 legs; equivalence in TextScanSpec). Still not
+    // repartitioned before the scan: the raw-text exchange costs more
+    // than it saves here (r8 A/B, unchanged).
+    val st = org.apache.spark.sql.graft.GraftSqlBridge.column(
+      graft.functions.SpaceTokenStats(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("text"),
+        Seq(T1, T2, T3)))
     Tables.t(s, d, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val toks = text.split(" ", -1)
-        var t1 = 0; var t2 = 0; var t3 = 0
-        toks.foreach { t =>
-          if (t == w1) t1 += 1
-          else if (t == w2) t2 += 1
-          else if (t == w3) t3 += 1
-        }
-        (id, toks.length.toDouble, t1.toDouble, t2.toDouble, t3.toDouble)
-      }
-      .toDF("doc_id", "dl", "tf1", "tf2", "tf3")
+      .select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        element_at(col("st"), 1).cast("double").as("dl"),
+        element_at(col("st"), 2).cast("double").as("tf1"),
+        element_at(col("st"), 3).cast("double").as("tf2"),
+        element_at(col("st"), 4).cast("double").as("tf3"))
   }
 
   /** one global aggregate over the tf frame: N, total tokens, per-term

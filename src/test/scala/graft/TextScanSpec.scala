@@ -119,6 +119,34 @@ class TextScanSpec extends AnyFunSuite {
     }
   }
 
+  test("spaceTokenStats equals split(' ', -1) semantics on adversarial inputs (r13)") {
+    import graft.functions.TextScan
+    import org.apache.spark.unsafe.types.UTF8String
+    val words = Array("the", "a", "naïve", "", "日本")
+    val wordBytes = words.map(_.getBytes("UTF-8"))
+    def slow(text: String): Array[Long] = {
+      val toks = text.split(" ", -1)
+      Array(toks.length.toLong) ++ words.map(w => toks.count(_ == w).toLong)
+    }
+    val cases = Seq(
+      "", " ", "  ", "the", "the the", " the ", "a  a", "thethe the",
+      "naïve the naïve", "日本 the 日本語", "the\tthe", "a a a a a ",
+      " leading", "trailing ", "th e", "a a", "🎉 the 🎉", "éé the")
+    cases.foreach { t =>
+      assert(TextScan.spaceTokenStats(UTF8String.fromString(t), wordBytes)
+        .sameElements(slow(t)), s"case '$t'")
+    }
+    // seeded fuzz over a boundary-stressing alphabet
+    val rnd = new scala.util.Random(7)
+    val alphabet = Seq("the", "a", "naïve", "x", "", " ", "日本", "🎉", "th")
+    (0 until 2000).foreach { i =>
+      val t = (0 until rnd.nextInt(30)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString(" ")
+      assert(TextScan.spaceTokenStats(UTF8String.fromString(t), wordBytes)
+        .sameElements(slow(t)), s"fuzz $i: '$t'")
+    }
+  }
+
   test("the rewrite fires on provable patterns and only on them") {
     // range (not a local relation): ConvertToLocalRelation would fold
     // the whole projection away and leave nothing to inspect

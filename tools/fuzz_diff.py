@@ -608,7 +608,7 @@ def q_maint():
                        'race_deldel', 'ttread_gen0',
                        # round 13 surfaces
                        'sqlupdate_corr', 'sqldel_corr', 'txn_pair',
-                       'bigin'])
+                       'bigin', 'race_mix'])
     ops_spark, ops_duck = [], []
     # ~1/3 of queries stage the copy Hive-PARTITIONED: same twin, but
     # the Spark side now runs dir pruning, partition guards, the
@@ -775,6 +775,19 @@ def q_maint():
         if mode == 'crash':
             del ops_duck[before_d:]       # the group leaves no trace
         add_del(rng.choice(['del', 'dvdel']))  # follow-up (triggers recovery)
+    elif kind == 'race_mix':
+        # round 13 (VERDICT r12 next #9): writer-vs-compact-vs-expire
+        # triple racing on the lease from three threads. All three
+        # commute on ROW state (delete mutates rows; compact and expire
+        # preserve them), so the serialized outcome is order-independent
+        # and the twin carries only the delete. timetravel on so expire
+        # has generations to reclaim.
+        ops_spark.insert(0, "timetravel=1")
+        add_del(rng.choice(['del', 'dvdel']))  # genesis + a real mutation
+        ops_spark.append("op=race3")
+        add_del(rng.choice(['del', 'dvdel']))
+        ops_spark.append("op=compact")
+        ops_spark.append("op=expire")
     elif kind == 'sqlupdate_corr':
         if rng.random() < 0.3: add_del(rng.choice(['del', 'dvdel']))
         add_sql_corr(delete=False)
