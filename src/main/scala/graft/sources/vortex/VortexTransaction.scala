@@ -144,14 +144,18 @@ object VortexTransaction {
         .filter(_ > preGen).sorted
     def relOf(p: Path): String =
       fs.makeQualified(p).toString.stripPrefix(rootQ).stripPrefix("/")
-    // current live state (raw listing: repairs have not run yet)
-    val (listed, maskBind) =
-      VortexDataSource.listAllWithMasks(Seq(root.toString), conf, consistent = false)
+    // current live state — the RAW walk, including UNBOUND mask
+    // sidecars: a statement that crashed between its source removal
+    // and its dropMasks leaves an ORPHAN mask at its original path
+    // (bound to no live file); the bound-only view would miss it and
+    // the restore below would wrongly hunt the retired areas for a
+    // mask that never left (review-found r13)
+    val (listed, rawMasks, _) =
+      PartitionedLayout.listWithPartitionsMasksAndMarkers(root, conf)
     val liveFiles: Map[String, Path] =
       listed.map(f => relOf(f._1.getPath) -> f._1.getPath).toMap
     val liveMasks: Map[String, Path] =
-      maskBind.values.flatMap(_._2).map(m => new Path(m))
-        .map(p => relOf(p) -> p).toMap
+      rawMasks.map(p => relOf(p) -> p).toMap
     // 1. delete everything the dead group created
     (liveFiles -- wantFiles.keySet).values.foreach(p => fs.delete(p, false))
     (liveMasks -- wantMasks.keySet).values.foreach(p => fs.delete(p, false))

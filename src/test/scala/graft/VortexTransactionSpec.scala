@@ -105,6 +105,27 @@ class VortexTransactionSpec extends AnyFunSuite {
     assert(spark.read.format("vortex").load(dir).count() == 300L)
   }
 
+  test("rollback across a MID-STATEMENT crash: half-committed replacements and masks (r13)") {
+    // statement 1 masks rows (DV tier), statement 2 crashes MID-COMMIT
+    // (after one per-file rename, before the rest) — the group rollback
+    // must restore the pre-group snapshot through the partially
+    // committed wreckage: replaced sources return from retirement with
+    // their masks, half-committed replacements delete
+    val dir = stage(400)
+    val before = fingerprint(dir)
+    val e = intercept[RuntimeException] {
+      engine.withTransaction(dir) {
+        VortexDelete.delete(spark, dir, col("g") === "g0", deletionVectors = true)
+        VortexDelete.deleteImpl(spark, dir, col("g") === "g1",
+          deletionVectors = false, failAfterCommits = 1)
+      }
+    }
+    assert(e.getMessage.contains("injected"), e.getMessage)
+    assert(fingerprint(dir) == before, "pre-group state restored exactly")
+    runGroup(dir)
+    assert(spark.read.format("vortex").load(dir).count() == 300L)
+  }
+
   test("a reader pinned to the pre-group generation sees BEFORE, mid-group") {
     val dir = stage(400)
     val before = fingerprint(dir)
