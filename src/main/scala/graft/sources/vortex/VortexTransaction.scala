@@ -218,6 +218,11 @@ object VortexTransaction {
 
   /** Run `body` as one atomic group over `roots`. See the class doc. */
   def run[T](spark: SparkSession, roots: Seq[String])(body: => T): T = {
+    // consume the crash seam at ENTRY: a body that throws must not
+    // leave the flag armed for an unrelated later group (the fuzz
+    // harness runs thousands of cases in one JVM)
+    val crashAfterBody = crashBeforeCloseForTest
+    crashBeforeCloseForTest = false
     require(roots.nonEmpty, "vortex transaction: no datasets declared")
     val conf = spark.sessionState.newHadoopConf()
     require(roots.forall(r => active.get.get(
@@ -266,8 +271,7 @@ object VortexTransaction {
           lease.release(); throw t }
       }
       val out = body
-      if (crashBeforeCloseForTest) {
-        crashBeforeCloseForTest = false
+      if (crashAfterBody) {
         simulateCrashForTest()
         return out
       }
