@@ -14,7 +14,31 @@ object Windows {
   val set = new QuerySet
   import set._
 
-  common("w1_rank",
+  // Spark side = the identical window SQL, but the filtered window
+  // output is EAGERLY pinned (localCheckpoint) before the final global
+  // sort: the range-partitioner's sampling job otherwise re-executes
+  // the whole exchange+sort+window pipeline (the j7/d_minhash sampler
+  // lesson; W1Probe at sf1: 2.34 → 1.54 s warm best). The window core
+  // itself is already minimal — one hash exchange, one Window node
+  // computing all four functions (ntile/dense_rank legally block the
+  // WindowGroupLimit rank pushdown), see the r13 FloorProbe pin.
+  spark("w1_rank",
+    (s, d) => { Tables.registerAll(s, d)
+      s.sql("""SELECT o_custkey, o_orderkey,
+        |  CAST(rn AS BIGINT) AS rn, CAST(rk AS BIGINT) AS rk,
+        |  CAST(drk AS BIGINT) AS drk, CAST(nt AS BIGINT) AS nt
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER w AS rn,
+        |    rank()       OVER w AS rk,
+        |    dense_rank() OVER w AS drk,
+        |    ntile(4)     OVER w AS nt
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |) t WHERE rn <= 3""".stripMargin)
+        .localCheckpoint(true)
+        .orderBy("o_custkey", "rn")
+    },
     """SELECT o_custkey, o_orderkey,
       |  CAST(rn AS BIGINT) AS rn, CAST(rk AS BIGINT) AS rk,
       |  CAST(drk AS BIGINT) AS drk, CAST(nt AS BIGINT) AS nt
