@@ -117,6 +117,25 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(dir, ".vortex-maint.lock")))
   }
 
+  test("an ACTIVE heartbeat keeps the lease unbreakable past its TTL (r13)") {
+    // a long-running statement's lease goes past ttlMs in AGE but the
+    // ttl/5 heartbeat keeps refreshing the mtime — a second writer
+    // arriving after several TTLs must still fail loudly, never break
+    // a live holder's lease (only a CRASHED holder's mtime goes stale)
+    val dir = tmp()
+    fs.mkdirs(new Path(dir))
+    val lease = MaintenanceLock.acquire(fs, new Path(dir), "a", ttlMs = 5000)
+    try {
+      Thread.sleep(12000) // > 2 TTLs; heartbeat fires every max(ttl/5, 1s)
+      val e = intercept[ConcurrentMaintenanceException] {
+        MaintenanceLock.acquire(fs, new Path(dir), "b", ttlMs = 5000)
+      }
+      assert(e.getMessage.contains("holds"), e.getMessage)
+    } finally lease.release()
+    // once released, the next writer acquires immediately
+    MaintenanceLock.acquire(fs, new Path(dir), "c", ttlMs = 5000).release()
+  }
+
   test("concurrent double-release frees the gate exactly once (r13)") {
     // release() may come from a different thread than acquired (the
     // reason Gate is a Semaphore); two racing release() calls through a

@@ -767,10 +767,15 @@ def q_maint():
         mode = 'commit' if rng.random() < 0.5 else 'crash'
         before_s, before_d = len(ops_spark), len(ops_duck)
         add_del(rng.choice(['del', 'dvdel']))
-        if rng.random() < 0.5:
+        c = rng.random()
+        if c < 0.4:
             add_update(rng.choice(['update', 'dvupdate']))
-        else:
+        elif c < 0.7:
             add_del(rng.choice(['del', 'dvdel']))
+        else:
+            # SQL statement path inside the group: exercises the lock
+            # re-entrancy through RewriteVortexDml's command execution
+            add_sql_update()
         ops_spark.insert(before_s, f"op=txn{SEP}2{SEP}{mode}")
         if mode == 'crash':
             del ops_duck[before_d:]       # the group leaves no trace
