@@ -772,10 +772,14 @@ def q_maint():
             add_update(rng.choice(['update', 'dvupdate']))
         elif c < 0.7:
             add_del(rng.choice(['del', 'dvdel']))
-        else:
+        elif c < 0.85:
             # SQL statement path inside the group: exercises the lock
             # re-entrancy through RewriteVortexDml's command execution
             add_sql_update()
+        else:
+            # correlated DML inside the group: the synthesized MERGE
+            # runs under the group lease and retires under its generation
+            add_sql_corr(delete=rng.random() < 0.5)
         ops_spark.insert(before_s, f"op=txn{SEP}2{SEP}{mode}")
         if mode == 'crash':
             del ops_duck[before_d:]       # the group leaves no trace
