@@ -67,18 +67,50 @@ object VortexTransaction {
   def current(rootQ: String): Option[Txn] = active.get.get(rootQ)
 
   private val MarkerPrefix = ".txn-"
+  private val DecisionPrefix = ".txngroup-"
 
   private def writeMarker(fs: FileSystem, root: Path, id: String,
-                          preGen: Int, gen: Int): Path = {
+                          preGen: Int, gen: Int, coord: String): Path = {
     val dir = VortexCommitLog.logDir(root)
     fs.mkdirs(dir)
     val p = new Path(dir, s"$MarkerPrefix$id.json")
     val out = fs.create(p, false) // the id is unique; never overwrite
-    try out.write(s"""{"id":"$id","pregen":$preGen,"gen":$gen}"""
-      .getBytes("UTF-8"))
+    try out.write((s"""{"id":"$id","pregen":$preGen,"gen":$gen,""" +
+      s""""coord":${quote(coord)}}""").getBytes("UTF-8"))
     finally out.close()
     p
   }
+
+  private def quote(s: String): String =
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+
+  /** THE atomic commit point of a group (2PC presumed-abort): one
+    * no-overwrite create in the COORDINATOR dataset's log dir, written
+    * after the body and before ANY per-dataset generation publish.
+    * Recovery of any covered dataset rolls FORWARD once this file
+    * exists (the group committed), BACK while it does not. Carries the
+    * full root list so any dataset's recovery can garbage-collect it
+    * once every covered marker is gone. */
+  private[graft] def decisionPath(coordRoot: Path, id: String): Path =
+    new Path(VortexCommitLog.logDir(coordRoot), s"$DecisionPrefix$id.json")
+
+  private def writeDecision(fs: FileSystem, coordRoot: Path, id: String,
+                            roots: Seq[String]): Path = {
+    val p = decisionPath(coordRoot, id)
+    val out = fs.create(p, false)
+    try out.write((s"""{"id":"$id","roots":[""" +
+      roots.map(quote).mkString(",") + "]}").getBytes("UTF-8"))
+    finally out.close()
+    p
+  }
+
+  private def decisionExists(conf: Configuration, coord: String,
+                             id: String): Boolean =
+    if (coord == null || coord.isEmpty) false
+    else try {
+      val cr = new Path(coord)
+      cr.getFileSystem(conf).exists(decisionPath(cr, id))
+    } catch { case _: Exception => false }
 
   private def listMarkers(fs: FileSystem, root: Path): Seq[Path] =
     (try fs.listStatus(VortexCommitLog.logDir(root)).toSeq
@@ -91,39 +123,80 @@ object VortexTransaction {
     * transaction marker means a group died before close — roll the
     * dataset back to its pre-group snapshot. Returns markers processed. */
   def recoverIfCrashed(fs: FileSystem, root: Path): Int = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val markers = listMarkers(fs, root)
-    if (markers.isEmpty) return 0
     markers.foreach { mp =>
       // marker unreadable/torn → it was being written at the group
       // open, BEFORE any statement ran — nothing to roll back
-      val gens: Option[(Int, Int)] =
+      val parsed: Option[(String, Int, Int, String)] =
         try {
           val in = fs.open(mp)
           val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
                       finally in.close()
           val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-          Some((n.get("pregen").asInt(), n.get("gen").asInt()))
+          Some((n.get("id").asText(), n.get("pregen").asInt(),
+            n.get("gen").asInt(),
+            if (n.has("coord")) n.get("coord").asText() else null))
         } catch { case _: java.io.FileNotFoundException => None
                   case _: com.fasterxml.jackson.core.JacksonException => None }
-      gens.foreach { case (p, g) =>
+      parsed.foreach { case (id, p, g, coord) =>
         // the group's generation already published → the group
         // COMMITTED and died between publish and marker delete:
         // finalize (drop the marker), never roll back a visible commit
         if (VortexCommitLog.latestGen(fs, root).exists(_ >= g))
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          log.warn(
             s"vortex transaction: finalized committed group ${mp.getName} " +
             s"on $root (generation $g published; crash before marker delete)")
-        else {
+        else if (decisionExists(fs.getConf, coord, id)) {
+          // the group DECIDED to commit (decision record on the
+          // coordinator) and died before publishing THIS dataset's
+          // generation — roll FORWARD: every statement's file effect is
+          // already on disk (retirements are per-statement renames), so
+          // publishing the current state IS the deferred group publish
+          VortexCommitLog.deferredCtx(fs, root, g).publishNow()
+          log.warn(
+            s"vortex transaction: rolled FORWARD committed group " +
+            s"${mp.getName} on $root (decision record present at $coord; " +
+            s"crash before generation $g published)")
+        } else {
           rollbackTo(fs, root, p)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          log.warn(
             s"vortex transaction: rolled back crashed group ${mp.getName} on " +
             s"$root to pre-group generation $p")
         }
       }
       fs.delete(mp, false)
     }
+    gcDecisions(fs, root)
     markers.length
   }
+
+  /** GC decision records whose group has no surviving marker on ANY
+    * covered dataset (each dataset's recovery deletes its own marker;
+    * the coordinator's next recovery sweeps the decision once all are
+    * gone). Read-only checks on other roots — no lease needed. */
+  private def gcDecisions(fs: FileSystem, root: Path): Unit =
+    (try fs.listStatus(VortexCommitLog.logDir(root)).toSeq
+     catch { case _: Exception => Seq.empty })
+      .map(_.getPath).filter(_.getName.startsWith(DecisionPrefix))
+      .foreach { dp =>
+        val alive =
+          try {
+            val in = fs.open(dp)
+            val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+                        finally in.close()
+            val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+            val id = n.get("id").asText()
+            val rs = n.get("roots")
+            (0 until rs.size()).exists { i =>
+              val r = new Path(rs.get(i).asText())
+              val rfs = r.getFileSystem(fs.getConf)
+              rfs.exists(new Path(VortexCommitLog.logDir(r),
+                s"$MarkerPrefix$id.json"))
+            }
+          } catch { case _: Exception => true } // unreadable → keep
+        if (!alive) fs.delete(dp, false)
+      }
 
   /** Restore the dataset's live state to generation `preGen`'s
     * snapshot: every snapshot entry missing from its original path
@@ -205,6 +278,16 @@ object VortexTransaction {
     * close — the hard-crash window recoverIfCrashed must repair. */
   private[graft] var crashBeforeCloseForTest: Boolean = false
 
+  /** TEST SEAM: when set, run() "dies" right after the group
+    * commit-decision record is written, before ANY per-dataset publish
+    * — recovery must roll every covered dataset FORWARD. */
+  private[graft] var crashAfterDecisionForTest: Boolean = false
+
+  /** TEST SEAM: when >= 0, the commit pass throws after this many
+    * datasets have fully closed — the abort pass must FINALIZE the
+    * remainder (decision record exists), never roll back. */
+  private[graft] var failAfterClosedForTest: Int = -1
+
   /** TEST SEAM: simulate a hard process crash mid-group — drop the
     * thread-local registry and release the in-memory leases (a real
     * crash kills the JVM gate and lets the file lease go TTL-stale;
@@ -216,54 +299,146 @@ object VortexTransaction {
     active.set(Map.empty)
   }
 
-  /** Run `body` as one atomic group over `roots`. See the class doc. */
+  /** Run `body` as one atomic group over `roots`. See the class doc.
+    *
+    * Commit protocol (2PC presumed-abort; review-found r13): after the
+    * body succeeds, ONE group decision record is created atomically on
+    * the coordinator (smallest sorted root) BEFORE any per-dataset
+    * generation publish. That create is the commit point: from then on
+    * the group is committed — a close error after it surfaces as an
+    * exception but the abort pass (and any later writer's
+    * [[recoverIfCrashed]]) FINALIZES the remaining datasets forward,
+    * never rolls a decided group back. Before the decision exists, any
+    * failure rolls every dataset back. The abort pass only touches
+    * datasets whose lease is still held (fully-closed ones were
+    * removed from the open list as they closed); a dataset whose
+    * finalize/rollback itself fails keeps its marker for the next
+    * writer's recovery rather than being half-processed. */
   def run[T](spark: SparkSession, roots: Seq[String])(body: => T): T = {
-    // consume the crash seam at ENTRY: a body that throws must not
-    // leave the flag armed for an unrelated later group (the fuzz
+    // consume the crash seams at ENTRY: a body that throws must not
+    // leave a flag armed for an unrelated later group (the fuzz
     // harness runs thousands of cases in one JVM)
     val crashAfterBody = crashBeforeCloseForTest
     crashBeforeCloseForTest = false
+    val crashAfterDecision = crashAfterDecisionForTest
+    crashAfterDecisionForTest = false
+    val failAfterClosed = failAfterClosedForTest
+    failAfterClosedForTest = -1
     require(roots.nonEmpty, "vortex transaction: no datasets declared")
+    // reject ANY open group on this thread, overlapping or not — the
+    // documented contract is "groups do not nest" (review-found r13:
+    // the old per-root check silently allowed disjoint nesting)
+    require(active.get.isEmpty,
+      "vortex transaction: groups do not nest (a group is already open " +
+      "on this thread)")
     val conf = spark.sessionState.newHadoopConf()
-    require(roots.forall(r => active.get.get(
-        new Path(r).getFileSystem(conf).makeQualified(new Path(r)).toString).isEmpty),
-      "vortex transaction: groups do not nest")
     val id = java.util.UUID.randomUUID().toString.take(12)
-    var opened: List[Txn] = Nil
-    def closeAll(commit: Boolean): Unit = {
-      // reverse order: release in LIFO, publish before marker delete
-      opened.foreach { t =>
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    var opened: List[Txn] = Nil   // still-open: lease held, marker present
+    var decision: Option[(FileSystem, Path)] = None
+    def closeOne(t: Txn): Unit = {   // caller removes t from `opened`
+      active.set(active.get - t.rootQ)
+      t.lease.release()
+    }
+    // publish t's generation (idempotent: skip if already published)
+    // and drop its marker — the commit-side close of one dataset
+    def finalizeForward(t: Txn): Unit = {
+      if (!VortexCommitLog.latestGen(t.fs, t.root).exists(_ >= t.gen))
+        t.ctx.publishNow()
+      t.fs.delete(t.marker, false)
+    }
+    def commitAll(): Unit = {
+      val coordTxn = opened.minBy(_.rootQ)
+      decision = Some((coordTxn.fs,
+        writeDecision(coordTxn.fs, coordTxn.root, id,
+          opened.map(_.rootQ).sorted)))
+      if (crashAfterDecision) { simulateCrashForTest(); return }
+      var closed = 0
+      while (opened.nonEmpty) {
+        if (failAfterClosed >= 0 && closed == failAfterClosed)
+          throw new java.io.IOException(
+            s"injected close failure after $closed datasets (test seam)")
+        val t = opened.head
+        finalizeForward(t)
+        closeOne(t)
+        opened = opened.tail
+        closed += 1
+      }
+      decision.foreach { case (dfs, dp) => dfs.delete(dp, false) }
+      decision = None
+    }
+    def abortAll(primary: Throwable): Unit = {
+      while (opened.nonEmpty) {
+        val t = opened.head
         try {
-          if (commit) {
-            t.ctx.publishNow() // one generation covering the whole group
+          // the group may have DECIDED to commit before this abort
+          // (decision written, or this dataset's generation already
+          // published) — finalize forward; never roll back a decided
+          // group (review-found r13)
+          val committed =
+            decision.exists { case (dfs, dp) =>
+              try dfs.exists(dp) catch { case _: Exception => true } } ||
+            VortexCommitLog.latestGen(t.fs, t.root).exists(_ >= t.gen)
+          if (committed) {
+            finalizeForward(t)
+            log.warn(s"vortex transaction: finalized decided group $id " +
+              s"on ${t.root} during abort (close failed after the commit point)")
           } else {
             rollbackTo(t.fs, t.root, t.preGen)
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"vortex transaction: rolled back group $id on ${t.root}")
+            t.fs.delete(t.marker, false)
+            log.warn(s"vortex transaction: rolled back group $id on ${t.root}")
           }
-          t.fs.delete(t.marker, false)
+        } catch { case s: Throwable =>
+          primary.addSuppressed(s)
+          log.error(s"vortex transaction: close of $id on ${t.root} failed; " +
+            "marker left for next-writer recovery", s)
         } finally {
-          active.set(active.get - t.rootQ)
-          t.lease.release()
+          closeOne(t)
+          opened = opened.tail
         }
+      }
+      // GC the decision if every covered marker is gone (all datasets
+      // finalized above); a kept decision is swept by a later recovery
+      decision.foreach { case (dfs, dp) =>
+        try {
+          val n = {
+            val in = dfs.open(dp)
+            val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+                        finally in.close()
+            new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+          }
+          val rs = n.get("roots")
+          val anyMarker = (0 until rs.size()).exists { i =>
+            val r = new Path(rs.get(i).asText())
+            r.getFileSystem(conf).exists(
+              new Path(VortexCommitLog.logDir(r), s"$MarkerPrefix$id.json"))
+          }
+          if (!anyMarker) dfs.delete(dp, false)
+        } catch { case _: Exception => () }
       }
     }
     // sorted roots: two groups over overlapping dataset sets acquire in
     // the same order and contend instead of deadlocking
     try {
-      roots.distinct.sorted.foreach { r =>
+      // qualify up front: acquisition order AND the coordinator choice
+      // key on the canonical qualified name, so two groups over
+      // overlapping sets agree regardless of how callers spelled paths
+      val qualified = roots.map { r =>
         val root = new Path(r)
         val fs = root.getFileSystem(conf)
+        (fs.makeQualified(root).toString, root, fs)
+      }.distinctBy(_._1).sortBy(_._1)
+      val coordQ = qualified.head._1
+      qualified.foreach { case (rootQ, root, fs) =>
         require(fs.exists(root),
-          s"vortex transaction: dataset $r does not exist — create it first")
-        val rootQ = fs.makeQualified(root).toString
+          s"vortex transaction: dataset $root does not exist — create it first")
         val lease = MaintenanceLock.acquire(fs, root, "transaction")
         try {
           recoverIfCrashed(fs, root) // an earlier group's corpse
           // force the commit log on (genesis / catch-up): retirement is
           // what makes rollback and pinned BEFORE-reads possible
           val preGen = VortexCommitLog.ensureCurrent(spark, fs, root, conf)
-          val marker = writeMarker(fs, root, id, preGen, preGen + 1)
+          val marker = writeMarker(fs, root, id, preGen, preGen + 1, coordQ)
           val txn = new Txn(rootQ, fs, root, lease, preGen, preGen + 1, marker)
           active.set(active.get + (rootQ -> txn))
           opened = txn :: opened
@@ -275,10 +450,10 @@ object VortexTransaction {
         simulateCrashForTest()
         return out
       }
-      closeAll(commit = true)
+      commitAll()
       out
     } catch { case t: Throwable =>
-      try closeAll(commit = false)
+      try abortAll(t)
       catch { case s: Throwable => t.addSuppressed(s) }
       throw t
     }

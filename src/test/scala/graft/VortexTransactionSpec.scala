@@ -203,6 +203,86 @@ class VortexTransactionSpec extends AnyFunSuite {
     assert(spark.read.format("vortex").load(dir).count() == 39L)
   }
 
+  test("crash AFTER the commit decision: recovery rolls BOTH datasets FORWARD (r14)") {
+    import spark.implicits._
+    // twin setup: commit the same group normally on a clone to get the
+    // expected committed state (deterministic inputs -> same fingerprint)
+    val corpusA = stage(400); val tombsA = tmp()
+    val corpusB = stage(400); val tombsB = tmp()
+    for (t <- Seq(tombsA, tombsB))
+      Seq((-1L, "init")).toDF("id", "why")
+        .write.format("vortex").mode("overwrite").save(t)
+    def group(c: String, t: String): Unit = engine.withTransaction(c, t) {
+      VortexDelete.delete(spark, c, col("g") === "g2")
+      Seq((2L, "purged-g2")).toDF("id", "why")
+        .write.format("vortex").mode("append").save(t)
+    }
+    group(corpusA, tombsA) // the expected COMMITTED state
+    // clone dies right after the decision record, before ANY publish
+    VortexTransaction.crashAfterDecisionForTest = true
+    group(corpusB, tombsB)
+    // markers + decision are on disk; generations unpublished
+    // a writer on EACH dataset triggers recovery -> roll FORWARD
+    VortexUpdate.update(spark, corpusB, Map("v" -> lit(0L)), col("id") === -1L)
+    VortexDelete.delete(spark, tombsB, col("id") === -99L) // no-op writer
+    assert(fingerprint(corpusB) == fingerprint(corpusA),
+      "decided group must roll FORWARD, not back")
+    assert(fingerprint(tombsB) == fingerprint(tombsA),
+      "the second dataset of the decided group rolls forward too")
+    // decision record swept once every covered marker is gone (the
+    // coordinator's next recovery GCs it)
+    VortexDelete.delete(spark, List(corpusB, tombsB).min,
+      col("id") === -99L)
+    val coordLog = VortexCommitLog.logDir(new Path(List(corpusB, tombsB).min))
+    val leftovers = fs.listStatus(coordLog)
+      .map(_.getPath.getName).filter(_.startsWith(".txngroup-"))
+    assert(leftovers.isEmpty, s"decision record GC'd, got ${leftovers.toSeq}")
+  }
+
+  test("close failure after one dataset closed: the rest FINALIZE, never roll back (r14)") {
+    import spark.implicits._
+    val corpusA = stage(400); val tombsA = tmp()
+    val corpusB = stage(400); val tombsB = tmp()
+    for (t <- Seq(tombsA, tombsB))
+      Seq((-1L, "init")).toDF("id", "why")
+        .write.format("vortex").mode("overwrite").save(t)
+    def group(c: String, t: String): Unit = engine.withTransaction(c, t) {
+      VortexDelete.delete(spark, c, col("g") === "g2")
+      Seq((2L, "purged-g2")).toDF("id", "why")
+        .write.format("vortex").mode("append").save(t)
+    }
+    group(corpusA, tombsA) // expected committed state
+    // injected close failure after the FIRST dataset fully closed: the
+    // decision record exists, so the abort pass must finalize the
+    // second dataset forward — high-severity review finding r13 (the
+    // old code rolled back the already-published first dataset AND
+    // touched datasets whose lease it had released)
+    VortexTransaction.failAfterClosedForTest = 1
+    val e = intercept[java.io.IOException] { group(corpusB, tombsB) }
+    assert(e.getMessage.contains("injected"), e.getMessage)
+    assert(fingerprint(corpusB) == fingerprint(corpusA),
+      "dataset 1 stays committed")
+    assert(fingerprint(tombsB) == fingerprint(tombsA),
+      "dataset 2 finalizes forward during abort")
+    // both datasets remain fully operational
+    group(corpusB, tombsB)
+  }
+
+  test("disjoint-dataset groups do not nest either (r14)") {
+    val a = stage(40); val b = stage(40)
+    engine.withTransaction(a) {
+      val e = intercept[IllegalArgumentException] {
+        engine.withTransaction(b) { () } // disjoint from a — still rejected
+      }
+      assert(e.getMessage.contains("nest"))
+    }
+    // sequential groups over disjoint sets are of course fine
+    engine.withTransaction(b) {
+      VortexDelete.delete(spark, b, col("id") === 0L)
+    }
+    assert(spark.read.format("vortex").load(b).count() == 39L)
+  }
+
   test("crash between generation publish and marker delete finalizes, not rolls back") {
     val dir = stage(100)
     // run a real group, then re-create its marker as if the close died
