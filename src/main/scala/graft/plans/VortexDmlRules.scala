@@ -57,7 +57,10 @@ object VortexDmlRules {
       matched: Seq[VortexMerge.MatchedAction],
       notMatched: Seq[VortexMerge.NotMatchedAction],
       notMatchedBySource: Seq[VortexMerge.MatchedAction],
-      fingerprint: String)
+      fingerprint: String,
+      // correlated scalar SET (r14): duplicate source keys error at
+      // MATCH time (ANSI scalar cardinality), not at broadcast time
+      ansiScalarDups: Boolean = false)
 
   /** raw ANALYZED expressions (subqueries intact): evaluation of any
     * subquery is deferred to the command's run() — an EXPLAIN of the
@@ -137,7 +140,8 @@ case class VortexMergeCommand(dir: String,
     VortexMerge.mergeClauses(session, dir, source,
       p.targetAttrs, p.sourceAttrs, p.keyIdxTarget, p.keyIdxSource,
       p.matched.map(mat), p.notMatched.map(matNm),
-      p.notMatchedBySource.map(mat), p.fingerprint)
+      p.notMatchedBySource.map(mat), p.fingerprint,
+      ansiScalarDups = p.ansiScalarDups)
     Seq.empty
   }
 }
@@ -199,7 +203,8 @@ case class RewriteVortexDml(session: SparkSession)
                           ext: CorrelatedDml.Extracted,
                           matched: Seq[VortexMerge.MatchedAction],
                           notMatchedBySource: Seq[VortexMerge.MatchedAction],
-                          what: String): MergePayload = {
+                          what: String,
+                          ansiScalarDups: Boolean = false): MergePayload = {
     val keyIdxTarget =
       ext.outerKeys.map(o => targetAttrs.indexWhere(_.exprId == o.exprId)).toArray
     require(keyIdxTarget.forall(_ >= 0),
@@ -212,7 +217,8 @@ case class RewriteVortexDml(session: SparkSession)
           a.assigns.map(_.map(named).mkString(",")).getOrElse("DELETE")
       }.mkString(";") + "]"
     MergePayload(ext.sourcePlan, targetAttrs, ext.sourcePlan.output,
-      keyIdxTarget, ext.innerKeyIdx, matched, Nil, notMatchedBySource, fingerprint)
+      keyIdxTarget, ext.innerKeyIdx, matched, Nil, notMatchedBySource, fingerprint,
+      ansiScalarDups = ansiScalarDups)
   }
 
   /** `DELETE FROM t WHERE [NOT] EXISTS (corr) [AND rest]` →
@@ -315,14 +321,18 @@ case class RewriteVortexDml(session: SparkSession)
       val valAttr = ext.sourcePlan.output(ext.valueIdx.get)
       val others = assigns.filterNot(_._1 == setCol).toMap
       val matchedVal = vExpr.transform { case s: ScalarSubquery if s eq sc => valAttr }
+      // ANSI over-zero-rows: plain scalar → NULL; aggregate form → the
+      // empty-group value (COUNT=0, SUM/MAX/…=NULL — the "count bug")
       val nmbsVal = vExpr.transform {
-        case s: ScalarSubquery if s eq sc => Literal.create(null, sc.dataType) }
+        case s: ScalarSubquery if s eq sc =>
+          ext.emptyValue.getOrElse(Literal.create(null, sc.dataType)) }
       val matched = VortexMerge.MatchedAction(pred,
         Some(fullProjection(others + (setCol -> matchedVal))))
       val nmbs = VortexMerge.MatchedAction(pred,
         Some(fullProjection(others + (setCol -> nmbsVal))))
       VortexMergeCommand(dir,
-        corrPayload(targetAttrs, ext, Seq(matched), Seq(nmbs), "update"))
+        corrPayload(targetAttrs, ext, Seq(matched), Seq(nmbs), "update",
+          ansiScalarDups = !ext.keysUniqueByConstruction))
     } else {
       assigns.foreach { case (_, v) => DmlSubqueries.validate(v, "update SET") }
       val action = VortexMerge.MatchedAction(pred,

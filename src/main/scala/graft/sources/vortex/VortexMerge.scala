@@ -291,7 +291,13 @@ object VortexMerge {
                    clauseFingerprint: String,
                    maxSourceRows: Int = 1 << 20,
                    pushKeyLimit: Int = 10000,
-                   failAfterInserts: Int = -1): MergeResult = {
+                   failAfterInserts: Int = -1,
+                   // correlated scalar SET (r14): ANSI fires the
+                   // cardinality error only when a duplicated source
+                   // key actually MATCHES a targeted row — defer the
+                   // duplicate check to match time instead of the
+                   // statement-global broadcast-time require
+                   ansiScalarDups: Boolean = false): MergeResult = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeSeq, BindReferences, Expression, UnsafeProjection, Predicate => CatalystPredicate}
     require(keyIdxTarget.nonEmpty && keyIdxTarget.length == keyIdxSource.length,
       "vortex merge: ON must be a conjunction of target-key = source-key equalities")
@@ -333,15 +339,28 @@ object VortexMerge {
       s"vortex merge: source exceeds maxSourceRows=$maxSourceRows — " +
       "merge broadcasts the source; batch it or raise the cap deliberately")
     val srcRows: Array[org.apache.spark.sql.catalyst.InternalRow] = capped
-    locally {
+    val dupKeys: Set[Seq[Any]] = {
       val seen = new scala.collection.mutable.HashSet[Seq[Any]]
-      srcRows.foreach { r =>
-        val k = VortexMergeSupport.keyOf(r, keyIdxSource, keyTypes)
-        if (k != null)
-          require(seen.add(k), s"vortex merge: duplicate source key $k")
+      if (ansiScalarDups) {
+        require(notMatchedActions.isEmpty,
+          "vortex merge: ansiScalarDups is a correlated-DML mode (no INSERT clauses)")
+        val dups = new scala.collection.mutable.HashSet[Seq[Any]]
+        srcRows.foreach { r =>
+          val k = VortexMergeSupport.keyOf(r, keyIdxSource, keyTypes)
+          if (k != null && !seen.add(k)) dups += k
+        }
+        dups.toSet
+      } else {
+        srcRows.foreach { r =>
+          val k = VortexMergeSupport.keyOf(r, keyIdxSource, keyTypes)
+          if (k != null)
+            require(seen.add(k), s"vortex merge: duplicate source key $k")
+        }
+        Set.empty
       }
     }
     val bcRows = spark.sparkContext.broadcast(srcRows)
+    val bcDupKeys = spark.sparkContext.broadcast(dupKeys)
 
     // bind clause expressions: matched over target ++ source, not-
     // matched over source only, not-matched-BY-source over target only
@@ -414,7 +433,8 @@ object VortexMerge {
       if (cands.isEmpty) Array.empty[VortexMergeSupport.ClauseOutcome]
       else spark.sparkContext.parallelize(cands, cands.length).map { c =>
         VortexMergeSupport.processFileClauses(c, tSchema, keyIdxTarget, keyIdxSource,
-          keyTypes, bcRows.value, boundMatched, boundNmbs, bucketIdx, sconf.value)
+          keyTypes, bcRows.value, boundMatched, boundNmbs, bucketIdx, sconf.value,
+          bcDupKeys.value)
       }.collect()
 
     // driver commit: drop-whole (every live row deleted) + rewrites
@@ -669,7 +689,12 @@ private[vortex] object VortexMergeSupport {
       boundNmbs: Seq[(Option[org.apache.spark.sql.catalyst.expressions.Expression],
                       Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]])],
       bucketIdx: Int,
-      conf: org.apache.hadoop.conf.Configuration): ClauseOutcome = {
+      conf: org.apache.hadoop.conf.Configuration,
+      // keys with >1 source row (correlated scalar SET mode): a target
+      // row matching one of these errors iff a clause condition fires
+      // for it (ANSI scalar cardinality — the subquery only evaluates
+      // for targeted rows); conds in this mode are target-only
+      dupKeys: Set[Seq[Any]] = Set.empty): ClauseOutcome = {
     import org.apache.spark.sql.catalyst.expressions.{JoinedRow, UnsafeProjection, Predicate => CatalystPredicate}
     val (file, partCols, partValues, bloomCols, sketchCols, dstName, relDir, maskFile) = c
     val path = new Path(file)
@@ -796,6 +821,16 @@ private[vortex] object VortexMergeSupport {
               emit(upd)
             case None => emit(row)
           }
+        } else if (dupKeys.contains(k)) {
+          // >1 source row for this key: ANSI errors iff a clause would
+          // actually fire for this row (its cond is target-only in this
+          // mode — pair with an arbitrary duplicate for the eval)
+          joined(row, srcRows(hit.intValue()))
+          if (boundMatched.indices.exists(j => preds(j).forall(_.eval(joined))))
+            throw new IllegalStateException(
+              "vortex merge: scalar subquery produced more than one row " +
+              s"for key $k (ANSI cardinality)")
+          emit(row) // not targeted — the duplicate is harmless
         } else {
           joined(row, srcRows(hit.intValue()))
           boundMatched.indices.find(j => preds(j).forall(_.eval(joined))) match {

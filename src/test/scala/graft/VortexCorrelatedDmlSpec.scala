@@ -79,7 +79,79 @@ class VortexCorrelatedDmlSpec extends AnyFunSuite {
       spark.sql(s"""UPDATE vtx.`$dir` t
                     SET v = (SELECT score FROM corr_dup s WHERE s.sid = t.id)""")
     }
-    assert(e.getMessage.contains("duplicate source key"), e.getMessage)
+    assert(e.getMessage.contains("more than one row"), e.getMessage)
+  }
+
+  test("a duplicated key matching NO targeted row is NOT an error (ANSI, r14)") {
+    import spark.implicits._
+    val dir = stage(20)
+    // sid=1 is duplicated, but the WHERE targets only g='g2' rows
+    // (ids 2,6,10,14,18) — id 1 is g1, so the subquery never evaluates
+    // for a row with key 1 and ANSI (and DuckDB) do NOT error
+    Seq((1L, 10L), (1L, 20L), (2L, 200L), (6L, 600L)).toDF("sid", "score")
+      .createOrReplaceTempView("corr_dup2")
+    spark.sql(s"""UPDATE vtx.`$dir` t
+                  SET v = (SELECT score FROM corr_dup2 s WHERE s.sid = t.id)
+                  WHERE g = 'g2'""")
+    val after = spark.read.format("vortex").load(dir)
+    assert(after.where(col("id") === 2L).head().getLong(1) == 200L)
+    assert(after.where(col("id") === 6L).head().getLong(1) == 600L)
+    assert(after.where(col("id") === 10L).head().isNullAt(1)) // g2, unmatched
+    assert(after.where(col("id") === 1L).head().getLong(1) == 2L) // g1: untouched
+    // …but targeting the duplicated key DOES error
+    val e = intercept[Exception] {
+      spark.sql(s"""UPDATE vtx.`$dir` t
+                    SET v = (SELECT score FROM corr_dup2 s WHERE s.sid = t.id)
+                    WHERE g = 'g1'""")
+    }
+    assert(e.getMessage.contains("more than one row"), e.getMessage)
+  }
+
+  test("correlated AGGREGATE SET: per-key pre-aggregation, ANSI empty-group values (r14)") {
+    import spark.implicits._
+    val dir = stage(40)
+    // several source rows per key — an aggregate NEVER cardinality-errors
+    (0L until 60L).map(i => (i % 10, i)).toDF("sid", "x")
+      .createOrReplaceTempView("corr_agg")
+    spark.sql(s"""UPDATE vtx.`$dir` t
+                  SET v = (SELECT max(x) FROM corr_agg s WHERE s.sid = t.id)""")
+    val after = spark.read.format("vortex").load(dir)
+    // key 3: max(x | x%10=3) over 0..59 = 53
+    assert(after.where(col("id") === 3L).head().getLong(1) == 53L)
+    // keys 10..39 have no source rows: max over empty → NULL
+    assert(after.where(col("id") === 25L).head().isNullAt(1))
+    assert(after.where(col("id") >= 10L && col("v").isNull).count() == 30L)
+  }
+
+  test("correlated COUNT SET: missing keys get 0, not NULL (the count bug) (r14)") {
+    import spark.implicits._
+    val dir = stage(20)
+    (0L until 30L).map(i => (i % 5, i)).toDF("sid", "x")
+      .createOrReplaceTempView("corr_cnt")
+    spark.sql(s"""UPDATE vtx.`$dir` t
+                  SET v = (SELECT count(*) FROM corr_cnt s WHERE s.sid = t.id)""")
+    val after = spark.read.format("vortex").load(dir)
+    assert(after.where(col("id") === 2L).head().getLong(1) == 6L)  // 6 rows per key
+    assert(after.where(col("id") === 15L).head().getLong(1) == 0L) // COUNT over empty = 0
+    assert(after.where(col("v").isNull).count() == 0L)
+  }
+
+  test("correlated aggregate inside an expression + uncorrelated inner filter (r14)") {
+    import spark.implicits._
+    val dir = stage(20)
+    (0L until 40L).map(i => (i % 8, i, if (i % 2 == 0) "ok" else "bad"))
+      .toDF("sid", "x", "st").createOrReplaceTempView("corr_aggf")
+    spark.sql(s"""UPDATE vtx.`$dir` t
+                  SET v = coalesce((SELECT sum(x) FROM corr_aggf s
+                                    WHERE s.sid = t.id AND s.st = 'ok'), -1)
+                  WHERE g IN ('g0', 'g1')""")
+    val after = spark.read.format("vortex").load(dir)
+    // key 4: even sids come from even x values — x in {4,12,20,28,36} all 'ok' → 100
+    assert(after.where(col("id") === 4L).head().getLong(1) == 100L)
+    // key 9 ('g1'): no source rows ≥8 → sum over empty = NULL → coalesce → -1
+    assert(after.where(col("id") === 9L).head().getLong(1) == -1L)
+    // g2/g3 rows untouched
+    assert(after.where(col("id") === 2L).head().getLong(1) == 4L)
   }
 
   test("DELETE WHERE EXISTS (corr) with an extra predicate") {
@@ -141,12 +213,28 @@ class VortexCorrelatedDmlSpec extends AnyFunSuite {
                     WHERE EXISTS (SELECT 1 FROM corr_rej s WHERE s.sid < t.id)""")
     }
     assert(e1.getMessage.contains("correlation must be bare"), e1.getMessage)
-    // correlated aggregate scalar
+    // correlated aggregate with its OWN group by (>1 row per key)
     val e2 = intercept[Exception] {
       spark.sql(s"""UPDATE vtx.`$dir` t
-                    SET v = (SELECT max(score) FROM corr_rej s WHERE s.sid = t.id)""")
+                    SET v = (SELECT max(score) FROM corr_rej s
+                             WHERE s.sid = t.id GROUP BY s.score)""")
     }
-    assert(e2.getMessage.contains("AGGREGATE"), e2.getMessage)
+    // message differs by rewrite context (analysis-time names the GROUP
+    // BY; optimizer-time decorrelation reshapes first) — any LOUD
+    // reject is the contract
+    assert(e2.getMessage.toLowerCase.contains("group by") ||
+      e2.getMessage.contains("cardinality") ||
+      e2.getMessage.contains("unsupported correlated subquery shape"),
+      e2.getMessage)
+    // aggregate under EXISTS (always-true trap)
+    val e2b = intercept[Exception] {
+      spark.sql(s"""DELETE FROM vtx.`$dir` t
+                    WHERE EXISTS (SELECT max(score) FROM corr_rej s
+                                  WHERE s.sid = t.id)""")
+    }
+    assert(e2b.getMessage.contains("always-true") ||
+      e2b.getMessage.contains("unsupported correlated subquery shape"),
+      e2b.getMessage)
     // two correlated sites in one statement
     val e3 = intercept[Exception] {
       spark.sql(s"""UPDATE vtx.`$dir` t

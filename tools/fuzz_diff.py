@@ -608,7 +608,9 @@ def q_maint():
                        'race_deldel', 'ttread_gen0',
                        # round 13 surfaces
                        'sqlupdate_corr', 'sqldel_corr', 'txn_pair',
-                       'bigin', 'race_mix'])
+                       'bigin', 'race_mix',
+                       # round 14 surfaces
+                       'sqlupdate_corragg'])
     ops_spark, ops_duck = [], []
     # ~1/3 of queries stage the copy Hive-PARTITIONED: same twin, but
     # the Spark side now runs dir pruning, partition guards, the
@@ -700,6 +702,34 @@ def q_maint():
                 f"UPDATE maintv SET {c} = "
                 f"(SELECT {e} FROM {t} b WHERE b.{key} = maintv.{key} "
                 f"AND ({pr})){outer};")
+    def add_sql_corragg():
+        # round 14 (VERDICT r13 missing #1): correlated AGGREGATE scalar
+        # SET — engine-side the subquery pre-aggregates BY the
+        # correlation key (plans/CorrelatedDml) and missing keys take
+        # the ANSI empty-group value (COUNT=0, SUM/MAX/MIN=NULL — the
+        # "count bug"). Correlation is 50% the PK (0-or-1-row groups,
+        # exercises the empty side) and 50% a non-key int column
+        # (multi-row groups, exercises the real grouping).
+        key = MAINT_KEY[t]
+        ints = [c for c in (T[t]['ints'] if t != 'nestedx' else [])
+                if c != partby]
+        corr = key if (not ints or rng.random() < 0.5) else rng.choice(ints)
+        sets = no_part_sets(maint_sets(t))
+        c, e = sets[0]
+        # sum only over int targets (type-stable in both engines)
+        agg = (rng.choice(['max', 'min', 'sum', 'count']) if c in ints
+               else rng.choice(['max', 'min', 'count']))
+        arg = '*' if agg == 'count' else e
+        pr = maint_pred(t)
+        outer = f" WHERE {maint_pred(t)}" if rng.random() < 0.5 else ""
+        ops_spark.append("op=sql" + SEP +
+            f"UPDATE vtx.`__DIR__` tt SET {c} = "
+            f"(SELECT {agg}({arg}) FROM maintbase b WHERE b.{corr} = tt.{corr} "
+            f"AND ({pr})){outer}")
+        ops_duck.append(
+            f"UPDATE maintv SET {c} = "
+            f"(SELECT {agg}({arg}) FROM {t} b WHERE b.{corr} = maintv.{corr} "
+            f"AND ({pr})){outer};")
     if kind == 'del': add_del('del')
     elif kind == 'dvdel': add_del('dvdel')
     elif kind == 'dvdel_fold': add_del('dvdel'); ops_spark.append("op=fold")
@@ -800,6 +830,9 @@ def q_maint():
     elif kind == 'sqlupdate_corr':
         if rng.random() < 0.3: add_del(rng.choice(['del', 'dvdel']))
         add_sql_corr(delete=False)
+    elif kind == 'sqlupdate_corragg':
+        if rng.random() < 0.3: add_del(rng.choice(['del', 'dvdel']))
+        add_sql_corragg()
     elif kind == 'sqldel_corr':
         if rng.random() < 0.3: add_update()
         add_sql_corr(delete=True)
