@@ -405,9 +405,14 @@ object VortexQueries {
   // corpus-purge primitive. Every invocation stages a FRESH copy (the
   // delete is the operation under test, and it mutates the dataset),
   // deletes matching rows at file granularity, and reads the survivors
-  // back. The DuckDB twin is the genuinely symmetric statement
-  // sequence: stage → DELETE → read (multi-statement oracles execute
-  // fine through duckdb-python; the result is the last SELECT's).
+  // back. The DuckDB twin is SYMMETRIC since r14 (VERDICT r13 "What's
+  // wrong" #1): it stages to a parquet FILE, re-reads it, mutates, and
+  // COPYes the result back to disk per statement — both engines pay
+  // persistent IO, so the bench ratio is meaningful (multi-statement
+  // oracles execute fine through duckdb-python; the result is the last
+  // SELECT's). Granularity disclosure: vortex rewrites only AFFECTED
+  // files with key/stat pushdown; DuckDB re-writes the whole table —
+  // that delta is the product claim, not an unfairness.
   spark("s14_vortex_delete",
     (s, d) => {
       val dir = vdir("delete_s14", d)
@@ -422,19 +427,24 @@ object VortexQueries {
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
         .orderBy("o_orderstatus")
     },
-    """CREATE OR REPLACE TEMP TABLE graft_del AS SELECT * FROM orders;
+    """COPY (SELECT * FROM orders) TO '/tmp/graft_duck_twin_s14.parquet' (FORMAT PARQUET);
+      |CREATE OR REPLACE TEMP TABLE graft_del AS
+      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s14.parquet');
       |DELETE FROM graft_del WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0;
+      |COPY graft_del TO '/tmp/graft_duck_twin_s14.parquet' (FORMAT PARQUET);
       |SELECT o_orderstatus, count(*) AS n,
       |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-      |FROM graft_del GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      |FROM read_parquet('/tmp/graft_duck_twin_s14.parquet') GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 
   // S14-DV: the same delete through the DELETION-VECTOR tier — matching
   // rows land in per-file row-mask sidecars (no data-file rewrite;
   // DeletionVector.scala), the read applies masks, then foldMasks
   // rewrites the dead rows away and the post-fold read must agree too.
   // The timed region deliberately includes stage + mask-delete + masked
-  // read + fold + folded read (disclosed-asymmetric like s14).
+  // read + fold + folded read, vs s14's symmetric stage→mutate→COPY-back
+  // twin (one persistent-IO cycle — the DV tier's avoided rewrite is
+  // the claim under test).
   spark("s14_vortex_delete_dv",
     (s, d) => {
       val dir = vdir("delete_s14dv", d)
@@ -461,17 +471,20 @@ object VortexQueries {
       // makes the oracle row prove it (a divergence shrinks the output)
       masked.intersect(folded).orderBy("o_orderstatus")
     },
-    """CREATE OR REPLACE TEMP TABLE graft_del_dv AS SELECT * FROM orders;
+    """COPY (SELECT * FROM orders) TO '/tmp/graft_duck_twin_s14dv.parquet' (FORMAT PARQUET);
+      |CREATE OR REPLACE TEMP TABLE graft_del_dv AS
+      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s14dv.parquet');
       |DELETE FROM graft_del_dv WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0;
+      |COPY graft_del_dv TO '/tmp/graft_duck_twin_s14dv.parquet' (FORMAT PARQUET);
       |SELECT o_orderstatus, count(*) AS n,
       |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-      |FROM graft_del_dv GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      |FROM read_parquet('/tmp/graft_duck_twin_s14dv.parquet') GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 
   // S15: UPDATE over a vortex dataset (VortexUpdate) — the corpus
   // re-scoring shape. Timed region = stage + classify/rewrite update +
-  // read-back, vs a DuckDB stage + UPDATE + SELECT twin (disclosed-
-  // asymmetric like s14: DuckDB mutates an in-memory temp table).
+  // read-back, vs the symmetric r14 twin (stage→parquet, re-read,
+  // UPDATE, COPY back — both engines pay persistent IO).
   // `+ 1000.0` is an exact IEEE double op — both engines read the same
   // parquet doubles and add the same constant, so cents agree bit-wise.
   spark("s15_vortex_update",
@@ -495,14 +508,17 @@ object VortexQueries {
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
         .orderBy("o_orderstatus", "o_orderpriority")
     },
-    """CREATE OR REPLACE TEMP TABLE graft_upd AS SELECT * FROM orders;
+    """COPY (SELECT * FROM orders) TO '/tmp/graft_duck_twin_s15.parquet' (FORMAT PARQUET);
+      |CREATE OR REPLACE TEMP TABLE graft_upd AS
+      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15.parquet');
       |UPDATE graft_upd SET o_totalprice = o_totalprice + 1000.0,
       |                     o_orderpriority = '5-RESCORED'
       |WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0;
+      |COPY graft_upd TO '/tmp/graft_duck_twin_s15.parquet' (FORMAT PARQUET);
       |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
       |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-      |FROM graft_upd GROUP BY o_orderstatus, o_orderpriority
+      |FROM read_parquet('/tmp/graft_duck_twin_s15.parquet') GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
 
   // S15-DV: the same update through the MERGE-ON-READ tier — matching
@@ -536,14 +552,17 @@ object VortexQueries {
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
       masked.intersect(folded).orderBy("o_orderstatus", "o_orderpriority")
     },
-    """CREATE OR REPLACE TEMP TABLE graft_upd_dv AS SELECT * FROM orders;
+    """COPY (SELECT * FROM orders) TO '/tmp/graft_duck_twin_s15dv.parquet' (FORMAT PARQUET);
+      |CREATE OR REPLACE TEMP TABLE graft_upd_dv AS
+      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15dv.parquet');
       |UPDATE graft_upd_dv SET o_totalprice = o_totalprice + 1000.0,
       |                        o_orderpriority = '5-RESCORED'
       |WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0;
+      |COPY graft_upd_dv TO '/tmp/graft_duck_twin_s15dv.parquet' (FORMAT PARQUET);
       |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
       |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-      |FROM graft_upd_dv GROUP BY o_orderstatus, o_orderpriority
+      |FROM read_parquet('/tmp/graft_duck_twin_s15dv.parquet') GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
 
   // S16: MERGE (whole-row upsert) over a vortex dataset (VortexMerge):
@@ -577,7 +596,9 @@ object VortexQueries {
           sum(round(col("c_acctbal") * 100).cast("long")).as("sum_cents"))
         .orderBy("c_mktsegment")
     },
-    """CREATE OR REPLACE TEMP TABLE graft_mrg AS SELECT * FROM customer;
+    """COPY (SELECT * FROM customer) TO '/tmp/graft_duck_twin_s16.parquet' (FORMAT PARQUET);
+      |CREATE OR REPLACE TEMP TABLE graft_mrg AS
+      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s16.parquet');
       |CREATE OR REPLACE TEMP TABLE graft_mrg_src AS
       |  WITH rescored AS (
       |    SELECT * REPLACE ('MERGED' AS c_mktsegment, c_acctbal + 10.0 AS c_acctbal)
@@ -591,10 +612,11 @@ object VortexQueries {
       |INSERT INTO graft_mrg
       |  SELECT * FROM graft_mrg_src s
       |  WHERE NOT EXISTS (SELECT 1 FROM graft_mrg t WHERE t.c_custkey = s.c_custkey);
+      |COPY graft_mrg TO '/tmp/graft_duck_twin_s16.parquet' (FORMAT PARQUET);
       |SELECT c_mktsegment, count(*) AS n,
       |       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
       |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-      |FROM graft_mrg GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      |FROM read_parquet('/tmp/graft_duck_twin_s16.parquet') GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 
   // S16B: conditional MERGE clauses (r10 VERDICT "What's missing" #2):
   // WHEN MATCHED AND <cond> THEN DELETE, WHEN MATCHED THEN UPDATE SET
@@ -629,7 +651,9 @@ object VortexQueries {
           sum(round(col("c_acctbal") * 100).cast("long")).as("sum_cents"))
         .orderBy("c_mktsegment")
     },
-    """CREATE OR REPLACE TEMP TABLE graft_m2 AS SELECT * FROM customer;
+    """COPY (SELECT * FROM customer) TO '/tmp/graft_duck_twin_s16b.parquet' (FORMAT PARQUET);
+      |CREATE OR REPLACE TEMP TABLE graft_m2 AS
+      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s16b.parquet');
       |CREATE OR REPLACE TEMP TABLE graft_m2_src AS
       |  WITH base AS (
       |    SELECT * REPLACE (c_acctbal - 500.0 AS c_acctbal, 'S16B' AS c_mktsegment)
@@ -645,10 +669,11 @@ object VortexQueries {
       |  SELECT * FROM graft_m2_src s
       |  WHERE s.c_acctbal >= 0
       |    AND NOT EXISTS (SELECT 1 FROM graft_m2 t WHERE t.c_custkey = s.c_custkey);
+      |COPY graft_m2 TO '/tmp/graft_duck_twin_s16b.parquet' (FORMAT PARQUET);
       |SELECT c_mktsegment, count(*) AS n,
       |       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
       |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-      |FROM graft_m2 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      |FROM read_parquet('/tmp/graft_duck_twin_s16b.parquet') GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 
   // S15C: subquery DML (r12; VERDICT r11 "What's missing" #3) — the
   // corpus-purge / audit-driven re-scoring shapes: `UPDATE … WHERE k IN
@@ -679,16 +704,22 @@ object VortexQueries {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
         .orderBy("o_orderstatus", "o_orderpriority")
     },
-    """CREATE OR REPLACE TEMP TABLE graft_upd_sq AS SELECT * FROM orders;
+    """COPY (SELECT * FROM orders) TO '/tmp/graft_duck_twin_s15c.parquet' (FORMAT PARQUET);
+      |CREATE OR REPLACE TEMP TABLE graft_upd_sq AS
+      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15c.parquet');
       |UPDATE graft_upd_sq SET o_orderpriority = '9-AUDITED'
       |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
       |  AND o_orderstatus = 'F';
+      |COPY graft_upd_sq TO '/tmp/graft_duck_twin_s15c.parquet' (FORMAT PARQUET);
+      |CREATE OR REPLACE TEMP TABLE graft_upd_sq AS
+      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15c.parquet');
       |DELETE FROM graft_upd_sq
       |WHERE o_custkey IN (SELECT c_custkey FROM customer
       |                    WHERE c_mktsegment = 'MACHINERY' AND c_acctbal < 0);
+      |COPY graft_upd_sq TO '/tmp/graft_duck_twin_s15c.parquet' (FORMAT PARQUET);
       |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
       |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key
-      |FROM graft_upd_sq GROUP BY o_orderstatus, o_orderpriority
+      |FROM read_parquet('/tmp/graft_duck_twin_s15c.parquet') GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
 
   // S15D: CORRELATED subquery DML (r13; VERDICT r12 "What's missing"
@@ -727,20 +758,83 @@ object VortexQueries {
         .orderBy(col("o_orderstatus").asc,
                  col("o_orderpriority").asc_nulls_last)
     },
-    """CREATE OR REPLACE TEMP TABLE graft_upd_corr AS SELECT * FROM orders;
+    """COPY (SELECT * FROM orders) TO '/tmp/graft_duck_twin_s15d.parquet' (FORMAT PARQUET);
+      |CREATE OR REPLACE TEMP TABLE graft_upd_corr AS
+      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15d.parquet');
       |UPDATE graft_upd_corr t SET o_orderpriority =
       |  (SELECT c.c_mktsegment FROM customer c
       |   WHERE c.c_custkey = t.o_custkey AND c.c_acctbal < 0)
       |WHERE o_orderstatus = 'F';
+      |COPY graft_upd_corr TO '/tmp/graft_duck_twin_s15d.parquet' (FORMAT PARQUET);
+      |CREATE OR REPLACE TEMP TABLE graft_upd_corr AS
+      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15d.parquet');
       |DELETE FROM graft_upd_corr t
       |WHERE EXISTS (SELECT 1 FROM customer c
       |              WHERE c.c_custkey = t.o_custkey
       |                AND c.c_mktsegment = 'MACHINERY')
       |  AND o_totalprice > 100000.0;
+      |COPY graft_upd_corr TO '/tmp/graft_duck_twin_s15d.parquet' (FORMAT PARQUET);
       |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
       |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key
-      |FROM graft_upd_corr GROUP BY o_orderstatus, o_orderpriority
+      |FROM read_parquet('/tmp/graft_duck_twin_s15d.parquet') GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+
+  // S15E: correlated AGGREGATE subqueries in DML (r14; VERDICT r13
+  // "What's missing" #1) — `SET c = (SELECT max(v) FROM s WHERE s.k =
+  // t.k)`. Engine-side the subquery pre-aggregates BY the correlation
+  // key (one shuffle over the subquery side only; keys unique by
+  // construction, so the ANSI cardinality error is impossible) and
+  // missing keys take the ANSI empty-group value: max/sum → NULL,
+  // COUNT → 0 (the classic "count bug", handled at the rewrite via the
+  // paired NOT-MATCHED-BY-SOURCE assign). Aggregates chosen exact
+  // cross-engine: max (order-independent) and count — no float-sum
+  // association drift. DuckDB twin: identical correlated statements.
+  spark("s15e_vortex_update_corragg",
+    (s, d) => {
+      val dir = vdir("update_s15e", d)
+      Tables.t(s, d, "orders")
+        .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+        .write.format("vortex").mode("overwrite").save(dir)
+      graft.plans.RewriteVortexDml.install(s)
+      s.conf.set("spark.sql.catalog.vtx", "graft.sources.vortex.VortexCatalog")
+      Tables.t(s, d, "lineitem").createOrReplaceTempView("graft_s15e_li")
+      // max over empty → NULL for 'F' orders with no heavy lineitem
+      s.sql(s"""UPDATE vtx.`$dir` t SET o_totalprice =
+                  (SELECT max(l.l_extendedprice) FROM graft_s15e_li l
+                   WHERE l.l_orderkey = t.o_orderkey AND l.l_quantity > 30)
+                WHERE o_orderstatus = 'F'""")
+      // count over empty → 0 (the count bug) for 'O' orders
+      s.sql(s"""UPDATE vtx.`$dir` t SET o_custkey =
+                  (SELECT count(*) FROM graft_s15e_li l
+                   WHERE l.l_orderkey = t.o_orderkey AND l.l_discount > 0.05)
+                WHERE o_orderstatus = 'O'""")
+      s.read.format("vortex").load(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("o_totalprice")).as("n_price"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+          sum(col("o_custkey")).as("sum_cust"))
+        .orderBy("o_orderstatus")
+    },
+    """COPY (SELECT * FROM orders) TO '/tmp/graft_duck_twin_s15e.parquet' (FORMAT PARQUET);
+      |CREATE OR REPLACE TEMP TABLE graft_upd_cagg AS
+      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15e.parquet');
+      |UPDATE graft_upd_cagg t SET o_totalprice =
+      |  (SELECT max(l.l_extendedprice) FROM lineitem l
+      |   WHERE l.l_orderkey = t.o_orderkey AND l.l_quantity > 30)
+      |WHERE o_orderstatus = 'F';
+      |COPY graft_upd_cagg TO '/tmp/graft_duck_twin_s15e.parquet' (FORMAT PARQUET);
+      |CREATE OR REPLACE TEMP TABLE graft_upd_cagg AS
+      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15e.parquet');
+      |UPDATE graft_upd_cagg t SET o_custkey =
+      |  (SELECT count(*) FROM lineitem l
+      |   WHERE l.l_orderkey = t.o_orderkey AND l.l_discount > 0.05)
+      |WHERE o_orderstatus = 'O';
+      |COPY graft_upd_cagg TO '/tmp/graft_duck_twin_s15e.parquet' (FORMAT PARQUET);
+      |SELECT o_orderstatus, count(*) AS n, count(o_totalprice) AS n_price,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+      |FROM read_parquet('/tmp/graft_duck_twin_s15e.parquet') GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 
   // S16C: MERGE `WHEN NOT MATCHED BY SOURCE` (r12; VERDICT r11 next
   // #5) — all three clause families in one statement: matched rows
@@ -780,7 +874,9 @@ object VortexQueries {
           sum(round(col("c_acctbal") * 100).cast("long")).as("sum_cents"))
         .orderBy("c_mktsegment")
     },
-    """CREATE OR REPLACE TEMP TABLE graft_m3 AS SELECT * FROM customer;
+    """COPY (SELECT * FROM customer) TO '/tmp/graft_duck_twin_s16c.parquet' (FORMAT PARQUET);
+      |CREATE OR REPLACE TEMP TABLE graft_m3 AS
+      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s16c.parquet');
       |CREATE OR REPLACE TEMP TABLE graft_m3_src AS
       |  WITH base AS (
       |    SELECT * REPLACE (c_acctbal + 77.0 AS c_acctbal, 'S16C' AS c_mktsegment)
@@ -799,10 +895,11 @@ object VortexQueries {
       |INSERT INTO graft_m3
       |  SELECT * FROM graft_m3_src s
       |  WHERE NOT EXISTS (SELECT 1 FROM graft_m3 t WHERE t.c_custkey = s.c_custkey);
+      |COPY graft_m3 TO '/tmp/graft_duck_twin_s16c.parquet' (FORMAT PARQUET);
       |SELECT c_mktsegment, count(*) AS n,
       |       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
       |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-      |FROM graft_m3 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      |FROM read_parquet('/tmp/graft_duck_twin_s16c.parquet') GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 
   // ---- S3/S4 write rows (the write IS the timed operation) -----------
 
