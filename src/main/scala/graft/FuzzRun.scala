@@ -237,6 +237,18 @@ object FuzzRun {
               "graft.sources.vortex.VortexCatalog")
             spark.sql(parts(1).replace("__DIR__", dir))
             ()
+          case "append" =>
+            // plain append of maintbase rows matching the predicate —
+            // commit-atomic per file, no lease; inside a transaction
+            // group it joins the group's fate (FORMAT.md contract
+            // bound: a rollback removes it)
+            val w = spark.table("maintbase").where(expr(parts(1)))
+              .write.format("vortex").mode("append")
+            lines.collectFirst { case pl if pl.startsWith("partby=") =>
+              pl.stripPrefix("partby=") } match {
+              case Some(c) => w.option("partitionBy", c).save(dir)
+              case None => w.save(dir)
+            }
           case "fold" =>
             sources.vortex.VortexMaintenance.foldMasks(spark, dir)
           case "expire" =>
@@ -264,10 +276,25 @@ object FuzzRun {
           val n = parts(1).toInt
           val mode = parts(2)
           val inner = opLines.slice(oi + 1, oi + 1 + n); oi += 1 + n
-          if (mode == "crash")
-            sources.vortex.VortexTransaction.crashBeforeCloseForTest = true
-          sources.vortex.VortexTransaction.run(spark, Seq(dir)) {
-            inner.foreach(runOp)
+          if (mode == "sqlcommit" || mode == "sqlrollback") {
+            // the SQL statement surface (r14): BEGIN parks the group
+            // thread-locally between spark.sql calls; the inner ops
+            // join it through the held-lease registry exactly like a
+            // withTransaction body. sqlrollback's twin omits the inner
+            // ops — the explicit ROLLBACK must leave no trace.
+            graft.plans.RewriteVortexDml.install(spark)
+            spark.sql(s"BEGIN VORTEX TRANSACTION ON '$dir'")
+            try inner.foreach(runOp)
+            catch { case t: Throwable =>
+              spark.sql("ROLLBACK VORTEX TRANSACTION"); throw t }
+            spark.sql(if (mode == "sqlcommit") "COMMIT VORTEX TRANSACTION"
+                      else "ROLLBACK VORTEX TRANSACTION")
+          } else {
+            if (mode == "crash")
+              sources.vortex.VortexTransaction.crashBeforeCloseForTest = true
+            sources.vortex.VortexTransaction.run(spark, Seq(dir)) {
+              inner.foreach(runOp)
+            }
           }
         } else if (l.stripPrefix("op=").split(MaintSep)(0).trim == "race" ||
                    l.stripPrefix("op=").split(MaintSep)(0).trim == "race3") {

@@ -169,6 +169,10 @@ object SortThroughProject extends Rule[LogicalPlan] {
   * Verify/Bench harness sessions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // BEGIN/COMMIT/ROLLBACK VORTEX TRANSACTION statements (r14); the
+    // VORTEX keyword is mandatory, so nothing the stock parser accepts
+    // is ever intercepted
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     e.injectPostHocResolutionRule(s => RewriteVortexDml(s))
     e.injectOptimizerRule(_ => FastJsonRule)
     e.injectOptimizerRule(_ => FastRegexCountRule)

@@ -299,136 +299,59 @@ object VortexTransaction {
     active.set(Map.empty)
   }
 
-  /** Run `body` as one atomic group over `roots`. See the class doc.
-    *
-    * Commit protocol (2PC presumed-abort; review-found r13): after the
-    * body succeeds, ONE group decision record is created atomically on
-    * the coordinator (smallest sorted root) BEFORE any per-dataset
-    * generation publish. That create is the commit point: from then on
-    * the group is committed — a close error after it surfaces as an
-    * exception but the abort pass (and any later writer's
-    * [[recoverIfCrashed]]) FINALIZES the remaining datasets forward,
-    * never rolls a decided group back. Before the decision exists, any
-    * failure rolls every dataset back. The abort pass only touches
-    * datasets whose lease is still held (fully-closed ones were
-    * removed from the open list as they closed); a dataset whose
-    * finalize/rollback itself fails keeps its marker for the next
-    * writer's recovery rather than being half-processed. */
-  def run[T](spark: SparkSession, roots: Seq[String])(body: => T): T = {
-    // consume the crash seams at ENTRY: a body that throws must not
-    // leave a flag armed for an unrelated later group (the fuzz
-    // harness runs thousands of cases in one JVM)
-    val crashAfterBody = crashBeforeCloseForTest
-    crashBeforeCloseForTest = false
-    val crashAfterDecision = crashAfterDecisionForTest
-    crashAfterDecisionForTest = false
-    val failAfterClosed = failAfterClosedForTest
-    failAfterClosedForTest = -1
+  /** An open group's handle: the still-open txns (lease held, marker
+    * present) and, once [[commit]] writes it, the decision record.
+    * Created by [[open]]; closed by [[commit]] or [[abort]]. The SQL
+    * statement surface (`BEGIN/COMMIT/ROLLBACK VORTEX TRANSACTION`)
+    * holds one of these thread-locally between statements. */
+  final class Group private[VortexTransaction] (
+      val id: String,
+      private[VortexTransaction] var opened: List[Txn],
+      private[VortexTransaction] val conf: Configuration) {
+    private[VortexTransaction] var decision: Option[(FileSystem, Path)] = None
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def closeOne(t: Txn): Unit = {  // caller removes t from `opened`
+    active.set(active.get - t.rootQ)
+    t.lease.release()
+  }
+
+  /** publish t's generation (idempotent: skip if already published)
+    * and drop its marker — the commit-side close of one dataset */
+  private def finalizeForward(t: Txn): Unit = {
+    if (!VortexCommitLog.latestGen(t.fs, t.root).exists(_ >= t.gen))
+      t.ctx.publishNow()
+    t.fs.delete(t.marker, false)
+  }
+
+  /** Open a group: one lease + marker + deferred commit context per
+    * dataset, acquired in canonical-qualified-name order (two groups
+    * over overlapping sets contend instead of deadlocking). Rejects
+    * ANY open group on this thread, disjoint sets included
+    * (review-found r13: the old per-root check allowed disjoint
+    * nesting). On a partial-open failure the already-opened datasets
+    * are rolled back (nothing ran yet — the rollback is a no-op
+    * restore) and leases released. */
+  def open(spark: SparkSession, roots: Seq[String]): Group = {
     require(roots.nonEmpty, "vortex transaction: no datasets declared")
-    // reject ANY open group on this thread, overlapping or not — the
-    // documented contract is "groups do not nest" (review-found r13:
-    // the old per-root check silently allowed disjoint nesting)
     require(active.get.isEmpty,
       "vortex transaction: groups do not nest (a group is already open " +
       "on this thread)")
     val conf = spark.sessionState.newHadoopConf()
     val id = java.util.UUID.randomUUID().toString.take(12)
-    val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    var opened: List[Txn] = Nil   // still-open: lease held, marker present
-    var decision: Option[(FileSystem, Path)] = None
-    def closeOne(t: Txn): Unit = {   // caller removes t from `opened`
-      active.set(active.get - t.rootQ)
-      t.lease.release()
-    }
-    // publish t's generation (idempotent: skip if already published)
-    // and drop its marker — the commit-side close of one dataset
-    def finalizeForward(t: Txn): Unit = {
-      if (!VortexCommitLog.latestGen(t.fs, t.root).exists(_ >= t.gen))
-        t.ctx.publishNow()
-      t.fs.delete(t.marker, false)
-    }
-    def commitAll(): Unit = {
-      val coordTxn = opened.minBy(_.rootQ)
-      decision = Some((coordTxn.fs,
-        writeDecision(coordTxn.fs, coordTxn.root, id,
-          opened.map(_.rootQ).sorted)))
-      if (crashAfterDecision) { simulateCrashForTest(); return }
-      var closed = 0
-      while (opened.nonEmpty) {
-        if (failAfterClosed >= 0 && closed == failAfterClosed)
-          throw new java.io.IOException(
-            s"injected close failure after $closed datasets (test seam)")
-        val t = opened.head
-        finalizeForward(t)
-        closeOne(t)
-        opened = opened.tail
-        closed += 1
-      }
-      decision.foreach { case (dfs, dp) => dfs.delete(dp, false) }
-      decision = None
-    }
-    def abortAll(primary: Throwable): Unit = {
-      while (opened.nonEmpty) {
-        val t = opened.head
-        try {
-          // the group may have DECIDED to commit before this abort
-          // (decision written, or this dataset's generation already
-          // published) — finalize forward; never roll back a decided
-          // group (review-found r13)
-          val committed =
-            decision.exists { case (dfs, dp) =>
-              try dfs.exists(dp) catch { case _: Exception => true } } ||
-            VortexCommitLog.latestGen(t.fs, t.root).exists(_ >= t.gen)
-          if (committed) {
-            finalizeForward(t)
-            log.warn(s"vortex transaction: finalized decided group $id " +
-              s"on ${t.root} during abort (close failed after the commit point)")
-          } else {
-            rollbackTo(t.fs, t.root, t.preGen)
-            t.fs.delete(t.marker, false)
-            log.warn(s"vortex transaction: rolled back group $id on ${t.root}")
-          }
-        } catch { case s: Throwable =>
-          primary.addSuppressed(s)
-          log.error(s"vortex transaction: close of $id on ${t.root} failed; " +
-            "marker left for next-writer recovery", s)
-        } finally {
-          closeOne(t)
-          opened = opened.tail
-        }
-      }
-      // GC the decision if every covered marker is gone (all datasets
-      // finalized above); a kept decision is swept by a later recovery
-      decision.foreach { case (dfs, dp) =>
-        try {
-          val n = {
-            val in = dfs.open(dp)
-            val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-                        finally in.close()
-            new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-          }
-          val rs = n.get("roots")
-          val anyMarker = (0 until rs.size()).exists { i =>
-            val r = new Path(rs.get(i).asText())
-            r.getFileSystem(conf).exists(
-              new Path(VortexCommitLog.logDir(r), s"$MarkerPrefix$id.json"))
-          }
-          if (!anyMarker) dfs.delete(dp, false)
-        } catch { case _: Exception => () }
-      }
-    }
-    // sorted roots: two groups over overlapping dataset sets acquire in
-    // the same order and contend instead of deadlocking
+    val g = new Group(id, Nil, conf)
+    // qualify up front: acquisition order AND the coordinator choice
+    // key on the canonical qualified name, so two groups over
+    // overlapping sets agree regardless of how callers spelled paths
+    val qualified = roots.map { r =>
+      val root = new Path(r)
+      val fs = root.getFileSystem(conf)
+      (fs.makeQualified(root).toString, root, fs)
+    }.distinctBy(_._1).sortBy(_._1)
+    val coordQ = qualified.head._1
     try {
-      // qualify up front: acquisition order AND the coordinator choice
-      // key on the canonical qualified name, so two groups over
-      // overlapping sets agree regardless of how callers spelled paths
-      val qualified = roots.map { r =>
-        val root = new Path(r)
-        val fs = root.getFileSystem(conf)
-        (fs.makeQualified(root).toString, root, fs)
-      }.distinctBy(_._1).sortBy(_._1)
-      val coordQ = qualified.head._1
       qualified.foreach { case (rootQ, root, fs) =>
         require(fs.exists(root),
           s"vortex transaction: dataset $root does not exist — create it first")
@@ -441,19 +364,150 @@ object VortexTransaction {
           val marker = writeMarker(fs, root, id, preGen, preGen + 1, coordQ)
           val txn = new Txn(rootQ, fs, root, lease, preGen, preGen + 1, marker)
           active.set(active.get + (rootQ -> txn))
-          opened = txn :: opened
+          g.opened = txn :: g.opened
         } catch { case t: Throwable =>
           lease.release(); throw t }
       }
+      g
+    } catch { case t: Throwable =>
+      try abort(g, t) catch { case s: Throwable => t.addSuppressed(s) }
+      throw t
+    }
+  }
+
+  /** Commit protocol (2PC presumed-abort; review-found r13): ONE group
+    * decision record is created atomically on the coordinator
+    * (smallest qualified root) BEFORE any per-dataset generation
+    * publish. That create is the commit point: from then on the group
+    * is committed — a close error after it surfaces as an exception
+    * but [[abort]] (and any later writer's [[recoverIfCrashed]])
+    * FINALIZES the remaining datasets forward, never rolls a decided
+    * group back. Callers must pair a thrown commit with [[abort]]
+    * (run() and the SQL COMMIT command both do). */
+  def commit(g: Group): Unit = {
+    val crashAfterDecision = crashAfterDecisionForTest
+    crashAfterDecisionForTest = false
+    val failAfterClosed = failAfterClosedForTest
+    failAfterClosedForTest = -1
+    val coordTxn = g.opened.minBy(_.rootQ)
+    g.decision = Some((coordTxn.fs,
+      writeDecision(coordTxn.fs, coordTxn.root, g.id,
+        g.opened.map(_.rootQ).sorted)))
+    if (crashAfterDecision) { simulateCrashForTest(); return }
+    var closed = 0
+    while (g.opened.nonEmpty) {
+      if (failAfterClosed >= 0 && closed == failAfterClosed)
+        throw new java.io.IOException(
+          s"injected close failure after $closed datasets (test seam)")
+      val t = g.opened.head
+      finalizeForward(t)
+      closeOne(t)
+      g.opened = g.opened.tail
+      closed += 1
+    }
+    g.decision.foreach { case (dfs, dp) => dfs.delete(dp, false) }
+    g.decision = None
+  }
+
+  /** Abort pass: only touches datasets whose lease is still held
+    * (fully-closed ones left the open list as they closed). A group
+    * that already DECIDED to commit (decision on disk, or a published
+    * generation) finalizes FORWARD; an undecided group rolls back. A
+    * dataset whose finalize/rollback itself fails keeps its marker for
+    * the next writer's recovery rather than being half-processed. */
+  def abort(g: Group, primary: Throwable): Unit = {
+    while (g.opened.nonEmpty) {
+      val t = g.opened.head
+      try {
+        val committed =
+          g.decision.exists { case (dfs, dp) =>
+            try dfs.exists(dp) catch { case _: Exception => true } } ||
+          VortexCommitLog.latestGen(t.fs, t.root).exists(_ >= t.gen)
+        if (committed) {
+          finalizeForward(t)
+          log.warn(s"vortex transaction: finalized decided group ${g.id} " +
+            s"on ${t.root} during abort (close failed after the commit point)")
+        } else {
+          rollbackTo(t.fs, t.root, t.preGen)
+          t.fs.delete(t.marker, false)
+          log.warn(s"vortex transaction: rolled back group ${g.id} on ${t.root}")
+        }
+      } catch { case s: Throwable =>
+        primary.addSuppressed(s)
+        log.error(s"vortex transaction: close of ${g.id} on ${t.root} failed; " +
+          "marker left for next-writer recovery", s)
+      } finally {
+        closeOne(t)
+        g.opened = g.opened.tail
+      }
+    }
+    // GC the decision if every covered marker is gone (all datasets
+    // finalized above); a kept decision is swept by a later recovery
+    g.decision.foreach { case (dfs, dp) =>
+      try {
+        val n = {
+          val in = dfs.open(dp)
+          val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+                      finally in.close()
+          new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+        }
+        val rs = n.get("roots")
+        val anyMarker = (0 until rs.size()).exists { i =>
+          val r = new Path(rs.get(i).asText())
+          r.getFileSystem(g.conf).exists(
+            new Path(VortexCommitLog.logDir(r), s"$MarkerPrefix${g.id}.json"))
+        }
+        if (!anyMarker) dfs.delete(dp, false)
+      } catch { case _: Exception => () }
+    }
+  }
+
+  /** the SQL statement surface's open group (BEGIN … COMMIT/ROLLBACK
+    * span statements, so the handle lives between spark.sql calls on
+    * the issuing thread) */
+  private val sqlOpen = new ThreadLocal[Option[Group]] {
+    override def initialValue(): Option[Group] = None
+  }
+  private[graft] def sqlBegin(spark: SparkSession, roots: Seq[String]): Unit = {
+    require(sqlOpen.get.isEmpty,
+      "vortex transaction: a SQL transaction is already open on this thread — " +
+      "COMMIT or ROLLBACK it first")
+    sqlOpen.set(Some(open(spark, roots)))
+  }
+  private[graft] def sqlEnd(doCommit: Boolean): Unit = {
+    val g = sqlOpen.get.getOrElse(throw new IllegalStateException(
+      "vortex transaction: no open SQL transaction on this thread — BEGIN first"))
+    sqlOpen.set(None)
+    if (doCommit) {
+      try commit(g)
+      catch { case t: Throwable =>
+        try abort(g, t) catch { case s: Throwable => t.addSuppressed(s) }
+        throw t
+      }
+    } else {
+      abort(g, new RuntimeException("explicit ROLLBACK"))
+    }
+  }
+
+  /** Run `body` as one atomic group over `roots`. See the class doc
+    * and [[open]]/[[commit]]/[[abort]] for the protocol. */
+  def run[T](spark: SparkSession, roots: Seq[String])(body: => T): T = {
+    // consume the crash seam at ENTRY: a body that throws must not
+    // leave a flag armed for an unrelated later group (the fuzz
+    // harness runs thousands of cases in one JVM)
+    val crashAfterBody = crashBeforeCloseForTest
+    crashBeforeCloseForTest = false
+    val g = open(spark, roots)
+    try {
       val out = body
       if (crashAfterBody) {
         simulateCrashForTest()
         return out
       }
-      commitAll()
+      commit(g)
       out
     } catch { case t: Throwable =>
-      try abortAll(t)
+      try abort(g, t)
       catch { case s: Throwable => t.addSuppressed(s) }
       throw t
     }

@@ -283,6 +283,78 @@ class VortexTransactionSpec extends AnyFunSuite {
     assert(spark.read.format("vortex").load(b).count() == 39L)
   }
 
+  test("SQL surface: BEGIN/COMMIT/ROLLBACK VORTEX TRANSACTION parse to the commands (r14)") {
+    val p = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    assert(p.parsePlan("BEGIN VORTEX TRANSACTION ON '/a/b', '/c'") ==
+      graft.plans.BeginVortexTransactionCommand(Seq("/a/b", "/c")))
+    assert(p.parsePlan("begin vortex transaction on '/x';") ==
+      graft.plans.BeginVortexTransactionCommand(Seq("/x")))
+    assert(p.parsePlan("COMMIT VORTEX TRANSACTION") ==
+      graft.plans.EndVortexTransactionCommand(doCommit = true))
+    assert(p.parsePlan("rollback vortex") ==
+      graft.plans.EndVortexTransactionCommand(doCommit = false))
+    // everything else delegates verbatim
+    assert(p.parsePlan("SELECT 1").isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
+    intercept[Exception] { p.parsePlan("COMMIT") } // stock parser rejects
+  }
+
+  test("SQL surface semantics: statements between BEGIN and COMMIT form one group (r14)") {
+    import graft.sources.vortex.{VortexTransaction => VT}
+    val dir = stage(400)
+    val before = fingerprint(dir)
+    // the thread-local group spans statements exactly like spark.sql
+    // BEGIN … COMMIT would (the commands call these same entry points)
+    VT.sqlBegin(spark, Seq(dir))
+    VortexDelete.delete(spark, dir, col("g") === "g0")
+    import spark.implicits._
+    val src = (0L until 20L).map(i => (i * 4 + 1,
+      java.lang.Long.valueOf(-1L), "patched")).toDF("id", "v", "g")
+    VortexMerge.merge(spark, dir, src, Seq("id"))
+    VT.sqlEnd(doCommit = true)
+    assert(spark.read.format("vortex").load(dir).count() == 300L)
+    // exactly genesis + ONE group generation
+    assert(VortexCommitLog.latestGen(fs, new Path(dir)).contains(1))
+    // explicit ROLLBACK leaves no trace
+    val before2 = fingerprint(dir)
+    VT.sqlBegin(spark, Seq(dir))
+    VortexDelete.delete(spark, dir, col("g") === "g1")
+    VT.sqlEnd(doCommit = false)
+    assert(fingerprint(dir) == before2, "ROLLBACK restores the pre-group state")
+    // guards
+    val e1 = intercept[IllegalStateException] { VT.sqlEnd(doCommit = true) }
+    assert(e1.getMessage.contains("no open SQL transaction"))
+    VT.sqlBegin(spark, Seq(dir))
+    val e2 = intercept[IllegalArgumentException] { VT.sqlBegin(spark, Seq(dir)) }
+    assert(e2.getMessage.contains("already open"))
+    VT.sqlEnd(doCommit = false)
+    assert(before._1 == 400L) // silence unused warning; staging sanity
+  }
+
+  test("out-of-band append during a group joins its fate (r14 contract pin)") {
+    import spark.implicits._
+    val dir = stage(100)
+    val before = fingerprint(dir)
+    // rollback removes the appended file (it is not in the pre-group snapshot)
+    intercept[RuntimeException] {
+      engine.withTransaction(dir) {
+        Seq((9999L, java.lang.Long.valueOf(1L), "app")).toDF("id", "v", "g")
+          .write.format("vortex").mode("append").save(dir)
+        throw new RuntimeException("die")
+      }
+    }
+    assert(fingerprint(dir) == before, "rolled-back group removes its append")
+    // commit keeps it, under the group's single generation
+    engine.withTransaction(dir) {
+      VortexDelete.delete(spark, dir, col("g") === "g0")
+      Seq((9999L, java.lang.Long.valueOf(1L), "app")).toDF("id", "v", "g")
+        .write.format("vortex").mode("append").save(dir)
+    }
+    val after = spark.read.format("vortex").load(dir)
+    assert(after.where(col("g") === "app").count() == 1L)
+    assert(after.count() == 76L)
+  }
+
   test("crash between generation publish and marker delete finalizes, not rolls back") {
     val dir = stage(100)
     // run a real group, then re-create its marker as if the close died

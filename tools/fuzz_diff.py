@@ -610,7 +610,7 @@ def q_maint():
                        'sqlupdate_corr', 'sqldel_corr', 'txn_pair',
                        'bigin', 'race_mix',
                        # round 14 surfaces
-                       'sqlupdate_corragg'])
+                       'sqlupdate_corragg', 'txn_append', 'txn_sql'])
     ops_spark, ops_duck = [], []
     # ~1/3 of queries stage the copy Hive-PARTITIONED: same twin, but
     # the Spark side now runs dir pruning, partition guards, the
@@ -789,29 +789,47 @@ def q_maint():
                 f"WHEN MATCHED THEN UPDATE SET {c0} = tt.{c0}")
             ops_duck.append(
                 f"DELETE FROM maintv WHERE {key} IN ({inlist});")
-        # round 13: two statements inside one Engine.withTransaction.
-        # commit → both land as ONE generation (twin runs both);
-        # crash  → hard death before close, the follow-up op's lock
-        # acquisition rolls BOTH back (twin omits them entirely and
-        # runs only the follow-up).
-        mode = 'commit' if rng.random() < 0.5 else 'crash'
+    elif kind in ('txn_pair', 'txn_append', 'txn_sql'):
+        # round 13 (+r14 fix: this block lived inside the bigin branch
+        # and 'txn_pair' silently fell through to sqlmerge_stream):
+        # statements inside one transaction group.
+        #   txn_pair   — Engine.withTransaction over two maintenance ops;
+        #                commit → both land as ONE generation (twin runs
+        #                both); crash → hard death before close, the
+        #                follow-up op's lock acquisition rolls BOTH back
+        #                (twin omits them).
+        #   txn_append — a mutation + a PLAIN APPEND inside the group:
+        #                the append joins the group's fate (FORMAT.md
+        #                contract bound — a rollback removes it).
+        #   txn_sql    — the r14 SQL statement surface: BEGIN VORTEX
+        #                TRANSACTION … COMMIT/ROLLBACK via spark.sql;
+        #                explicit ROLLBACK must leave no trace.
+        if kind == 'txn_sql':
+            mode = 'sqlcommit' if rng.random() < 0.5 else 'sqlrollback'
+        else:
+            mode = 'commit' if rng.random() < 0.5 else 'crash'
         before_s, before_d = len(ops_spark), len(ops_duck)
         add_del(rng.choice(['del', 'dvdel']))
-        c = rng.random()
-        if c < 0.4:
-            add_update(rng.choice(['update', 'dvupdate']))
-        elif c < 0.7:
-            add_del(rng.choice(['del', 'dvdel']))
-        elif c < 0.85:
-            # SQL statement path inside the group: exercises the lock
-            # re-entrancy through RewriteVortexDml's command execution
-            add_sql_update()
+        if kind == 'txn_append':
+            pr = maint_pred(t)
+            ops_spark.append(f"op=append{SEP}{pr}")
+            ops_duck.append(f"INSERT INTO maintv SELECT * FROM {t} WHERE {pr};")
         else:
-            # correlated DML inside the group: the synthesized MERGE
-            # runs under the group lease and retires under its generation
-            add_sql_corr(delete=rng.random() < 0.5)
+            c = rng.random()
+            if c < 0.4:
+                add_update(rng.choice(['update', 'dvupdate']))
+            elif c < 0.7:
+                add_del(rng.choice(['del', 'dvdel']))
+            elif c < 0.85:
+                # SQL statement path inside the group: exercises the lock
+                # re-entrancy through RewriteVortexDml's command execution
+                add_sql_update()
+            else:
+                # correlated DML inside the group: the synthesized MERGE
+                # runs under the group lease and retires under its generation
+                add_sql_corr(delete=rng.random() < 0.5)
         ops_spark.insert(before_s, f"op=txn{SEP}2{SEP}{mode}")
-        if mode == 'crash':
+        if mode in ('crash', 'sqlrollback'):
             del ops_duck[before_d:]       # the group leaves no trace
         add_del(rng.choice(['del', 'dvdel']))  # follow-up (triggers recovery)
     elif kind == 'race_mix':
