@@ -86,6 +86,46 @@ object FloorProbe extends App {
   time("rrf_lex_leg")(
     graft.queries.RetrievalOps.bm25Scores(spark, sfDir)
       .orderBy(desc("s6"), asc("doc_id")).limit(50))
+  // r14 (VERDICT r13 next #5): the two unpinned >2x rows
+  // q8 legs: both fact sides are dimension-reduced before they meet
+  graft.Tables.registerAll(spark, sfDir)
+  time("q8_eo_leg")(spark.sql(
+    """SELECT o_orderkey, o_orderdate
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'""".stripMargin))
+  time("q8_li_leg")(spark.sql(
+    """SELECT l_orderkey, l_extendedprice, l_discount, n2.n_name
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE p_type = 'ECONOMY'""".stripMargin))
+  time("q8_full_row")(
+    graft.SparkEntry.queries("tpch_q8_mktshare")(spark, sfDir))
+  // t_pack_blocks: tokenize vs prefix-sum vs final sort
+  def packToks = docs.select(col("doc_id"),
+    size(split(col("text"), " ")).cast("long").as("n_tok"), lit(0).as("__g"))
+  time("pack_tokenize_split")(packToks)
+  time("pack_tokenize_spacecount")(docs.select(col("doc_id"),
+    (org.apache.spark.sql.graft.GraftSqlBridge.column(
+      graft.functions.CodepointRangeCount(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("text"),
+        0x20, 0x20)).cast("long") + lit(1L)).as("n_tok")))
+  time("pack_prefixsum")(graft.operators.PrefixSum
+    .groupedCumSum(packToks, "__g", "doc_id", "n_tok", "cum_tok"))
+  time("pack_full_nosort")({
+    val B = 128L
+    graft.operators.PrefixSum
+      .groupedCumSum(packToks, "__g", "doc_id", "n_tok", "cum_tok")
+      .withColumn("start_tok", col("cum_tok") - col("n_tok"))
+      .withColumn("blk_first", floor(col("start_tok") / B).cast("long"))
+      .withColumn("blk_last", floor((col("cum_tok") - 1) / B).cast("long"))
+      .withColumn("n_blocks", col("blk_last") - col("blk_first") + 1)
+      .select("doc_id", "n_tok", "start_tok", "blk_first", "blk_last", "n_blocks")
+  })
+  time("pack_full_row")(
+    graft.SparkEntry.queries("t_pack_blocks")(spark, sfDir))
   time("rrf_dense_leg")({
     import graft.functions.VecFixedPoint
     val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]

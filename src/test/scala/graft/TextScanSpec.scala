@@ -147,6 +147,22 @@ class TextScanSpec extends AnyFunSuite {
     }
   }
 
+  test("space-count + 1 equals size(split(text, ' ')) — the nTokWs tokenize (r14)") {
+    // split keeps empty tokens (leading/trailing/consecutive spaces),
+    // so tokens = (#0x20 codepoints) + 1 for EVERY string incl. ""
+    val rng = new scala.util.Random(14)
+    val alpha = "ab é世  x ".toCharArray
+    val cases = Seq("", " ", "  ", "a", "a b", " a", "a ", "a  b ",
+      "世 界", "tab\tnot-space") ++
+      (0 until 300).map(_ => (0 until rng.nextInt(30))
+        .map(_ => alpha(rng.nextInt(alpha.length))).mkString)
+    cases.foreach { t =>
+      val scan = graft.functions.TextScan.countCodepointRange(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 0x20, 0x20) + 1
+      assert(scan == t.split(" ", -1).length, s"input '$t'")
+    }
+  }
+
   test("the rewrite fires on provable patterns and only on them") {
     // range (not a local relation): ConvertToLocalRelation would fold
     // the whole projection away and leave nothing to inspect
