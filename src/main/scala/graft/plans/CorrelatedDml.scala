@@ -35,7 +35,11 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * keys for EXISTS; key+value rows for scalar; per-key aggregates for
   * the aggregate form) is collected and broadcast under merge's hard
   * `maxSourceRows` cap; the target stays file-granular with key-IN
-  * pushdown pruning (except NMBS shapes).
+  * pushdown pruning (except NMBS shapes). The aggregate form's source
+  * is one row per DISTINCT correlation key, so correlating a fact
+  * table on its own high-cardinality key exceeds the cap and FAILS
+  * LOUDLY (proven at sf1: 1.5 M orderkeys) — correlate on a
+  * dimension-bounded key, or batch the statement.
   *
   * Supported correlation is EQUALITY on bare columns only; a
   * correlated aggregate with its own GROUP BY, or under EXISTS, stays

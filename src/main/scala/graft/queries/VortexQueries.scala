@@ -780,61 +780,66 @@ object VortexQueries {
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
 
   // S15E: correlated AGGREGATE subqueries in DML (r14; VERDICT r13
-  // "What's missing" #1) — `SET c = (SELECT max(v) FROM s WHERE s.k =
-  // t.k)`. Engine-side the subquery pre-aggregates BY the correlation
-  // key (one shuffle over the subquery side only; keys unique by
-  // construction, so the ANSI cardinality error is impossible) and
-  // missing keys take the ANSI empty-group value: max/sum → NULL,
-  // COUNT → 0 (the classic "count bug", handled at the rewrite via the
-  // paired NOT-MATCHED-BY-SOURCE assign). Aggregates chosen exact
-  // cross-engine: max (order-independent) and count — no float-sum
-  // association drift. DuckDB twin: identical correlated statements.
+  // "What's missing" #1) — the classic derive-dimension-from-fact
+  // shape: `UPDATE customer SET bal = (SELECT max(total) FROM orders o
+  // WHERE o.o_custkey = c.c_custkey ...)`. Engine-side the subquery
+  // pre-aggregates BY the correlation key (one shuffle over the fact
+  // side only; keys unique by construction so the ANSI cardinality
+  // error is impossible) and missing keys take the ANSI empty-group
+  // value: max -> NULL, COUNT -> 0 (the "count bug", handled at the
+  // rewrite via the paired NOT-MATCHED-BY-SOURCE assign). Scale
+  // contract stated plainly: the pre-aggregated source is one row per
+  // DISTINCT correlation key and inherits merge's bounded-broadcast
+  // cap — correlate on a dimension-bounded key (custkey here; the
+  // first draft correlated on o_orderkey and correctly FAILED LOUDLY
+  // at sf1's 1.5M keys). Aggregates chosen exact cross-engine: max
+  // (order-independent) and count — no float-sum association drift.
+  // DuckDB twin: identical correlated statements over staged parquet
+  // with per-statement re-read + COPY-back (symmetric persistent IO).
   spark("s15e_vortex_update_corragg",
     (s, d) => {
       val dir = vdir("update_s15e", d)
-      Tables.t(s, d, "orders")
-        .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      Tables.t(s, d, "customer")
+        .repartitionByRange(4, col("c_custkey")).sortWithinPartitions("c_custkey")
         .write.format("vortex").mode("overwrite").save(dir)
       graft.plans.RewriteVortexDml.install(s)
       s.conf.set("spark.sql.catalog.vtx", "graft.sources.vortex.VortexCatalog")
-      Tables.t(s, d, "lineitem").createOrReplaceTempView("graft_s15e_li")
-      // max over empty → NULL for 'F' orders with no heavy lineitem
-      s.sql(s"""UPDATE vtx.`$dir` t SET o_totalprice =
-                  (SELECT max(l.l_extendedprice) FROM graft_s15e_li l
-                   WHERE l.l_orderkey = t.o_orderkey AND l.l_quantity > 30)
-                WHERE o_orderstatus = 'F'""")
-      // count over empty → 0 (the count bug) for 'O' orders
-      s.sql(s"""UPDATE vtx.`$dir` t SET o_custkey =
-                  (SELECT count(*) FROM graft_s15e_li l
-                   WHERE l.l_orderkey = t.o_orderkey AND l.l_discount > 0.05)
-                WHERE o_orderstatus = 'O'""")
+      Tables.t(s, d, "orders").createOrReplaceTempView("graft_s15e_ord")
+      // max over empty -> NULL for customers with no 'F' order
+      s.sql(s"""UPDATE vtx.`$dir` c SET c_acctbal =
+                  (SELECT max(o.o_totalprice) FROM graft_s15e_ord o
+                   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+                WHERE c_mktsegment <> 'BUILDING'""")
+      // count over empty -> 0 (the count bug) for BUILDING customers
+      s.sql(s"""UPDATE vtx.`$dir` c SET c_acctbal =
+                  (SELECT count(*) FROM graft_s15e_ord o
+                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)
+                WHERE c_mktsegment = 'BUILDING'""")
       s.read.format("vortex").load(dir)
-        .groupBy("o_orderstatus")
+        .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
-          count(col("o_totalprice")).as("n_price"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
-          sum(col("o_custkey")).as("sum_cust"))
-        .orderBy("o_orderstatus")
+          count(col("c_acctbal")).as("n_bal"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("sum_cents"))
+        .orderBy("c_mktsegment")
     },
-    """COPY (SELECT * FROM orders) TO '/tmp/graft_duck_twin_s15e.parquet' (FORMAT PARQUET);
+    """COPY (SELECT * FROM customer) TO '/tmp/graft_duck_twin_s15e.parquet' (FORMAT PARQUET);
       |CREATE OR REPLACE TEMP TABLE graft_upd_cagg AS
       |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15e.parquet');
-      |UPDATE graft_upd_cagg t SET o_totalprice =
-      |  (SELECT max(l.l_extendedprice) FROM lineitem l
-      |   WHERE l.l_orderkey = t.o_orderkey AND l.l_quantity > 30)
-      |WHERE o_orderstatus = 'F';
+      |UPDATE graft_upd_cagg c SET c_acctbal =
+      |  (SELECT max(o.o_totalprice) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |WHERE c_mktsegment <> 'BUILDING';
       |COPY graft_upd_cagg TO '/tmp/graft_duck_twin_s15e.parquet' (FORMAT PARQUET);
       |CREATE OR REPLACE TEMP TABLE graft_upd_cagg AS
       |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15e.parquet');
-      |UPDATE graft_upd_cagg t SET o_custkey =
-      |  (SELECT count(*) FROM lineitem l
-      |   WHERE l.l_orderkey = t.o_orderkey AND l.l_discount > 0.05)
-      |WHERE o_orderstatus = 'O';
+      |UPDATE graft_upd_cagg c SET c_acctbal =
+      |  (SELECT count(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)
+      |WHERE c_mktsegment = 'BUILDING';
       |COPY graft_upd_cagg TO '/tmp/graft_duck_twin_s15e.parquet' (FORMAT PARQUET);
-      |SELECT o_orderstatus, count(*) AS n, count(o_totalprice) AS n_price,
-      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-      |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
-      |FROM read_parquet('/tmp/graft_duck_twin_s15e.parquet') GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      |SELECT c_mktsegment, count(*) AS n, count(c_acctbal) AS n_bal,
+      |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM read_parquet('/tmp/graft_duck_twin_s15e.parquet') GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 
   // S16C: MERGE `WHEN NOT MATCHED BY SOURCE` (r12; VERDICT r11 next
   // #5) — all three clause families in one statement: matched rows

@@ -32,7 +32,8 @@ python3 - <<'PYEOF'
 import json
 oracle = json.load(open('/tmp/verify_r14/bench_oracle_sql.json'))
 rows = open('tools/sf1_rows_r14.txt').read().strip().split(',')
-json.dump({k: oracle[k] for k in rows}, open('/tmp/sf1_oracle_r14.json', 'w'))
+json.dump({k: oracle[k] for k in rows if k in oracle},  # rows-only queries have no twin
+          open('/tmp/sf1_oracle_r14.json', 'w'))
 PYEOF
 
 echo "[r14] spark sf1 start $(date)"
