@@ -126,6 +126,40 @@ object FloorProbe extends App {
   })
   time("pack_full_row")(
     graft.SparkEntry.queries("t_pack_blocks")(spark, sfDir))
+  // e_sessions (r14: first round over the bar at 2.1x / 2.62 s):
+  // scan -> one user_id exchange + sort -> lag window + running-sum
+  // window (same spec, one sort) -> agg (exchange-free: user_id
+  // partitioning satisfies the (user_id, sid) clustering) -> final
+  // global sort over ~#sessions rows
+  val ev = Tables.t(spark, sfDir, "events")
+  time("sessions_scan")(ev.select("user_id", "ts", "event_id", "value"))
+  def sessionsCore = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          (unix_micros(col("ts").cast("timestamp")) - unix_micros(lag(col("ts"), 1).over(w).cast("timestamp"))) >
+            lit(1800000000L), 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+  }
+  time("sessions_core_nosort")(sessionsCore)
+  time("sessions_core_plus_sort")(sessionsCore.orderBy("user_id", "sid"))
+  time("sessions_full_row")(
+    graft.SparkEntry.queries("e_sessions")(spark, sfDir))
+  // maintenance-family staging constant: the vortex dataset write that
+  // opens every s14/s15/s16 timed region (orders, 4-file range layout)
+  time("maint_stage_orders")({
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_probe_stage_orders"
+    o.repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      .write.format("vortex").mode("overwrite").save(dir)
+    spark.read.format("vortex").load(dir).select(count(lit(1)).as("n"))
+  })
   time("rrf_dense_leg")({
     import graft.functions.VecFixedPoint
     val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
