@@ -28,7 +28,7 @@ object StageProbe extends App {
     graft.sources.vortex.VortexBulkCopy.copy(o, d2)
   }
   val d3 = s"${sys.props("java.io.tmpdir")}/graft_probe_stage_bulk6"
-  time("bulk_columnar_16mb") {
+  time("bulk_columnar_12mb") {
     val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", (12L << 20).toString)
     try graft.sources.vortex.VortexBulkCopy.copy(Tables.t(spark, sfDir, "orders"), d3)

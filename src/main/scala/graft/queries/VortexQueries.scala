@@ -31,6 +31,14 @@ object VortexQueries {
   val set = new QuerySet
   import set._
 
+  /** Per-process prefix for the DuckDB maintenance twins' staged
+    * parquet (review-found r14): two concurrent bench/verify runs on
+    * one host must not silently overwrite each other's staged twins
+    * mid-sequence. Baked into the oracle SQL at generation time, so
+    * each run's oracle batch stages to its own files. */
+  private val TwinPfx =
+    s"/tmp/graft_duck_twin_p${ProcessHandle.current().pid()}_"
+
   /** Per-(dataset, sf) scratch dir for vortex files. */
   private def vdir(name: String, sfDir: String): String = {
     val sf = new java.io.File(sfDir).getName
@@ -429,15 +437,15 @@ object VortexQueries {
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
         .orderBy("o_orderstatus")
     },
-    """COPY (SELECT * FROM orders) TO '/tmp/graft_duck_twin_s14.parquet' (FORMAT PARQUET);
+    s"""COPY (SELECT * FROM orders) TO '${TwinPfx}s14.parquet' (FORMAT PARQUET);
       |CREATE OR REPLACE TEMP TABLE graft_del AS
-      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s14.parquet');
+      |  SELECT * FROM read_parquet('${TwinPfx}s14.parquet');
       |DELETE FROM graft_del WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0;
-      |COPY graft_del TO '/tmp/graft_duck_twin_s14.parquet' (FORMAT PARQUET);
+      |COPY graft_del TO '${TwinPfx}s14.parquet' (FORMAT PARQUET);
       |SELECT o_orderstatus, count(*) AS n,
       |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-      |FROM read_parquet('/tmp/graft_duck_twin_s14.parquet') GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      |FROM read_parquet('${TwinPfx}s14.parquet') GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 
   // S14-DV: the same delete through the DELETION-VECTOR tier — matching
   // rows land in per-file row-mask sidecars (no data-file rewrite;
@@ -475,15 +483,15 @@ object VortexQueries {
       // makes the oracle row prove it (a divergence shrinks the output)
       masked.intersect(folded).orderBy("o_orderstatus")
     },
-    """COPY (SELECT * FROM orders) TO '/tmp/graft_duck_twin_s14dv.parquet' (FORMAT PARQUET);
+    s"""COPY (SELECT * FROM orders) TO '${TwinPfx}s14dv.parquet' (FORMAT PARQUET);
       |CREATE OR REPLACE TEMP TABLE graft_del_dv AS
-      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s14dv.parquet');
+      |  SELECT * FROM read_parquet('${TwinPfx}s14dv.parquet');
       |DELETE FROM graft_del_dv WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0;
-      |COPY graft_del_dv TO '/tmp/graft_duck_twin_s14dv.parquet' (FORMAT PARQUET);
+      |COPY graft_del_dv TO '${TwinPfx}s14dv.parquet' (FORMAT PARQUET);
       |SELECT o_orderstatus, count(*) AS n,
       |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-      |FROM read_parquet('/tmp/graft_duck_twin_s14dv.parquet') GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      |FROM read_parquet('${TwinPfx}s14dv.parquet') GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 
   // S15: UPDATE over a vortex dataset (VortexUpdate) — the corpus
   // re-scoring shape. Timed region = stage + classify/rewrite update +
@@ -514,17 +522,17 @@ object VortexQueries {
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
         .orderBy("o_orderstatus", "o_orderpriority")
     },
-    """COPY (SELECT * FROM orders) TO '/tmp/graft_duck_twin_s15.parquet' (FORMAT PARQUET);
+    s"""COPY (SELECT * FROM orders) TO '${TwinPfx}s15.parquet' (FORMAT PARQUET);
       |CREATE OR REPLACE TEMP TABLE graft_upd AS
-      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15.parquet');
+      |  SELECT * FROM read_parquet('${TwinPfx}s15.parquet');
       |UPDATE graft_upd SET o_totalprice = o_totalprice + 1000.0,
       |                     o_orderpriority = '5-RESCORED'
       |WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0;
-      |COPY graft_upd TO '/tmp/graft_duck_twin_s15.parquet' (FORMAT PARQUET);
+      |COPY graft_upd TO '${TwinPfx}s15.parquet' (FORMAT PARQUET);
       |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
       |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-      |FROM read_parquet('/tmp/graft_duck_twin_s15.parquet') GROUP BY o_orderstatus, o_orderpriority
+      |FROM read_parquet('${TwinPfx}s15.parquet') GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
 
   // S15-DV: the same update through the MERGE-ON-READ tier — matching
@@ -560,17 +568,17 @@ object VortexQueries {
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
       masked.intersect(folded).orderBy("o_orderstatus", "o_orderpriority")
     },
-    """COPY (SELECT * FROM orders) TO '/tmp/graft_duck_twin_s15dv.parquet' (FORMAT PARQUET);
+    s"""COPY (SELECT * FROM orders) TO '${TwinPfx}s15dv.parquet' (FORMAT PARQUET);
       |CREATE OR REPLACE TEMP TABLE graft_upd_dv AS
-      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15dv.parquet');
+      |  SELECT * FROM read_parquet('${TwinPfx}s15dv.parquet');
       |UPDATE graft_upd_dv SET o_totalprice = o_totalprice + 1000.0,
       |                        o_orderpriority = '5-RESCORED'
       |WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0;
-      |COPY graft_upd_dv TO '/tmp/graft_duck_twin_s15dv.parquet' (FORMAT PARQUET);
+      |COPY graft_upd_dv TO '${TwinPfx}s15dv.parquet' (FORMAT PARQUET);
       |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
       |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-      |FROM read_parquet('/tmp/graft_duck_twin_s15dv.parquet') GROUP BY o_orderstatus, o_orderpriority
+      |FROM read_parquet('${TwinPfx}s15dv.parquet') GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
 
   // S16: MERGE (whole-row upsert) over a vortex dataset (VortexMerge):
@@ -606,9 +614,9 @@ object VortexQueries {
           sum(round(col("c_acctbal") * 100).cast("long")).as("sum_cents"))
         .orderBy("c_mktsegment")
     },
-    """COPY (SELECT * FROM customer) TO '/tmp/graft_duck_twin_s16.parquet' (FORMAT PARQUET);
+    s"""COPY (SELECT * FROM customer) TO '${TwinPfx}s16.parquet' (FORMAT PARQUET);
       |CREATE OR REPLACE TEMP TABLE graft_mrg AS
-      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s16.parquet');
+      |  SELECT * FROM read_parquet('${TwinPfx}s16.parquet');
       |CREATE OR REPLACE TEMP TABLE graft_mrg_src AS
       |  WITH rescored AS (
       |    SELECT * REPLACE ('MERGED' AS c_mktsegment, c_acctbal + 10.0 AS c_acctbal)
@@ -622,11 +630,11 @@ object VortexQueries {
       |INSERT INTO graft_mrg
       |  SELECT * FROM graft_mrg_src s
       |  WHERE NOT EXISTS (SELECT 1 FROM graft_mrg t WHERE t.c_custkey = s.c_custkey);
-      |COPY graft_mrg TO '/tmp/graft_duck_twin_s16.parquet' (FORMAT PARQUET);
+      |COPY graft_mrg TO '${TwinPfx}s16.parquet' (FORMAT PARQUET);
       |SELECT c_mktsegment, count(*) AS n,
       |       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
       |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-      |FROM read_parquet('/tmp/graft_duck_twin_s16.parquet') GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      |FROM read_parquet('${TwinPfx}s16.parquet') GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 
   // S16B: conditional MERGE clauses (r10 VERDICT "What's missing" #2):
   // WHEN MATCHED AND <cond> THEN DELETE, WHEN MATCHED THEN UPDATE SET
@@ -663,9 +671,9 @@ object VortexQueries {
           sum(round(col("c_acctbal") * 100).cast("long")).as("sum_cents"))
         .orderBy("c_mktsegment")
     },
-    """COPY (SELECT * FROM customer) TO '/tmp/graft_duck_twin_s16b.parquet' (FORMAT PARQUET);
+    s"""COPY (SELECT * FROM customer) TO '${TwinPfx}s16b.parquet' (FORMAT PARQUET);
       |CREATE OR REPLACE TEMP TABLE graft_m2 AS
-      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s16b.parquet');
+      |  SELECT * FROM read_parquet('${TwinPfx}s16b.parquet');
       |CREATE OR REPLACE TEMP TABLE graft_m2_src AS
       |  WITH base AS (
       |    SELECT * REPLACE (c_acctbal - 500.0 AS c_acctbal, 'S16B' AS c_mktsegment)
@@ -681,11 +689,11 @@ object VortexQueries {
       |  SELECT * FROM graft_m2_src s
       |  WHERE s.c_acctbal >= 0
       |    AND NOT EXISTS (SELECT 1 FROM graft_m2 t WHERE t.c_custkey = s.c_custkey);
-      |COPY graft_m2 TO '/tmp/graft_duck_twin_s16b.parquet' (FORMAT PARQUET);
+      |COPY graft_m2 TO '${TwinPfx}s16b.parquet' (FORMAT PARQUET);
       |SELECT c_mktsegment, count(*) AS n,
       |       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
       |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-      |FROM read_parquet('/tmp/graft_duck_twin_s16b.parquet') GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      |FROM read_parquet('${TwinPfx}s16b.parquet') GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 
   // S15C: subquery DML (r12; VERDICT r11 "What's missing" #3) — the
   // corpus-purge / audit-driven re-scoring shapes: `UPDATE … WHERE k IN
@@ -718,22 +726,22 @@ object VortexQueries {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
         .orderBy("o_orderstatus", "o_orderpriority")
     },
-    """COPY (SELECT * FROM orders) TO '/tmp/graft_duck_twin_s15c.parquet' (FORMAT PARQUET);
+    s"""COPY (SELECT * FROM orders) TO '${TwinPfx}s15c.parquet' (FORMAT PARQUET);
       |CREATE OR REPLACE TEMP TABLE graft_upd_sq AS
-      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15c.parquet');
+      |  SELECT * FROM read_parquet('${TwinPfx}s15c.parquet');
       |UPDATE graft_upd_sq SET o_orderpriority = '9-AUDITED'
       |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
       |  AND o_orderstatus = 'F';
-      |COPY graft_upd_sq TO '/tmp/graft_duck_twin_s15c.parquet' (FORMAT PARQUET);
+      |COPY graft_upd_sq TO '${TwinPfx}s15c.parquet' (FORMAT PARQUET);
       |CREATE OR REPLACE TEMP TABLE graft_upd_sq AS
-      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15c.parquet');
+      |  SELECT * FROM read_parquet('${TwinPfx}s15c.parquet');
       |DELETE FROM graft_upd_sq
       |WHERE o_custkey IN (SELECT c_custkey FROM customer
       |                    WHERE c_mktsegment = 'MACHINERY' AND c_acctbal < 0);
-      |COPY graft_upd_sq TO '/tmp/graft_duck_twin_s15c.parquet' (FORMAT PARQUET);
+      |COPY graft_upd_sq TO '${TwinPfx}s15c.parquet' (FORMAT PARQUET);
       |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
       |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key
-      |FROM read_parquet('/tmp/graft_duck_twin_s15c.parquet') GROUP BY o_orderstatus, o_orderpriority
+      |FROM read_parquet('${TwinPfx}s15c.parquet') GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
 
   // S15D: CORRELATED subquery DML (r13; VERDICT r12 "What's missing"
@@ -774,25 +782,25 @@ object VortexQueries {
         .orderBy(col("o_orderstatus").asc,
                  col("o_orderpriority").asc_nulls_last)
     },
-    """COPY (SELECT * FROM orders) TO '/tmp/graft_duck_twin_s15d.parquet' (FORMAT PARQUET);
+    s"""COPY (SELECT * FROM orders) TO '${TwinPfx}s15d.parquet' (FORMAT PARQUET);
       |CREATE OR REPLACE TEMP TABLE graft_upd_corr AS
-      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15d.parquet');
+      |  SELECT * FROM read_parquet('${TwinPfx}s15d.parquet');
       |UPDATE graft_upd_corr t SET o_orderpriority =
       |  (SELECT c.c_mktsegment FROM customer c
       |   WHERE c.c_custkey = t.o_custkey AND c.c_acctbal < 0)
       |WHERE o_orderstatus = 'F';
-      |COPY graft_upd_corr TO '/tmp/graft_duck_twin_s15d.parquet' (FORMAT PARQUET);
+      |COPY graft_upd_corr TO '${TwinPfx}s15d.parquet' (FORMAT PARQUET);
       |CREATE OR REPLACE TEMP TABLE graft_upd_corr AS
-      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15d.parquet');
+      |  SELECT * FROM read_parquet('${TwinPfx}s15d.parquet');
       |DELETE FROM graft_upd_corr t
       |WHERE EXISTS (SELECT 1 FROM customer c
       |              WHERE c.c_custkey = t.o_custkey
       |                AND c.c_mktsegment = 'MACHINERY')
       |  AND o_totalprice > 100000.0;
-      |COPY graft_upd_corr TO '/tmp/graft_duck_twin_s15d.parquet' (FORMAT PARQUET);
+      |COPY graft_upd_corr TO '${TwinPfx}s15d.parquet' (FORMAT PARQUET);
       |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
       |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key
-      |FROM read_parquet('/tmp/graft_duck_twin_s15d.parquet') GROUP BY o_orderstatus, o_orderpriority
+      |FROM read_parquet('${TwinPfx}s15d.parquet') GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
 
   // S15E: correlated AGGREGATE subqueries in DML (r14; VERDICT r13
@@ -840,24 +848,24 @@ object VortexQueries {
           sum(round(col("c_acctbal") * 100).cast("long")).as("sum_cents"))
         .orderBy("c_mktsegment")
     },
-    """COPY (SELECT * FROM customer) TO '/tmp/graft_duck_twin_s15e.parquet' (FORMAT PARQUET);
+    s"""COPY (SELECT * FROM customer) TO '${TwinPfx}s15e.parquet' (FORMAT PARQUET);
       |CREATE OR REPLACE TEMP TABLE graft_upd_cagg AS
-      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15e.parquet');
+      |  SELECT * FROM read_parquet('${TwinPfx}s15e.parquet');
       |UPDATE graft_upd_cagg c SET c_acctbal =
       |  (SELECT max(o.o_totalprice) FROM orders o
       |   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
       |WHERE c_mktsegment <> 'BUILDING';
-      |COPY graft_upd_cagg TO '/tmp/graft_duck_twin_s15e.parquet' (FORMAT PARQUET);
+      |COPY graft_upd_cagg TO '${TwinPfx}s15e.parquet' (FORMAT PARQUET);
       |CREATE OR REPLACE TEMP TABLE graft_upd_cagg AS
-      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s15e.parquet');
+      |  SELECT * FROM read_parquet('${TwinPfx}s15e.parquet');
       |UPDATE graft_upd_cagg c SET c_acctbal =
       |  (SELECT count(*) FROM orders o
       |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)
       |WHERE c_mktsegment = 'BUILDING';
-      |COPY graft_upd_cagg TO '/tmp/graft_duck_twin_s15e.parquet' (FORMAT PARQUET);
+      |COPY graft_upd_cagg TO '${TwinPfx}s15e.parquet' (FORMAT PARQUET);
       |SELECT c_mktsegment, count(*) AS n, count(c_acctbal) AS n_bal,
       |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-      |FROM read_parquet('/tmp/graft_duck_twin_s15e.parquet') GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      |FROM read_parquet('${TwinPfx}s15e.parquet') GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 
   // S16C: MERGE `WHEN NOT MATCHED BY SOURCE` (r12; VERDICT r11 next
   // #5) — all three clause families in one statement: matched rows
@@ -899,9 +907,9 @@ object VortexQueries {
           sum(round(col("c_acctbal") * 100).cast("long")).as("sum_cents"))
         .orderBy("c_mktsegment")
     },
-    """COPY (SELECT * FROM customer) TO '/tmp/graft_duck_twin_s16c.parquet' (FORMAT PARQUET);
+    s"""COPY (SELECT * FROM customer) TO '${TwinPfx}s16c.parquet' (FORMAT PARQUET);
       |CREATE OR REPLACE TEMP TABLE graft_m3 AS
-      |  SELECT * FROM read_parquet('/tmp/graft_duck_twin_s16c.parquet');
+      |  SELECT * FROM read_parquet('${TwinPfx}s16c.parquet');
       |CREATE OR REPLACE TEMP TABLE graft_m3_src AS
       |  WITH base AS (
       |    SELECT * REPLACE (c_acctbal + 77.0 AS c_acctbal, 'S16C' AS c_mktsegment)
@@ -920,16 +928,18 @@ object VortexQueries {
       |INSERT INTO graft_m3
       |  SELECT * FROM graft_m3_src s
       |  WHERE NOT EXISTS (SELECT 1 FROM graft_m3 t WHERE t.c_custkey = s.c_custkey);
-      |COPY graft_m3 TO '/tmp/graft_duck_twin_s16c.parquet' (FORMAT PARQUET);
+      |COPY graft_m3 TO '${TwinPfx}s16c.parquet' (FORMAT PARQUET);
       |SELECT c_mktsegment, count(*) AS n,
       |       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
       |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-      |FROM read_parquet('/tmp/graft_duck_twin_s16c.parquet') GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      |FROM read_parquet('${TwinPfx}s16c.parquet') GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 
   // ---- S3/S4 write rows (the write IS the timed operation) -----------
 
   /** oracle-side COPY target (driver-local /tmp; overwritten per rep) */
-  private def oracleCopyPath(tag: String) = s"/tmp/graft_oracle_write_$tag.parquet"
+  // same per-process isolation as TwinPfx (the COPY sinks collide too)
+  private def oracleCopyPath(tag: String) =
+    s"${TwinPfx}oracle_write_$tag.parquet"
 
   // S3 write: the 17-type projection, vortex write vs DuckDB COPY to
   // parquet. Both sides return the written row count; Spark counts the

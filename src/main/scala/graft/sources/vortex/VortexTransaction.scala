@@ -94,23 +94,54 @@ object VortexTransaction {
   private[graft] def decisionPath(coordRoot: Path, id: String): Path =
     new Path(VortexCommitLog.logDir(coordRoot), s"$DecisionPrefix$id.json")
 
+  /** temp name for the decision write — deliberately NOT matching
+    * [[DecisionPrefix]] so a torn temp is never mistaken for a decision
+    * and never keeps gcDecisions spinning on an unreadable record */
+  private[graft] def decisionTmpPath(coordRoot: Path, id: String): Path =
+    new Path(VortexCommitLog.logDir(coordRoot), s".tmp-txngroup-$id.json")
+
+  /** Write-to-temp + atomic rename (review-found r14): the commit point
+    * is bare EXISTENCE of the final path, so a create-then-write there
+    * could leave a torn-but-existing file that recovery reads as
+    * "decided" while abort (decision == None) rolls back — half
+    * forward, half back. With the rename, existence == complete record. */
   private def writeDecision(fs: FileSystem, coordRoot: Path, id: String,
                             roots: Seq[String]): Path = {
     val p = decisionPath(coordRoot, id)
-    val out = fs.create(p, false)
-    try out.write((s"""{"id":"$id","roots":[""" +
-      roots.map(quote).mkString(",") + "]}").getBytes("UTF-8"))
-    finally out.close()
-    p
+    val tmp = decisionTmpPath(coordRoot, id)
+    try {
+      val out = fs.create(tmp, true)
+      try out.write((s"""{"id":"$id","roots":[""" +
+        roots.map(quote).mkString(",") + "]}").getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(
+          s"vortex transaction: decision rename $tmp -> $p failed")
+      p
+    } catch { case t: Throwable =>
+      try fs.delete(tmp, false) catch { case _: Exception => () }
+      throw t
+    }
   }
 
+  /** Indeterminate coordinator reads RETHROW (review-found r14): a
+    * transient failure here must not default to "no decision" — that
+    * would roll a DECIDED group back on this dataset while siblings
+    * finalized forward. Only a confirmed not-found means undecided;
+    * anything else leaves the marker in place for a later retry. */
   private def decisionExists(conf: Configuration, coord: String,
                              id: String): Boolean =
     if (coord == null || coord.isEmpty) false
-    else try {
+    else {
       val cr = new Path(coord)
-      cr.getFileSystem(conf).exists(decisionPath(cr, id))
-    } catch { case _: Exception => false }
+      try cr.getFileSystem(conf).exists(decisionPath(cr, id))
+      catch {
+        case _: java.io.FileNotFoundException => false
+        case e: Exception => throw new java.io.IOException(
+          s"vortex transaction: cannot determine the commit decision of " +
+          s"group $id at coordinator $coord — marker kept for retry", e)
+      }
+    }
 
   private def listMarkers(fs: FileSystem, root: Path): Seq[Path] =
     (try fs.listStatus(VortexCommitLog.logDir(root)).toSeq
@@ -175,10 +206,16 @@ object VortexTransaction {
     * covered dataset (each dataset's recovery deletes its own marker;
     * the coordinator's next recovery sweeps the decision once all are
     * gone). Read-only checks on other roots — no lease needed. */
-  private def gcDecisions(fs: FileSystem, root: Path): Unit =
-    (try fs.listStatus(VortexCommitLog.logDir(root)).toSeq
-     catch { case _: Exception => Seq.empty })
-      .map(_.getPath).filter(_.getName.startsWith(DecisionPrefix))
+  private def gcDecisions(fs: FileSystem, root: Path): Unit = {
+    val entries = (try fs.listStatus(VortexCommitLog.logDir(root)).toSeq
+     catch { case _: Exception => Seq.empty }).map(_.getPath)
+    // orphan decision TEMPS are dead garbage: writers serialize under the
+    // dataset lease (gcDecisions runs inside recoverIfCrashed, under it),
+    // so a surviving tmp belongs to a crashed write whose rename never
+    // happened — it was never a decision and never will be
+    entries.filter(_.getName.startsWith(".tmp-txngroup-"))
+      .foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
+    entries.filter(_.getName.startsWith(DecisionPrefix))
       .foreach { dp =>
         val alive =
           try {
@@ -197,6 +234,7 @@ object VortexTransaction {
           } catch { case _: Exception => true } // unreadable → keep
         if (!alive) fs.delete(dp, false)
       }
+  }
 
   /** Restore the dataset's live state to generation `preGen`'s
     * snapshot: every snapshot entry missing from its original path
@@ -428,6 +466,16 @@ object VortexTransaction {
           log.warn(s"vortex transaction: finalized decided group ${g.id} " +
             s"on ${t.root} during abort (close failed after the commit point)")
         } else {
+          // best-effort clear any decision leftovers (tmp or final) on
+          // the coordinator BEFORE this marker goes (open acquires in
+          // sorted order, so minBy over the remaining prefix IS the
+          // group coordinator): once no decision can materialize, a
+          // later recovery of any sibling can only roll back too
+          val coord = g.opened.minBy(_.rootQ)
+          try coord.fs.delete(decisionTmpPath(coord.root, g.id), false)
+          catch { case _: Exception => () }
+          try coord.fs.delete(decisionPath(coord.root, g.id), false)
+          catch { case _: Exception => () }
           rollbackTo(t.fs, t.root, t.preGen)
           t.fs.delete(t.marker, false)
           log.warn(s"vortex transaction: rolled back group ${g.id} on ${t.root}")

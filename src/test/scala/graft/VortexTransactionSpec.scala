@@ -239,6 +239,31 @@ class VortexTransactionSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"decision record GC'd, got ${leftovers.toSeq}")
   }
 
+  test("a torn decision TEMP never reads as a decision: crashed group rolls BACK; tmp swept (r15)") {
+    // r14 review finding: the commit point is bare existence of the
+    // FINAL decision path, so the write goes tmp -> atomic rename. A
+    // crash mid-write leaves only the tmp — recovery must treat the
+    // group as undecided (roll back) and sweep the dead tmp.
+    val dir = stage(400)
+    val before = fingerprint(dir)
+    VortexTransaction.crashBeforeCloseForTest = true
+    runGroup(dir) // dies after the body — NO decision was written
+    // plant a torn decision TEMP for the dead group's id on the
+    // coordinator (this dataset): half a JSON record, rename never ran
+    val logDir = VortexCommitLog.logDir(new Path(dir))
+    val markerName = fs.listStatus(logDir).map(_.getPath.getName)
+      .find(_.startsWith(".txn-")).get
+    val id = markerName.stripPrefix(".txn-").stripSuffix(".json")
+    val tornTmp = new Path(logDir, s".tmp-txngroup-$id.json")
+    val out = fs.create(tornTmp, true)
+    out.write(s"""{"id":"$id","roo""".getBytes("UTF-8")); out.close()
+    // next writer: recovery must roll BACK (tmp is not a decision)
+    VortexUpdate.update(spark, dir, Map("v" -> lit(0L)), col("id") === -1L)
+    assert(fingerprint(dir) == before,
+      "a torn decision temp must not roll a crashed group forward")
+    assert(!fs.exists(tornTmp), "dead decision temp swept by recovery")
+  }
+
   test("close failure after one dataset closed: the rest FINALIZE, never roll back (r14)") {
     import spark.implicits._
     val corpusA = stage(400); val tombsA = tmp()

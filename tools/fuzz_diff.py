@@ -716,8 +716,13 @@ def q_maint():
         corr = key if (not ints or rng.random() < 0.5) else rng.choice(ints)
         sets = no_part_sets(maint_sets(t))
         c, e = sets[0]
-        # sum only over int targets (type-stable in both engines)
-        agg = (rng.choice(['max', 'min', 'sum', 'count']) if c in ints
+        # sum only into 64-bit int targets (review-found r14): Spark sums
+        # to BIGINT, DuckDB to HUGEINT — assigning into an int32 column
+        # can hit the two engines' divergent store-overflow behavior
+        int32 = {'l_linenumber', 'c_nationkey', 'p_size', 's_nationkey',
+                 'n_nationkey', 'n_regionkey', 'r_regionkey'}
+        agg = (rng.choice(['max', 'min', 'sum', 'count'])
+               if c in ints and c not in int32
                else rng.choice(['max', 'min', 'count']))
         arg = '*' if agg == 'count' else e
         pr = maint_pred(t)
