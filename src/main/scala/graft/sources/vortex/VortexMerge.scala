@@ -165,7 +165,8 @@ object VortexMerge {
     val rootQ = fs.makeQualified(root).toString
     val manifest = StatsManifest.read(root, hconf)
 
-    // (file, partCols, partValues, bloomCols, sketchCols, dstName, relDir, mask)
+    // (file, partCols, partValues, bloomCols, sketchCols, dstName, relDir,
+    //  mask, pre-statement manifest stats — the splice path's inheritance)
     val cands = parts.groupBy(_.file).toSeq.sortBy(_._1).map { case (file, ps) =>
       val p = new Path(file)
       val rel = fs.makeQualified(p).toString.stripPrefix(rootQ).stripPrefix("/")
@@ -176,7 +177,8 @@ object VortexMerge {
       (file, ps.head.partCols, ps.head.partValues,
         entry.map(_.cols.filter(_.bloom.isDefined).map(_.name).toSet).getOrElse(Set.empty),
         entry.map(_.cols.filter(_.sketch.isDefined).map(_.name).toSet).getOrElse(Set.empty),
-        replacementName(p.getName), relDir, ps.head.maskFile)
+        replacementName(p.getName), relDir, ps.head.maskFile,
+        entry.map(_.cols.map(cs => cs.name -> cs).toMap).getOrElse(Map.empty[String, StatsManifest.ColStats]))
     }
 
     // bucketing-key guard (ADVICE r11): a replaced row whose source
@@ -309,16 +311,23 @@ object VortexMerge {
     val fs = root.getFileSystem(hconf)
     // writer-vs-writer mutual exclusion (see MaintenanceLock)
     MaintenanceLock.withLock(fs, root, "merge") {
-    MaintenanceCommit.repairStaleCompactions(fs, root)
-    val (listed, maskBind) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
-    val repaired0 = MaintenanceCommit.repairStaleReplacements(fs, listed.map(_._1)) +
-      MaintenanceCommit.repairStaleUpdvAppends(fs, listed.map(_._1), maskBind)
+    val (listed, maskBind, repaired0) = MaintenancePhases("merge.repair_list") {
+      MaintenanceCommit.repairStaleCompactions(fs, root)
+      val (l, mb) = VortexDataSource.listAllWithMasks(Seq(dir), hconf, consistent = false)
+      val r = MaintenanceCommit.repairStaleReplacements(fs, l.map(_._1)) +
+        MaintenanceCommit.repairStaleUpdvAppends(fs, l.map(_._1), mb)
+      (l, mb, r)
+    }
     // time travel: pre-state generation + retirement (see VortexCommitLog); the
     // statement's own walk is reusable iff the repairs dropped nothing
-    val ttCtx = VortexCommitLog.begin(spark, fs, root, hconf, "merge",
-      if (repaired0 == 0) Some((listed, maskBind)) else None)
+    val ttCtx = MaintenancePhases("merge.log_begin") {
+      VortexCommitLog.begin(spark, fs, root, hconf, "merge",
+        if (repaired0 == 0) Some((listed, maskBind)) else None)
+    }
     val remover = ttCtx.map(_.remover).getOrElse(MaintenanceCommit.PlainRemover)
-    val target = spark.read.format("vortex").load(dir)
+    val target = MaintenancePhases("merge.target_load") {
+      spark.read.format("vortex").load(dir)
+    }
     val tSchema = target.schema
     require(targetAttrs.length == tSchema.length &&
       targetAttrs.zip(tSchema.fields).forall { case (a, f) =>
@@ -333,8 +342,10 @@ object VortexMerge {
 
     // source rows in the SOURCE's own schema/order (clause expressions
     // reference them positionally), bounded like merge's
-    val capped = source.limit(maxSourceRows + 1)
-      .queryExecution.toRdd.map(_.copy()).collect()
+    val capped = MaintenancePhases("merge.src_collect") {
+      source.limit(maxSourceRows + 1)
+        .queryExecution.toRdd.map(_.copy()).collect()
+    }
     require(capped.length <= maxSourceRows,
       s"vortex merge: source exceeds maxSourceRows=$maxSourceRows — " +
       "merge broadcasts the source; batch it or raise the cap deliberately")
@@ -404,13 +415,14 @@ object VortexMerge {
       case Some(vs) => target.filter(col(s"`${keyCols.head}`").isInCollection(vs))
       case None => target
     }
+    val cands = MaintenancePhases("merge.plan_candidates") {
     val parts = filtered.queryExecution.sparkPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }.flatMap(_.inputPartitions).collect { case v: VortexInputPartition => v }
 
     val rootQ = fs.makeQualified(root).toString
     val manifest = StatsManifest.read(root, hconf)
-    val cands = parts.groupBy(_.file).toSeq.sortBy(_._1).map { case (file, ps) =>
+    parts.groupBy(_.file).toSeq.sortBy(_._1).map { case (file, ps) =>
       val p = new Path(file)
       val rel = fs.makeQualified(p).toString.stripPrefix(rootQ).stripPrefix("/")
       val relDir = rel.lastIndexOf('/') match {
@@ -420,7 +432,9 @@ object VortexMerge {
       (file, ps.head.partCols, ps.head.partValues,
         entry.map(_.cols.filter(_.bloom.isDefined).map(_.name).toSet).getOrElse(Set.empty),
         entry.map(_.cols.filter(_.sketch.isDefined).map(_.name).toSet).getOrElse(Set.empty),
-        replacementName(p.getName), relDir, ps.head.maskFile)
+        replacementName(p.getName), relDir, ps.head.maskFile,
+        entry.map(_.cols.map(cs => cs.name -> cs).toMap).getOrElse(Map.empty[String, StatsManifest.ColStats]))
+    }
     }
 
     // bucketing-key guard (ADVICE r11) — see mergeImpl
@@ -429,27 +443,31 @@ object VortexMerge {
         .map(bs => tSchema.fieldIndex(bs._1)).getOrElse(-1)
 
     val sconf = new SerializableConfiguration(hconf)
-    val outcomes =
+    val outcomes = MaintenancePhases("merge.file_tasks") {
       if (cands.isEmpty) Array.empty[VortexMergeSupport.ClauseOutcome]
       else spark.sparkContext.parallelize(cands, cands.length).map { c =>
         VortexMergeSupport.processFileClauses(c, tSchema, keyIdxTarget, keyIdxSource,
           keyTypes, bcRows.value, boundMatched, boundNmbs, bucketIdx, sconf.value,
           bcDupKeys.value)
       }.collect()
-
-    // driver commit: drop-whole (every live row deleted) + rewrites
-    outcomes.filter(_.status == 1).foreach { o =>
-      val src = new Path(o.file)
-      if (!remover.remove(fs, src))
-        throw new java.io.IOException(s"vortex merge: failed to delete ${o.file}")
-      MaintenanceCommit.dropMasks(fs, maskBind, o.file, remover)
     }
-    val destructive = outcomes.filter(_.status == 2)
-    MaintenanceCommit.commitAll(fs, "merge", maskBind,
-      destructive.toSeq.map(o => MaintenanceCommit.Replacement(o.file, o.tmp, o.dstName)),
-      remover)
-    MaintenanceCommit.writeManifests(root, hconf, "merge",
-      destructive.toSeq.map(o => (o.schemaJson, o.entry)))
+
+    val destructive = MaintenancePhases("merge.commit") {
+      // driver commit: drop-whole (every live row deleted) + rewrites
+      outcomes.filter(_.status == 1).foreach { o =>
+        val src = new Path(o.file)
+        if (!remover.remove(fs, src))
+          throw new java.io.IOException(s"vortex merge: failed to delete ${o.file}")
+        MaintenanceCommit.dropMasks(fs, maskBind, o.file, remover)
+      }
+      val d = outcomes.filter(_.status == 2)
+      MaintenanceCommit.commitAll(fs, "merge", maskBind,
+        d.toSeq.map(o => MaintenanceCommit.Replacement(o.file, o.tmp, o.dstName)),
+        remover)
+      MaintenanceCommit.writeManifests(root, hconf, "merge",
+        d.toSeq.map(o => (o.schemaJson, o.entry)))
+      d
+    }
 
     // insert half: unmatched source rows through the NOT MATCHED
     // clauses (first true condition wins; none → skip), driver-side —
@@ -468,9 +486,11 @@ object VortexMerge {
     }
     val srcHash = VortexMergeSupport.sourceHash(srcRows,
       keyCols :+ s"clauses:$clauseFingerprint")
-    val inserted = appendInserts(spark, fs, root, hconf, tSchema, listed,
-      insertRows, srcHash, failAfterInserts)
-    ttCtx.foreach(_.finish())
+    val inserted = MaintenancePhases("merge.insert_append") {
+      appendInserts(spark, fs, root, hconf, tSchema, listed,
+        insertRows, srcHash, failAfterInserts)
+    }
+    MaintenancePhases("merge.tt_finish") { ttCtx.foreach(_.finish()) }
 
     MergeResult(cands.length,
       outcomes.count(_.status == 0),
@@ -680,7 +700,7 @@ private[vortex] object VortexMergeSupport {
                                  matchedOrdinals: Array[Int])
 
   def processFileClauses(
-      c: (String, Array[String], Array[String], Set[String], Set[String], String, String, String),
+      c: (String, Array[String], Array[String], Set[String], Set[String], String, String, String, Map[String, StatsManifest.ColStats]),
       tSchema: StructType, keyIdxT: Array[Int], keyIdxS: Array[Int],
       keyTypes: Array[org.apache.spark.sql.types.DataType],
       srcRows: Array[org.apache.spark.sql.catalyst.InternalRow],
@@ -696,7 +716,7 @@ private[vortex] object VortexMergeSupport {
       // for targeted rows); conds in this mode are target-only
       dupKeys: Set[Seq[Any]] = Set.empty): ClauseOutcome = {
     import org.apache.spark.sql.catalyst.expressions.{JoinedRow, UnsafeProjection, Predicate => CatalystPredicate}
-    val (file, partCols, partValues, bloomCols, sketchCols, dstName, relDir, maskFile) = c
+    val (file, partCols, partValues, bloomCols, sketchCols, dstName, relDir, maskFile, oldCols) = c
     val path = new Path(file)
     val fs = path.getFileSystem(conf)
     val footer = VortexFileReader.readFooter(path, conf)
@@ -734,6 +754,98 @@ private[vortex] object VortexMergeSupport {
     // provably untouched here; otherwise pass 2 decides
     if ((matchedSet.isEmpty || boundMatched.isEmpty) && boundNmbs.isEmpty)
       return ClauseOutcome(file, 0, 0L, 0L, null, null, null, null, ords)
+
+    // column-splice fast path (r15, VERDICT r14 next #2/#3): when every
+    // clause is an UPDATE (no DELETE can fire → row count/order
+    // preserved) and the file carries no mask, re-encode only the
+    // assigned columns and pass the rest through byte-for-byte. The
+    // correlated-DML statements (s15d/s15e shapes) ride this: their
+    // single-column SETs rewrite 1 of N columns per file.
+    if (maskFile == null && boundMatched.forall(_._2.isDefined) &&
+        boundNmbs.forall(_._2.isDefined)) {
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      val targetWidth = tSchema.length
+      // changed target ordinals: positions whose assignment is not the
+      // identity BoundReference(p) (fullUpdateProjection keeps the
+      // original attribute for unassigned columns)
+      def changedOf(assigns: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[Int] =
+        assigns.zipWithIndex.collect {
+          case (e, p) if !(e.isInstanceOf[BoundReference] &&
+            e.asInstanceOf[BoundReference].ordinal == p) => p
+        }
+      val changedPos: Set[Int] =
+        (boundMatched.flatMap(a => changedOf(a._2.get)) ++
+         boundNmbs.flatMap(a => changedOf(a._2.get))).toSet
+      def targetRefs(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Int] =
+        e.collect { case b: BoundReference if b.ordinal < targetWidth => b.ordinal }
+      val needed: Set[Int] =
+        (keyIdxT.toSeq ++
+         boundMatched.flatMap(_._1.toSeq.flatMap(targetRefs)) ++
+         boundNmbs.flatMap(_._1.toSeq.flatMap(targetRefs)) ++
+         boundMatched.flatMap(_._2.get.zipWithIndex.collect {
+           case (e, p) if changedPos.contains(p) => e }.flatMap(targetRefs)) ++
+         boundNmbs.flatMap(_._2.get.zipWithIndex.collect {
+           case (e, p) if changedPos.contains(p) => e }.flatMap(targetRefs))).toSet
+      val changedNames = changedPos.map(tSchema.fields(_).name)
+      // a changed bucketing key needs pass 2's per-row value guard
+      val spliceOk = !(bucketIdx >= 0 && changedPos.contains(bucketIdx))
+      val planOpt =
+        if (spliceOk) ColumnSplice.plan(footer, maskFile, tSchema, changedNames, needed)
+        else None
+      planOpt.foreach { pl =>
+        val posOf: Array[Int] = pl.changedFileCols.map(pl.fileToTable(_))
+        val matchedProjs = boundMatched.map(a =>
+          UnsafeProjection.create(posOf.toSeq.map(a._2.get(_))))
+        val nmbsProjs2 = boundNmbs.map(a =>
+          UnsafeProjection.create(posOf.toSeq.map(a._2.get(_))))
+        val matchedPreds = boundMatched.map(_._1.map { e =>
+          val p = CatalystPredicate.create(e); p.initialize(0); p })
+        val nmbsPreds2 = boundNmbs.map(_._1.map { e =>
+          val p = CatalystPredicate.create(e); p.initialize(0); p })
+        val patcher = new ColumnSplice.RowPatch {
+          private val joined = new JoinedRow
+          override def patch(t: org.apache.spark.sql.catalyst.InternalRow)
+              : org.apache.spark.sql.catalyst.InternalRow = {
+            val k = VortexMergeSupport.keyOf(t, keyIdxT, keyTypes)
+            val hit = if (k == null) null else byKey.get(k)
+            if (hit == null) {
+              var j = 0
+              while (j < boundNmbs.length) {
+                if (nmbsPreds2(j).forall(_.eval(t))) return nmbsProjs2(j)(t)
+                j += 1
+              }
+              null
+            } else if (dupKeys.contains(k)) {
+              joined(t, srcRows(hit.intValue()))
+              if (matchedPreds.indices.exists(j => matchedPreds(j).forall(_.eval(joined))))
+                throw new IllegalStateException(
+                  "vortex merge: scalar subquery produced more than one row " +
+                  s"for key $k (ANSI cardinality)")
+              null // not targeted — the duplicate is harmless
+            } else {
+              joined(t, srcRows(hit.intValue()))
+              var j = 0
+              while (j < boundMatched.length) {
+                if (matchedPreds(j).forall(_.eval(joined))) return matchedProjs(j)(joined)
+                j += 1
+              }
+              null
+            }
+          }
+        }
+        val tmpS = new Path(path.getParent,
+          s".$dstName.${java.util.UUID.randomUUID().toString.take(8)}.inprogress")
+        val relS = if (relDir.isEmpty) dstName else s"$relDir/$dstName"
+        val r = ColumnSplice.rewrite(path, tmpS, conf, footer, tSchema, pl,
+          patcher, bloomCols, sketchCols, oldCols, relS)
+        if (r.updated == 0L) {
+          fs.delete(tmpS, false)
+          return ClauseOutcome(file, 0, 0L, 0L, null, null, null, null, ords)
+        }
+        return ClauseOutcome(file, 2, r.updated, 0L, tmpS.toString, dstName,
+          r.entry, r.schemaJson, ords)
+      }
+    }
 
     // pass 2: rewrite, clauses in order, first true condition wins
     val tmp = new Path(path.getParent,
@@ -872,13 +984,13 @@ private[vortex] object VortexMergeSupport {
       entry, tmpFooter.schema.json, ords)
   }
 
-  def processFile(c: (String, Array[String], Array[String], Set[String], Set[String], String, String, String),
+  def processFile(c: (String, Array[String], Array[String], Set[String], Set[String], String, String, String, Map[String, StatsManifest.ColStats]),
                   tSchema: StructType, keyIdx: Array[Int],
                   keyTypes: Array[org.apache.spark.sql.types.DataType],
                   srcRows: Array[org.apache.spark.sql.catalyst.InternalRow],
                   bucketIdx: Int,
                   conf: org.apache.hadoop.conf.Configuration): Outcome = {
-    val (file, partCols, partValues, bloomCols, sketchCols, dstName, relDir, maskFile) = c
+    val (file, partCols, partValues, bloomCols, sketchCols, dstName, relDir, maskFile, _) = c
     val path = new Path(file)
     val fs = path.getFileSystem(conf)
     val footer = VortexFileReader.readFooter(path, conf)
