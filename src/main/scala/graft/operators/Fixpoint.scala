@@ -97,9 +97,25 @@ object Fixpoint {
     * strictly growing column like depth over an acyclic edge set —
     * the common reachability/hierarchy shape); on a cyclic derivation
     * this throws at `maxRounds` rather than looping forever. Use
-    * `recursiveUnion` when rows can re-derive. */
+    * `recursiveUnion` when rows can re-derive.
+    *
+    * `kernelCap > 0` opts into the TINY-FRONTIER driver kernel (r15;
+    * the labelPropagateKernel / BoundedBucketPairs discipline): each
+    * round's delta is collected bounded by `limit(cap+1)` — a round
+    * exceeding the cap fails LOUDLY, never silently truncates — and
+    * the next frontier becomes a LocalRelation. A frontier the step
+    * joins against then broadcasts with NO broadcast-collect job (a
+    * LocalTableScan collects driver-side), so a round costs exactly
+    * one Spark job instead of two-plus. A/B at sf1 (q_recursive,
+    * 8 rounds, ≤50-row frontiers): 18 jobs / 1.48 s best → see
+    * BASELINE.md r15. Driver state is bounded by rounds × cap, the
+    * same bound the result itself carries — use only when the CLOSURE
+    * is small (reachability over a dimension hierarchy), never for a
+    * corpus-sized recursion. */
   def recursiveUnionAll(base: DataFrame, step: DataFrame => DataFrame,
-                        maxRounds: Int = 100): DataFrame = {
+                        maxRounds: Int = 100,
+                        kernelCap: Int = 0): DataFrame = {
+    if (kernelCap > 0) return recursiveUnionAllKernel(base, step, maxRounds, kernelCap)
     val s = base.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqePrev = s.conf.get(aqeKey, "true")
@@ -125,5 +141,57 @@ object Fixpoint {
       }
       if (deltas.isEmpty) frontier else deltas.reduce(_ union _)
     } finally s.conf.set(aqeKey, aqePrev)
+  }
+
+  /** the tiny-frontier kernel behind `recursiveUnionAll(kernelCap)`:
+    * one bounded collect per round, LocalRelation frontiers. The
+    * accumulated result is a union of LocalRelations — bounded by the
+    * same rounds × cap the collects are. */
+  private def recursiveUnionAllKernel(base: DataFrame,
+                                      step: DataFrame => DataFrame,
+                                      maxRounds: Int,
+                                      kernelCap: Int): DataFrame = {
+    val s = base.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    // limit+collect normally runs Spark's INCREMENTAL take (1 partition,
+    // then 4x more, …) — several jobs per round for a sparse match. The
+    // whole point of the kernel is one job per round: scan every
+    // partition in the first take pass. Restored with AQE below.
+    val takeKey = "spark.sql.limit.initialNumPartitions"
+    val takePrev = s.conf.get(takeKey, "1")
+    s.conf.set(takeKey, Int.MaxValue.toString)
+    try {
+      val schema = base.schema
+      def localize(df: DataFrame, what: String): (DataFrame, Int) = {
+        // limit(cap+1): the collect can never pull more than cap+1
+        // rows no matter how wrong the caller's size estimate is
+        val rows = df.limit(kernelCap + 1).collect()
+        require(rows.length <= kernelCap,
+          s"recursiveUnionAll kernel: $what exceeds kernelCap=$kernelCap " +
+          "rows — raise the cap deliberately or drop kernelCap to run " +
+          "the distributed form")
+        (s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema), rows.length)
+      }
+      var (frontier, n) = localize(base, "the base")
+      val deltas = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      var rounds = 0
+      while (n > 0) {
+        deltas += frontier
+        if (rounds >= maxRounds)
+          throw new IllegalStateException(
+            s"recursiveUnionAll did not converge in $maxRounds rounds " +
+              "(cyclic derivation? use recursiveUnion)")
+        val (f2, n2) = localize(step(frontier), s"round $rounds's delta")
+        frontier = f2; n = n2
+        rounds += 1
+      }
+      if (deltas.isEmpty) frontier else deltas.reduce(_ union _)
+    } finally {
+      s.conf.set(aqeKey, aqePrev)
+      s.conf.set(takeKey, takePrev)
+    }
   }
 }

@@ -77,10 +77,15 @@ object Coverage3 {
       // cycle-proven in FixpointSpec)
       val closure = graft.operators.Fixpoint.recursiveUnionAll(base, fr =>
         // frontier is ≤ |starts| rows per round — broadcast it so each
-        // round is a map-side probe of the (large, at scale) edge set
+        // round is a map-side probe of the (large, at scale) edge set.
+        // kernelCap (r15): deltas are ≤ |starts| rows, so the frontier
+        // rides the bounded driver kernel — LocalRelation frontiers
+        // broadcast with no collect job, one Spark job per round
+        // (18 jobs / 1.48 s -> 10 jobs, see BASELINE.md r15)
         edges.join(broadcast(fr), col("child") === col("node"))
           .select(col("start"), col("parent").as("node"),
-            (col("depth") + 1).as("depth")), maxRounds = 64)
+            (col("depth") + 1).as("depth")), maxRounds = 64,
+        kernelCap = 10000)
       closure.groupBy("start")
         .agg(count(lit(1)).as("n_anc"), max(col("depth")).as("max_depth"))
         .orderBy("start")

@@ -538,22 +538,46 @@ object VortexMerge {
     val insRepl = replacementName(insBase)
     val stage = new Path(root, s".merge-stage-$srcHash")
     fs.delete(stage, true) // leftover scratch of a crashed run
-    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
-      .createToScalaConverter(tSchema)
-    val ext = rows.map(r => conv(r).asInstanceOf[org.apache.spark.sql.Row])
     import scala.jdk.CollectionConverters._
     val layoutPartCols = listed.flatMap(_._2.map(_._1)).distinct
       .filterNot(_ == BucketSpecFile.BucketCol)
-    var w = spark.createDataFrame(ext.asJava, tSchema)
-      .coalesce(1).write.format("vortex").mode("overwrite")
-    if (layoutPartCols.nonEmpty)
-      w = w.option("partitionBy", layoutPartCols.mkString(","))
-    // the staging dir carries no bucket marker — pass the dataset's
-    // spec explicitly so bucket routing survives the indirection
-    (try BucketSpecFile.read(root, hconf) catch { case _: Exception => None })
-      .foreach { case (k, n) =>
+    val bucketSpec =
+      try BucketSpecFile.read(root, hconf) catch { case _: Exception => None }
+    if (layoutPartCols.isEmpty && bucketSpec.isEmpty) {
+      // driver-direct staging (r15, MergeProbe finding): the insert set
+      // is bounded driver state by merge's contract, and routing it
+      // through a Spark write job costs a whole job launch (~0.12-0.19 s
+      // at sf1) to move a few thousand rows. One VortexFileWriter call
+      // produces the identical file + manifest segment. Partitioned /
+      // bucketed layouts keep the distributed writer (their routing
+      // lives in the DSv2 path).
+      fs.mkdirs(stage)
+      val f = new Path(stage, "part-d00000.vortex")
+      val w = new VortexFileWriter(f, hconf, tSchema)
+      rows.foreach(w.write)
+      w.close()
+      val footer = VortexFileReader.readFooter(f, hconf)
+      val base = StatsManifest.fromFooter(f.getName,
+        fs.getFileStatus(f).getLen, footer)
+      val sums = tSchema.fieldNames.zip(w.columnSums).toMap
+      val entry = base.copy(cols = base.cols.map(c =>
+        c.copy(sum = sums.getOrElse(c.name, None))))
+      MaintenanceCommit.writeManifests(stage, hconf, "merge-ins",
+        Seq((footer.schema.json, entry)))
+    } else {
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(tSchema)
+      val ext = rows.map(r => conv(r).asInstanceOf[org.apache.spark.sql.Row])
+      var w = spark.createDataFrame(ext.asJava, tSchema)
+        .coalesce(1).write.format("vortex").mode("overwrite")
+      if (layoutPartCols.nonEmpty)
+        w = w.option("partitionBy", layoutPartCols.mkString(","))
+      // the staging dir carries no bucket marker — pass the dataset's
+      // spec explicitly so bucket routing survives the indirection
+      bucketSpec.foreach { case (k, n) =>
         w = w.option("bucketBy", k).option("buckets", n.toString) }
-    w.save(stage.toString)
+      w.save(stage.toString)
+    }
     // scratch cleanup rides a finally: a crash mid-rename must not
     // strand a full staged copy of the insert set inside the dataset
     // (the name embeds the statement hash — no other statement would

@@ -26,6 +26,23 @@ object EventPipelines {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_v"))
 
+  /** [[windowedAgg]]'s exact-sum twin for oracle hashing (r15,
+    * VERDICT r14 next #7): partial sums accumulate as long CENTS —
+    * order-independent across micro-batches and partitions — so the
+    * streamed result hash-matches the batch `e_window_tumbling`
+    * oracle bit-for-bit (the same trick that row uses; a double sum's
+    * last ulp would depend on batch arrival order). */
+  def windowedAggCents(events: DataFrame, watermark: String = "10 minutes",
+                       window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        (col("cents").cast(org.apache.spark.sql.types.DecimalType(20, 0)) / lit(100))
+          .cast("double").as("sum_v"))
+
   /** Sliding-window event rate per type. */
   def slidingRate(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events

@@ -610,7 +610,9 @@ def q_maint():
                        'sqlupdate_corr', 'sqldel_corr', 'txn_pair',
                        'bigin', 'race_mix',
                        # round 14 surfaces
-                       'sqlupdate_corragg', 'txn_append', 'txn_sql'])
+                       'sqlupdate_corragg', 'txn_append', 'txn_sql',
+                       # round 15 surfaces
+                       'txn_sql_race'])
     ops_spark, ops_duck = [], []
     # ~1/3 of queries stage the copy Hive-PARTITIONED: same twin, but
     # the Spark side now runs dir pruning, partition guards, the
@@ -837,6 +839,29 @@ def q_maint():
         if mode in ('crash', 'sqlrollback'):
             del ops_duck[before_d:]       # the group leaves no trace
         add_del(rng.choice(['del', 'dvdel']))  # follow-up (triggers recovery)
+    elif kind == 'txn_sql_race':
+        # round 15 (VERDICT r14 next #6): TWO threads race full SQL
+        # transactions — BEGIN VORTEX TRANSACTION on the SAME dataset,
+        # a block of DELETEs, then COMMIT / ROLLBACK / simulated hard
+        # crash — through FuzzRun op=txnrace. The dataset lease
+        # serializes the groups (the loser's BEGIN retries on
+        # ConcurrentMaintenanceException), DELETE blocks commute, so
+        # both serial orders agree and the twin applies only the
+        # COMMITTED blocks. A crashed group is rolled back by the next
+        # writer's lock acquisition (the other thread's BEGIN retry or
+        # the follow-up op below), so it must leave no trace either.
+        n1, n2 = rng.randint(1, 2), rng.randint(1, 2)
+        m1 = rng.choice(['commit', 'commit', 'commit', 'rollback', 'crash'])
+        m2 = rng.choice(['commit', 'commit', 'commit', 'rollback', 'crash'])
+        before_s, before_d = len(ops_spark), len(ops_duck)
+        for _ in range(n1): add_del(rng.choice(['del', 'dvdel']))
+        mid_d = len(ops_duck)
+        for _ in range(n2): add_del(rng.choice(['del', 'dvdel']))
+        if m2 != 'commit': del ops_duck[mid_d:]
+        if m1 != 'commit': del ops_duck[before_d:mid_d]
+        ops_spark.insert(before_s,
+                         f"op=txnrace{SEP}{n1}{SEP}{m1}{SEP}{n2}{SEP}{m2}")
+        add_del(rng.choice(['del', 'dvdel']))  # follow-up: recovers any crashed group
     elif kind == 'race_mix':
         # round 13 (VERDICT r12 next #9): writer-vs-compact-vs-expire
         # triple racing on the lease from three threads. All three
