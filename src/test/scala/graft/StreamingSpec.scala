@@ -42,6 +42,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == 4)
   }
 
+  test("e_stream_tumbling shape: complete-mode cents agg into an overwrite sink is replay-idempotent (r15)") {
+    import spark.implicits._
+    // the oracle row's machinery in miniature: a multi-batch file
+    // stream, complete-mode windowedAggCents, each trigger OVERWRITING
+    // the vortex sink — running the whole stream TWICE (fresh
+    // checkpoint = full replay) must land byte-equal sink contents
+    val landing = java.nio.file.Files.createTempDirectory("estream_land").toString
+    val sink = java.nio.file.Files.createTempDirectory("estream_sink").toString + "/out"
+    val rows = (0 until 500).map { i =>
+      (i.toLong, ts(f"2024-01-01 ${i % 5}%02d:${i % 60}%02d:00"),
+        (i % 7).toLong, if (i % 3 == 0) "click" else "view", i / 10.0)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    df.repartition(3).write.mode("overwrite").parquet(landing)
+    def runStream(): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory("estream_ck").toString
+      val ev = spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
+      val q = EventPipelines.windowedAggCents(ev)
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.format("vortex").mode("overwrite").save(sink)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runStream()
+    val first = spark.read.format("vortex").load(sink)
+      .orderBy("ws", "event_type").collect().toSeq
+    runStream() // full replay into the same sink
+    val second = spark.read.format("vortex").load(sink)
+      .orderBy("ws", "event_type").collect().toSeq
+    assert(first == second, "replay must land the identical sink")
+    // and the streamed answer equals the batch answer exactly
+    val batch = EventPipelines.windowedAggCents(df)
+      .orderBy("ws", "event_type").collect().toSeq
+    assert(first == batch, "streamed == batch (cents partials are order-exact)")
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed event_ids") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
