@@ -159,6 +159,7 @@ private[graft] object ColumnSplice {
         val miniBuf = new ChunkBuffer(changedFields, rows, changedTsUnits,
           shredStructs = true)
         val patchRowOld = new GenericInternalRow(changed.length)
+        var patchedInChunk = 0
         var i = 0
         while (i < rows) {
           p.decodeFileCols.foreach { dc =>
@@ -168,6 +169,7 @@ private[graft] object ColumnSplice {
           val patched = patcher.patch(evalRow)
           if (patched != null) {
             updated += 1
+            patchedInChunk += 1
             miniBuf.write(patched)
           } else {
             var j = 0
@@ -224,12 +226,18 @@ private[graft] object ColumnSplice {
           }
           j += 1
         }
-        // write the chunk: pass-through or fresh encode, column order
+        // write the chunk: pass-through or fresh encode, column order.
+        // A chunk with ZERO patched rows passes even the "changed"
+        // columns through verbatim (their values did not change —
+        // re-encoding would produce the same pages at full CPU cost).
+        // With clustered/z-ordered keys — the 100 TB layout — most
+        // chunks of a touched file take this path; the stats passes
+        // above already covered the chunk, so the manifest stays exact.
         val metas = new Array[ColumnChunkMeta](nCols)
         c = 0
         var cj = 0
         while (c < nCols) {
-          if (isChangedAt(c)) {
+          if (isChangedAt(c) && patchedInChunk > 0) {
             val enc =
               if (miniBuf.shredded(cj))
                 StructCodec.encode(rows, miniBuf.nulls(cj), miniBuf.subBufs(cj),

@@ -117,6 +117,41 @@ class ColumnSpliceSpec extends AnyFunSuite {
     assert(df.where(col("id") >= 100L && col("bucketv") >= 1000000L).count() == 0L)
   }
 
+  test("chunk-level pass-through: chunks with no patched rows copy even the assigned column verbatim (r15)") {
+    import spark.implicits._
+    val dir = tmp()
+    // one file, 4 chunks (200k rows / 65536) — a clustered update (the
+    // 100 TB layout shape) touches only chunk 0
+    (0L until 200000L).map(i => (i, i * 7, (i % 13).toDouble))
+      .toDF("id", "v", "w")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.format("vortex").mode("overwrite").save(dir)
+    val before = dataFiles(dir).map(p =>
+      p.getName -> VortexFileReader.readFooter(p, conf)).toMap
+    assert(before.values.head.chunks.length == 4, "expected 4 chunks")
+
+    VortexUpdate.update(spark, dir, Map("w" -> lit(99.5)), col("id") < 100L)
+    val after = dataFiles(dir).head
+    val nf = VortexFileReader.readFooter(after, conf)
+    val of = before(before.keys.head)
+    // chunk 0: the assigned column re-encoded; chunks 1-3: EVERY column
+    // (w included) passes through with identical page metas
+    (1 until 4).foreach { ci =>
+      nf.chunks(ci).columns.zip(of.chunks(ci).columns).zipWithIndex.foreach {
+        case ((nc, oc), c) =>
+          assert(nc.length == oc.length && nc.encoding == oc.encoding,
+            s"chunk $ci column $c should pass through verbatim")
+      }
+    }
+    assert(nf.chunks(0).columns(2).length != of.chunks(0).columns(2).length ||
+           nf.chunks(0).columns(2).min.map(_.toSeq) != of.chunks(0).columns(2).min.map(_.toSeq),
+      "chunk 0's assigned column must differ (values changed)")
+    // values exact
+    val df = spark.read.format("vortex").load(dir)
+    assert(df.where(col("id") < 100L && col("w") =!= 99.5).count() == 0L)
+    assert(df.where(col("id") >= 100L && col("w") === 99.5).count() == 0L)
+  }
+
   test("no splice with a mask sidecar: DV-deleted rows stay deleted through an update") {
     import spark.implicits._
     val dir = tmp()
