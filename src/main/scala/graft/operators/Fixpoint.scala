@@ -160,7 +160,9 @@ object Fixpoint {
     // whole point of the kernel is one job per round: scan every
     // partition in the first take pass. Restored with AQE below.
     val takeKey = "spark.sql.limit.initialNumPartitions"
-    val takePrev = s.conf.get(takeKey, "1")
+    // getOption: an unset key must be UNSET again afterwards, not
+    // pinned to a copied default (r15 review)
+    val takePrev = s.conf.getOption(takeKey)
     s.conf.set(takeKey, Int.MaxValue.toString)
     try {
       val schema = base.schema
@@ -191,7 +193,10 @@ object Fixpoint {
       if (deltas.isEmpty) frontier else deltas.reduce(_ union _)
     } finally {
       s.conf.set(aqeKey, aqePrev)
-      s.conf.set(takeKey, takePrev)
+      takePrev match {
+        case Some(v) => s.conf.set(takeKey, v)
+        case None => s.conf.unset(takeKey)
+      }
     }
   }
 }

@@ -127,7 +127,24 @@ object EventsOps {
     (s, d) => {
       val landing = stageLanding(s, d)
       val sf = new java.io.File(d).getName
-      val sink = s"${sys.props("java.io.tmpdir")}/graft_stream/$sf/tumbling_sink"
+      // per-process sink (review-found r15 — the TwinPfx lesson): two
+      // concurrent runs must not overwrite each other's sink mid-read.
+      // The landing stays shared: it is marker-guarded and re-staged
+      // only when the source parquet itself changed.
+      val sinkParent = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft_stream/$sf")
+      // age-sweep dead sibling sinks (same discipline as TwinPfx)
+      val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+      Option(sinkParent.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith("tumbling_sink_p") && f.lastModified() < cutoff) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+          }
+          rm(f)
+        }
+      })
+      val sink = s"${sinkParent.getPath}/" +
+        s"tumbling_sink_p${ProcessHandle.current().pid()}"
       val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
       val schema = Tables.t(s, d, "events").schema
       val ev = s.readStream.schema(schema)
@@ -146,7 +163,13 @@ object EventsOps {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      try q.awaitTermination()
+      finally { // checkpoint is per-run scratch — don't leak it (r15 review)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(ckpt))
+      }
       graft.operators.TinyResult.globalSort(
         s.read.format("vortex").load(sink),
         col("ws"), col("event_type"))

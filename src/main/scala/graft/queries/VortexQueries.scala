@@ -35,9 +35,22 @@ object VortexQueries {
     * parquet (review-found r14): two concurrent bench/verify runs on
     * one host must not silently overwrite each other's staged twins
     * mid-sequence. Baked into the oracle SQL at generation time, so
-    * each run's oracle batch stages to its own files. */
-  private val TwinPfx =
+    * each run's oracle batch stages to its own files. Init also sweeps
+    * STALE twins (review-found r15 — per-pid names turned the old
+    * self-overwriting files into an unbounded /tmp leak). The sweep is
+    * AGE-based, not pid-liveness-based: the twin files are written by
+    * the DRIVER's DuckDB phase after the generating JVM already exited,
+    * so a dead pid does not mean the files are out of use — but no
+    * verify→oracle pipeline spans hours, so age is a safe proxy. */
+  private val TwinPfx = {
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    val pat = java.util.regex.Pattern.compile("graft_duck_twin_p\\d+_.*")
+    Option(new java.io.File("/tmp").listFiles()).foreach(_.foreach { f =>
+      if (pat.matcher(f.getName).matches() && f.lastModified() < cutoff)
+        f.delete()
+    })
     s"/tmp/graft_duck_twin_p${ProcessHandle.current().pid()}_"
+  }
 
   /** Per-(dataset, sf) scratch dir for vortex files. */
   private def vdir(name: String, sfDir: String): String = {

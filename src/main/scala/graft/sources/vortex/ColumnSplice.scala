@@ -128,11 +128,14 @@ private[graft] object ColumnSplice {
 
     var updated = 0L
     val in = fs.open(path)
-    val stream = fs.create(tmp, true)
-    val out = new BufferedOutputStream(stream, 1 << 20)
+    // create inside the same guard as the body: if it throws, the
+    // already-open input must still close (r15 review — handle leak
+    // under executor retry loops on a failing filesystem)
+    var out: BufferedOutputStream = null
     var pos: Long = 0
     val newChunks = new Array[ChunkMeta](footer.chunks.length)
     try {
+      out = new BufferedOutputStream(fs.create(tmp, true), 1 << 20)
       out.write(Magic); pos += Magic.length
       val evalRow = new GenericInternalRow(tableSchema.length)
       var ci = 0
@@ -277,7 +280,7 @@ private[graft] object ColumnSplice {
       out.write(tail.array())
       out.flush(); out.close()
     } catch { case t: Throwable =>
-      try out.close() catch { case _: Exception => () }
+      if (out != null) { try out.close() catch { case _: Exception => () } }
       try fs.delete(tmp, false) catch { case _: Exception => () }
       try in.close() catch { case _: Exception => () }
       throw t
