@@ -108,13 +108,9 @@ private[graft] object ColumnSplice {
     val changedTsUnits = changedFields.map(tsUnit)
     val isChangedAt = Array.tabulate(nCols)(changedSet.contains)
 
-    // stats accumulators for the re-encoded columns (the same
-    // storage-domain passes as VortexFileWriter.flushChunk)
-    val sumable = changedFields.map(_.dataType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case d: DecimalType if d.precision <= 18 => true
-      case _ => false
-    })
+    // stats accumulators for the re-encoded columns (the shared
+    // ChunkStats passes — identical discipline to VortexFileWriter)
+    val sumable = changedFields.map(ChunkStats.sumable)
     val sums = new Array[Long](changed.length)
     val sumOk: Array[Boolean] = sumable.clone()
     val bloomOn = changedFields.map(f =>
@@ -185,50 +181,11 @@ private[graft] object ColumnSplice {
           }
           i += 1
         }
-        // stats passes over the buffered storage-domain values
-        var j = 0
-        while (j < changed.length) {
-          val nl = miniBuf.nulls(j)
-          if (sumOk(j)) {
-            val l = miniBuf.longs(j); var k = 0
-            while (k < rows && sumOk(j)) {
-              if (!nl(k)) {
-                try sums(j) = Math.addExact(sums(j), l(k))
-                catch { case _: ArithmeticException => sumOk(j) = false }
-              }
-              k += 1
-            }
-          }
-          if (bloomOn(j)) {
-            val b = bloomBuilders(j); var k = 0
-            if (miniBuf.fixed(j)) {
-              val l = miniBuf.longs(j)
-              changedFields(j).dataType match {
-                case org.apache.spark.sql.types.FloatType =>
-                  while (k < rows) { if (!nl(k)) b.add(Sbbf.hashLong(Sbbf.normFloatBits(l(k)))); k += 1 }
-                case org.apache.spark.sql.types.DoubleType =>
-                  while (k < rows) { if (!nl(k)) b.add(Sbbf.hashLong(Sbbf.normDoubleBits(l(k)))); k += 1 }
-                case _ =>
-                  while (k < rows) { if (!nl(k)) b.add(Sbbf.hashLong(l(k))); k += 1 }
-              }
-            } else {
-              val bn = miniBuf.bins(j)
-              while (k < rows) { if (!nl(k)) b.add(Sbbf.hashBytes(bn(k))); k += 1 }
-            }
-          }
-          if (sketchOn(j)) {
-            val s = sketches(j); val l = miniBuf.longs(j); var k = 0
-            changedFields(j).dataType match {
-              case org.apache.spark.sql.types.FloatType =>
-                while (k < rows) { if (!nl(k)) s.add(java.lang.Float.intBitsToFloat(l(k).toInt).toDouble); k += 1 }
-              case org.apache.spark.sql.types.DoubleType =>
-                while (k < rows) { if (!nl(k)) s.add(java.lang.Double.longBitsToDouble(l(k))); k += 1 }
-              case _ =>
-                while (k < rows) { if (!nl(k)) s.add(l(k).toDouble); k += 1 }
-            }
-          }
-          j += 1
-        }
+        // stats passes over the buffered storage-domain values — the
+        // SAME shared kernels the writer runs at flushChunk
+        ChunkStats.sumPass(miniBuf, sums, sumOk)
+        ChunkStats.bloomPass(miniBuf, changedFields, bloomOn, bloomBuilders)
+        ChunkStats.sketchPass(miniBuf, changedFields, sketchOn, sketches)
         // write the chunk: pass-through or fresh encode, column order.
         // A chunk with ZERO patched rows passes even the "changed"
         // columns through verbatim (their values did not change —

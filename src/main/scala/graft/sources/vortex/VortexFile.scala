@@ -37,11 +37,7 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
   // sums are order-dependent so a metadata-answered SUM could differ
   // in the last ulp from a scan): accumulated row-wise, carried to the
   // commit manifest for SUM pushdown. Overflow → permanently None.
-  private val sumable = fields.map(_.dataType match {
-    case ByteType | ShortType | IntegerType | LongType => true
-    case d: DecimalType if d.precision <= 18 => true
-    case _ => false
-  })
+  private val sumable = fields.map(ChunkStats.sumable)
   private val sums = new Array[Long](nCols)
   private val sumOk: Array[Boolean] = sumable.clone()
 
@@ -66,29 +62,8 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
   def columnBlooms: IndexedSeq[Option[Array[Byte]]] =
     if (bloomResults != null) bloomResults else fields.indices.map(_ => None)
 
-  private def bloomPass(): Unit = {
-    var c = 0
-    while (c < nCols) {
-      if (bloomOn(c)) {
-        val b = bloomBuilders(c); val nl = buf.nulls(c); val count = buf.count
-        if (fixed(c)) {
-          val l = buf.longs(c); var i = 0
-          fields(c).dataType match {
-            case FloatType =>
-              while (i < count) { if (!nl(i)) b.add(Sbbf.hashLong(Sbbf.normFloatBits(l(i)))); i += 1 }
-            case DoubleType =>
-              while (i < count) { if (!nl(i)) b.add(Sbbf.hashLong(Sbbf.normDoubleBits(l(i)))); i += 1 }
-            case _ =>
-              while (i < count) { if (!nl(i)) b.add(Sbbf.hashLong(l(i))); i += 1 }
-          }
-        } else {
-          val bn = buf.bins(c); var i = 0
-          while (i < count) { if (!nl(i)) b.add(Sbbf.hashBytes(bn(i))); i += 1 }
-        }
-      }
-      c += 1
-    }
-  }
+  private def bloomPass(): Unit =
+    ChunkStats.bloomPass(buf, fields, bloomOn, bloomBuilders)
 
   // opt-in per-file distribution sketches (writer option
   // "distributionSketches"): exact-count log-bucketed histograms (the
@@ -106,24 +81,8 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
   def columnSketches: IndexedSeq[Option[Array[Byte]]] =
     fields.indices.map(c => if (sketchOn(c)) Some(sketches(c).toBytes) else None)
 
-  private def sketchPass(): Unit = {
-    var c = 0
-    while (c < nCols) {
-      if (sketchOn(c)) {
-        val s = sketches(c); val l = buf.longs(c); val nl = buf.nulls(c)
-        val count = buf.count; var i = 0
-        fields(c).dataType match {
-          case FloatType =>
-            while (i < count) { if (!nl(i)) s.add(java.lang.Float.intBitsToFloat(l(i).toInt).toDouble); i += 1 }
-          case DoubleType =>
-            while (i < count) { if (!nl(i)) s.add(java.lang.Double.longBitsToDouble(l(i))); i += 1 }
-          case _ => // integral: storage long IS the value
-            while (i < count) { if (!nl(i)) s.add(l(i).toDouble); i += 1 }
-        }
-      }
-      c += 1
-    }
-  }
+  private def sketchPass(): Unit =
+    ChunkStats.sketchPass(buf, fields, sketchOn, sketches)
 
   // chunk buffers + per-column append/fill kernels live in the shared
   // ChunkBuffer (also used by the IPC stream writer — one storage
@@ -134,22 +93,7 @@ final class VortexFileWriter(path: Path, conf: Configuration, schema: StructType
     * same per-column value sequence (rows in order) as the former
     * per-row accumulation, so results — including the overflow
     * point that permanently disables a column — are identical */
-  private def sumPass(): Unit = {
-    var c = 0
-    while (c < nCols) {
-      if (sumOk(c)) {
-        val l = buf.longs(c); val nl = buf.nulls(c); val count = buf.count; var i = 0
-        while (i < count && sumOk(c)) {
-          if (!nl(i)) {
-            try sums(c) = Math.addExact(sums(c), l(i))
-            catch { case _: ArithmeticException => sumOk(c) = false }
-          }
-          i += 1
-        }
-      }
-      c += 1
-    }
-  }
+  private def sumPass(): Unit = ChunkStats.sumPass(buf, sums, sumOk)
 
   def write(row: InternalRow): Unit = {
     if (buf.write(row)) flushChunk()
