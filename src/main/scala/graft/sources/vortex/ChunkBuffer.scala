@@ -252,6 +252,42 @@ private[vortex] final class ChunkBuffer(fields: Array[StructField], chunkRows: I
 
   private lazy val batchFills: Array[BatchFill] = Array.tabulate(nCols)(batchFillFor)
 
+  /** Columnar survivor fill from DECODED page vectors (SurvivorSplice):
+    * copies the `keep`-indexed slots of every column and sets `count`
+    * to `k`. Domains mirror the row appenders exactly — decoded longs
+    * are already storage-domain (sign-extended float bits, unscaled
+    * decimals) except timestamps, which [[VortexFileReader.decodeColumn]]
+    * normalized to µs and re-scale here via the column's stored unit
+    * (the same µs round trip the row path takes through the reader +
+    * appender). Caller gates to plain column layouts — no shredded
+    * structs, no nested blobs (SurvivorSplice.applicable). */
+  def fillFromVecs(vecs: Array[ColVec], keep: Array[Int], k: Int): Unit = {
+    var c = 0
+    while (c < nCols) {
+      val vec = vecs(c)
+      val vn = vec.nulls; val nl = nulls(c)
+      var j = 0
+      while (j < k) { if (vn(keep(j))) nl(j) = true; j += 1 }
+      if (fixed(c)) {
+        val dst = longs(c); val src = vec.longs
+        val isTs = fields(c).dataType == TimestampType ||
+          fields(c).dataType == TimestampNTZType
+        if (isTs && tsUnits(c) != "us") {
+          val u = tsUnits(c); j = 0
+          while (j < k) {
+            if (!vn(keep(j))) dst(j) = VortexFormat.storedFromMicros(src(keep(j)), u)
+            j += 1
+          }
+        } else { j = 0; while (j < k) { dst(j) = src(keep(j)); j += 1 } }
+      } else {
+        val dst = bins(c); val src = vec.bins
+        j = 0; while (j < k) { dst(j) = src(keep(j)); j += 1 }
+      }
+      c += 1
+    }
+    count = k
+  }
+
   /** Bulk-fill a segment of every column from a ColumnarBatch into the
     * buffers at `count` (null flags included); advances `count` by
     * `len`. Returns true when the buffer just reached `chunkRows`. */

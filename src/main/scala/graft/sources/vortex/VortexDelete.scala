@@ -352,6 +352,23 @@ object VortexDelete {
     // renames the WINNING attempt's tmp to the deterministic name.
     val tmp = new Path(path.getParent,
       s".${c.dstName}.${java.util.UUID.randomUUID().toString.take(8)}.inprogress")
+    val rel0 = if (c.relDir.isEmpty) c.dstName else s"${c.relDir}/${c.dstName}"
+    // columnar survivor rewrite (SurvivorSplice, r15 optimization):
+    // chunk-at-a-time on decoded vectors — same survivors, same exact
+    // stats, ~half the rewrite CPU of the boxed row loop (DelProbe A/B
+    // in BASELINE.md). Falls back to the row path for shredded-struct /
+    // nested layouts and partition-column predicates.
+    if (SurvivorSplice.applicable(footer, predSchema)) {
+      try {
+        val r = SurvivorSplice.rewrite(path, tmp, conf, footer, predSchema,
+          predBound, c.plannedChunks, existing, c.bloomCols, c.sketchCols, rel0)
+        return FileOutcome(c.file, 2, r.droppedPred, Some(tmp.toString),
+          Some(c.dstName), Some(r.entry), Some(r.schemaJson))
+      } catch { case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Exception => () }
+        throw e
+      }
+    }
     val fileFields = footer.schema.fields
     val slot: Array[Int] = fileFields.map(f => tableSchema.fieldIndex(f.name))
     val writer = new VortexFileWriter(tmp, conf, footer.schema,

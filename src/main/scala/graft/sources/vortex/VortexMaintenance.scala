@@ -144,6 +144,16 @@ object VortexMaintenance {
         val dstName = relDst.substring(relDst.lastIndexOf('/') + 1)
         val tmp = new Path(path.getParent,
           s".$dstName.${java.util.UUID.randomUUID().toString.take(8)}.inprogress")
+        // columnar survivor rewrite when the layout is plain
+        // (SurvivorSplice, r15 optimization — DelProbe A/B in
+        // BASELINE.md); shredded-struct / nested layouts keep the
+        // row path below
+        if (SurvivorSplice.applicable(footer, null)) {
+          val dv = DeletionVector.read(tfs, new Path(mask))
+          val r = SurvivorSplice.rewrite(path, tmp, sconf.value, footer,
+            null, null, null, dv, bloomCols, sketchCols, relDst)
+          (file, tmp.toString, dstName, r.droppedMask, r.entry, r.schemaJson)
+        } else {
         val writer = new VortexFileWriter(tmp, sconf.value, footer.schema,
           bloomCols = bloomCols, sketchCols = sketchCols)
         val part = VortexInputPartition(file, footer.chunks.indices.toArray,
@@ -168,6 +178,7 @@ object VortexMaintenance {
           sum = sums.get(c.name), bloom = blooms.get(c.name),
           sketch = sketches.get(c.name))))
         (file, tmp.toString, dstName, dropped, entry, tmpFooter.schema.json)
+        }
     }.collect()
 
     // driver commit + manifest write: the shared machinery (VortexCommit)
