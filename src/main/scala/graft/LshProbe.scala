@@ -49,6 +49,18 @@ object LshProbe {
     timed("pinned_sortless_unpack")(pinned
       .select(shiftright(col("k"), 32).as("id_a"),
         (col("k") - shiftright(col("k"), 32) * lit(1L << 32)).as("id_b")))
+    timed("pinned_packed_dump")(
+      graft.operators.PackedDump.sortedLongs(spark, pinned, "k")
+        .select(shiftright(col("k"), 32).as("id_a"),
+          (col("k") - shiftright(col("k"), 32) * lit(1L << 32)).as("id_b")))
+    // the FULL r15 row shape (pipeline + pin + packed dump per rep)
+    timed("full_packed") {
+      val p = graft.queries.DedupOps.minhashCandidatesPacked(
+        spark, graft.queries.DedupOps.tokensFor(spark, sfDir)).localCheckpoint(true)
+      graft.operators.PackedDump.sortedLongs(spark, p, "k")
+        .select(shiftright(col("k"), 32).as("id_a"),
+          (col("k") - shiftright(col("k"), 32) * lit(1L << 32)).as("id_b"))
+    }
     spark.stop()
   }
 }

@@ -322,17 +322,21 @@ object DedupOps {
   // join (see jaccardDocPairs). The oracle is the naive token self-join.
   spark("d_jaccard",
     // The 8.9M-pair ordered dump: pack (id_a, id_b) into ONE long key
-    // and range-sort 8 fat partitions. NO checkpoint — the sort's
-    // range-sampling re-executes the join, but the int-kernel join is
-    // cheaper to recompute than millions of rows are to pin in the
-    // block store (measured 13 s vs 97 s at sf0.1).
-    (s, d) => jaccardDocPairs(s, tokens(s, d), 0.5)
-      .select((col("id_a") * lit(1L << 32) + col("id_b")).as("k"), col("jac"))
-      .repartitionByRange(8, col("k"))
-      .sortWithinPartitions("k")
-      .select(shiftright(col("k"), 32).as("id_a"),
-              (col("k") - shiftright(col("k"), 32) * lit(1L << 32)).as("id_b"),
-              col("jac")),
+    // and dump through PackedDump (r15 optimization). The r10 judgment
+    // against checkpointing pinned the JOIN OUTPUT's wide rows (97 s);
+    // pinning the packed (k, jac) pair — 16 B/row — is cheap, kills the
+    // range sampler's re-execution of the join, and the array-packed
+    // shuffle replaces the 8.9M-row range exchange (see d_minhash_lsh
+    // and the LshProbe numbers).
+    (s, d) => {
+      val pinned = jaccardDocPairs(s, tokens(s, d), 0.5)
+        .select((col("id_a") * lit(1L << 32) + col("id_b")).as("k"), col("jac"))
+        .localCheckpoint(true)
+      graft.operators.PackedDump.sortedLongsWithDouble(s, pinned, "k", "jac")
+        .select(shiftright(col("k"), 32).as("id_a"),
+                (col("k") - shiftright(col("k"), 32) * lit(1L << 32)).as("id_b"),
+                col("jac"))
+    },
     s"""WITH tok AS ($tokSql),
        |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -509,12 +513,17 @@ object DedupOps {
     // pass) is cheaper than the re-execution it avoids (the r9-era
     // no-checkpoint judgment inverted as the pipeline grew; same-probe
     // A/B: 6.0 → 4.5 s warm).
-    (s, d) => minhashCandidatesPacked(s, tokens(s, d))
-      .localCheckpoint(true)
-      .repartitionByRange(8, col("k"))
-      .sortWithinPartitions("k")
-      .select(shiftright(col("k"), 32).as("id_a"),
-              (col("k") - shiftright(col("k"), 32) * lit(1L << 32)).as("id_b")),
+    // r15 optimization: the pinned pairs dump through PackedDump — the
+    // range exchange of 6.7M single-long rows was 2.2 s of pure shuffle
+    // machinery (LshProbe `pinned_repart`); shipping the same bytes as
+    // per-(bucket, task) long arrays + a primitive per-bucket sort
+    // produces the identical globally-ordered rows for ~0.4 s.
+    (s, d) => {
+      val pinned = minhashCandidatesPacked(s, tokens(s, d)).localCheckpoint(true)
+      graft.operators.PackedDump.sortedLongs(s, pinned, "k")
+        .select(shiftright(col("k"), 32).as("id_a"),
+                (col("k") - shiftright(col("k"), 32) * lit(1L << 32)).as("id_b"))
+    },
     s"""WITH tok AS ($tokSql),
        |ih AS (SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || w) AS h
        |       FROM tok CROSS JOIN range(0, 16) r(i)),

@@ -79,6 +79,13 @@ object EventsOps {
   // microseconds (integer arithmetic — no interval-boundary semantics
   // to diverge between engines). Batch analog of sessionization state.
   spark("e_user_gaps",
+    // checkpoint-before-ordered-dump A/B (r15 optimization round):
+    // pinning the window output before the final sort (the w1/j7 shape)
+    // measured WORSE at sf1 — 1.77 -> 2.06 s warm BenchOne — because
+    // this window core is cheap relative to pinning 1M rows; the
+    // sampler's re-run of sort+window over the already-materialized
+    // user_id shuffle costs less than the pin. Left as the plain
+    // ORDER BY deliberately.
     (s, d) => { Tables.registerAll(s, d)
       s.sql("""SELECT event_id, user_id,
               |  unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)) AS gap_us

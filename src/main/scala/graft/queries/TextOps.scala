@@ -741,6 +741,15 @@ object TextOps {
       val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
       val ip = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
       val name = "\\bcustomer [a-z]+"
+      // compute-then-pin-then-sort A/B (r15 optimization round):
+      // measured WORSE at sf1 — 0.88 -> 2.62 s warm BenchOne. The
+      // planner pulls this projection ABOVE the output sort, which
+      // looks like it shuffles full texts needlessly, but it is the
+      // better plan: the 6-regex pass runs once, post-exchange, at
+      // shuffle parallelism, and the range sampler re-runs only the
+      // bare scan. Pinning first forces the regex pass down to the
+      // scan's split count (documents is one ~100 MB split at sf1 —
+      // single-task regex). Left as the planner's shape deliberately.
       Tables.t(s, d, "documents").select(
           col("doc_id"),
           (regexp_count(col("text"), lit(email)) +
