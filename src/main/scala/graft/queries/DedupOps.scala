@@ -322,21 +322,23 @@ object DedupOps {
   // join (see jaccardDocPairs). The oracle is the naive token self-join.
   spark("d_jaccard",
     // The 8.9M-pair ordered dump: pack (id_a, id_b) into ONE long key
-    // and dump through PackedDump (r15 optimization). The r10 judgment
-    // against checkpointing pinned the JOIN OUTPUT's wide rows (97 s);
-    // pinning the packed (k, jac) pair — 16 B/row — is cheap, kills the
-    // range sampler's re-execution of the join, and the array-packed
-    // shuffle replaces the 8.9M-row range exchange (see d_minhash_lsh
-    // and the LshProbe numbers).
-    (s, d) => {
-      val pinned = jaccardDocPairs(s, tokens(s, d), 0.5)
-        .select((col("id_a") * lit(1L << 32) + col("id_b")).as("k"), col("jac"))
-        .localCheckpoint(true)
-      graft.operators.PackedDump.sortedLongsWithDouble(s, pinned, "k", "jac")
-        .select(shiftright(col("k"), 32).as("id_a"),
-                (col("k") - shiftright(col("k"), 32) * lit(1L << 32)).as("id_b"),
-                col("jac"))
-    },
+    // and range-sort 8 fat partitions. NO checkpoint — the sort's
+    // range-sampling re-executes the join, but the int-kernel join is
+    // cheaper to recompute than millions of rows are to pin in the
+    // block store (measured 13 s vs 97 s at sf0.1 in r10; RE-CONFIRMED
+    // in the r15 optimization round: pinning the packed 16-B (k, jac)
+    // pairs for a PackedDump dump measured 14.7 s vs 5.9 s in the
+    // official paced suite — the 8.9M-row pin also evicted the
+    // MEMORY_ONLY caches of the d_incremental rows that run after it,
+    // regressing them 1.2-2.7 s each. The pin-based PackedDump stays
+    // on d_minhash_lsh only, whose old shape already paid the pin).
+    (s, d) => jaccardDocPairs(s, tokens(s, d), 0.5)
+      .select((col("id_a") * lit(1L << 32) + col("id_b")).as("k"), col("jac"))
+      .repartitionByRange(8, col("k"))
+      .sortWithinPartitions("k")
+      .select(shiftright(col("k"), 32).as("id_a"),
+              (col("k") - shiftright(col("k"), 32) * lit(1L << 32)).as("id_b"),
+              col("jac")),
     s"""WITH tok AS ($tokSql),
        |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
