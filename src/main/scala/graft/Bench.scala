@@ -24,32 +24,32 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // The host enforces a sustained-CPU ceiling around 12 busy threads:
-    // exceed it for more than a ~25 s burst window and every vCPU is
-    // punished to ~2% speed for a long stretch (measured with a plain
-    // 16-thread Java spin loop — no Spark involved; <=12 threads run
-    // steady indefinitely). 6 executor threads + the capped GC/JIT
-    // pools (build.sbt) keep the whole JVM under the cliff, which is
-    // strictly faster end-to-end than local[32]: the same focused
-    // query set measured 147 s at 32 threads vs 21 s at 6.
-    // The requested thread count is CAPPED at that sustained ceiling:
-    // the per-round driver invokes Bench on a 32-vCPU box, and r9's
-    // driver artifact (113 s total vs 73.7 s same-day paced — uniform
-    // ~4.5× on unrelated sub-second rows) was exactly this throttle
-    // landing mid-suite. tools/baseline.py sizes DuckDB to the same 6
-    // threads, so the cap also keeps the comparison symmetric.
-    // SPARK_GRAFT_CPUS_FORCE=1 restores the raw request for thread-
-    // count A/Bs.
+    // The requested thread count is HONORED by default (VERDICT r15
+    // next #2: the former silent min(req, 6) cap broke the driver's
+    // measurement contract — its 32-vs-8 scaling block was really
+    // 6-vs-6 noise). The host's sustained-CPU cliff is real (>~12 busy
+    // threads for more than a ~25 s burst window punishes every vCPU
+    // ~70× for a long stretch; measured with a plain Java spin loop,
+    // no Spark involved), so the protection moved to where the driver
+    // can see it: thread-scaled pacing between reps (below), the
+    // settle gates, and both requested and effective counts on the
+    // JSON line. An EXPLICIT opt-in cap remains for A/Bs:
+    // SPARK_GRAFT_CPUS_CAP=<n> applies min(req, n) and the line
+    // discloses it via cpus_requested != cpus.
     val cpusReq = sys.env.getOrElse("SPARK_GRAFT_CPUS", "6").toInt
-    val cpus =
-      if (sys.env.contains("SPARK_GRAFT_CPUS_FORCE")) cpusReq
-      else math.min(cpusReq, 6)
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS_CAP")
+      .map(c => math.min(cpusReq, c.toInt)).getOrElse(cpusReq)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     // Pause between timed runs so the host's burst bucket refills and a
     // heavy query doesn't throttle the NEXT measurement (sleep ≈ the
     // previous run's wall time, capped); pacing time is not counted
-    // anywhere. 0 disables.
+    // anywhere. 0 disables. Above the ~12-sustained-thread allowance
+    // the bucket drains ≈ (threads−12)/12 faster than one wall-second
+    // of sleep refills it, so the sleep (and its cap) scale with the
+    // effective thread count — keeping a local[32] run under the cliff
+    // WITHOUT touching any timed region.
     val paceMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PACE_MS", "10000").toInt
+    val paceScale = math.max(1.0, cpus / 12.0)
     // Throttle-settle gate: the driver runs Bench right after its own
     // 32-thread correctness pass, which can leave the host's burst
     // bucket drained — the FIRST measurements then time the penalty,
@@ -151,7 +151,7 @@ object Bench {
     val results = (allQueries ++ injected)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .toSeq.sortBy { case (name, _) => -medians.getOrElse(name, 0.0) }
-      .map { case (name, fn) =>
+      .zipWithIndex.map { case ((name, fn), qIdx) =>
       var err: Option[String] = None
       def rep(): Double = {
         val t0 = System.nanoTime()
@@ -161,14 +161,20 @@ object Bench {
               Option(e.getMessage).getOrElse("").replaceAll("[\\\\\"\\n\\r\\t]", " ").take(160))
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        // refill pause: proportional to the burn, bounded (see above)
+        // refill pause: proportional to the burn (thread-scaled),
+        // bounded (see above)
         if (paceMs > 0)
-          Thread.sleep(math.min(paceMs.toLong, math.max(200L, (dt * 1000).toLong)))
+          Thread.sleep(math.min((paceMs * paceScale).toLong,
+            math.max(200L, (dt * 1000 * paceScale).toLong)))
         dt
       }
-      // known-heavy row: verify the host is settled BEFORE timing it —
-      // these are the rows a drained burst bucket inflates most
-      if (paceMs > 0 && medians.getOrElse(name, 0.0) >= 2.0) settle()
+      // settle BEFORE timing (VERDICT r15 next #1b): every known-heavy
+      // row (median ≥ 2 s) AND each of the first 6 rows outright —
+      // heavy rows run first, right where a burst bucket drained by the
+      // driver's preceding 32-thread correctness pass lands, and the
+      // r15 driver artifact showed the startup gate alone does not
+      // cover rows 2..k
+      if (paceMs > 0 && (qIdx < 6 || medians.getOrElse(name, 0.0) >= 2.0)) settle()
       var times = (0 until reps).map(_ => rep())
       // a query whose BEST rep is still slow may have had every rep land
       // in a host-throttled window (sub-second queries measure 10 s+
@@ -187,9 +193,14 @@ object Bench {
       // median is (with very high prior) the throttle, not a regression —
       // re-measure on a settled host, bounded to 2 extra reps. A REAL
       // regression survives every retry and still ships large.
+      // Heavy rows (median ≥ 2 s) trigger at 1.5× (VERDICT r15 next
+      // #1a: d_jaccard read 1.9× its median in BOTH r15 driver runs —
+      // under the old uniform 2.5× trigger — on comment-only diffs);
+      // sub-2 s rows keep 2.5× (their noise band is legitimately wide).
       var extra = 0
+      def trigger(m: Double): Double = if (m >= 2.0) 1.5 * m else 2.5 * m
       while (err.isEmpty && paceMs > 0 && extra < 2 &&
-             medians.get(name).exists(m => times.min > math.max(2.5 * m, 0.25))) {
+             medians.get(name).exists(m => times.min > math.max(trigger(m), 0.25))) {
         settle()
         val t = rep()
         if (err.isEmpty) times = times :+ t else err = None
@@ -224,7 +235,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val rawTotal = if (rawOk.nonEmpty) rawOk.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","raw_total":${fmt(rawTotal)},"retried_rows":$retriedRows,"cpus":$cpus,"settled_ms":$settledMs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","raw_total":${fmt(rawTotal)},"retried_rows":$retriedRows,"cpus":$cpus,"cpus_requested":$cpusReq,"settled_ms":$settledMs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // durability, three channels: stdout (the driver's primary
     // capture), stderr (survives stdout-only truncation), and a file
     // (survives any tail capture). Flush stdout so the line isn't
@@ -251,7 +262,14 @@ object Bench {
     // "omitted" (count) and "omitted_max" (the slowest omitted time —
     // every missing query is at or under it). Full precision and full
     // coverage stay in BENCH.json and on stderr above.
-    val budget = 1700
+    // 1850 (was 1700): r15's budget hid 105/172 rows and manufactured
+    // 6 phantom "dropped" + 6 phantom "new" queries in PERF_r15
+    // (VERDICT r15 next #3). The driver tail keeps 2000 merged chars;
+    // the only bytes after this line are sbt's ~70-char success
+    // epilogue, so 1850 leaves real slack while fitting every row
+    // ≥ ~0.25 s. Coverage is disclosed via omitted/omitted_max as
+    // before; full precision and full coverage stay in BENCH.json.
+    val budget = 1850
     def fmt2(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     // errors share the byte budget: a high-failure round (the case
@@ -264,7 +282,7 @@ object Bench {
          Seq(s"\"__more_errors\":${bad.size - errsShown.size}") else Nil))
       .mkString("{", ",", "}")
     val bySlowest = ok.toSeq.sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","raw_total":${fmt2(rawTotal)},"retried_rows":$retriedRows,"sf":"$sfDir","errors":$errsCompact,"""
+    val head = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","raw_total":${fmt2(rawTotal)},"retried_rows":$retriedRows,"cpus":$cpus,"cpus_requested":$cpusReq,"sf":"$sfDir","errors":$errsCompact,"""
     val fixedTailLen = """"omitted":999,"omitted_max":99999.99,"queries":{}}""".length
     val entries = scala.collection.mutable.ListBuffer[String]()
     var used = head.length + fixedTailLen
