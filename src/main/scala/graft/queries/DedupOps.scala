@@ -42,6 +42,26 @@ object DedupOps {
       .groupBy("toks").agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .withColumn("sid", element_at(col("members"), 1))
 
+  /** distinctSetsDF specialised to whitespace tokens straight off
+    * `documents`: a doc's token set is ONE per-row expression (the
+    * tokens are already co-located in its text cell), so the doc→set
+    * collapse needs a single exchange (by toks) instead of
+    * distinctSetsDF(tokens(...))'s two (explode, re-group by doc_id,
+    * then group by toks). Same rows: collect_set over the exploded
+    * array_distinct(split(text)) IS array_distinct(split(text)) as a
+    * set, and both paths sort_array it. */
+  /** test access (DedupVerifySpec) */
+  private[graft] def docSetsForTest(s: SparkSession, d: String,
+                                    pred: org.apache.spark.sql.Column): DataFrame =
+    docSetsDF(s, d, pred)
+
+  private def docSetsDF(s: SparkSession, d: String,
+                        pred: org.apache.spark.sql.Column): DataFrame =
+    Tables.t(s, d, "documents").filter(pred)
+      .select(col("doc_id"), sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+      .groupBy("toks").agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .withColumn("sid", element_at(col("members"), 1))
+
   // ---- exact Jaccard join (distributed prefix filter) ------------------
 
   /** Exact Jaccard-≥-τ doc pairs, fully distributed. Two physical
@@ -67,6 +87,26 @@ object DedupOps {
     * distinct-set exchange across its consumers. */
   def jaccardDocPairs(s: SparkSession, tok: DataFrame, tau: Double): DataFrame = {
     val sets = distinctSetsDF(tok)
+    val ver = jaccardSetPairs(s, sets, tau)
+    val mem = sets.select(col("sid"), col("members"))
+    val cross = ver
+      .join(mem.select(col("sid").as("sa"), col("members").as("ma")), "sa")
+      .join(mem.select(col("sid").as("sb"), col("members").as("mb")), "sb")
+      .select(explode(col("ma")).as("x"), col("mb"), col("jac"))
+      .select(col("x"), explode(col("mb")).as("y"), col("jac"))
+      .select(least(col("x"), col("y")).as("id_a"),
+              greatest(col("x"), col("y")).as("id_b"), col("jac"))
+    val intra = sets.select(explode(expr(
+        "flatten(transform(members, (x, i) -> " +
+        "transform(slice(members, i + 2, size(members)), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), lit(1.0).as("jac"))
+    cross.union(intra)
+  }
+
+  /** Qualifying (sa, sb, jac) DISTINCT-SET pairs for `sets` =
+    * distinctSetsDF output — the join half of [[jaccardDocPairs]],
+    * exposed for stage attribution (JacProbe). */
+  private[graft] def jaccardSetPairs(s: SparkSession, sets: DataFrame, tau: Double): DataFrame = {
     val st = sets.select(col("sid"), explode(col("toks")).as("w"))
     val dfreq = st.groupBy("w").agg(count(lit(1)).as("df"))
     // per-set token array sorted rare-first (ties by token): the prefix
@@ -83,45 +123,31 @@ object DedupOps {
       .agg(sum(col("pdf") * col("pdf")).as("vol")).first()
     val prefixVolume = if (probe.isNullAt(0)) 0L else probe.getLong(0) / 2
     val nSets = sets.count()
-    val ver =
-      if (prefixVolume > nSets * nSets / 2) blockJoinSetPairs(s, sets, tau)
-      else {
+    if (prefixVolume > nSets * nSets / 2) blockJoinSetPairs(s, sets, tau)
+    else {
         // token frequencies can be Zipf-heavy, making the raw token key
         // badly skewed: salt the probe side by sid and replicate the
         // build side over all salts so every core gets work. The PPJoin
         // position filter prunes pairs whose best-case remaining overlap
         // min(n_a-pos_a, n_b-pos_b)+1 can't reach α = ceil(τ/(1+τ)(n_a+n_b)).
-        val R = 32
-        val preA = pre.withColumn("salt", pmod(col("sid"), lit(R)).cast("int"))
-        val preB = pre.withColumn("salt", explode(expr(s"sequence(0, ${R - 1})")))
-        val alpha = ceil(lit(tau / (1 + tau)) * (col("a.n") + col("b.n")))
-        val cand = preA.as("a").join(preB.as("b"),
-            col("a.w") === col("b.w") && col("a.salt") === col("b.salt") &&
-            col("a.sid") < col("b.sid") &&
-            col("a.n") >= lit(tau) * col("b.n") && col("b.n") >= lit(tau) * col("a.n") &&
-            least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) + lit(1) >= alpha)
-          .select(col("a.sid").as("sa"), col("b.sid").as("sb")).distinct()
-        val va = arr.select(col("sid").as("sa"), col("ids").as("ids_a"), col("n").as("na"))
-        val vb = arr.select(col("sid").as("sb"), col("ids").as("ids_b"), col("n").as("nb"))
-        cand.join(va, "sa").join(vb, "sb")
-          .withColumn("inter", size(array_intersect(col("ids_a"), col("ids_b"))))
-          .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .filter(col("jac") >= tau)
-          .select(col("sa"), col("sb"), col("jac"))
-      }
-    val mem = sets.select(col("sid"), col("members"))
-    val cross = ver
-      .join(mem.select(col("sid").as("sa"), col("members").as("ma")), "sa")
-      .join(mem.select(col("sid").as("sb"), col("members").as("mb")), "sb")
-      .select(explode(col("ma")).as("x"), col("mb"), col("jac"))
-      .select(col("x"), explode(col("mb")).as("y"), col("jac"))
-      .select(least(col("x"), col("y")).as("id_a"),
-              greatest(col("x"), col("y")).as("id_b"), col("jac"))
-    val intra = sets.select(explode(expr(
-        "flatten(transform(members, (x, i) -> " +
-        "transform(slice(members, i + 2, size(members)), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), lit(1.0).as("jac"))
-    cross.union(intra)
+      val R = 32
+      val preA = pre.withColumn("salt", pmod(col("sid"), lit(R)).cast("int"))
+      val preB = pre.withColumn("salt", explode(expr(s"sequence(0, ${R - 1})")))
+      val alpha = ceil(lit(tau / (1 + tau)) * (col("a.n") + col("b.n")))
+      val cand = preA.as("a").join(preB.as("b"),
+          col("a.w") === col("b.w") && col("a.salt") === col("b.salt") &&
+          col("a.sid") < col("b.sid") &&
+          col("a.n") >= lit(tau) * col("b.n") && col("b.n") >= lit(tau) * col("a.n") &&
+          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) + lit(1) >= alpha)
+        .select(col("a.sid").as("sa"), col("b.sid").as("sb")).distinct()
+      val va = arr.select(col("sid").as("sa"), col("ids").as("ids_a"), col("n").as("na"))
+      val vb = arr.select(col("sid").as("sb"), col("ids").as("ids_b"), col("n").as("nb"))
+      cand.join(va, "sa").join(vb, "sb")
+        .withColumn("inter", size(array_intersect(col("ids_a"), col("ids_b"))))
+        .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jac") >= tau)
+        .select(col("sa"), col("sb"), col("jac"))
+    }
   }
 
   /** Θ(sets²) exact set-pair join for corpora where no similarity filter
@@ -827,7 +853,7 @@ object DedupOps {
     * both produce the same buckets; same set-collapse discipline, so
     * the md5 work — the dominant cost — is paid per distinct set, not
     * per document). */
-  private def setBands(s: SparkSession, sets: DataFrame): DataFrame = {
+  private[graft] def setBands(s: SparkSession, sets: DataFrame): DataFrame = {
     import s.implicits._
     import graft.functions.Hashing
     sets.select(col("sid"), col("toks")).as[(Long, Seq[String])]
@@ -890,26 +916,79 @@ object DedupOps {
                                  batchTok: DataFrame, tau: Double): DataFrame = {
     val bsets = distinctSetsDF(batchTok)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val out = minhashNearDupVerify(s, csets, cbands, bsets, tau)
+    bsets.unpersist(false)
+    out
+  }
+
+  /** Verification core shared by the tok-frame entry points and the
+    * set-frame query paths: band-join candidates, then exact Jaccard
+    * per candidate SET pair, exploded to doc pairs. `bsets` must
+    * already be persisted by the caller (it feeds both the banding and
+    * the verification join).
+    *
+    * The per-pair intersection runs on xxhash64-of-token SORTED LONG
+    * arrays via a primitive merge (SetKernels.sortedInterCount) — 17×
+    * the former string `array_intersect` plan (IncProbe r16: 4.5 s →
+    * 0.27 s over the same 990k-pair candidate set at sf0.1), because
+    * the string form builds a hash set and hashes every UTF8String
+    * PER ROW. Exactness: intersection counts over hashes equal counts
+    * over tokens iff xxhash64 is injective on the observed vocabulary,
+    * which the guard aggregate CHECKS (countDistinct(w) vs
+    * countDistinct(xxhash64(w)) over both set frames — one small job
+    * over the cached arrays); a collision — never observed, ~V²/2⁶⁵
+    * prior — falls back to the string-intersect plan, so the result is
+    * identical either way and never silently wrong. */
+  private[graft] def minhashNearDupVerify(s: SparkSession, csets: DataFrame,
+                                          cbands: DataFrame, bsets: DataFrame,
+                                          tau: Double,
+                                          forceExact: Boolean = false): DataFrame = {
+    import s.implicits._
     val cand = setBands(s, bsets).select(col("sid").as("bsid"), col("band"), col("bkey"))
       .join(cbands.select(col("sid").as("csid"), col("band"), col("bkey")),
             Seq("band", "bkey"))
       .select("bsid", "csid").distinct()
-    val out = cand
-      .join(bsets.select(col("sid").as("bsid"), col("toks").as("tb"),
-        size(col("toks")).as("nb"), col("members").as("bm")), "bsid")
-      .join(csets.select(col("sid").as("csid"), col("toks").as("tc"),
-        size(col("toks")).as("nc"), col("members").as("cm")), "csid")
-      .withColumn("inter", size(array_intersect(col("tb"), col("tc"))))
-      .withColumn("jac", col("inter").cast("double") / (col("nb") + col("nc") - col("inter")))
-      .filter(col("jac") >= tau)
-      .select(explode(col("bm")).as("bid"), col("cm"), col("jac"))
-      .select(col("bid"), explode(col("cm")).as("cid"), col("jac"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val g = csets.select(explode(col("toks")).as("w"))
+      .union(bsets.select(explode(col("toks")).as("w")))
+      .agg(countDistinct(col("w")).as("nw"),
+           countDistinct(xxhash64(col("w"))).as("nh")).head()
+    val matched =
+      if (!forceExact && g.getLong(0) == g.getLong(1)) {
+        val bh = bsets.select(col("sid").as("bsid"),
+          sort_array(expr("transform(toks, t -> xxhash64(t))")).as("hb"),
+          size(col("toks")).as("nb"), col("members").as("bm"))
+        val ch = csets.select(col("sid").as("csid"),
+          sort_array(expr("transform(toks, t -> xxhash64(t))")).as("hc"),
+          size(col("toks")).as("nc"), col("members").as("cm"))
+        cand.join(bh, "bsid").join(ch, "csid")
+          .select(col("hb"), col("nb"), col("bm"), col("hc"), col("nc"), col("cm"))
+          .as[(Array[Long], Int, Array[Long], Array[Long], Int, Array[Long])]
+          .mapPartitions { it =>
+            it.flatMap { case (hb, nb, bm, hc, nc, cm) =>
+              val inter = graft.functions.SetKernels.sortedInterCount(hb, hc)
+              val jac = inter.toDouble / (nb + nc - inter)
+              if (jac >= tau)
+                bm.iterator.flatMap(bid => cm.iterator.map(cid => (bid, cid, jac)))
+              else Iterator.empty
+            }
+          }.toDF("bid", "cid", "jac")
+      } else {
+        cand
+          .join(bsets.select(col("sid").as("bsid"), col("toks").as("tb"),
+            size(col("toks")).as("nb"), col("members").as("bm")), "bsid")
+          .join(csets.select(col("sid").as("csid"), col("toks").as("tc"),
+            size(col("toks")).as("nc"), col("members").as("cm")), "csid")
+          .withColumn("inter", size(array_intersect(col("tb"), col("tc"))))
+          .withColumn("jac", col("inter").cast("double") / (col("nb") + col("nc") - col("inter")))
+          .filter(col("jac") >= tau)
+          .select(explode(col("bm")).as("bid"), col("cm"), col("jac"))
+          .select(col("bid"), explode(col("cm")).as("cid"), col("jac"))
+      }
+    val out = matched.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     // materialize while bsets is still cached, then release it: the
     // downstream consumer reads `out` from cache (an evicted block
     // recomputes from lineage — correct, just re-reads the inputs)
     out.count()
-    bsets.unpersist(false)
     out
   }
 
@@ -944,10 +1023,15 @@ object DedupOps {
   // replicates the bipartite banding exactly (same 16 hashes, 4 bands).
   spark("d_incremental",
     (s, d) => {
-      val tok = tokens(s, d)
-      val matched = minhashNearDupAgainst(s,
-          corpusTok = tok.filter(col("doc_id") % 7 =!= 0),
-          batchTok = tok.filter(col("doc_id") % 7 === 0), tau = 0.5)
+      // both sides collapse doc→set straight off documents (docSetsDF:
+      // one exchange per side instead of distinctSetsDF's two)
+      val csets = docSetsDF(s, d, col("doc_id") % 7 =!= 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val bsets = docSetsDF(s, d, col("doc_id") % 7 === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val matched = minhashNearDupVerify(s, csets, setBands(s, csets), bsets, tau = 0.5)
+      csets.unpersist(false)
+      bsets.unpersist(false)
       // hold the cached match frame's HANDLE: unpersisting a derived
       // frame is a no-op (CacheManager matches the exact plan), so the
       // aggregate materializes first — bounded to ≤ one row per batch
@@ -1028,12 +1112,14 @@ object DedupOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val cbands = s.read.format("vortex").load(s"$dir/bands")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-      val batchTok = tokens(s, d).filter(col("doc_id") % 7 === 0)
-      // AgainstIndex returns an eagerly-materialized cached frame, so
-      // the index-read caches can be dropped immediately; the match
+      val bsets = docSetsDF(s, d, col("doc_id") % 7 === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      // the verify core returns an eagerly-materialized cached frame,
+      // so the index-read caches can be dropped immediately; the match
       // cache itself drops inside finishIncremental — no per-query
       // cache accumulation in the session CacheManager
-      val matched = minhashNearDupAgainstIndex(s, csets, cbands, batchTok, tau = 0.5)
+      val matched = minhashNearDupVerify(s, csets, cbands, bsets, tau = 0.5)
+      bsets.unpersist(false)
       csets.unpersist(false)
       cbands.unpersist(false)
       finishIncremental(s, matched)
